@@ -1,0 +1,60 @@
+package graft.iot
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** End-to-end IoT-23 batch pipeline: CSV directory scan → transform →
+  * Parquet, mirroring the reference job (`process_iot_data.py:235-271`)
+  * with one documented divergence: we FAIL FAST on errors instead of
+  * logging-and-exiting-0 (the reference swallows all exceptions at
+  * `:273-282`, so a missing input path still "succeeds" — a trap for
+  * orchestration; see SURVEY.md §3.1.6).
+  *
+  * Scale posture (~39 GB CSV in the reference; design for 100 TB):
+  * the plan is a single narrow stage — FileScan csv → Project →
+  * WriteFiles — no shuffle, no wide dependency; parallelism is file
+  * splits, so it scales linearly with executors. The sorted variant
+  * adds the one shuffle that the semantics genuinely require.
+  */
+object IotPipeline {
+
+  /** S1 — CSV directory scan with fixed, enforced schema
+    * (`process_iot_data.py:245-253`): header row skipped but NOT
+    * validated (enforceSchema trusts the declared schema positionally),
+    * Zeek's `-` unset-marker ⇒ NULL, recursive lookup. */
+  def readCsv(spark: SparkSession, inputPath: String): DataFrame =
+    spark.read
+      .schema(IotSchema.raw)
+      .option("header", true)
+      .option("sep", ",")
+      .option("nullValue", "-")
+      .option("recursiveFileLookup", true)
+      .option("enforceSchema", true)
+      .csv(inputPath)
+
+  /** K1 — Parquet overwrite write (`process_iot_data.py:264-267`). */
+  def writeParquet(df: DataFrame, outputPath: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(outputPath)
+
+  /** K3 — the reference's serving store is a MergeTree sorted by `uid`
+    * (`clickhouse_scripts/init_db.sql:30-31`, loaded by truncate +
+    * positional insert, `dags/iot_processing_dag.py:55-75`). The
+    * engine-native equivalent of "sorted store" is a parquet write
+    * range-partitioned AND sorted by the key: `repartitionByRange`
+    * gives non-overlapping key ranges across files (one shuffle) and
+    * `sortWithinPartitions` orders within each — together a total
+    * order usable for min/max row-group pruning on `uid` lookups,
+    * which is what MergeTree's primary index buys the reference. */
+  def writeSortedByUid(df: DataFrame, outputPath: String): Unit =
+    df.repartitionByRange(df.sparkSession.conf
+        .get("spark.sql.shuffle.partitions").toInt, df("uid"))
+      .sortWithinPartitions("uid")
+      .write.mode(SaveMode.Overwrite).parquet(outputPath)
+
+  /** Full pipeline: scan → transform → overwrite parquet. Fails fast. */
+  def run(spark: SparkSession, inputPath: String, outputPath: String,
+      sortedByUid: Boolean = false): Unit = {
+    val out = Transforms.transform(readCsv(spark, inputPath))
+    if (sortedByUid) writeSortedByUid(out, outputPath)
+    else writeParquet(out, outputPath)
+  }
+}
