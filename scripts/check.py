@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: after `sbt "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"`,
+run  `python3 scripts/check.py /root/testdata/sf0.01 /tmp/verify_out`.
+
+For each query in oracle_sql.json: runs the oracle SQL in DuckDB (tables
+registered as views over the sf dir), reads the Spark-written parquet,
+sorts columns by name (driver does the same before hashing) and compares
+row count, schema, and exact values. Floats report max abs diff when not
+bit-identical so near-misses are diagnosable.
+"""
+import duckdb, json, sys, glob
+
+import numpy as np
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def main():
+    sfdir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output parquet")
+            n_fail += 1
+            continue
+        try:
+            sp = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
+            du = con.sql(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
+        sp = sp[sorted(sp.columns)]
+        du = du[sorted(du.columns)]
+        errs = []
+        if list(sp.columns) != list(du.columns):
+            errs.append(f"cols spark={list(sp.columns)} oracle={list(du.columns)}")
+        elif len(sp) != len(du):
+            errs.append(f"rows spark={len(sp)} oracle={len(du)}")
+        else:
+            for c in sp.columns:
+                a, b = sp[c], du[c]
+                if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                    av, bv = a.astype(float).values, b.astype(float).values
+                    same = (av == bv) | (np.isnan(av) & np.isnan(bv))
+                    if not same.all():
+                        d = np.nanmax(np.abs(av - bv))
+                        errs.append(f"col {c}: {np.count_nonzero(~same)} diffs, maxabs={d:.3e}")
+                else:
+                    if str(a.dtype) != str(b.dtype):
+                        errs.append(f"col {c}: dtype {a.dtype} vs {b.dtype}")
+                        continue
+                    same = (a.values == b.values) | (pd.isna(a).values & pd.isna(b).values)
+                    if not np.asarray(same).all():
+                        i = int(np.argmax(~np.asarray(same)))
+                        errs.append(f"col {c}: {np.count_nonzero(~np.asarray(same))} diffs, first@{i}: {a.iloc[i]!r} vs {b.iloc[i]!r}")
+        if errs:
+            n_fail += 1
+            print(f"FAIL {name}: " + "; ".join(errs))
+        else:
+            n_pass += 1
+            print(f"PASS {name} ({len(sp)} rows)")
+    # queries registered without an oracle still need to produce output
+    extra = sorted(set(glob.glob(f"{outdir}/*/")) )
+    noracle = [p.rstrip("/").rsplit("/", 1)[-1] for p in extra
+               if p.rstrip("/").rsplit("/", 1)[-1] not in oracle]
+    for name in noracle:
+        n = con.sql(f"SELECT count(*) FROM read_parquet('{outdir}/{name}/*.parquet')").fetchone()[0]
+        print(f"INFO {name}: no oracle, {n} rows")
+    print(f"== {n_pass} pass / {n_fail} fail / {len(noracle)} rows-only ==")
+    sys.exit(1 if n_fail else 0)
+
+if __name__ == "__main__":
+    main()

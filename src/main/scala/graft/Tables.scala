@@ -1,6 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
 
 /** Loaders for the driver-provided testdata star schema (TESTDATA.md):
   * TPC-H-ish tables plus `events` (stream twin), `documents` (text),
@@ -26,7 +28,17 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's schema
+    * converter rejects outright (PARQUET_TYPE_ILLEGAL). Read the raw
+    * int64 nanos (`nanosAsLong`) and floor-divide to micros — the same
+    * truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so
+    * oracle comparisons stay bit-exact. NTZ (wall-clock) semantics match
+    * the file's isAdjustedToUTC=false. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    apply(s, d, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -46,8 +46,14 @@ object Transforms {
     * (NULL) and anything else as raw float seconds. Source columns
     * dropped (P7). */
   def parseDuration(df: DataFrame): DataFrame = {
-    def comp(pat: String) =
-      regexp_extract(col("duration"), pat, 1).cast(FloatType)
+    // ANSI-safe: Spark 4.x has spark.sql.ansi.enabled=true by default, so
+    // a plain `"".cast(FloatType)` (the PySpark-3.5/ANSI-off no-match
+    // behavior the reference relies on) would throw CAST_INVALID_INPUT.
+    // `""` ⇒ NULL first, then cast — identical semantics under both modes.
+    def comp(pat: String) = {
+      val m = regexp_extract(col("duration"), pat, 1)
+      when(m === "", lit(null)).otherwise(m).cast(FloatType)
+    }
     val summed =
       comp("(\\d+)\\s+days") * lit(86400.0) +
         comp("days\\s+(\\d{2}):") * lit(3600.0) +
@@ -60,7 +66,10 @@ object Transforms {
       .withColumn("duration_sec",
         when(col("duration_sec").isNull,
           when(col("duration").contains("days"), lit(null))
-            .otherwise(col("duration").cast(FloatType)))
+            // try_cast, not cast: malformed plain strings must yield NULL
+            // (reference behavior under ANSI-off) instead of throwing
+            // CAST_INVALID_INPUT under Spark 4.x ANSI mode.
+            .otherwise(expr("try_cast(duration AS FLOAT)")))
           .otherwise(col("duration_sec")))
       .drop("duration", "duration_parsed")
   }

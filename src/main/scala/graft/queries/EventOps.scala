@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+import graft.Tables
+
+/** Event-stream analytics over the `events` table — the batch twins of
+  * the Structured Streaming pipeline in [[graft.streaming.EventStream]].
+  * The same transform functions are shared by both: what is verified
+  * here against the DuckDB oracle is byte-for-byte the logic the
+  * streaming job runs incrementally.
+  */
+object EventOps {
+
+  /** Tumbling-window aggregate, shared with the streaming path.
+    * `window(ts, "1 hour")` is the streaming-compatible form of
+    * `date_trunc('hour', ts)` — identical bucket boundaries. */
+  def tumblingHourly(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        // fixed-point exact sum (see Relational.dsum for why not DECIMAL)
+        (sum(floor(col("value") * 1e6)).cast(DoubleType) / 1e6).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** q24 — JSON extraction (`get_json_object`) + aggregate. The driver
+    * oracle uses a regexp pull of the same field so the check does not
+    * depend on DuckDB's JSON extension. */
+  def q24JsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** q25 — tumbling 1-hour event-time windows (batch twin of the
+    * streaming aggregate; see [[graft.streaming.EventStream]]). */
+  def q25TumblingWindow(s: SparkSession, dir: String): DataFrame =
+    tumblingHourly(Tables.events(s, dir))
+      .orderBy("hour_start", "event_type")
+
+  /** q26 — sessionization: gap-based sessions (30 min inactivity) per
+    * user via lag + cumulative session counter, then per-user session
+    * stats. One shuffle on user_id; windows are partition-local after
+    * it. The streaming equivalent is session_window / state timeouts. */
+  def q26Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val run = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros(col("ts").cast("timestamp")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts").cast("timestamp")) - col("prev_us") > 1800L * 1000000L, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("new_session")).over(run))
+      .groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        max(col("n_events")).as("max_session_events"),
+        sum(col("n_events")).as("total_events"))
+      .orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q24_json_extract" -> (q24JsonExtract _),
+    "q25_tumbling_window" -> (q25TumblingWindow _),
+    "q26_sessionize" -> (q26Sessionize _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q24_json_extract" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,
+        |  min(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS min_k,
+        |  max(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q25_tumbling_window" ->
+      """SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS hour_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor("value" * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_start, event_type""".stripMargin,
+    "q26_sessionize" ->
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w IS NULL
+        |      OR epoch_us(CAST(ts AS TIMESTAMP))
+        |         - lag(epoch_us(CAST(ts AS TIMESTAMP)), 1) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessions AS (
+        |  SELECT user_id,
+        |    sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flagged
+        |), per_session AS (
+        |  SELECT user_id, session_id, count(*) AS n_events
+        |  FROM sessions GROUP BY user_id, session_id
+        |)
+        |SELECT user_id, count(*) AS n_sessions,
+        |  max(n_events) AS max_session_events,
+        |  CAST(sum(n_events) AS BIGINT) AS total_events
+        |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+  )
+}

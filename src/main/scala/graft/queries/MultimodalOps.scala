@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+import graft.Tables
+
+/** Multimodal columns: image/audio/video treated as opaque `binary`
+  * payloads with typed metadata alongside. No media codecs exist in
+  * this environment, so the *decode* step is a clearly-marked
+  * deterministic STUB (hash-derived pseudo-metadata); everything
+  * Spark-side — binary columns, schema, partitioning, batch shape —
+  * is real and oracle-checked where expressible.
+  *
+  * In production the stubbed expressions are replaced by a vectorized
+  * decode over `mapPartitions` (JVM codec) or Arrow-batched python
+  * workers; the surrounding plan (pruned scan → per-partition decode →
+  * metadata aggregate) is unchanged.
+  */
+object MultimodalOps {
+
+  /** q42 — binary payload plumbing: utf8 bytes of `text` stand in for a
+    * media blob. Byte length + content digests are real binary ops and
+    * DuckDB-oracle-checked. */
+  def q42BinaryMeta(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("digest_md5"),
+        sha2(col("payload"), 256).as("digest_sha256"))
+      .orderBy("doc_id")
+
+  /** q43 — STUBBED media decode: width/height/duration are derived from
+    * a hash of the payload (NOT a real codec — deterministic fake so
+    * the pipeline shape is testable). "Frame sampling" keeps every
+    * k-th 16-byte window of the blob. Rows-only check (no oracle: the
+    * stub is engine-specific by construction). */
+  def q43DecodeStub(s: SparkSession, dir: String): DataFrame = {
+    val payload = col("text").cast("binary")
+    val h = xxhash64(payload)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), payload.as("payload"))
+      .select(col("doc_id"),
+        octet_length(col("payload")).as("n_bytes"),
+        // STUB: hash-derived fake dimensions, stands in for codec output
+        pmod(xxhash64(col("payload")), lit(1280)).cast(IntegerType).plus(1).as("width"),
+        pmod(xxhash64(col("payload"), lit(1)), lit(720)).cast(IntegerType).plus(1).as("height"),
+        (pmod(xxhash64(col("payload"), lit(2)), lit(30000)).cast(IntegerType) / lit(1000.0)).as("duration_s"),
+        // STUB frame sample: every 4th 16-byte window of the payload
+        transform(
+          sequence(lit(0),
+            greatest(floor(octet_length(col("payload")) / 64).cast(IntegerType) - 1, lit(0))),
+          i => col("payload").substr(i * 64 + 1, lit(16)))
+          .as("frame_samples"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q42_binary_meta" -> (q42BinaryMeta _),
+    "q43_decode_stub" -> (q43DecodeStub _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q42_binary_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |  md5(text) AS digest_md5,
+        |  sha256(text) AS digest_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

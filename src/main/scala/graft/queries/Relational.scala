@@ -1,0 +1,505 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+import graft.Tables
+
+/** The relational capability surface (SURVEY.md §2.4): one registered,
+  * DuckDB-oracle-verified query per operator family, over the driver
+  * testdata star schema.
+  *
+  * Determinism rules (SURVEY.md §7.4.1) applied throughout so results
+  * hash-match the oracle bit-exactly:
+  *   - every query ends in a keyed ORDER BY over a unique column set;
+  *   - double aggregates go through `dsum`: per-row cast to DECIMAL
+  *     (order-independent exact sum) then cast back to DOUBLE. Plain
+  *     `sum(double)` would drift by summation order between Spark's
+  *     parallel partial aggregates and DuckDB's scan order;
+  *   - averages are `CAST(decimal-sum AS DOUBLE) / count` — a single
+  *     double division of identical operands on both sides;
+  *   - raw double columns pass through untouched (no re-arithmetic).
+  *
+  * Scale posture (100 TB): every query is a declarative DataFrame plan —
+  * filters/projections reach the parquet scan (PushedFilters verified in
+  * RelationalPlanSpec), small dims are `broadcast()` so the big fact side
+  * never shuffles for those joins, fact-fact joins shuffle on their join
+  * key only, and aggregates use partial (map-side) combine automatically.
+  * AQE (on by default in Spark 4) handles skew and partition coalescing.
+  */
+object Relational {
+
+  /** Order-independent exact fixed-point sum of a double column:
+    * per-row `floor(x · 10^scale)` — floor is an exact IEEE operation,
+    * so unlike a double→DECIMAL cast (where Spark rounds the *shortest
+    * decimal rendering* while DuckDB rounds the exact binary value,
+    * which diverges on rendering-boundary doubles) both engines produce
+    * identical integers — summed exactly as BIGINT (order-independent),
+    * then one double division. Bit-stable at any parallelism. */
+  private[queries] def dsum(c: Column, scale: Int = 2): Column = {
+    val f = math.pow(10, scale)
+    sum(floor(c * f)).cast(DoubleType) / f
+  }
+
+  private def davg(c: Column, scale: Int = 2): Column =
+    dsum(c, scale) / count(lit(1))
+
+  // ---------------------------------------------------------------- scans
+
+  /** q01 — flagship: TPC-H Q1-style pricing summary. scan → pushed
+    * filter → hash agg (partial+final) → sort. */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp_ntz"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("sum_disc_price"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 4).as("sum_charge"),
+        davg(col("l_quantity")).as("avg_qty"),
+        davg(col("l_extendedprice")).as("avg_price"),
+        davg(col("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q02 — filter + projection: predicates push to the parquet scan,
+    * ReadSchema prunes to the 4 projected + 3 filtered columns. */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05 &&
+        col("l_returnflag") === "R")
+      .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+      .orderBy("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------- joins
+
+  /** q03 — star join with explicit broadcast of the small dims: at 100 TB
+    * the orders fact never shuffles for customer/nation; only the final
+    * 25-row aggregate does. */
+  def q03JoinBroadcast(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("order_cnt"), dsum(col("o_totalprice")).as("revenue"))
+      .orderBy("n_name")
+
+  /** q04 — fact-fact shuffle join (lineitem ⋈ orders on orderkey): both
+    * sides hash-partition on the key; AQE picks SMJ/SHJ and handles skew. */
+  def q04JoinShuffle(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("o_orderstatus") === "F")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("line_cnt"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy("o_orderpriority")
+
+  /** q05 — left outer join preserving unmatched left rows; count(col)
+    * counts only non-null matches. */
+  def q05LeftJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_name")
+      .agg(count(col("o_orderkey")).as("order_cnt"),
+        dsum(col("o_totalprice")).as("spend"))
+      .orderBy("c_custkey")
+
+  /** q06 — left-semi join (EXISTS): customers with at least one order
+    * above 400k. Semi join never duplicates or widens the left side. */
+  def q06SemiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 400000),
+        col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** q07 — left-anti join (NOT EXISTS): customers with no order above
+    * 300k (threshold chosen so the result is non-empty at sf0.01). */
+  def q07AntiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir).filter(col("o_totalprice") > 300000),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment")
+      .orderBy("c_custkey")
+
+  /** q08 — cross join of the two tiny dims (125 rows); BNLJ is fine when
+    * both sides are broadcast-size — never cross-join two facts. */
+  def q08CrossJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir)
+      .crossJoin(Tables.nation(s, dir))
+      .select(col("r_name"), col("n_name"),
+        concat_ws("/", col("r_name"), col("n_name")).as("pair"))
+      .orderBy("r_name", "n_name")
+
+  /** q09 — range join: equi key + interval band predicate. The equi half
+    * drives the shuffle partitioning; the band is evaluated post-match,
+    * so this stays a hash/merge join, not a nested loop. */
+  def q09RangeJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") <= col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("lines_in_window"))
+      .orderBy("o_orderpriority")
+
+  // ----------------------------------------------------------- aggregates
+
+  /** q10 — multi-aggregate groupBy incl. exact count-distinct (expands to
+    * a two-phase aggregate) and min/max over timestamps. */
+  def q10GroupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        countDistinct(col("o_custkey")).as("n_custs"),
+        min(col("o_orderdate")).as("first_date"),
+        max(col("o_orderdate")).as("last_date"),
+        dsum(col("o_totalprice")).as("total"))
+      .orderBy("o_orderstatus")
+
+  /** q11 — distinct (planned as an aggregate on all columns). */
+  def q11Distinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select("l_returnflag", "l_linestatus")
+      .distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** q12 — approx_count_distinct (HLL++): the 100 TB answer to exact
+    * count-distinct's full shuffle. No oracle — approximate by design;
+    * driver records a rows-only check. */
+  def q12ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy("l_returnflag")
+
+  /** q13 — rollup: hierarchical subtotals + grand total in one pass
+    * (Expand operator feeds a single aggregate). NULL group markers are
+    * coalesced to 'ALL' so ordering is engine-neutral. */
+  def q13Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** q14 — cube: all grouping-set combinations. */
+  def q14Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("cnt"))
+      .orderBy("status", "priority")
+
+  // -------------------------------------------------------------- windows
+
+  /** q15 — ranking window: top-3 orders per customer. Partition-local
+    * sort after one hash partition on the window key; the `rn <= 3`
+    * filter is the scalable top-k-per-group idiom (no global sort). */
+  def q15WindowRank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+      .orderBy("o_custkey", "rn")
+  }
+
+  /** q16 — analytic window: lag/lead over each customer's order history.
+    * Bounded to custkey < 50 to keep the verify result small. */
+  def q16WindowLag(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q17 — frame window: running spend per customer (rows between
+    * unbounded preceding and current). Decimal sum keeps the running
+    * total exact and order-stable. */
+  def q17WindowFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 50)
+      .select(col("o_custkey"), col("o_orderkey"),
+        (sum(floor(col("o_totalprice") * 1e2)).over(w)
+          .cast(DoubleType) / 1e2).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  // -------------------------------------------------------- sort / set ops
+
+  /** q18 — global top-k: planned as TakeOrderedAndProject (per-partition
+    * heap + driver merge of k rows), NOT a full sort — the only safe
+    * global ordering at 100 TB. Tie-broken on the unique key. */
+  def q18TopK(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+
+  /** q19 — set ops: INTERSECT and EXCEPT of two customer key sets,
+    * tagged and UNION ALL'd into one deterministic result. */
+  def q19SetOps(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    val low = orders.filter(col("o_orderpriority") === "5-LOW")
+      .select("o_custkey")
+    urgent.intersect(low).withColumn("setop", lit("both"))
+      .unionAll(urgent.except(low).withColumn("setop", lit("urgent_only")))
+      .orderBy("setop", "o_custkey")
+  }
+
+  // ------------------------------------------------------- scalar functions
+
+  /** q20 — date/time functions: year/quarter extraction + month
+    * truncation drive a two-level time aggregate. */
+  def q20DateFns(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(year(col("l_shipdate")).as("yr"),
+        quarter(col("l_shipdate")).as("qtr"),
+        date_trunc("month", col("l_shipdate")).as("month_start"))
+      .agg(count(lit(1)).as("cnt"), dsum(col("l_quantity")).as("qty"))
+      .orderBy("yr", "qtr", "month_start")
+
+  /** q21 — string functions: case, length, substring, concat, replace,
+    * lpad over the customer dim. */
+  def q21StringFns(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_custkey") < 200)
+      .select(col("c_custkey"),
+        upper(col("c_name")).as("name_upper"),
+        length(col("c_name")).as("name_len"),
+        substring(col("c_mktsegment"), 1, 3).as("seg3"),
+        concat_ws("|", col("c_name"), col("c_mktsegment")).as("tagged"),
+        regexp_replace(col("c_name"), "[0-9]", "#").as("masked"),
+        lpad(col("c_custkey").cast("string"), 8, "0").as("key_pad"))
+      .orderBy("c_custkey")
+
+  /** q22 — math functions: round/floor/ceil/sqrt/abs over lineitem.
+    * sqrt is IEEE-correctly-rounded so it is bit-stable across engines;
+    * transcendentals (ln/exp) are deliberately avoided in oracle-checked
+    * output. */
+  def q22MathFns(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 500)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 1).as("price_r1"),
+        floor(col("l_extendedprice")).as("price_floor"),
+        ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+        sqrt(col("l_quantity")).as("qty_sqrt"),
+        abs(col("l_quantity") - lit(25.0)).as("qty_dev"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** q23 — conditional bucketing: CASE WHEN tiering + aggregate. */
+  def q23CaseWhen(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_totalprice"),
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 150000, "medium")
+          .otherwise("large").as("tier"))
+      .groupBy("tier")
+      .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
+      .orderBy("tier")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_join_broadcast" -> (q03JoinBroadcast _),
+    "q04_join_shuffle" -> (q04JoinShuffle _),
+    "q05_left_join" -> (q05LeftJoin _),
+    "q06_semi_join" -> (q06SemiJoin _),
+    "q07_anti_join" -> (q07AntiJoin _),
+    "q08_cross_join" -> (q08CrossJoin _),
+    "q09_range_join" -> (q09RangeJoin _),
+    "q10_group_agg" -> (q10GroupAgg _),
+    "q11_distinct" -> (q11Distinct _),
+    "q12_approx_distinct" -> (q12ApproxDistinct _),
+    "q13_rollup" -> (q13Rollup _),
+    "q14_cube" -> (q14Cube _),
+    "q15_window_rank" -> (q15WindowRank _),
+    "q16_window_lag" -> (q16WindowLag _),
+    "q17_window_frame" -> (q17WindowFrame _),
+    "q18_topk" -> (q18TopK _),
+    "q19_setops" -> (q19SetOps _),
+    "q20_date_fns" -> (q20DateFns _),
+    "q21_string_fns" -> (q21StringFns _),
+    "q22_math_fns" -> (q22MathFns _),
+    "q23_case_when" -> (q23CaseWhen _),
+  )
+
+  /** DuckDB rendering of [[dsum]]: `1eN` literals are DOUBLE in DuckDB
+    * (plain `100.0` would be DECIMAL and change the arithmetic). */
+  private def fsum(x: String, scale: Int = 2): String =
+    s"CAST(sum(CAST(floor(($x) * 1e$scale) AS BIGINT)) AS DOUBLE) / 1e$scale"
+
+  private def favg(x: String, scale: Int = 2): String =
+    s"(${fsum(x, scale)}) / count(*)"
+
+  /** DuckDB equivalents. Column aliases match the Spark side exactly —
+    * the driver sorts columns by name before hashing. */
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+        |  ${fsum("l_quantity")} AS sum_qty,
+        |  ${fsum("l_extendedprice")} AS sum_base_price,
+        |  ${fsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)", 4)} AS sum_disc_price,
+        |  ${fsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount) * (CAST(1 AS DOUBLE) + l_tax)", 4)} AS sum_charge,
+        |  ${favg("l_quantity")} AS avg_qty,
+        |  ${favg("l_extendedprice")} AS avg_price,
+        |  ${favg("l_discount", 6)} AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_quantity > 45 AND l_discount >= 0.05 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_join_broadcast" ->
+      s"""SELECT n_name, count(*) AS order_cnt,
+        |  ${fsum("o_totalprice")} AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q04_join_shuffle" ->
+      s"""SELECT o_orderpriority, count(*) AS line_cnt,
+        |  ${fsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)", 4)} AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_left_join" ->
+      s"""SELECT c_custkey, c_name, count(o_orderkey) AS order_cnt,
+        |  ${fsum("o_totalprice")} AS spend
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_name ORDER BY c_custkey""".stripMargin,
+    "q06_semi_join" ->
+      """SELECT c_custkey, c_name, c_acctbal FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+    "q08_cross_join" ->
+      """SELECT r_name, n_name, concat_ws('/', r_name, n_name) AS pair
+        |FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q09_range_join" ->
+      """SELECT o_orderpriority, count(*) AS lines_in_window
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  AND l_shipdate >= o_orderdate
+        |  AND l_shipdate <= o_orderdate + INTERVAL 60 DAY
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q10_group_agg" ->
+      s"""SELECT o_orderstatus, count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_custs,
+        |  min(o_orderdate) AS first_date, max(o_orderdate) AS last_date,
+        |  ${fsum("o_totalprice")} AS total
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q11_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q13_rollup" ->
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS cnt,
+        |  ${fsum("l_quantity")} AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q14_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |  coalesce(o_orderpriority, 'ALL') AS priority, count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q15_window_rank" ->
+      s"""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q16_window_lag" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  lag(o_totalprice, 1) OVER w AS prev_price,
+        |  lead(o_totalprice, 1) OVER w AS next_price
+        |FROM orders WHERE o_custkey < 50
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q17_window_frame" ->
+      s"""SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e2
+        |    AS running_spend
+        |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q18_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q19_setops" ->
+      """SELECT o_custkey, 'both' AS setop FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW') a
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_only' AS setop FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW') b
+        |ORDER BY setop, o_custkey""".stripMargin,
+    "q20_date_fns" ->
+      s"""SELECT CAST(year(l_shipdate) AS INTEGER) AS yr,
+        |  CAST(quarter(l_shipdate) AS INTEGER) AS qtr,
+        |  date_trunc('month', l_shipdate) AS month_start,
+        |  count(*) AS cnt,
+        |  ${fsum("l_quantity")} AS qty
+        |FROM lineitem GROUP BY 1, 2, 3 ORDER BY yr, qtr, month_start""".stripMargin,
+    "q21_string_fns" ->
+      """SELECT c_custkey, upper(c_name) AS name_upper,
+        |  CAST(length(c_name) AS INTEGER) AS name_len,
+        |  substring(c_mktsegment, 1, 3) AS seg3,
+        |  concat_ws('|', c_name, c_mktsegment) AS tagged,
+        |  regexp_replace(c_name, '[0-9]', '#', 'g') AS masked,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS key_pad
+        |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin,
+    "q22_math_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  round(l_extendedprice, 1) AS price_r1,
+        |  CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+        |  sqrt(l_quantity) AS qty_sqrt,
+        |  abs(l_quantity - 25.0) AS qty_dev
+        |FROM lineitem WHERE l_orderkey < 500
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q23_case_when" ->
+      s"""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |  WHEN o_totalprice < 150000 THEN 'medium' ELSE 'large' END AS tier,
+        |  count(*) AS cnt,
+        |  ${fsum("o_totalprice")} AS total
+        |FROM orders GROUP BY 1 ORDER BY tier""".stripMargin,
+  )
+}

@@ -1,0 +1,248 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+
+import graft.Tables
+
+/** Text-analysis and deduplication operators over `documents` — the
+  * core of a large-scale training-data pipeline. Everything is pure
+  * Catalyst expressions (codegen'd, no UDFs); the dedup family is
+  * designed bucket-first so no step is all-pairs at 100 TB:
+  *
+  *   - exact dedup: hash-groupBy on normalized text — one shuffle on the
+  *     (high-cardinality, well-distributed) text hash;
+  *   - MinHash-LSH near-dup: shingle → k minhashes → band signatures →
+  *     candidate pairs ONLY within equal band buckets (the LSH trick:
+  *     O(n·bands) shuffle instead of O(n²) crossJoin);
+  *   - SimHash: 64-bit signature, near-dups bucketed by 16-bit band.
+  */
+object TextOps {
+
+  /** Whitespace normalization shared by dedup + fingerprint:
+    * lowercase, collapse runs of whitespace, trim. */
+  private def normText(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  /** Whitespace tokens of the raw text. */
+  private def tokens(c: Column): Column = split(c, "\\s+")
+
+  /** q30 — exact deduplication: group by normalized text, keep the
+    * smallest doc_id as the canonical representative. At scale the
+    * group key is effectively `xxhash64(norm)` — same shuffle, 8-byte
+    * keys; kept as the string here so DuckDB can oracle it. */
+  def q30ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy(normText(col("text")).as("norm"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+      .select("keep_id", "dup_cnt")
+      .orderBy("keep_id")
+
+  /** q31 — corpus dedup stats: total vs distinct (exact + HLL approx)
+    * in one pass. */
+  def q31DedupStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(normText(col("text")).as("norm"), col("lang"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("norm")).as("n_distinct"))
+      .orderBy("lang")
+
+  /** q32 — per-document text statistics: length, token count, mean token
+    * length, punctuation count. The whole row is one codegen'd project. */
+  def q32TextStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        length(col("text")).as("text_len"),
+        size(tokens(col("text"))).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).as("n_punct"),
+        (length(regexp_replace(col("text"), "\\s+", "")).cast(DoubleType) /
+          size(tokens(col("text")))).as("mean_token_len"))
+      .orderBy("doc_id")
+
+  /** q33 — corpus profile per (lang, source): doc counts + exact char
+    * sums; the group-level rollup a curation pipeline reports. */
+  def q33LangProfile(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"))
+      .orderBy("lang", "source")
+
+  /** q34 — quality scoring: stopword ratio + punctuation ratio +
+    * length band — the length/punct/stopword heuptics used for corpus
+    * filtering, as one expression program. */
+  def q34QualityScore(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens(col("text")))
+    val stopCnt = size(regexp_extract_all(col("text"),
+      lit("\\b(the|a|of|and|to|in|is)\\b"), lit(0)))
+    val punctCnt = size(regexp_extract_all(col("text"),
+      lit("[^A-Za-z0-9\\s]"), lit(0)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        nTok.as("n_tokens"),
+        stopCnt.as("n_stop"),
+        (stopCnt.cast(DoubleType) / nTok).as("stop_ratio"),
+        (punctCnt.cast(DoubleType) / length(col("text"))).as("punct_ratio"),
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 400, "medium")
+          .otherwise("long").as("len_band"))
+      .orderBy("doc_id")
+  }
+
+  /** q35 — tokenizer-style counting: BPE-ish pre-token pattern (letter
+    * runs | digit runs | single non-space symbol), the standard
+    * pre-tokenization regex family. */
+  def q35TokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0))).as("n_bpe_tokens"),
+        size(tokens(col("text"))).as("n_ws_tokens"))
+      .orderBy("doc_id")
+
+  /** q36 — document fingerprinting: md5 + sha256 of the normalized text
+    * (content-addressed identity for cross-corpus exact dedup). */
+  def q36Fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        md5(normText(col("text")).cast("binary")).as("fp_md5"),
+        sha2(normText(col("text")).cast("binary"), 256).as("fp_sha256"))
+      .orderBy("doc_id")
+
+  // ------------------------------------------------- near-dup (no oracle)
+
+  /** 5-char shingle set of the normalized text. */
+  private def shingleArr(c: Column, k: Int = 5): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(c) - k, lit(0))),
+      i => substr(c, i + 1, lit(k))))
+
+  /** MinHash signature: for seed j, min over shingles of
+    * xxhash64(j, shingle). Pure higher-order functions — no UDF. */
+  private def minhashSig(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(j =>
+      array_min(transform(sh, x => xxhash64(lit(j), x)))): _*)
+
+  /** q37 — MinHash-LSH near-duplicate pairs. 16 minhashes in 4 bands of
+    * 4; docs sharing any band bucket become candidates (the ONLY join —
+    * bucket-equi, never all-pairs); candidate pairs are then verified by
+    * full-signature agreement ≥ 0.5. At 100 TB: the bucket join's key
+    * cardinality grows with corpus size, so buckets stay small; a salt
+    * cap on pathological buckets (boilerplate) is the standard guard.
+    * No oracle — minhash choice is engine-specific; driver records a
+    * rows-only check. */
+  def q37MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val numHashes = 16
+    val bands = 4
+    val rows = numHashes / bands
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        minhashSig(shingleArr(normText(col("text"))), numHashes).as("sig"))
+    val banded = docs.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))): _*))
+        .as("bb"))
+      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+    val a = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bucket"),
+      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (aggregate(zip_with(col("sig_a"), col("sig_b"),
+          (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, m) => acc + m)
+          .cast(DoubleType) / numHashes).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q38 — SimHash: 64-bit signature = sign of the per-bit sum of ±1
+    * votes from each token's xxhash64. Near-dup candidates share a
+    * 16-bit band (4 bands ⇒ Hamming distance ≤ 3 guaranteed caught).
+    * Output: per-doc signature + its 4 band keys. No oracle (hash
+    * choice is engine-specific). */
+  def q38Simhash(s: SparkSession, dir: String): DataFrame = {
+    // Scale shape: explode to (doc_id, token_hash), one hash per token,
+    // then ONE aggregate computes all 64 bit-votes map-side — the same
+    // shuffle profile as a word count, no per-bit re-hash.
+    val tok = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(tokens(normText(col("text")))).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+    val voteCols = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    val votes = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+    val sig = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    votes.select(col("doc_id"), sig.as("simhash"))
+      .select(col("doc_id") +: col("simhash") +:
+        (0 until 4).map(b =>
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+            .as(s"band$b")): _*)
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_exact_dedup" -> (q30ExactDedup _),
+    "q31_dedup_stats" -> (q31DedupStats _),
+    "q32_text_stats" -> (q32TextStats _),
+    "q33_lang_profile" -> (q33LangProfile _),
+    "q34_quality_score" -> (q34QualityScore _),
+    "q35_token_count" -> (q35TokenCount _),
+    "q36_fingerprint" -> (q36Fingerprint _),
+    "q37_minhash_pairs" -> (q37MinhashPairs _),
+    "q38_simhash" -> (q38Simhash _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q30_exact_dedup" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
+        |FROM documents
+        |GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |ORDER BY keep_id""".stripMargin,
+    "q31_dedup_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_distinct
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q32_text_stats" ->
+      """SELECT doc_id, lang,
+        |  CAST(length(text) AS INTEGER) AS text_len,
+        |  CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct,
+        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
+        |    / len(string_split_regex(text, '\s+')) AS mean_token_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q33_lang_profile" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |  CAST(sum(n_chars) AS DOUBLE) / count(*) AS avg_chars
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q34_quality_score" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS INTEGER) AS n_stop,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
+        |    / len(string_split_regex(text, '\s+')) AS stop_ratio,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |    / length(text) AS punct_ratio,
+        |  CASE WHEN n_chars < 200 THEN 'short'
+        |    WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS len_band
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q35_token_count" ->
+      """SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_ws_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q36_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
+        |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_sha256
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,136 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table
+  * (`embedding: array<float>`, 64 dims).
+  *
+  * Two paths:
+  *   - q40 brute-force cosine top-k — the correctness baseline; a
+  *     broadcast of the (small) query set against the full candidate
+  *     side, so the big side is scanned once with no shuffle;
+  *   - q41 LSH-bucketed ANN — the 100 TB path: random-hyperplane
+  *     signatures bucket the corpus, candidates are generated only
+  *     within buckets (candidate volume O(n·probes), not O(n·q)).
+  *
+  * Float discipline for the oracle: the dot product and norms are
+  * strict left-to-right folds over the 64 elements with each float
+  * cast to double BEFORE multiplying — the exact expression the DuckDB
+  * oracle spells out as a left-associated 64-term sum, so the doubles
+  * are bit-identical on both sides (no rounding needed).
+  */
+object VectorOps {
+
+  val Dims = 64
+
+  /** Left-fold dot product of two float arrays as double. */
+  private def dotD(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, p) => acc + p)
+
+  private def normSqD(a: Column): Column =
+    aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, p) => acc + p)
+
+  def cosine(a: Column, b: Column): Column =
+    dotD(a, b) / (sqrt(normSqD(a)) * sqrt(normSqD(b)))
+
+  /** q40 — brute-force cosine top-k: queries = vec_id < 5, candidates =
+    * the rest; top-10 per query by similarity (tie-broken on cand_id).
+    * The query side is broadcast, so the candidate scan is one narrow
+    * pass however large the corpus; the per-query top-k window shuffles
+    * only (n_queries × n_candidates-surviving) rows. */
+  def q40CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cands = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("label"), col("embedding").as("c_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    cands.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("cand_id"), col("label"),
+        cosine(col("q_emb"), col("c_emb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("query_id", "rk", "cand_id", "label", "sim")
+      .orderBy("query_id", "rk")
+  }
+
+  /** Random-hyperplane signature: bit j = sign(dot(v, h_j)) where
+    * hyperplane h_j's element i is ±1 from the parity of
+    * xxhash64(j, i) — deterministic, seedable, no stored model. */
+  private def rhpSignature(v: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      val dot = aggregate(
+        zip_with(v, sequence(lit(0), lit(Dims - 1)), (x, i) =>
+          x.cast(DoubleType) *
+            when(xxhash64(lit(j), i).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+        lit(0.0), (acc, p) => acc + p)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** q41 — LSH-bucketed approximate nearest neighbors: 8-bit
+    * random-hyperplane signature buckets the corpus (~256 buckets);
+    * per query we probe only its own bucket and re-rank exactly by
+    * cosine. Bucket sizes stay O(n/256) — at 100 TB use more bits
+    * (buckets scale 2^bits) + multi-probe on neighboring signatures.
+    * No oracle: ANN recall is engine/param-specific; rows-only check. */
+  def q41AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val bits = 8
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("bucket", rhpSignature(col("embedding"), bits))
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket"))
+    val cands = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    cands.join(broadcast(queries), Seq("bucket"))
+      .select(col("query_id"), col("cand_id"),
+        cosine(col("q_emb"), col("c_emb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "rk", "cand_id", "sim")
+      .orderBy("query_id", "rk")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_cosine_topk" -> (q40CosineTopK _),
+    "q41_ann_lsh" -> (q41AnnLsh _),
+  )
+
+  /** The DuckDB oracle spells the same left-associated folds out as
+    * explicit 64-term sums — bit-identical IEEE double arithmetic. */
+  private def dotSql(a: String, b: String): String =
+    (1 to Dims).map(i =>
+      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($b.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  private def normSqSql(a: String): String =
+    (1 to Dims).map(i =>
+      s"CAST($a.embedding[$i] AS DOUBLE) * CAST($a.embedding[$i] AS DOUBLE)")
+      .mkString(" + ")
+
+  val oracles: Map[String, String] = Map(
+    "q40_cosine_topk" ->
+      s"""SELECT query_id, rk, cand_id, label, sim FROM (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label,
+         |    (0.0 + ${dotSql("q", "c")}) /
+         |      (sqrt(0.0 + ${normSqSql("q")}) * sqrt(0.0 + ${normSqSql("c")})) AS sim,
+         |    CAST(row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY (0.0 + ${dotSql("q", "c")}) /
+         |        (sqrt(0.0 + ${normSqSql("q")}) * sqrt(0.0 + ${normSqSql("c")})) DESC,
+         |        c.vec_id) AS INTEGER) AS rk
+         |  FROM embeddings q, embeddings c
+         |  WHERE q.vec_id < 5 AND c.vec_id >= 5) t
+         |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
+  )
+}

