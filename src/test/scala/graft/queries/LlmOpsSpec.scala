@@ -1,0 +1,120 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Dedup / text / vector / multimodal operator checks on sf0.001. */
+class LlmOpsSpec extends SparkTestBase {
+
+  lazy val nDocs: Long = graft.Tables.documents(spark, Sf).count()
+
+  test("q30 exact dedup: dup counts partition the corpus") {
+    val rows = TextOps.q30ExactDedup(spark, Sf).collect()
+    assert(rows.map(_.getAs[Long]("dup_cnt")).sum == nDocs)
+    assert(rows.forall(_.getAs[Long]("dup_cnt") >= 1))
+  }
+
+  test("q31 dedup stats: distinct <= total per lang") {
+    val rows = TextOps.q31DedupStats(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_docs"))
+    }
+  }
+
+  test("q32 text stats are internally consistent") {
+    val rows = TextOps.q32TextStats(spark, Sf).collect()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_tokens") >= 1)
+      assert(r.getAs[Int]("text_len") > 0)
+      assert(r.getAs[Double]("mean_token_len") > 0)
+    }
+  }
+
+  test("q36 fingerprints are well-formed and unique per distinct text") {
+    val rows = TextOps.q36Fingerprint(spark, Sf).collect()
+    assert(rows.forall(_.getAs[String]("fp_md5").matches("[0-9a-f]{32}")))
+    assert(rows.forall(_.getAs[String]("fp_sha256").matches("[0-9a-f]{64}")))
+  }
+
+  test("q36 md5 matches JVM reference digest for one document") {
+    val doc = graft.Tables.documents(spark, Sf)
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    val norm = doc.toLowerCase.replaceAll("\\s+", " ").trim
+    val exp = java.security.MessageDigest.getInstance("MD5")
+      .digest(norm.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val got = TextOps.q36Fingerprint(spark, Sf)
+      .filter(col("doc_id") === 0).head().getAs[String]("fp_md5")
+    assert(got == exp)
+  }
+
+  test("q37 minhash pairs: ordered ids, jaccard estimate in [0.5, 1]") {
+    val rows = TextOps.q37MinhashPairs(spark, Sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      val j = r.getAs[Double]("est_jaccard")
+      assert(j >= 0.5 && j <= 1.0)
+    }
+  }
+
+  test("q38 simhash: bands decompose the signature") {
+    val rows = TextOps.q38Simhash(spark, Sf).collect()
+    assert(rows.length == nDocs)
+    rows.foreach { r =>
+      val sig = r.getAs[Long]("simhash")
+      (0 until 4).foreach { b =>
+        assert(r.getAs[Long](s"band$b") == ((sig >>> (b * 16)) & 0xFFFFL))
+      }
+    }
+  }
+
+  test("cosine of a vector with itself is 1") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-1.0f, 0.5f, 0.0f)))
+      .toDF("id", "v")
+    val sims = df.select(VectorOps.cosine(col("v"), col("v"))).collect()
+    sims.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+  }
+
+  test("q40 cosine top-k: ranks 1..10 per query, sims non-increasing") {
+    val rows = VectorOps.q40CosineTopK(spark, Sf).collect()
+    val perQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQ.size == 5)
+    perQ.values.foreach { qs =>
+      val byRank = qs.sortBy(_.getAs[Int]("rk"))
+      assert(byRank.map(_.getAs[Int]("rk")).toSeq == (1 to qs.length))
+      val sims = byRank.map(_.getAs[Double]("sim")).toSeq
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      sims.foreach(s => assert(s >= -1.0 - 1e-9 && s <= 1.0 + 1e-9))
+    }
+  }
+
+  test("q41 ANN candidates are a subset of brute-force scoring space") {
+    val rows = VectorOps.q41AnnLsh(spark, Sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_id") < 5)
+      assert(r.getAs[Long]("cand_id") >= 5)
+    }
+  }
+
+  test("q42 binary metadata byte counts match document text bytes") {
+    val meta = MultimodalOps.q42BinaryMeta(spark, Sf)
+      .filter(col("doc_id") === 0).head()
+    val txt = graft.Tables.documents(spark, Sf)
+      .filter(col("doc_id") === 0).select("text").head().getString(0)
+    assert(meta.getAs[Int]("n_bytes") == txt.getBytes("UTF-8").length)
+  }
+
+  test("q43 decode stub emits deterministic pseudo-metadata") {
+    val a = MultimodalOps.q43DecodeStub(spark, Sf).collect()
+    val b = MultimodalOps.q43DecodeStub(spark, Sf).collect()
+    assert(a.map(_.getAs[Int]("width")).toSeq ==
+      b.map(_.getAs[Int]("width")).toSeq)
+    a.foreach { r =>
+      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 1280)
+      assert(r.getAs[Int]("height") >= 1 && r.getAs[Int]("height") <= 720)
+    }
+  }
+}

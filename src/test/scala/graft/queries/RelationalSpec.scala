@@ -1,0 +1,82 @@
+package graft.queries
+
+import graft.SparkTestBase
+
+/** Sanity + plan-shape checks for the relational surface on sf0.001.
+  * (Value-level correctness is covered by the DuckDB oracle gate —
+  * scripts/check.py / the driver's CORRECTNESS run.) */
+class RelationalSpec extends SparkTestBase {
+
+  test("q01 pricing summary: 6 groups, counts add up") {
+    val rows = Relational.q01PricingSummary(spark, Sf).collect()
+    assert(rows.length == 6)
+    val total = rows.map(_.getAs[Long]("count_order")).sum
+    assert(total > 0 && total <= 6000)
+    // keyed order
+    val keys = rows.map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(keys == keys.sorted)
+  }
+
+  test("q03 broadcast join plans a BroadcastHashJoin") {
+    val df = Relational.q03JoinBroadcast(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(df.count() == 25)
+  }
+
+  test("q02 filter pushes down to the parquet scan") {
+    val df = Relational.q02FilterProject(spark, Sf)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters") &&
+      scan.contains("GreaterThan(l_quantity"), scan.take(3000))
+  }
+
+  test("q06/q07 semi+anti partition the customer set") {
+    val semi = Relational.q06SemiJoin(spark, Sf).count()
+    val anti = Relational.q07AntiJoin(spark, Sf).count()
+    val total = graft.Tables.customer(spark, Sf).count()
+    // different thresholds (400k semi / 300k anti) — both nonempty,
+    // bounded by the customer count
+    assert(semi > 0 && semi <= total)
+    assert(anti > 0 && anti <= total)
+  }
+
+  test("q15 window rank keeps at most 3 per customer") {
+    val rows = Relational.q15WindowRank(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("rn") <= 3))
+    val perCust = rows.groupBy(_.getAs[Long]("o_custkey"))
+    assert(perCust.values.forall(_.length <= 3))
+  }
+
+  test("q18 top-k returns exactly 10 rows, descending") {
+    val rows = Relational.q18TopK(spark, Sf).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getAs[Double]("o_totalprice")).toSeq
+    assert(prices == prices.sorted.reverse)
+  }
+
+  test("q18 top-k plans TakeOrderedAndProject (no global sort)") {
+    val plan = Relational.q18TopK(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
+  test("q19 set ops tag every row as both/urgent_only") {
+    val tags = Relational.q19SetOps(spark, Sf).collect()
+      .map(_.getAs[String]("setop")).toSet
+    assert(tags.subsetOf(Set("both", "urgent_only")) && tags.nonEmpty)
+  }
+
+  test("q13 rollup includes the grand-total row") {
+    val rows = Relational.q13Rollup(spark, Sf).collect()
+    val grand = rows.filter(r =>
+      r.getAs[String]("returnflag") == "ALL" &&
+        r.getAs[String]("linestatus") == "ALL")
+    assert(grand.length == 1)
+    assert(grand.head.getAs[Long]("cnt") ==
+      rows.filter(r => r.getAs[String]("returnflag") != "ALL" &&
+        r.getAs[String]("linestatus") != "ALL")
+        .map(_.getAs[Long]("cnt")).sum)
+  }
+}

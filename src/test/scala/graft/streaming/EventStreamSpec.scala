@@ -1,0 +1,87 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
+/** Structured Streaming semantics: tumbling windows close as the
+  * watermark passes, late data beyond the watermark is dropped, and
+  * streaming dedup suppresses duplicate keys. */
+class EventStreamSpec extends SparkTestBase {
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def ev(id: Long, t: String, typ: String = "click"): Ev =
+    Ev(id, ts(t), 1L, typ, 1.0, "{}")
+
+  test("tumbling window with watermark drops late data") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val q = EventStream.tumblingHourly(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two events in hour 10, then an hour-11 event that advances the
+      // watermark past 10:59 (11:30 - 10min = 11:20) closing hour 10
+      mem.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00"))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-01 11:30:00"))
+      q.processAllAvailable()
+      // late event for hour 10 — behind the 11:20 watermark — dropped
+      mem.addData(ev(4, "2024-01-01 10:45:00"))
+      q.processAllAvailable()
+      // advance far enough to close hour 11 too
+      mem.addData(ev(5, "2024-01-01 12:30:00"))
+      q.processAllAvailable()
+      val out = spark.table("tumbling_test").collect()
+        .map(r => (r.getAs[Timestamp]("hour_start").toString,
+          r.getAs[Long]("n_events"))).toMap
+      assert(out("2024-01-01 10:00:00.0") == 2L,
+        s"late event must be dropped: $out")
+      assert(out("2024-01-01 11:00:00.0") == 1L, s"$out")
+    } finally q.stop()
+  }
+
+  test("streaming dedup suppresses duplicate event ids in-watermark") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val q = EventStream.dedup(mem.toDF())
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:30"),
+        ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      mem.addData(ev(1, "2024-01-01 10:02:00"), ev(3, "2024-01-01 10:03:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").collect()
+        .map(_.getAs[Long]("event_id")).sorted.toSeq
+      assert(ids == Seq(1L, 2L, 3L), s"got $ids")
+    } finally q.stop()
+  }
+
+  test("session windows group by 30-minute gaps") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val q = EventStream.sessionCounts(mem.toDF())
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two sessions for user 1: (10:00, 10:10) then a >30min gap (11:00)
+      mem.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"),
+        ev(3, "2024-01-01 11:00:00"))
+      q.processAllAvailable()
+      mem.addData(ev(4, "2024-01-01 14:00:00")) // close everything
+      q.processAllAvailable()
+      val sessions = spark.table("session_test").collect()
+        .map(_.getAs[Long]("n_events")).sorted.toSeq
+      assert(sessions == Seq(1L, 2L), s"got $sessions")
+    } finally q.stop()
+  }
+}
