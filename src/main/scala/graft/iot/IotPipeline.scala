@@ -45,10 +45,37 @@ object IotPipeline {
     * order usable for min/max row-group pruning on `uid` lookups,
     * which is what MergeTree's primary index buys the reference. */
   def writeSortedByUid(df: DataFrame, outputPath: String): Unit =
-    df.repartitionByRange(df.sparkSession.conf
-        .get("spark.sql.shuffle.partitions").toInt, df("uid"))
+    // partition count resolved by Spark from the session conf (AQE can
+    // coalesce the ranges); at 100 TB size ranges by target bytes
+    // instead — see SURVEY.md §7.4.4
+    df.repartitionByRange(df("uid"))
       .sortWithinPartitions("uid")
       .write.mode(SaveMode.Overwrite).parquet(outputPath)
+
+  /** K2 — JDBC append sink (dead code in the reference — defined at
+    * `process_iot_data.py:190-232` but never called, and guarded so an
+    * incomplete config no-ops at `:209-213`). Re-expressed faithfully:
+    * requires `clickhouse.jdbc_url` / `clickhouse.driver` /
+    * `clickhouse.table`; password sourced from the CLICKHOUSE_PASSWORD
+    * env var (`:201`); `batchsize` 100k / `socket_timeout` 300 s
+    * defaults (`:207,219-220`). Returns false (no write attempted)
+    * when the guard trips — mirroring the reference's silent skip. */
+  def writeJdbc(df: DataFrame, cfg: Map[String, String]): Boolean = {
+    val required = Seq("clickhouse.jdbc_url", "clickhouse.driver",
+      "clickhouse.table")
+    if (!required.forall(cfg.contains)) return false
+    df.write.format("jdbc")
+      .option("url", cfg("clickhouse.jdbc_url"))
+      .option("driver", cfg("clickhouse.driver"))
+      .option("dbtable", cfg("clickhouse.table"))
+      .option("user", cfg.getOrElse("clickhouse.user", "default"))
+      .option("password", sys.env.getOrElse("CLICKHOUSE_PASSWORD", ""))
+      .option("batchsize", cfg.getOrElse("clickhouse.batchsize", "100000"))
+      .option("socket_timeout", cfg.getOrElse("clickhouse.socket_timeout", "300000"))
+      .mode(SaveMode.Append)
+      .save()
+    true
+  }
 
   /** Full pipeline: scan → transform → overwrite parquet. Fails fast. */
   def run(spark: SparkSession, inputPath: String, outputPath: String,

@@ -71,10 +71,36 @@ object EventOps {
       .orderBy("user_id")
   }
 
+  /** q27 — as-of join: for each `error` event, the latest preceding
+    * `click` by the same user. Implemented scalably as union + one
+    * keyed window (partition on user_id, order by ts): the carried
+    * `max(click ts so far)` IS the as-of match — one shuffle on the
+    * key, no range self-join, no per-row probe. The oracle uses
+    * DuckDB's native ASOF JOIN, so this checks our re-expression
+    * against a reference implementation of the operator. */
+  def q27AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+    // clicks (tag 0) sort before errors at equal ts → inclusive `<=`
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("last_click_ts", max(when(col("tag") === 0, col("ts"))).over(w))
+      .filter(col("tag") === 1 && col("last_click_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("last_click_ts"),
+        ((unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("last_click_ts").cast("timestamp"))) / lit(1e6))
+          .as("gap_seconds"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_json_extract" -> (q24JsonExtract _),
     "q25_tumbling_window" -> (q25TumblingWindow _),
     "q26_sessionize" -> (q26Sessionize _),
+    "q27_asof_join" -> (q27AsofJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -111,5 +137,13 @@ object EventOps {
         |  max(n_events) AS max_session_events,
         |  CAST(sum(n_events) AS BIGINT) AS total_events
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q27_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |  CAST(c.ts AS TIMESTAMP) AS last_click_ts,
+        |  (epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))) / 1e6 AS gap_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND c.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

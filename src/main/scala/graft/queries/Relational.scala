@@ -320,6 +320,24 @@ object Relational {
       .agg(count(lit(1)).as("cnt"), dsum(col("o_totalprice")).as("total"))
       .orderBy("tier")
 
+  /** The serving-store SQL surface (SURVEY.md §2.5): the identical SQL
+    * text runs through Spark's full Catalyst path (ANTLR parse →
+    * analyze over temp views → optimize → execute) on one side and
+    * DuckDB on the other. */
+  val SqlSurfaceText: String =
+    s"""SELECT o_orderpriority, count(*) AS n_lines,
+       |  ${fsum("l_extendedprice")} AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+       |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** q29 — ad-hoc SQL entry point: registered views + `spark.sql`. */
+  def q29SqlSurface(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    s.sql(SqlSurfaceText)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -344,6 +362,7 @@ object Relational {
     "q21_string_fns" -> (q21StringFns _),
     "q22_math_fns" -> (q22MathFns _),
     "q23_case_when" -> (q23CaseWhen _),
+    "q29_sql_surface" -> (q29SqlSurface _),
   )
 
   /** DuckDB rendering of [[dsum]]: `1eN` literals are DOUBLE in DuckDB
@@ -501,5 +520,6 @@ object Relational {
         |  count(*) AS cnt,
         |  ${fsum("o_totalprice")} AS total
         |FROM orders GROUP BY 1 ORDER BY tier""".stripMargin,
+    "q29_sql_surface" -> SqlSurfaceText,
   )
 }

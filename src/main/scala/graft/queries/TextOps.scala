@@ -196,7 +196,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q44 — array/higher-order scalar functions over token arrays:
+    * element access, min, membership, sort+slice+join, distinct count.
+    * Scalar outputs only, so the oracle compare stays list-free. */
+  def q44ArrayFns(s: SparkSession, dir: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        element_at(toks, 1).as("first_token"),
+        element_at(toks, -1).as("last_token"),
+        array_min(toks).as("min_token"),
+        array_contains(toks, "data").as("has_data"),
+        array_join(slice(sort_array(toks), 1, 3), ",").as("top3"),
+        size(array_distinct(toks)).as("n_unique"))
+      .orderBy("doc_id")
+  }
+
+  /** q45 — exact n-gram Jaccard near-dup: candidate pairs ONLY within
+    * the same (lang, n_chars div 64) bucket — the blocking key keeps
+    * the pair space linear-ish in corpus size — then exact 3-gram-set
+    * Jaccard. Complements q37: MinHash estimates on a signature; this
+    * computes the true set overlap for a blocked candidate set. */
+  def q45NgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val grams = array_distinct(shingleArr(normText(col("text")), 3))
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        floor(col("n_chars") / 64).as("szbucket"), grams.as("g"))
+    val a = docs.select(col("lang"), col("szbucket"),
+      col("doc_id").as("id_a"), col("g").as("g_a"))
+    val b = docs.select(col("lang"), col("szbucket"),
+      col("doc_id").as("id_b"), col("g").as("g_b"))
+    a.join(b, Seq("lang", "szbucket")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("g_a"), col("g_b"))).cast(DoubleType) /
+          size(array_union(col("g_a"), col("g_b")))).as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_array_fns" -> (q44ArrayFns _),
+    "q45_ngram_jaccard" -> (q45NgramJaccard _),
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_dedup_stats" -> (q31DedupStats _),
     "q32_text_stats" -> (q32TextStats _),
@@ -209,6 +249,33 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q44_array_fns" ->
+      """SELECT doc_id, t[1] AS first_token, t[-1] AS last_token,
+        |  list_min(t) AS min_token,
+        |  list_contains(t, 'data') AS has_data,
+        |  array_to_string(list_sort(t)[1:3], ',') AS top3,
+        |  CAST(len(list_distinct(t)) AS INTEGER) AS n_unique
+        |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q45_ngram_jaccard" ->
+      """SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+        |      / len(list_distinct(a.g || b.g)) AS jaccard
+        |  FROM (SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS szbucket,
+        |          list_distinct(list_transform(range(1, length(n) - 1),
+        |            i -> substring(n, i, 3))) AS g
+        |        FROM (SELECT doc_id, lang, n_chars,
+        |                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+        |              FROM documents)) a
+        |  JOIN (SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS szbucket,
+        |          list_distinct(list_transform(range(1, length(n) - 1),
+        |            i -> substring(n, i, 3))) AS g
+        |        FROM (SELECT doc_id, lang, n_chars,
+        |                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+        |              FROM documents)) b
+        |    ON a.lang = b.lang AND a.szbucket = b.szbucket AND a.doc_id < b.doc_id
+        |) WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "q30_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents
