@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, MapType, StringType}
 
 import graft.Tables
 
@@ -96,11 +96,28 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** q46 — map type + functions: `from_json` parses props into a real
+    * `map<string,int>`, then map accessors/cardinality drive an
+    * aggregate. Scalar outputs keep the oracle compare map-free. */
+  def q46MapFns(s: SparkSession, dir: String): DataFrame = {
+    val m = from_json(col("props"), MapType(StringType, IntegerType))
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        element_at(m, "k").as("k_val"),
+        size(map_keys(m)).as("n_keys"),
+        array_join(map_keys(m), ",").as("key_list"))
+      .groupBy("event_type", "n_keys", "key_list")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k_val")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_json_extract" -> (q24JsonExtract _),
     "q25_tumbling_window" -> (q25TumblingWindow _),
     "q26_sessionize" -> (q26Sessionize _),
     "q27_asof_join" -> (q27AsofJoin _),
+    "q46_map_fns" -> (q46MapFns _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -145,5 +162,10 @@ object EventOps {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id AND c.ts <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q46_map_fns" ->
+      """SELECT event_type,
+        |  CAST(1 AS INTEGER) AS n_keys, 'k' AS key_list, count(*) AS n,
+        |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

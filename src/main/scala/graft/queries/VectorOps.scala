@@ -37,8 +37,16 @@ object VectorOps {
     aggregate(transform(a, x => x.cast(DoubleType) * x.cast(DoubleType)),
       lit(0.0), (acc, p) => acc + p)
 
+  /** Declarative cosine — higher-order functions only. */
   def cosine(a: Column, b: Column): Column =
     dotD(a, b) / (sqrt(normSqD(a)) * sqrt(normSqD(b)))
+
+  /** Native codegen'd cosine ([[graft.functions.CosineSimilarity]]) —
+    * bit-identical to [[cosine]], primitive fused loop in the hot path. */
+  def cosineNative(s: SparkSession, a: Column, b: Column): Column = {
+    graft.functions.GraftFunctions.register(s)
+    call_function("cosine_sim", a, b)
+  }
 
   /** q40 — brute-force cosine top-k: queries = vec_id < 5, candidates =
     * the rest; top-10 per query by similarity (tie-broken on cand_id).
@@ -55,7 +63,7 @@ object VectorOps {
       .orderBy(col("sim").desc, col("cand_id"))
     cands.crossJoin(broadcast(queries))
       .select(col("query_id"), col("cand_id"), col("label"),
-        cosine(col("q_emb"), col("c_emb")).as("sim"))
+        cosineNative(s, col("q_emb"), col("c_emb")).as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 10)
       .select("query_id", "rk", "cand_id", "label", "sim")
@@ -95,7 +103,7 @@ object VectorOps {
       .orderBy(col("sim").desc, col("cand_id"))
     cands.join(broadcast(queries), Seq("bucket"))
       .select(col("query_id"), col("cand_id"),
-        cosine(col("q_emb"), col("c_emb")).as("sim"))
+        cosineNative(s, col("q_emb"), col("c_emb")).as("sim"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= 5)
       .select("query_id", "rk", "cand_id", "sim")

@@ -70,6 +70,19 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("native cosine expression is bit-identical to the declarative form") {
+    val emb = graft.Tables.embeddings(spark, Sf).limit(50)
+    val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("idb"), col("embedding").as("eb"))
+    val pairs = a.crossJoin(b).filter(col("ida") < col("idb"))
+    val diffs = pairs.select(
+      VectorOps.cosine(col("ea"), col("eb")).as("hof"),
+      VectorOps.cosineNative(spark, col("ea"), col("eb")).as("native"))
+      .filter(col("hof") =!= col("native")) // bit-exact, not approx
+      .count()
+    assert(diffs == 0)
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-1.0f, 0.5f, 0.0f)))
