@@ -260,9 +260,40 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** q48 — language identification by n-gram/marker heuristic: each
+    * candidate language is scored by hits of a small built-in profile
+    * (function words + script classes), argmax wins with deterministic
+    * tie-break by score order. One codegen'd projection — the cheap
+    * first-pass lang-ID a curation pipeline runs before routing text
+    * to per-language pipelines. (The synthetic corpus's `lang` labels
+    * are uncorrelated with its generated English-ish text, so this
+    * checks the OPERATOR, not model accuracy.) */
+  def q48LangId(s: SparkSession, dir: String): DataFrame = {
+    def hits(pat: String) =
+      size(regexp_extract_all(lower(col("text")), lit(pat), lit(0)))
+    val enScore = hits("\\b(the|and|of|to|is|a|in|that)\\b")
+    val esScore = hits("\\b(el|la|de|que|los|las|una|por)\\b")
+    val deScore = hits("\\b(der|die|das|und|ist|nicht|ein|zu)\\b")
+    val cjkScore = hits("[\\x{4e00}-\\x{9fff}]")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        enScore.as("score_en"), esScore.as("score_es"),
+        deScore.as("score_de"), cjkScore.as("score_cjk"))
+      .withColumn("predicted_lang",
+        when(col("score_cjk") > 0, "zh")
+          .when(col("score_es") > col("score_en") &&
+            col("score_es") > col("score_de"), "es")
+          .when(col("score_de") > col("score_en") &&
+            col("score_de") >= col("score_es"), "de")
+          .when(col("score_en") > 0, "en")
+          .otherwise("unknown"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_array_fns" -> (q44ArrayFns _),
     "q45_ngram_jaccard" -> (q45NgramJaccard _),
+    "q48_lang_id" -> (q48LangId _),
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_dedup_stats" -> (q31DedupStats _),
     "q32_text_stats" -> (q32TextStats _),
@@ -275,6 +306,21 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q48_lang_id" ->
+      """SELECT doc_id, labeled_lang, score_en, score_es, score_de, score_cjk,
+        |  CASE WHEN score_cjk > 0 THEN 'zh'
+        |    WHEN score_es > score_en AND score_es > score_de THEN 'es'
+        |    WHEN score_de > score_en AND score_de >= score_es THEN 'de'
+        |    WHEN score_en > 0 THEN 'en'
+        |    ELSE 'unknown' END AS predicted_lang
+        |FROM (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(the|and|of|to|is|a|in|that)\b')) AS INTEGER) AS score_en,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(el|la|de|que|los|las|una|por)\b')) AS INTEGER) AS score_es,
+        |    CAST(len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|zu)\b')) AS INTEGER) AS score_de,
+        |    CAST(len(regexp_extract_all(lower(text), '[\x{4e00}-\x{9fff}]')) AS INTEGER) AS score_cjk
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q44_array_fns" ->
       """SELECT doc_id, t[1] AS first_token, t[-1] AS last_token,
         |  list_min(t) AS min_token,

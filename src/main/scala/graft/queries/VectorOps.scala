@@ -110,9 +110,34 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
+  /** q47 — embedding-cosine near-duplicate detection: pairs whose
+    * cosine exceeds a threshold, candidates generated ONLY within equal
+    * 8-bit random-hyperplane buckets (high-cosine pairs land in the
+    * same bucket with high probability; multi-probe neighboring
+    * signatures raises recall at scale). The full-corpus variant of
+    * q41's query-probe shape — the embedding-space dedup a training
+    * pipeline runs before training. Rows-only (hash-parameterized). */
+  def q47EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .withColumn("bucket", rhpSignature(col("embedding"), 8))
+    val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").as("e_a"))
+    val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").as("e_b"))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        cosineNative(s, col("e_a"), col("e_b")).as("sim"))
+      // 0.35 ~ the 99.9th percentile of pair cosine in this synthetic
+      // corpus (random embeddings, no true dups); real corpora use ~0.9
+      .filter(col("sim") >= 0.35)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_ann_lsh" -> (q41AnnLsh _),
+    "q47_embedding_neardup" -> (q47EmbeddingNeardup _),
   )
 
   /** The DuckDB oracle spells the same left-associated folds out as
