@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType}
 
 /** Native codegen'd cosine similarity over two `array<float>` columns.
   *
@@ -75,27 +75,90 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Set-intersection cardinality of two SORTED ascending `array<bigint>`
+  * columns as a zero-allocation merge loop.
+  *
+  * `array_intersect` builds a boxed hash set per row evaluation; on the
+  * near-dup pair stage (hundreds of thousands of pairs × ~300-element
+  * gram sets) that allocation dominates. Sorting once per DOCUMENT and
+  * merging per PAIR moves the n·log n out of the quadratic stage.
+  * Inputs must be duplicate-free and sorted (see `q45NgramJaccard`).
+  */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count expects (array<bigint>, array<bigint>), got ($l, $r)")
+    }
+
+  override def dataType: DataType = IntegerType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n, m) = (x.numElements(), y.numElements())
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val xi = x.getLong(i); val yj = y.getLong(j)
+      if (xi < yj) i += 1
+      else if (xi > yj) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val (n, m, i, j, c) = (ctx.freshName("n"), ctx.freshName("m"),
+        ctx.freshName("i"), ctx.freshName("j"), ctx.freshName("c"))
+      s"""
+         |int $n = $a.numElements(); int $m = $b.numElements();
+         |int $i = 0, $j = 0, $c = 0;
+         |while ($i < $n && $j < $m) {
+         |  long xi = $a.getLong($i); long yj = $b.getLong($j);
+         |  if (xi < yj) $i++;
+         |  else if (xi > yj) $j++;
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: either call [[GraftFunctions.register]] on a live
   * session, or set `spark.sql.extensions=graft.functions.GraftExtensions`
-  * so every session in the deployment gets the function injected. */
+  * so every session in the deployment gets the functions injected. */
 object GraftFunctions {
 
-  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "cosine_sim" -> (children => CosineSimilarity(children(0), children(1))))
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("cosine_sim", classOf[CosineSimilarity].getName,
+      children => CosineSimilarity(children(0), children(1))),
+    ("sorted_intersect_count", classOf[SortedIntersectCount].getName,
+      children => SortedIntersectCount(children(0), children(1))))
 
-  def register(spark: SparkSession): Unit = all.foreach { case (name, builder) =>
-    spark.sessionState.functionRegistry.registerFunction(
-      FunctionIdentifier(name),
-      new ExpressionInfo(classOf[CosineSimilarity].getName, name),
-      builder)
-  }
+  def register(spark: SparkSession): Unit =
+    all.foreach { case (name, cls, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), new ExpressionInfo(cls, name), builder)
+    }
 }
 
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    GraftFunctions.all.foreach { case (name, builder) =>
+    GraftFunctions.all.foreach { case (name, cls, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[CosineSimilarity].getName, name),
-        builder))
+        new ExpressionInfo(cls, name), builder))
     }
 }

@@ -114,6 +114,19 @@ object TextOps {
 
   // ------------------------------------------------- near-dup (no oracle)
 
+  /** (doc_id, norm) with the normalization MATERIALIZED behind a
+    * repartition barrier. Without it, CollapseProject inlines the
+    * lower/regexp_replace/trim chain into every per-element lambda of a
+    * downstream shingle `transform`, re-normalizing the document once
+    * per shingle (measured: 23 s instead of ~1 s for the sf0.1 shingle
+    * explode). The tiny doc_id shuffle is also the parallelism-control
+    * point an explode-heavy stage wants at scale. */
+  private def normDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        normText(col("text")).as("norm"))
+      .repartition(col("doc_id"))
+
   /** 5-char shingle set of the normalized text. */
   private def shingleArr(c: Column, k: Int = 5): Column =
     array_distinct(transform(
@@ -140,9 +153,8 @@ object TextOps {
     val numHashes = 16
     val bands = 4
     val rows = numHashes / bands
-    val shingleRows = Tables.documents(s, dir)
-      .select(col("doc_id"),
-        explode(shingleArr(normText(col("text")))).as("sh"))
+    val shingleRows = normDocs(s, dir)
+      .select(col("doc_id"), explode(shingleArr(col("norm"))).as("sh"))
     val minCols = (0 until numHashes).map(j =>
       min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
     val docs = shingleRows.groupBy("doc_id")
@@ -238,9 +250,12 @@ object TextOps {
     // longs are ~10× cheaper than on strings, and the shuffled pair
     // rows shrink accordingly. |A∪B| = |A|+|B|−|A∩B| keeps it to ONE
     // intersect per pair. (Measured 138 s → ~4 s at sf0.1.)
-    val grams = array_distinct(transform(
-      shingleArr(normText(col("text")), 3), g => xxhash64(g)))
-    val docs = Tables.documents(s, dir)
+    // sorted + distinct ONCE per document, so the quadratic pair stage
+    // can use the zero-allocation sorted-merge intersect expression
+    graft.functions.GraftFunctions.register(s)
+    val grams = sort_array(array_distinct(transform(
+      shingleArr(col("norm"), 3), g => xxhash64(g))))
+    val docs = normDocs(s, dir)
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 64).as("szbucket"), grams.as("g"))
       .withColumn("sz", size(col("g")))
@@ -248,7 +263,7 @@ object TextOps {
       col("doc_id").as("id_a"), col("g").as("g_a"), col("sz").as("sz_a"))
     val b = docs.select(col("lang"), col("szbucket"),
       col("doc_id").as("id_b"), col("g").as("g_b"), col("sz").as("sz_b"))
-    val inter = size(array_intersect(col("g_a"), col("g_b")))
+    val inter = call_function("sorted_intersect_count", col("g_a"), col("g_b"))
     // SHUFFLE_HASH: partition the quadratic pair stage by block key
     // instead of funneling it through a broadcast probe (see q37)
     a.join(b.hint("SHUFFLE_HASH"), Seq("lang", "szbucket"))

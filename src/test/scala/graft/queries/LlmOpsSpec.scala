@@ -83,6 +83,22 @@ class LlmOpsSpec extends SparkTestBase {
     assert(diffs == 0)
   }
 
+  test("sorted_intersect_count matches array_intersect cardinality") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(50) + 1)(rnd.nextInt(40).toLong).distinct.sorted
+      val b = Seq.fill(rnd.nextInt(50) + 1)(rnd.nextInt(40).toLong).distinct.sorted
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    val bad = df.filter(
+      call_function("sorted_intersect_count", col("a"), col("b")) =!=
+        size(array_intersect(col("a"), col("b")))).count()
+    assert(bad == 0)
+  }
+
   test("cosine of a vector with itself is 1") {
     import spark.implicits._
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-1.0f, 0.5f, 0.0f)))
