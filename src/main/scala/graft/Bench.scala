@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // warm-up: initialize parquet reader, codegen, and the noop sink so
+    // the first timed query (alphabetically q01) isn't charged for JVM
+    // session start-up
+    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10)
+      .write.format("noop").mode("overwrite").save()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink: materializes every output column (unlike count(),

@@ -112,8 +112,22 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** q49 — sliding windows (1 hour every 15 min): each event lands in 4
+    * overlapping windows via Spark's `window(ts, len, slide)`; the
+    * oracle replicates with time_bucket + 4 offsets. Batch twin of
+    * [[graft.streaming.EventStream.slidingCounts]]. */
+  def q49SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 1e6)).cast(DoubleType) / 1e6).as("sum_value"))
+      .select(col("window.start").as("win_start"),
+        col("n_events"), col("sum_value"))
+      .orderBy("win_start")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_json_extract" -> (q24JsonExtract _),
+    "q49_sliding_window" -> (q49SlidingWindow _),
     "q25_tumbling_window" -> (q25TumblingWindow _),
     "q26_sessionize" -> (q26Sessionize _),
     "q27_asof_join" -> (q27AsofJoin _),
@@ -162,6 +176,13 @@ object EventOps {
         |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
         |  ON e.user_id = c.user_id AND c.ts <= e.ts
         |ORDER BY e.event_id""".stripMargin,
+    "q49_sliding_window" ->
+      """SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |    - to_minutes(k.k * 15) AS win_start,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor("value" * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_value
+        |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
+        |GROUP BY 1 ORDER BY win_start""".stripMargin,
     "q46_map_fns" ->
       """SELECT event_type,
         |  CAST(1 AS INTEGER) AS n_keys, 'k' AS key_list, count(*) AS n,

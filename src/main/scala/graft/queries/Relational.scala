@@ -338,8 +338,22 @@ object Relational {
     s.sql(SqlSurfaceText)
   }
 
+  /** q50 — exact interpolated percentiles (sort-based aggregate) +
+    * median per group. Uses `expr` so the same `percentile` the SQL
+    * surface exposes is exercised. */
+  def q50Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"),
+        expr("median(o_totalprice)").as("med"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
+    "q50_percentiles" -> (q50Percentiles _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_join_broadcast" -> (q03JoinBroadcast _),
     "q04_join_shuffle" -> (q04JoinShuffle _),
@@ -521,5 +535,13 @@ object Relational {
         |  ${fsum("o_totalprice")} AS total
         |FROM orders GROUP BY 1 ORDER BY tier""".stripMargin,
     "q29_sql_surface" -> SqlSurfaceText,
+    "q50_percentiles" ->
+      """SELECT o_orderstatus,
+        |  quantile_cont(o_totalprice, 0.25) AS p25,
+        |  quantile_cont(o_totalprice, 0.5) AS p50,
+        |  quantile_cont(o_totalprice, 0.75) AS p75,
+        |  median(o_totalprice) AS med,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }
