@@ -98,7 +98,8 @@ object Transforms {
     * (`process_iot_data.py:114-184`): clean names → duration → local
     * flags → service. The resulting column order is exactly
     * [[IotSchema.outputColumns]] (positional serving-store contract);
-    * asserted via a final `select` so any drift fails loudly. */
+    * asserted via `require` on the analyzed schema — metadata-only (no
+    * job), so any drift fails loudly at plan-build time. */
   def transform(df: DataFrame): DataFrame = {
     val out = normalizeService(
       coerceLocalFlags(parseDuration(cleanColumnNames(df))))

@@ -5,6 +5,9 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode}
 import org.apache.spark.sql.Row
 
+/** Explicit per-user state for [[EventStream.statefulUserTotals]]. */
+case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
+
 /** Structured Streaming over the `events` shape (event_id, ts, user_id,
   * event_type, value, props). The transforms are shared with the batch
   * twins in [[graft.queries.EventOps]] — the oracle-verified batch
@@ -53,6 +56,50 @@ object EventStream {
     stream
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
+
+  /** Per-user running aggregate via explicit state
+    * (`flatMapGroupsWithState`) — the escape hatch for stateful logic
+    * that windowed aggregation can't express (here: emit an updated
+    * running count + total value per user on every batch, with an
+    * event-time timeout evicting idle users' state so memory stays
+    * bounded at scale). State is hash-partitioned by user across
+    * executors and checkpointed. */
+  def statefulUserTotals(stream: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    import org.apache.spark.sql.{Encoders, Row}
+    val enc = Encoders.product[UserTotal]
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      org.apache.spark.sql.Encoders.row(stream.schema)
+    val withWm = stream.withWatermark("ts", "10 minutes")
+    withWm.groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OM.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[Row], state: GroupState[UserTotal]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(UserTotal(userId, 0L, 0.0))
+            var n = prev.n_events
+            var total = prev.total_value
+            var maxTsMs = 0L
+            rows.foreach { r =>
+              n += 1
+              total += r.getAs[Double]("value")
+              maxTsMs = math.max(maxTsMs,
+                r.getAs[java.sql.Timestamp]("ts").getTime)
+            }
+            val next = UserTotal(userId, n, total)
+            state.update(next)
+            // evict 1h after the user's last event (event-time, NOT the
+            // watermark: in the first batch the watermark is still 0 and
+            // watermark-relative timeouts would expire immediately)
+            state.setTimeoutTimestamp(
+              math.max(maxTsMs, state.getCurrentWatermarkMs()) + 3600000L)
+            Iterator.single(next)
+          }
+      }(enc, enc).toDF()
+  }
 
   /** Convenience sink: append/update to an in-memory table for tests
     * and demos. */

@@ -66,6 +66,30 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState keeps running per-user totals across batches") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val q = EventStream.statefulUserTotals(mem.toDF())
+      .writeStream.format("memory").queryName("stateful_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Ev(1, ts("2024-01-01 10:00:00"), 1L, "click", 2.0, "{}"),
+        Ev(2, ts("2024-01-01 10:01:00"), 1L, "view", 3.0, "{}"),
+        Ev(3, ts("2024-01-01 10:02:00"), 2L, "click", 5.0, "{}"))
+      q.processAllAvailable()
+      mem.addData(Ev(4, ts("2024-01-01 10:03:00"), 1L, "click", 4.0, "{}"))
+      q.processAllAvailable()
+      // memory sink in Update mode appends each update; take the latest
+      // row per user
+      val latest = spark.table("stateful_test").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) => u -> rows.maxBy(_.getAs[Long]("n_events")) }
+      assert(latest(1L).getAs[Long]("n_events") == 3L)
+      assert(math.abs(latest(1L).getAs[Double]("total_value") - 9.0) < 1e-9)
+      assert(latest(2L).getAs[Long]("n_events") == 1L)
+    } finally q.stop()
+  }
+
   test("session windows group by 30-minute gaps") {
     import spark.implicits._
     val mem = MemoryStream[Ev](spark)
