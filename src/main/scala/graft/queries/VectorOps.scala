@@ -134,10 +134,48 @@ object VectorOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** q51 — IVF-style ANN: a coarse quantizer partitions the corpus into
+    * inverted lists; queries probe the `nprobe` nearest lists and
+    * re-rank exactly. The quantizer here is a deterministic sample of
+    * corpus vectors (`vec_id % 31 == 7`, K ≈ n/31 — production trains
+    * k-means centroids, but the index structure, assignment and probe
+    * path are identical). At 100 TB: lists are written partitioned by
+    * `cent_id`, so a query touches `nprobe` partitions instead of the
+    * corpus — partition pruning does the candidate cut. Rows-only. */
+  def q51AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = emb.filter(col("vec_id") % 31 === 7)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame =
+      df.crossJoin(broadcast(centroids))
+        .select(col(id), col(vec), col("cent_id"),
+          cosineNative(s, col(vec), col("cent_vec")).as("csim"))
+        .withColumn("crk", row_number().over(
+          Window.partitionBy(id).orderBy(col("csim").desc, col("cent_id"))))
+        .filter(col("crk") <= probes)
+        .drop("csim", "crk")
+    val lists = assign(emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
+      "cand_id", "c_emb", probes = 1)
+    val probed = assign(emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      "query_id", "q_emb", probes = 2)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    lists.join(broadcast(probed), Seq("cent_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineNative(s, col("q_emb"), col("c_emb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 5)
+      .select("query_id", "rk", "cand_id", "sim")
+      .orderBy("query_id", "rk")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q47_embedding_neardup" -> (q47EmbeddingNeardup _),
+    "q51_ann_ivf" -> (q51AnnIvf _),
   )
 
   /** The DuckDB oracle spells the same left-associated folds out as

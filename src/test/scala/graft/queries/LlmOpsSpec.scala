@@ -128,6 +128,16 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q51 IVF ANN returns ranked candidates per query from probed lists") {
+    val rows = VectorOps.q51AnnIvf(spark, Sf).collect()
+    val perQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQ.size == 5)
+    perQ.values.foreach { qs =>
+      assert(qs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to qs.length))
+      assert(qs.forall(_.getAs[Long]("cand_id") >= 5))
+    }
+  }
+
   test("q42 binary metadata byte counts match document text bytes") {
     val meta = MultimodalOps.q42BinaryMeta(spark, Sf)
       .filter(col("doc_id") === 0).head()
