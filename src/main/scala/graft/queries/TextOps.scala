@@ -305,10 +305,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q52 — document chunking for context windows: 200-char chunks with
+    * 50-char overlap (stride 150) via posexplode — the chunk table a
+    * training pipeline feeds the tokenizer. Chunk text is emitted as
+    * md5 so the verify output stays narrow. One narrow stage: chunking
+    * never shuffles; downstream repartition controls task sizing. */
+  def q52Chunking(s: SparkSession, dir: String): DataFrame = {
+    val (sizeC, step) = (200, 150)
+    val lastIdx = floor((length(col("text")) - 1) / step).cast(IntegerType)
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lastIdx),
+          i => col("text").substr(i * step + 1, lit(sizeC)))))
+      .select(col("doc_id"), col("pos").as("chunk_idx"),
+        length(col("col")).as("chunk_len"),
+        md5(col("col").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  /** q53 — text cleaning: control-char strip + whitespace collapse +
+    * trim — the normalization pass ahead of dedup/tokenization. */
+  def q53TextClean(s: SparkSession, dir: String): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(col("text"), "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        length(col("text")).as("raw_len"),
+        length(cleaned).as("clean_len"),
+        md5(cleaned.cast("binary")).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q44_array_fns" -> (q44ArrayFns _),
     "q45_ngram_jaccard" -> (q45NgramJaccard _),
     "q48_lang_id" -> (q48LangId _),
+    "q52_chunking" -> (q52Chunking _),
+    "q53_text_clean" -> (q53TextClean _),
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_dedup_stats" -> (q31DedupStats _),
     "q32_text_stats" -> (q32TextStats _),
@@ -321,6 +354,22 @@ object TextOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q52_chunking" ->
+      """SELECT doc_id, CAST(k.i AS INTEGER) AS chunk_idx,
+        |  CAST(length(substring(text, k.i * 150 + 1, 200)) AS INTEGER) AS chunk_len,
+        |  md5(substring(text, k.i * 150 + 1, 200)) AS chunk_md5
+        |FROM documents
+        |CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) k(i)
+        |WHERE k.i <= floor((length(text) - 1) / 150)
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q53_text_clean" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INTEGER) AS raw_len,
+        |  CAST(length(trim(regexp_replace(regexp_replace(text,
+        |    '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS INTEGER) AS clean_len,
+        |  md5(trim(regexp_replace(regexp_replace(text,
+        |    '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS clean_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "q48_lang_id" ->
       """SELECT doc_id, labeled_lang, score_en, score_es, score_de, score_cjk,
         |  CASE WHEN score_cjk > 0 THEN 'zh'

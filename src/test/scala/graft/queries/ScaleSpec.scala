@@ -35,6 +35,19 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("partitioned write prunes partitions on a partition-key filter") {
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    graft.Tables.documents(spark, Sf).write.mode("overwrite")
+      .partitionBy("lang").parquet(out)
+    val pruned = spark.read.parquet(out).filter(col("lang") === "en")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      plan.take(3000))
+    val expected = graft.Tables.documents(spark, Sf)
+      .filter(col("lang") === "en").count()
+    assert(pruned.count() == expected)
+  }
+
   test("sorted-store write produces non-overlapping uid ranges") {
     val out = java.nio.file.Files.createTempDirectory("graft_sorted").toString
     val df = graft.iot.Transforms.transform(
