@@ -46,11 +46,27 @@ object IotPipeline {
     * which is what MergeTree's primary index buys the reference. */
   def writeSortedByUid(df: DataFrame, outputPath: String): Unit =
     // partition count resolved by Spark from the session conf (AQE can
-    // coalesce the ranges); at 100 TB size ranges by target bytes
-    // instead — see SURVEY.md §7.4.4
+    // coalesce the ranges); for known-large inputs use the byte-sized
+    // overload below
     df.repartitionByRange(df("uid"))
       .sortWithinPartitions("uid")
       .write.mode(SaveMode.Overwrite).parquet(outputPath)
+
+  /** Byte-sized sorted write for the 100 TB case: the range-partition
+    * count comes from the optimizer's size estimate over a target
+    * bytes-per-partition, NOT from `spark.sql.shuffle.partitions` —
+    * with the latter pinned to CPU count, a 100 TB input would create
+    * ~TB-sized range partitions. AQE can coalesce small ranges but
+    * cannot split oversized ones, so the split must be right up front. */
+  def writeSortedByUid(df: DataFrame, outputPath: String,
+      targetPartitionBytes: Long): Unit = {
+    val estimated = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (estimated / targetPartitionBytes).toLong.max(1L)
+      .min(Int.MaxValue.toLong).toInt
+    df.repartitionByRange(n, df("uid"))
+      .sortWithinPartitions("uid")
+      .write.mode(SaveMode.Overwrite).parquet(outputPath)
+  }
 
   /** K2 — JDBC append sink (dead code in the reference — defined at
     * `process_iot_data.py:190-232` but never called, and guarded so an

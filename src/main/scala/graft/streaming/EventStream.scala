@@ -20,6 +20,26 @@ case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
   */
 object EventStream {
 
+  /** File-source ingest of the `events` parquet shape: schema-pinned
+    * `readStream` (streaming requires an explicit schema) with the same
+    * ns→µs timestamp handling as the batch loader
+    * ([[graft.Tables.events]]). New files appearing under `dir` flow
+    * through incrementally; `maxFilesPerTrigger` caps batch size. */
+  def readEventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value", org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props", org.apache.spark.sql.types.StringType)))
+    // TimestampType (not NTZ): EventTimeWatermark requires TIMESTAMP;
+    // with the UTC session the instant and wall-clock values coincide
+    s.readStream.schema(schema).option("maxFilesPerTrigger", "8").parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   /** Tumbling 1-hour aggregate with a 10-minute watermark — the
     * streaming form of [[graft.queries.EventOps.q25TumblingWindow]]. */
   def tumblingHourly(stream: DataFrame): DataFrame =

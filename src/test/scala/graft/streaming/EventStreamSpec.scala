@@ -48,6 +48,24 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("file-source stream aggregates the full events table incrementally") {
+    val src = java.nio.file.Files.createTempDirectory("graft_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf/events.parquet"),
+      src.resolve("events.parquet"))
+    val q = EventStream.tumblingHourly(
+      EventStream.readEventsStream(spark, src.toString))
+      .writeStream.format("memory").queryName("filesrc_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("filesrc_test").collect()
+        .map(_.getAs[Long]("n_events")).sum
+      val expected = graft.Tables.events(spark, Sf).count()
+      assert(total == expected, s"streamed $total of $expected events")
+    } finally q.stop()
+  }
+
   test("streaming dedup suppresses duplicate event ids in-watermark") {
     import spark.implicits._
     val mem = MemoryStream[Ev](spark)
