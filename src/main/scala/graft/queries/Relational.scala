@@ -351,9 +351,47 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("o_orderstatus")
 
+  /** q54 — pivot: status columns from row values (explicit value list
+    * keeps the schema static — mandatory at scale: an unlisted pivot
+    * triggers a distinct-scan planning job). Missing cells filled 0. */
+  def q54Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy("o_orderpriority")
+
+  /** q55 — unpivot/melt: wide metric columns to (metric, value) rows. */
+  def q55Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 200)
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+        "metric", "value")
+      .orderBy("l_orderkey", "l_linenumber", "metric")
+
+  /** q56 — distribution window functions: quartile bucketing,
+    * percent_rank, cume_dist per priority partition. */
+  def q56WindowDistribution(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pct_rank"),
+        cume_dist().over(w).as("cum_dist"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q50_percentiles" -> (q50Percentiles _),
+    "q54_pivot" -> (q54Pivot _),
+    "q55_unpivot" -> (q55Unpivot _),
+    "q56_window_distribution" -> (q56WindowDistribution _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_join_broadcast" -> (q03JoinBroadcast _),
     "q04_join_shuffle" -> (q04JoinShuffle _),
@@ -535,6 +573,31 @@ object Relational {
         |  ${fsum("o_totalprice")} AS total
         |FROM orders GROUP BY 1 ORDER BY tier""".stripMargin,
     "q29_sql_surface" -> SqlSurfaceText,
+    "q54_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q55_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+        |  l_quantity AS "value" FROM lineitem WHERE l_orderkey < 200
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+        |  FROM lineitem WHERE l_orderkey < 200
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+        |  FROM lineitem WHERE l_orderkey < 200
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "q56_window_distribution" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cum_dist
+        |FROM orders WHERE o_custkey < 100
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |  ORDER BY o_totalprice, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
     "q50_percentiles" ->
       """SELECT o_orderstatus,
         |  quantile_cont(o_totalprice, 0.25) AS p25,
