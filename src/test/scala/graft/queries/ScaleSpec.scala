@@ -48,6 +48,35 @@ class ScaleSpec extends SparkTestBase {
     assert(pruned.count() == expected)
   }
 
+  test("pipeline fails fast on missing input (documented divergence)") {
+    // the reference swallows exceptions and exits 0
+    // (process_iot_data.py:273-282); we fail loudly — SURVEY.md §3.1.6
+    intercept[Exception] {
+      graft.iot.IotPipeline.run(spark, "/nonexistent/path", "/tmp/graft_nope")
+    }
+  }
+
+  test("dynamic partition overwrite replaces only touched partitions") {
+    val s = spark
+    val out = java.nio.file.Files.createTempDirectory("graft_dyn").toString
+    val mode = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      val docs = graft.Tables.documents(s, Sf)
+      docs.write.partitionBy("lang").mode("overwrite").parquet(out)
+      val before = s.read.parquet(out).count()
+      // overwrite ONLY the 'en' partition with a single row
+      docs.filter(col("lang") === "en").limit(1)
+        .write.partitionBy("lang").mode("overwrite").parquet(out)
+      val after = s.read.parquet(out)
+      val enCount = after.filter(col("lang") === "en").count()
+      val otherBefore = docs.filter(col("lang") =!= "en").count()
+      assert(enCount == 1)
+      assert(after.filter(col("lang") =!= "en").count() == otherBefore,
+        s"non-en partitions must be untouched (before=$before)")
+    } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", mode)
+  }
+
   test("sorted-store write produces non-overlapping uid ranges") {
     val out = java.nio.file.Files.createTempDirectory("graft_sorted").toString
     val df = graft.iot.Transforms.transform(
