@@ -22,8 +22,26 @@ object IotParity {
     Transforms.transform(IotPipeline.readCsv(s, FixturePath))
       .orderBy("uid")
 
+  /** q57 — flow-log anonymization: pseudonymize the flow id (sha256)
+    * and mask IPv4 host addresses to /24 (IPv6 left intact — masking
+    * policy differs per address family). The privacy pass an IoT
+    * pipeline runs before sharing conn.log-derived data. */
+  def q57IpAnonymize(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    Transforms.transform(IotPipeline.readCsv(s, FixturePath))
+      .select(
+        sha2(col("uid").cast("binary"), 256).as("uid_hash"),
+        regexp_replace(col("id_orig_h"),
+          "^(\\d+\\.\\d+\\.\\d+)\\.\\d+$", "$1.0").as("orig_masked"),
+        regexp_replace(col("id_resp_h"),
+          "^(\\d+\\.\\d+\\.\\d+)\\.\\d+$", "$1.0").as("resp_masked"),
+        col("proto"), col("label"))
+      .orderBy("uid_hash")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_iot_transform" -> (q28IotTransform _),
+    "q57_ip_anonymize" -> (q57IpAnonymize _),
   )
 
   /** DuckDB re-expression of the same program. Float32 staging is
@@ -63,5 +81,20 @@ object IotParity {
          |  (local_orig IS NOT NULL AND local_orig <> '') AS local_orig_bool,
          |  (local_resp IS NOT NULL AND local_resp <> '') AS local_resp_bool
          |FROM parsed ORDER BY uid""".stripMargin,
+    "q57_ip_anonymize" ->
+      s"""SELECT sha256(uid) AS uid_hash,
+         |  regexp_replace(id_orig_h, '^(\\d+\\.\\d+\\.\\d+)\\.\\d+$$', '\\1.0') AS orig_masked,
+         |  regexp_replace(id_resp_h, '^(\\d+\\.\\d+\\.\\d+)\\.\\d+$$', '\\1.0') AS resp_masked,
+         |  proto, label
+         |FROM read_csv('$FixturePath', header=true, nullstr='-',
+         |  columns={'uid':'VARCHAR','id_orig_h':'VARCHAR','id_orig_p':'INTEGER',
+         |    'id_resp_h':'VARCHAR','id_resp_p':'INTEGER','proto':'VARCHAR',
+         |    'service':'VARCHAR','duration':'VARCHAR','orig_bytes':'BIGINT',
+         |    'resp_bytes':'BIGINT','conn_state':'VARCHAR','local_orig':'VARCHAR',
+         |    'local_resp':'VARCHAR','missed_bytes':'BIGINT','history':'VARCHAR',
+         |    'orig_pkts':'BIGINT','orig_ip_bytes':'BIGINT','resp_pkts':'BIGINT',
+         |    'resp_ip_bytes':'BIGINT','tunnel_parents':'VARCHAR','label':'VARCHAR',
+         |    'detailed_label':'VARCHAR'})
+         |ORDER BY uid_hash""".stripMargin,
   )
 }

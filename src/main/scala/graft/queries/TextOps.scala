@@ -223,6 +223,21 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q58 — stratified sampling: per-language fractions via `sampleBy`
+    * (seeded Bernoulli per stratum) — how a curation pipeline
+    * rebalances a language-skewed corpus. Deterministic for a fixed
+    * seed WITHIN Spark but not reproducible cross-engine → rows-only;
+    * the test asserts per-stratum proportions instead. */
+  def q58StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val fractions = Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.2,
+      "fr" -> 0.2, "zh" -> 0.2)
+    Tables.documents(s, dir)
+      .stat.sampleBy("lang", fractions, seed = 42L)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("lang")
+  }
+
   /** q44 — array/higher-order scalar functions over token arrays:
     * element access, min, membership, sort+slice+join, distinct count.
     * Scalar outputs only, so the oracle compare stays list-free. */
@@ -342,6 +357,7 @@ object TextOps {
     "q48_lang_id" -> (q48LangId _),
     "q52_chunking" -> (q52Chunking _),
     "q53_text_clean" -> (q53TextClean _),
+    "q58_stratified_sample" -> (q58StratifiedSample _),
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_dedup_stats" -> (q31DedupStats _),
     "q32_text_stats" -> (q32TextStats _),

@@ -48,6 +48,39 @@ class ScaleSpec extends SparkTestBase {
     assert(pruned.count() == expected)
   }
 
+  test("json and orc round-trip the events shape") {
+    val ev = graft.Tables.events(spark, Sf)
+    val jsonDir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    val orcDir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    ev.write.mode("overwrite").json(jsonDir)
+    ev.write.mode("overwrite").orc(orcDir)
+    val fromJson = spark.read.schema(ev.schema).json(jsonDir)
+    val fromOrc = spark.read.orc(orcDir)
+    assert(fromJson.count() == ev.count())
+    assert(fromOrc.count() == ev.count())
+    assert(fromOrc.schema == ev.schema)
+    // values survive: compare a keyed aggregate across formats
+    def sig(df: org.apache.spark.sql.DataFrame) = df
+      .agg(sum("event_id"), sum(length(col("props")))).head().toSeq
+    assert(sig(fromJson) == sig(ev) && sig(fromOrc) == sig(ev))
+  }
+
+  test("stratified sample respects per-language fractions") {
+    val sampled = graft.queries.TextOps
+      .q58StratifiedSample(spark, "/root/testdata/sf0.01").collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_sampled")).toMap
+    val totals = graft.Tables.documents(spark, "/root/testdata/sf0.01")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("count")).toMap
+    // Bernoulli sampling: expect fraction ± generous tolerance
+    val fr = Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.2, "fr" -> 0.2, "zh" -> 0.2)
+    sampled.foreach { case (lang, n) =>
+      val expected = totals(lang) * fr(lang)
+      assert(math.abs(n - expected) < totals(lang) * 0.25 + 10,
+        s"$lang: sampled $n of ${totals(lang)}, expected ~$expected")
+    }
+  }
+
   test("pipeline fails fast on missing input (documented divergence)") {
     // the reference swallows exceptions and exits 0
     // (process_iot_data.py:273-282); we fail loudly — SURVEY.md §3.1.6
