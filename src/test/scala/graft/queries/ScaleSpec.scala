@@ -48,6 +48,30 @@ class ScaleSpec extends SparkTestBase {
     assert(pruned.count() == expected)
   }
 
+  test("salted join returns exactly the plain join's rows") {
+    val orders = graft.Tables.orders(spark, Sf)
+    val customer = graft.Tables.customer(spark, Sf)
+    val plain = orders.join(customer,
+      col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "c_custkey", "c_mktsegment")
+    val salted = graft.operators.SkewJoin.saltedInnerJoin(
+      orders, col("o_custkey"), customer, col("c_custkey"),
+      rowDiscriminator = Seq(col("o_orderkey")), saltBuckets = 7)
+      .select("o_orderkey", "c_custkey", "c_mktsegment")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).count() == 0)
+    assert(plain.exceptAll(salted).count() == 0)
+  }
+
+  test("AQE coalesces shuffle partitions in the final plan") {
+    val df = graft.Tables.orders(spark, Sf)
+      .groupBy("o_orderstatus").count()
+    df.collect() // materialize so AQE finalizes the plan
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AQEShuffleRead") || plan.contains("coalesced"),
+      plan.take(3000))
+  }
+
   test("json and orc round-trip the events shape") {
     val ev = graft.Tables.events(spark, Sf)
     val jsonDir = java.nio.file.Files.createTempDirectory("graft_json").toString
