@@ -7,6 +7,16 @@ import graft.SparkTestBase
   * scripts/check.py / the driver's CORRECTNESS run.) */
 class RelationalSpec extends SparkTestBase {
 
+  test("SparkEntry.entry satisfies the driver smoke contract (rows > 0)") {
+    assert(graft.SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a registered query") {
+    val qs = graft.SparkEntry.queries.keySet
+    val orphans = graft.SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
   test("q01 pricing summary: 6 groups, counts add up") {
     val rows = Relational.q01PricingSummary(spark, Sf).collect()
     assert(rows.length == 6)
