@@ -99,6 +99,23 @@ class TransformsSpec extends SparkTestBase {
     assert(!renamed.columns.exists(c => c.contains(".") || c.contains("-")))
   }
 
+  test("malformed CSV rows degrade to nulls, not failures (PERMISSIVE)") {
+    // the reference reads with Spark's default PERMISSIVE mode: a row
+    // whose typed field doesn't parse yields NULL in that field
+    val dir = java.nio.file.Files.createTempDirectory("graft_badcsv")
+    val header = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get("/root/repo/fixtures/iot_conn.csv")).get(0)
+    java.nio.file.Files.writeString(dir.resolve("bad.csv"),
+      header + "\n" +
+        // id.orig_p 'notaport' is unparseable as int; rest intact
+        "Cbad01,1.2.3.4,notaport,5.6.7.8,80,tcp,http,1.5,1,2,SF,T,,0,S,1,2,3,4,-,Benign,-\n")
+    val out = Transforms.transform(IotPipeline.readCsv(spark, dir.toString))
+    val row = out.collect().head
+    assert(row.getAs[String]("uid") == "Cbad01")
+    assert(row.isNullAt(row.fieldIndex("id_orig_p")))
+    assert(math.abs(row.getDouble(row.fieldIndex("duration_sec")) - 1.5) < 1e-6)
+  }
+
   test("duration parser property: 100 random timedeltas round-trip") {
     val rnd = new scala.util.Random(42)
     val cases = (1 to 100).map { _ =>
