@@ -48,6 +48,19 @@ class ScaleSpec extends SparkTestBase {
     assert(pruned.count() == expected)
   }
 
+  test("schema evolution: mergeSchema unions columns across file generations") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(s"$out/gen=1")
+    Seq((2L, "b", 3.5)).toDF("id", "v1", "v2").write.parquet(s"$out/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "gen"))
+    // old-generation rows surface the new column as NULL
+    val old = merged.filter(col("gen") === 1).head()
+    assert(old.isNullAt(old.fieldIndex("v2")))
+    assert(merged.count() == 2)
+  }
+
   test("salted join returns exactly the plain join's rows") {
     val orders = graft.Tables.orders(spark, Sf)
     val customer = graft.Tables.customer(spark, Sf)
