@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import org.apache.spark.sql.types.DoubleType
 
 import graft.Tables
 
@@ -14,17 +14,18 @@ import graft.Tables
   * Determinism rules (SURVEY.md §7.4.1) applied throughout so results
   * hash-match the oracle bit-exactly:
   *   - every query ends in a keyed ORDER BY over a unique column set;
-  *   - double aggregates go through `dsum`: per-row cast to DECIMAL
-  *     (order-independent exact sum) then cast back to DOUBLE. Plain
-  *     `sum(double)` would drift by summation order between Spark's
-  *     parallel partial aggregates and DuckDB's scan order;
-  *   - averages are `CAST(decimal-sum AS DOUBLE) / count` — a single
-  *     double division of identical operands on both sides;
+  *   - double aggregates go through `dsum`: per-row fixed-point floor
+  *     (exact IEEE op) summed as BIGINT (order-independent), one double
+  *     division at the end. Plain `sum(double)` would drift by
+  *     summation order between Spark's parallel partial aggregates and
+  *     DuckDB's scan order;
+  *   - averages are `(fixed-point sum) / count` — a single double
+  *     division of identical operands on both sides;
   *   - raw double columns pass through untouched (no re-arithmetic).
   *
   * Scale posture (100 TB): every query is a declarative DataFrame plan —
   * filters/projections reach the parquet scan (PushedFilters verified in
-  * RelationalPlanSpec), small dims are `broadcast()` so the big fact side
+  * RelationalSpec), small dims are `broadcast()` so the big fact side
   * never shuffles for those joins, fact-fact joins shuffle on their join
   * key only, and aggregates use partial (map-side) combine automatically.
   * AQE (on by default in Spark 4) handles skew and partition coalescing.
