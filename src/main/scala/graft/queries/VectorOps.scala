@@ -144,22 +144,30 @@ object VectorOps {
     * corpus — partition pruning does the candidate cut. Rows-only. */
   def q51AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val centroids = emb.filter(col("vec_id") % 31 === 7)
+    // K ≈ n/127 ~ √n at these corpus sizes — real IVF sizes K ~ √n
+    val centroids = emb.filter(col("vec_id") % 127 === 7)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
-    def assign(df: DataFrame, id: String, vec: String, probes: Int): DataFrame =
-      df.crossJoin(broadcast(centroids))
-        .select(col(id), col(vec), col("cent_id"),
-          cosineNative(s, col(vec), col("cent_vec")).as("csim"))
-        .withColumn("crk", row_number().over(
-          Window.partitionBy(id).orderBy(col("csim").desc, col("cent_id"))))
-        .filter(col("crk") <= probes)
-        .drop("csim", "crk")
-    val lists = assign(emb.filter(col("vec_id") >= 5)
-      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb")),
-      "cand_id", "c_emb", probes = 1)
-    val probed = assign(emb.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-      "query_id", "q_emb", probes = 2)
+    // corpus assignment is argmax-by-aggregation (max_by), NOT a window
+    // rank: a window would shuffle all n×K scored rows to rank them; the
+    // aggregate combines map-side, so only one row per vector survives
+    val lists = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("cand_id"), col("c_emb"), col("cent_id"),
+        cosineNative(s, col("c_emb"), col("cent_vec")).as("csim"))
+      .groupBy("cand_id")
+      .agg(max_by(col("cent_id"), struct(col("csim"), col("cent_id") * -1)).as("cent_id"),
+        first(col("c_emb")).as("c_emb"))
+    // the (tiny) query side probes its nprobe nearest lists via a window
+    val probed = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cent_id"),
+        cosineNative(s, col("q_emb"), col("cent_vec")).as("csim"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))))
+      .filter(col("crk") <= 2)
+      .drop("csim", "crk")
     val w = Window.partitionBy("query_id")
       .orderBy(col("sim").desc, col("cand_id"))
     lists.join(broadcast(probed), Seq("cent_id"))
