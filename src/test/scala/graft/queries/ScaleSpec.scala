@@ -48,6 +48,19 @@ class ScaleSpec extends SparkTestBase {
     assert(pruned.count() == expected)
   }
 
+  test("compaction rewrites a many-small-files dir into few right-sized files") {
+    val in = java.nio.file.Files.createTempDirectory("graft_frag").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val docs = graft.Tables.documents(spark, Sf)
+    docs.repartition(40).write.mode("overwrite").parquet(in)
+    def parquetFiles(d: String) = new java.io.File(d).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(in) == 40)
+    graft.operators.Compaction.compact(spark, in, out)
+    assert(parquetFiles(out) < 40)
+    assert(spark.read.parquet(out).count() == docs.count())
+  }
+
   test("schema evolution: mergeSchema unions columns across file generations") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_evolve").toString
