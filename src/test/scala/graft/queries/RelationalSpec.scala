@@ -17,6 +17,14 @@ class RelationalSpec extends SparkTestBase {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("no module silently overrides another's query key") {
+    val moduleSizes = Seq(Relational.queries, EventOps.queries,
+      TextOps.queries, VectorOps.queries, MultimodalOps.queries,
+      IotParity.queries).map(_.size).sum
+    assert(graft.SparkEntry.queries.size == moduleSizes,
+      "duplicate query keys across modules")
+  }
+
   test("q01 pricing summary: 6 groups, counts add up") {
     val rows = Relational.q01PricingSummary(spark, Sf).collect()
     assert(rows.length == 6)
