@@ -100,4 +100,23 @@ object IotPipeline {
     if (sortedByUid) writeSortedByUid(out, outputPath)
     else writeParquet(out, outputPath)
   }
+
+  /** Pipeline run with data-quality observability: row count, NULL
+    * durations, and malicious-label count are accumulated DURING the
+    * write (zero extra passes — `observe` attaches accumulators to the
+    * existing job), the production replacement for the reference's
+    * printSchema-only "validation" (`process_iot_data.py:256,262`). */
+  def runWithMetrics(spark: SparkSession, inputPath: String,
+      outputPath: String): Map[String, Long] = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obs = Observation("iot_metrics")
+    val out = Transforms.transform(readCsv(spark, inputPath))
+      .observe(obs,
+        count(lit(1)).as("rows"),
+        sum(when(col("duration_sec").isNull, 1L).otherwise(0L)).as("null_durations"),
+        sum(when(col("label") === "Malicious", 1L).otherwise(0L)).as("malicious_rows"))
+    writeParquet(out, outputPath)
+    obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+  }
 }

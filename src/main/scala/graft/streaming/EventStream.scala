@@ -121,6 +121,23 @@ object EventStream {
       }(enc, enc).toDF()
   }
 
+  /** `foreachBatch` sink: the arbitrary-logic escape hatch — each
+    * micro-batch arrives as a plain DataFrame with its batch id, so any
+    * batch writer (multi-table fan-out, JDBC upsert, dedup-merge)
+    * becomes a streaming sink. Here: per-batch exact dedup on event_id
+    * then parquet append — the file-compaction-friendly landing
+    * pattern. Exactly-once comes from the checkpointed batch id: a
+    * replayed batch must be idempotent (same dedup key set). */
+  def toForeachBatchParquet(df: DataFrame, outDir: String,
+      checkpointDir: String): DataStreamWriter[Row] =
+    df.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        batch.dropDuplicates("event_id")
+          .withColumn("_batch_id", lit(batchId))
+          .write.mode("append").parquet(outDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+
   /** Convenience sink: append/update to an in-memory table for tests
     * and demos. */
   def toMemorySink(df: DataFrame, queryName: String,

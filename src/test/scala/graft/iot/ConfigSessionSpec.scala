@@ -39,6 +39,15 @@ class ConfigSessionSpec extends SparkTestBase {
     assert(!confs.contains("spark.master"))
   }
 
+  test("runWithMetrics reports data-quality counters from the write job") {
+    val out = java.nio.file.Files.createTempDirectory("graft_metrics").toString
+    val m = IotPipeline.runWithMetrics(spark,
+      "/root/repo/fixtures/iot_conn.csv", out)
+    assert(m("rows") == 8L)
+    assert(m("null_durations") == 2L)  // '-' and malformed-days rows
+    assert(m("malicious_rows") == 3L)
+  }
+
   test("JDBC sink no-ops on incomplete config (reference guard)") {
     val df = graft.Tables.nation(spark, Sf)
     assert(!IotPipeline.writeJdbc(df, Map("clickhouse.host" -> "x")))

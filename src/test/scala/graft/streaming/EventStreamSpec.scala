@@ -108,6 +108,24 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("foreachBatch sink dedups within batch and lands parquet") {
+    import spark.implicits._
+    val out = java.nio.file.Files.createTempDirectory("graft_feb_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_feb_ck").toString
+    val mem = MemoryStream[Ev](spark)
+    val q = EventStream.toForeachBatchParquet(mem.toDF(), out, ckpt).start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:00:01"),
+        ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      val landed = spark.read.parquet(out)
+      assert(landed.count() == 3) // in-batch dup of id 1 dropped
+      assert(landed.select("_batch_id").distinct().count() == 2)
+    } finally q.stop()
+  }
+
   test("session windows group by 30-minute gaps") {
     import spark.implicits._
     val mem = MemoryStream[Ev](spark)
