@@ -74,8 +74,12 @@ def main():
     noracle = [p.rstrip("/").rsplit("/", 1)[-1] for p in extra
                if p.rstrip("/").rsplit("/", 1)[-1] not in oracle]
     for name in noracle:
-        n = con.sql(f"SELECT count(*) FROM read_parquet('{outdir}/{name}/*.parquet')").fetchone()[0]
-        print(f"INFO {name}: no oracle, {n} rows")
+        try:
+            n = con.sql(f"SELECT count(*) FROM read_parquet('{outdir}/{name}/*.parquet')").fetchone()[0]
+            print(f"INFO {name}: no oracle, {n} rows")
+        except Exception as e:
+            n_fail += 1
+            print(f"FAIL {name}: rows-only read failed: {e}")
     print(f"== {n_pass} pass / {n_fail} fail / {len(noracle)} rows-only ==")
     sys.exit(1 if n_fail else 0)
 

@@ -38,15 +38,19 @@ object ConfigSession {
   }
 
   /** Keys the reference handles explicitly and therefore excludes from
-    * the generic passthrough (`process_iot_data.py:56-65`). */
+    * the generic passthrough (`process_iot_data.py:56-65`; the
+    * reference's exclusion list also names `driver_class_path` and
+    * `jars`, consumed by spark-submit flags rather than session conf). */
   private val Handled = Set("app_name", "master", "driver_memory",
-    "adaptive_enabled")
+    "adaptive_enabled", "driver_class_path", "jars")
 
   /** The `(key, value)` pairs a config maps onto the session builder —
     * pure, so it is unit-testable without creating a session. Keys in
-    * the `spark:` section other than the named ones are applied
-    * verbatim (so `spark.sql.shuffle.partitions: 64` under `spark:`
-    * sets exactly that conf — the reference's passthrough loop). */
+    * the `spark:` section other than the named ones are re-prefixed and
+    * applied as `spark.<key>` — exactly the reference's passthrough
+    * loop (`spark_builder.config(f"spark.{key}", value)`,
+    * `process_iot_data.py:56-65`), so `sql.shuffle.partitions: 64`
+    * under `spark:` sets conf `spark.sql.shuffle.partitions`. */
   def sparkConfs(cfg: Map[String, String]): Seq[(String, String)] = {
     val section = cfg.collect {
       case (k, v) if k.startsWith("spark.") => k.drop("spark.".length) -> v
@@ -57,6 +61,7 @@ object ConfigSession {
     ).flatten
     val passthrough = section.view
       .filterKeys(!Handled.contains(_)).toSeq.sortBy(_._1)
+      .map { case (k, v) => s"spark.$k" -> v }
     named ++ passthrough
   }
 

@@ -48,14 +48,26 @@ object MultimodalOps {
         pmod(xxhash64(col("payload")), lit(1280)).cast(IntegerType).plus(1).as("width"),
         pmod(xxhash64(col("payload"), lit(1)), lit(720)).cast(IntegerType).plus(1).as("height"),
         (pmod(xxhash64(col("payload"), lit(2)), lit(30000)).cast(IntegerType) / lit(1000.0)).as("duration_s"),
-        // STUB frame sample: every 4th 16-byte window of the payload
-        transform(
-          sequence(lit(0),
-            greatest(floor(octet_length(col("payload")) / 64).cast(IntegerType) - 1, lit(0))),
-          i => col("payload").substr(i * 64 + 1, lit(16)))
-          .as("frame_samples"))
+        // STUB frame sample: every 4th 16-byte window of the payload.
+        // Surfaced as a count + order-sensitive digest (not the raw
+        // array-of-binary) so downstream tooling — including the
+        // driver's pandas-side rows check — sees only sortable scalars.
+        frameSamples(col("payload")).as("frames"))
+      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
+        col("duration_s"),
+        size(col("frames")).as("n_frames"),
+        md5(array_join(transform(col("frames"), f => hex(f)), "")
+          .cast("binary")).as("frames_md5"))
       .orderBy("doc_id")
   }
+
+  /** Every 4th 16-byte window of a binary payload — the "frame
+    * sampling" plumbing a real decoder would feed. */
+  private def frameSamples(payload: org.apache.spark.sql.Column) =
+    transform(
+      sequence(lit(0),
+        greatest(floor(octet_length(payload) / 64).cast(IntegerType) - 1, lit(0))),
+      i => payload.substr(i * 64 + 1, lit(16)))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_binary_meta" -> (q42BinaryMeta _),

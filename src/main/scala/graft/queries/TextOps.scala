@@ -371,12 +371,13 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q52_chunking" ->
-      """SELECT doc_id, CAST(k.i AS INTEGER) AS chunk_idx,
-        |  CAST(length(substring(text, k.i * 150 + 1, 200)) AS INTEGER) AS chunk_len,
-        |  md5(substring(text, k.i * 150 + 1, 200)) AS chunk_md5
-        |FROM documents
-        |CROSS JOIN (VALUES (0), (1), (2), (3), (4), (5), (6), (7)) k(i)
-        |WHERE k.i <= floor((length(text) - 1) / 150)
+      """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        |  CAST(length(substring(text, CAST(i AS INTEGER) * 150 + 1, 200)) AS INTEGER) AS chunk_len,
+        |  md5(substring(text, CAST(i AS INTEGER) * 150 + 1, 200)) AS chunk_md5
+        |FROM (
+        |  SELECT doc_id, text, unnest(range(0,
+        |    CAST(1 + floor((length(text) - 1) / 150) AS BIGINT))) AS i
+        |  FROM documents)
         |ORDER BY doc_id, chunk_idx""".stripMargin,
     "q53_text_clean" ->
       """SELECT doc_id,

@@ -46,8 +46,12 @@ object EventStream {
     stream
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      // fixed-point sum — same expression as the oracle-verified batch
+      // twin (EventOps.tumblingHourly), so the incremental result is
+      // bit-identical regardless of row arrival order
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        (sum(floor(col("value") * 1e6))
+          .cast(org.apache.spark.sql.types.DoubleType) / 1e6).as("sum_value"))
       .select(col("window.start").as("hour_start"), col("event_type"),
         col("n_events"), col("sum_value"))
 

@@ -15,7 +15,9 @@ class ConfigSessionSpec extends SparkTestBase {
       |  master: local[*]
       |  driver_memory: 4g
       |  adaptive_enabled: "true"
-      |  spark.sql.shuffle.partitions: "64"
+      |  sql.shuffle.partitions: "64"
+      |  driver_class_path: /jars/ch.jar
+      |  jars: /jars/ch.jar
       |clickhouse:
       |  host: localhost
       |  port: "9000"
@@ -33,10 +35,15 @@ class ConfigSessionSpec extends SparkTestBase {
     val confs = ConfigSession.sparkConfs(ConfigSession.parse(sample)).toMap
     assert(confs("spark.driver.memory") == "4g")
     assert(confs("spark.sql.adaptive.enabled") == "true")
+    // reference passthrough re-prefixes: `sql.shuffle.partitions` under
+    // `spark:` becomes conf `spark.sql.shuffle.partitions`
     assert(confs("spark.sql.shuffle.partitions") == "64")
     // handled keys are NOT passed through raw
     assert(!confs.contains("spark.app_name"))
     assert(!confs.contains("spark.master"))
+    // spark-submit-level keys excluded from session conf passthrough
+    assert(!confs.keys.exists(_.contains("driver_class_path")))
+    assert(!confs.keys.exists(_.endsWith(".jars")))
   }
 
   test("runWithMetrics reports data-quality counters from the write job") {
