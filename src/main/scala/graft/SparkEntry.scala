@@ -22,7 +22,8 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
-      VectorOps.queries ++ MultimodalOps.queries ++ IotParity.queries
+      VectorOps.queries ++ MultimodalOps.queries ++ IotParity.queries ++
+      ExtendedOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -30,5 +31,6 @@ object SparkEntry {
     * driver records a weaker rows-only check. */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
-      VectorOps.oracles ++ MultimodalOps.oracles ++ IotParity.oracles
+      VectorOps.oracles ++ MultimodalOps.oracles ++ IotParity.oracles ++
+      ExtendedOps.oracles
 }

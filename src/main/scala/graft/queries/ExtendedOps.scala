@@ -1,0 +1,395 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
+
+import graft.Tables
+
+/** Extended operator surface (round 3): grouping sets, exact
+  * statistical aggregates, vocabulary/TF-IDF text analytics,
+  * edit-distance fuzzy matching, deterministic collection aggregates,
+  * conditional aggregates, calendar-spine gap filling, near-duplicate
+  * CLUSTERING (connected components over the n-gram Jaccard pair
+  * graph), fixed-width histograms, and null-handling functions.
+  *
+  * Determinism follows Relational's rules: keyed ORDER BY everywhere;
+  * doubles only via expressions whose IEEE operation sequence is
+  * spelled identically in the DuckDB oracle (exact integer sufficient
+  * statistics → one double formula), never via order-dependent
+  * `sum(double)`.
+  */
+object ExtendedOps {
+
+  // ------------------------------------------------------------ relational
+
+  /** q59 — GROUPING SETS: explicitly chosen subtotal combinations in
+    * one pass (rollup/cube are special cases — §2.4 completes the
+    * trio). `grouping()` disambiguates "grouped-out" from data NULL. */
+  def q59GroupingSets(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast(IntegerType).as("g_rf"),
+        count(lit(1)).as("cnt"),
+        Relational.dsum(col("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("g_rf"), col("cnt"), col("sum_qty"))
+      .orderBy("returnflag", "linestatus")
+
+  /** q60 — statistical aggregates (variance / stddev / covariance /
+    * correlation) computed from EXACT integer sufficient statistics:
+    * per-row fixed-point floors summed as BIGINT/DECIMAL(38) (order
+    * independent), then ONE double formula evaluated identically by
+    * both engines. The built-ins (`stddev_samp`, `corr`) are one-liners
+    * but accumulate doubles in scan order — cross-engine bit-equality
+    * needs the sufficient-statistics form. Same shape Welford-style
+    * partial aggregation uses at scale: map-side combine of (n, Σx,
+    * Σy, Σxy, Σx², Σy²), constant state per group. */
+  def q60StatsAgg(s: SparkSession, dir: String): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val xl = floor(col("l_quantity"))                    // long, exact
+    val yl = floor(col("l_extendedprice") * lit(100.0))  // long, exact
+    val stats = Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("nl"),
+        sum(xl).as("sxl"),
+        sum(yl.cast(dec)).as("syl"),
+        sum((xl * yl).cast(dec)).as("sxyl"),
+        sum(xl * xl).as("sxxl"),
+        sum(yl.cast(dec) * yl.cast(dec)).as("syyl"))
+    val n = col("nl").cast(DoubleType)
+    val sx = col("sxl").cast(DoubleType)
+    val sy = col("syl").cast(DoubleType)
+    val sxy = col("sxyl").cast(DoubleType)
+    val sxx = col("sxxl").cast(DoubleType)
+    val syy = col("syyl").cast(DoubleType)
+    val varQty = (sxx - sx * sx / n) / (n - 1)
+    val varPrice = (syy - sy * sy / n) / (n - 1)
+    val covar = (sxy - sx * sy / n) / (n - 1)
+    stats.select(col("l_returnflag"),
+      col("nl").as("n_rows"),
+      (sx / n).as("mean_qty"),
+      varQty.as("var_qty"),
+      sqrt(varQty).as("stddev_qty"),
+      covar.as("covar_qp"),
+      (covar / (sqrt(varQty) * sqrt(varPrice))).as("corr_qp"))
+      .orderBy("l_returnflag")
+  }
+
+  /** q64 — collection aggregates rendered deterministically:
+    * collect_set sorted then joined to a string (a raw collect_list is
+    * order-nondeterministic under parallelism — never emit one from a
+    * distributed aggregate without sorting). */
+  def q64CollectAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(array_join(sort_array(collect_set(col("o_orderstatus"))), ",")
+        .as("statuses"),
+        size(collect_set(col("o_orderstatus"))).as("n_statuses"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
+  /** q65 — conditional + positional aggregates: count_if, filtered
+    * fixed-point sum, and arg-max/arg-min keyed by the UNIQUE orderkey
+    * (max_by on a non-unique ordinate is tie-nondeterministic). */
+  def q65ConditionalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(count_if(col("o_totalprice") > 200000).as("n_big"),
+        Relational.dsum(when(col("o_totalprice") > 200000, col("o_totalprice"))
+          .otherwise(lit(0.0))).as("big_total"),
+        max_by(col("o_custkey"), col("o_orderkey")).as("latest_cust"),
+        min_by(col("o_custkey"), col("o_orderkey")).as("first_cust"))
+      .orderBy("o_orderstatus")
+
+  /** q66 — calendar-spine gap filling: per-customer month sequence
+    * (`sequence` + explode) left-joined to actual monthly counts, so
+    * zero-activity months surface as rows — the time-series
+    * densification step ahead of any window/trend computation. */
+  def q66DateSpine(s: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(s, dir).filter(col("o_custkey") < 5)
+    val bounds = base.groupBy("o_custkey")
+      .agg(date_trunc("month", min(col("o_orderdate"))).as("fm"),
+        date_trunc("month", max(col("o_orderdate"))).as("lm"))
+    val spine = bounds.select(col("o_custkey"),
+      explode(sequence(col("fm"), col("lm"), expr("interval 1 month")))
+        .as("month_start"))
+    val counts = base
+      .groupBy(col("o_custkey"),
+        date_trunc("month", col("o_orderdate")).as("month_start"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(counts, Seq("o_custkey", "month_start"), "left")
+      .select(col("o_custkey"), col("month_start"),
+        coalesce(col("n"), lit(0L)).as("n_orders"))
+      .orderBy("o_custkey", "month_start")
+  }
+
+  /** q70 — fixed-width histogram: bucket = floor(x / width). Stable
+    * bucket boundaries (unlike ntile) so histograms from different
+    * partitions/engines align — the scalable distribution profile
+    * (one groupBy, map-side combinable). */
+  def q70Histogram(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(floor(col("o_totalprice") / 50000).as("bucket"))
+      .agg(count(lit(1)).as("cnt"),
+        Relational.dsum(col("o_totalprice")).as("total"))
+      .select(col("bucket"), (col("bucket") * 50000).as("lo"),
+        col("cnt"), col("total"))
+      .orderBy("bucket")
+
+  /** q71 — null-handling scalar functions: nullif / coalesce /
+    * greatest / least and null-aware counting over a column made
+    * sparse by `nullif`. */
+  def q71NullFns(s: SparkSession, dir: String): DataFrame = {
+    val disc = nullif(col("l_discount"), lit(0.0))
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 300)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        disc.as("disc_or_null"),
+        coalesce(disc, lit(-1.0)).as("disc_filled"),
+        greatest(col("l_tax"), col("l_discount")).as("max_rate"),
+        least(col("l_tax"), col("l_discount")).as("min_rate"),
+        disc.isNull.as("is_zero_disc"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // ------------------------------------------------------------------ text
+
+  /** q61 — corpus vocabulary top-k: explode tokens → count → global
+    * top 20. The explode shuffles once on the token (word-count
+    * shape, map-side combined); the final top-k is
+    * TakeOrderedAndProject, never a full sort. */
+  def q61TopTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(20)
+
+  /** q62 — TF-IDF term weighting: term frequency per (doc, term),
+    * document frequency per term, weight = tf · (N/df). The idf is the
+    * raw N/df ratio, not ln(N/df): ln is a transcendental whose last
+    * ulp differs between libm implementations, which would break
+    * cross-engine bit-equality (monotonically equivalent for ranking).
+    * Shape at scale: one token explode feeding two word-count-style
+    * aggregates; the df side is vocabulary-sized (≪ corpus) so its
+    * join back broadcasts. */
+  def q62Tfidf(s: SparkSession, dir: String): DataFrame = {
+    val td = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = td.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = td.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(dfreq.filter(col("df") >= 25)), Seq("term"))
+      .crossJoin(broadcast(n))
+      .filter(col("doc_id") < 25)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf").cast(DoubleType) *
+          (col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))
+          .as("weight"))
+      .orderBy("doc_id", "term")
+  }
+
+  /** q63 — edit-distance fuzzy matching: Levenshtein pairs within a
+    * blocking key (nation) — the fuzzy-join primitive for entity
+    * resolution. Blocked, never all-pairs: candidates exist only
+    * inside a block, same scale posture as the LSH dedups. */
+  def q63FuzzyMatch(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_custkey") < 1000)
+    val a = c.select(col("c_nationkey"), col("c_custkey").as("id_a"),
+      col("c_name").as("name_a"))
+    val b = c.select(col("c_nationkey"), col("c_custkey").as("id_b"),
+      col("c_name").as("name_b"))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("c_nationkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("c_nationkey"), col("id_a"), col("id_b"),
+        levenshtein(col("name_a"), col("name_b")).as("edit_dist"))
+      .filter(col("edit_dist") <= 2)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** q67 — near-duplicate CLUSTERING: connected components over the
+    * q45 n-gram-Jaccard pair graph (threshold 0.5), labels = min doc_id
+    * reachable. Each round does min-label propagation over the
+    * (bidirectional) edge list PLUS pointer jumping (comp := comp of
+    * comp — path halving), so even chain-shaped components converge in
+    * O(log diameter) rounds instead of O(diameter). Convergence is
+    * detected by the (monotonically decreasing) label sum going stable
+    * — one cheap aggregate per round instead of a change-count join.
+    * `localCheckpoint` truncates lineage so per-round planning cost
+    * stays constant. At 100 TB the same loop runs with edges
+    * hash-partitioned by src (alternating large-star/small-star is the
+    * published O(log n) refinement). Output: one row per clustered doc
+    * (singletons excluded by construction).
+    *
+    * This is the step that turns pairwise near-dup detection into the
+    * keep-one-per-cluster decision a training-data pipeline needs. */
+  def q67DedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = TextOps.ngramJaccardPairs(s, dir, 0.5)
+      .select("id_a", "id_b")
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .localCheckpoint()
+    // label sums stay well under 2^63 while doc_ids ≤ ~2^40 and clustered
+    // docs ≤ ~2^22; at larger scale track the sum as DECIMAL(38)
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("comp"))).first().getLong(0)
+    var prevSum = -1L
+    var curSum = labelSum(labels)
+    var iter = 0
+    while (curSum != prevSum && iter < 25) {
+      prevSum = curSum
+      val prop = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("comp"))
+      val minN = prop.union(labels.select(col("id"), col("comp")))
+        .groupBy("id").agg(min(col("comp")).as("comp"))
+      // pointer jumping: comp is always itself a vertex id, so replace
+      // each comp by that vertex's comp — halves label-chain length
+      val reps = minN.select(col("id").as("rid"), col("comp").as("rcomp"))
+      val jumped = minN.join(reps, minN("comp") === reps("rid"))
+        .select(minN("id"), col("rcomp").as("comp"))
+        .localCheckpoint()
+      labels = jumped
+      curSum = labelSum(labels)
+      iter += 1
+    }
+    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy("doc_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q59_grouping_sets" -> (q59GroupingSets _),
+    "q60_stats_agg" -> (q60StatsAgg _),
+    "q61_top_tokens" -> (q61TopTokens _),
+    "q62_tfidf" -> (q62Tfidf _),
+    "q63_fuzzy_match" -> (q63FuzzyMatch _),
+    "q64_collect_agg" -> (q64CollectAgg _),
+    "q65_conditional_agg" -> (q65ConditionalAgg _),
+    "q66_date_spine" -> (q66DateSpine _),
+    "q67_dedup_clusters" -> (q67DedupClusters _),
+    "q70_histogram" -> (q70Histogram _),
+    "q71_null_fns" -> (q71NullFns _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q59_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  CAST(grouping(l_returnflag) AS INTEGER) AS g_rf,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(floor(l_quantity * 1e2) AS BIGINT)) AS DOUBLE) / 1e2 AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q60_stats_agg" ->
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |    count(*) AS nl,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE) AS sx,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100.0) AS HUGEINT)) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT) * CAST(floor(l_extendedprice * 100.0) AS BIGINT)) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT) * CAST(floor(l_quantity) AS BIGINT)) AS DOUBLE) AS sxx,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100.0) AS HUGEINT) * CAST(floor(l_extendedprice * 100.0) AS HUGEINT)) AS DOUBLE) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, nl AS n_rows,
+        |  sx / n AS mean_qty,
+        |  (sxx - sx * sx / n) / (n - 1) AS var_qty,
+        |  sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_qty,
+        |  (sxy - sx * sy / n) / (n - 1) AS covar_qp,
+        |  ((sxy - sx * sy / n) / (n - 1)) /
+        |    (sqrt((sxx - sx * sx / n) / (n - 1)) * sqrt((syy - sy * sy / n) / (n - 1))) AS corr_qp
+        |FROM s ORDER BY l_returnflag""".stripMargin,
+    "q61_top_tokens" ->
+      """SELECT t AS token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+        |  FROM documents)
+        |WHERE t <> '' GROUP BY t
+        |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+    "q62_tfidf" ->
+      """WITH td AS (
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  FROM documents),
+        |td2 AS (SELECT * FROM td WHERE term <> ''),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM td2 GROUP BY 1, 2),
+        |dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM td2 GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+        |  CAST(tf.tf AS DOUBLE) * (CAST(n.n_docs AS DOUBLE) / CAST(dfreq.df AS DOUBLE)) AS weight
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |WHERE dfreq.df >= 25 AND tf.doc_id < 25
+        |ORDER BY doc_id, term""".stripMargin,
+    "q63_fuzzy_match" ->
+      """SELECT a.c_nationkey, a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey < 1000 AND b.c_custkey < 1000
+        |  AND levenshtein(a.c_name, b.c_name) <= 2
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q64_collect_agg" ->
+      """SELECT o_orderpriority,
+        |  array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+        |  CAST(len(list(DISTINCT o_orderstatus)) AS INTEGER) AS n_statuses,
+        |  count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q65_conditional_agg" ->
+      """SELECT o_orderstatus,
+        |  count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+        |  CAST(sum(CAST(floor((CASE WHEN o_totalprice > 200000 THEN o_totalprice
+        |    ELSE 0.0 END) * 1e2) AS BIGINT)) AS DOUBLE) / 1e2 AS big_total,
+        |  arg_max(o_custkey, o_orderkey) AS latest_cust,
+        |  arg_min(o_custkey, o_orderkey) AS first_cust
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q66_date_spine" ->
+      """WITH base AS (SELECT * FROM orders WHERE o_custkey < 5),
+        |b AS (SELECT o_custkey,
+        |        date_trunc('month', min(o_orderdate)) AS fm,
+        |        date_trunc('month', max(o_orderdate)) AS lm
+        |      FROM base GROUP BY o_custkey),
+        |spine AS (SELECT o_custkey,
+        |            unnest(generate_series(fm, lm, INTERVAL 1 MONTH)) AS month_start
+        |          FROM b),
+        |counts AS (SELECT o_custkey, date_trunc('month', o_orderdate) AS month_start,
+        |             count(*) AS n
+        |           FROM base GROUP BY 1, 2)
+        |SELECT s.o_custkey, s.month_start, coalesce(c.n, 0) AS n_orders
+        |FROM spine s LEFT JOIN counts c USING (o_custkey, month_start)
+        |ORDER BY o_custkey, month_start""".stripMargin,
+    "q67_dedup_clusters" ->
+      s"""WITH RECURSIVE pr AS (
+        |  SELECT id_a, id_b FROM (${TextOps.JaccardPairsSql})
+        |  WHERE jaccard >= 0.5),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pr
+        |          UNION SELECT id_b, id_a FROM pr),
+        |reach AS (SELECT s AS id, d AS r FROM edges
+        |          UNION
+        |          SELECT e.s AS id, r.r FROM edges e JOIN reach r ON e.d = r.id)
+        |SELECT id AS doc_id, CAST(least(id, min(r)) AS BIGINT) AS cluster_id
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q70_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bucket,
+        |  CAST(floor(o_totalprice / 50000) AS BIGINT) * 50000 AS lo,
+        |  count(*) AS cnt,
+        |  CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2 AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+    "q71_null_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  nullif(l_discount, 0.0) AS disc_or_null,
+        |  coalesce(nullif(l_discount, 0.0), -1.0) AS disc_filled,
+        |  greatest(l_tax, l_discount) AS max_rate,
+        |  least(l_tax, l_discount) AS min_rate,
+        |  nullif(l_discount, 0.0) IS NULL AS is_zero_disc
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+  )
+}

@@ -259,14 +259,22 @@ object TextOps {
     * the pair space linear-ish in corpus size — then exact 3-gram-set
     * Jaccard. Complements q37: MinHash estimates on a signature; this
     * computes the true set overlap for a blocked candidate set. */
-  def q45NgramJaccard(s: SparkSession, dir: String): DataFrame = {
-    // Grams are hashed to 64-bit longs before the pair stage: Jaccard
-    // is invariant under an (effectively) injective hash, set ops on
-    // longs are ~10× cheaper than on strings, and the shuffled pair
-    // rows shrink accordingly. |A∪B| = |A|+|B|−|A∩B| keeps it to ONE
-    // intersect per pair. (Measured 138 s → ~4 s at sf0.1.)
-    // sorted + distinct ONCE per document, so the quadratic pair stage
-    // can use the zero-allocation sorted-merge intersect expression
+  def q45NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    ngramJaccardPairs(s, dir, 0.5).orderBy("id_a", "id_b")
+
+  /** The q45 pair stage with a caller-chosen threshold — reused by the
+    * connected-components dedup clustering (ExtendedOps.q67). Returns
+    * (id_a, id_b, jaccard) unordered.
+    *
+    * Grams are hashed to 64-bit longs before the pair stage: Jaccard
+    * is invariant under an (effectively) injective hash, set ops on
+    * longs are ~10× cheaper than on strings, and the shuffled pair
+    * rows shrink accordingly. |A∪B| = |A|+|B|−|A∩B| keeps it to ONE
+    * intersect per pair. (Measured 138 s → ~4 s at sf0.1.)
+    * sorted + distinct ONCE per document, so the quadratic pair stage
+    * can use the zero-allocation sorted-merge intersect expression. */
+  private[queries] def ngramJaccardPairs(s: SparkSession, dir: String,
+      threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     val grams = sort_array(array_distinct(transform(
       shingleArr(col("norm"), 3), g => xxhash64(g))))
@@ -286,8 +294,7 @@ object TextOps {
       .select(col("id_a"), col("id_b"),
         (inter.cast(DoubleType) / (col("sz_a") + col("sz_b") - inter))
           .as("jaccard"))
-      .filter(col("jaccard") >= 0.5)
-      .orderBy("id_a", "id_b")
+      .filter(col("jaccard") >= threshold)
   }
 
   /** q48 — language identification by n-gram/marker heuristic: each
@@ -369,6 +376,27 @@ object TextOps {
     "q38_simhash" -> (q38Simhash _),
   )
 
+  /** DuckDB rendering of the [[ngramJaccardPairs]] pair stage (no
+    * threshold, no order) — shared by the q45 oracle and the
+    * connected-components clustering oracle (ExtendedOps.q67). */
+  private[queries] val JaccardPairsSql: String =
+    """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+      |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
+      |  FROM (SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS szbucket,
+      |          list_distinct(list_transform(range(1, length(n) - 1),
+      |            i -> substring(n, i, 3))) AS g
+      |        FROM (SELECT doc_id, lang, n_chars,
+      |                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+      |              FROM documents)) a
+      |  JOIN (SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS szbucket,
+      |          list_distinct(list_transform(range(1, length(n) - 1),
+      |            i -> substring(n, i, 3))) AS g
+      |        FROM (SELECT doc_id, lang, n_chars,
+      |                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+      |              FROM documents)) b
+      |    ON a.lang = b.lang AND a.szbucket = b.szbucket AND a.doc_id < b.doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q52_chunking" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
@@ -411,24 +439,8 @@ object TextOps {
         |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q45_ngram_jaccard" ->
-      """SELECT * FROM (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |    CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
-        |      / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS jaccard
-        |  FROM (SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS szbucket,
-        |          list_distinct(list_transform(range(1, length(n) - 1),
-        |            i -> substring(n, i, 3))) AS g
-        |        FROM (SELECT doc_id, lang, n_chars,
-        |                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
-        |              FROM documents)) a
-        |  JOIN (SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS szbucket,
-        |          list_distinct(list_transform(range(1, length(n) - 1),
-        |            i -> substring(n, i, 3))) AS g
-        |        FROM (SELECT doc_id, lang, n_chars,
-        |                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
-        |              FROM documents)) b
-        |    ON a.lang = b.lang AND a.szbucket = b.szbucket AND a.doc_id < b.doc_id
-        |) WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+      s"""SELECT * FROM ($JaccardPairsSql)
+        |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
     "q30_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents

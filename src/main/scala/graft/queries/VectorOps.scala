@@ -179,11 +179,44 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
+  /** q68 — vector norms / normalization: L2 norm via the same
+    * left-fold double discipline as cosine, plus max element and the
+    * first normalized coordinate. The per-vector normalize step every
+    * embedding pipeline runs before cosine/IP search (norm-1 vectors
+    * turn cosine into a plain dot product). One narrow codegen'd
+    * projection — scales with the scan. */
+  def q68VectorNorms(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id") < 200)
+      .select(col("vec_id"), col("label"),
+        size(col("embedding")).as("dims"),
+        sqrt(normSqD(col("embedding"))).as("l2_norm"),
+        array_max(col("embedding")).cast(DoubleType).as("max_elem"),
+        (element_at(col("embedding"), 1).cast(DoubleType) /
+          sqrt(normSqD(col("embedding")))).as("e1_normalized"))
+      .orderBy("vec_id")
+
+  /** q69 — per-label centroids (the k-means update step / IVF training
+    * primitive) in long form: posexplode over the leading dims →
+    * per-(label, dim) fixed-point mean. The explode shuffles once on
+    * (label, dim) with map-side combine — the scalable layout for
+    * centroid updates (never collect vectors to the driver). */
+  def q69LabelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(slice(col("embedding"), 1, 8)))
+      .groupBy(col("label"), col("pos").as("dim"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("col").cast(DoubleType) * 1e6)).cast(DoubleType)
+          / 1e6 / count(lit(1))).as("centroid"))
+      .orderBy("label", "dim")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_cosine_topk" -> (q40CosineTopK _),
     "q41_ann_lsh" -> (q41AnnLsh _),
     "q47_embedding_neardup" -> (q47EmbeddingNeardup _),
     "q51_ann_ivf" -> (q51AnnIvf _),
+    "q68_vector_norms" -> (q68VectorNorms _),
+    "q69_label_centroids" -> (q69LabelCentroids _),
   )
 
   /** The DuckDB oracle spells the same left-associated folds out as
@@ -199,6 +232,19 @@ object VectorOps {
       .mkString(" + ")
 
   val oracles: Map[String, String] = Map(
+    "q68_vector_norms" ->
+      s"""SELECT vec_id, label,
+         |  CAST(len(embedding) AS INTEGER) AS dims,
+         |  sqrt(0.0 + ${normSqSql("e")}) AS l2_norm,
+         |  CAST(list_max(embedding) AS DOUBLE) AS max_elem,
+         |  CAST(embedding[1] AS DOUBLE) / sqrt(0.0 + ${normSqSql("e")}) AS e1_normalized
+         |FROM embeddings e WHERE vec_id < 200 ORDER BY vec_id""".stripMargin,
+    "q69_label_centroids" ->
+      """SELECT label, CAST(dim AS INTEGER) AS dim, count(*) AS n,
+        |  CAST(sum(CAST(floor(CAST(embedding[CAST(dim AS INTEGER) + 1] AS DOUBLE) * 1e6)
+        |    AS BIGINT)) AS DOUBLE) / 1e6 / count(*) AS centroid
+        |FROM (SELECT label, embedding, unnest(range(0, 8)) AS dim FROM embeddings)
+        |GROUP BY label, dim ORDER BY label, dim""".stripMargin,
     "q40_cosine_topk" ->
       s"""SELECT query_id, rk, cand_id, label, sim FROM (
          |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label,

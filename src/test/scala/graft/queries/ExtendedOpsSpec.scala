@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Round-3 extended surface: semantic invariants the DuckDB oracle
+  * can't express (fixpoint properties, agreement with built-ins). */
+class ExtendedOpsSpec extends SparkTestBase {
+
+  test("q60 sufficient-statistics corr agrees with the built-in corr") {
+    val ours = ExtendedOps.q60StatsAgg(spark, Sf)
+      .select("l_returnflag", "corr_qp", "stddev_qty").collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val builtin = graft.Tables.lineitem(spark, Sf)
+      .groupBy("l_returnflag")
+      .agg(corr(floor(col("l_quantity")),
+        floor(col("l_extendedprice") * 100)).as("c"),
+        stddev_samp(floor(col("l_quantity"))).as("sd"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(ours.keySet == builtin.keySet)
+    ours.foreach { case (k, (c, sd)) =>
+      assert(math.abs(c - builtin(k)._1) < 1e-9, s"corr mismatch for $k")
+      assert(math.abs(sd - builtin(k)._2) < 1e-9, s"stddev mismatch for $k")
+    }
+  }
+
+  test("q67 cluster labels are a fixpoint of the pair graph") {
+    val labels = ExtendedOps.q67DedupClusters(spark, Sf)
+    val byDoc = labels.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // label is the min doc_id of its cluster and a member of it
+    byDoc.foreach { case (doc, c) =>
+      assert(c <= doc)
+      assert(byDoc(c) == c, s"cluster rep $c is not its own representative")
+    }
+    // every near-dup pair's endpoints carry the same label (fixpoint)
+    val pairs = TextOps.ngramJaccardPairs(spark, Sf, 0.5)
+      .select("id_a", "id_b").collect()
+    pairs.foreach { r =>
+      assert(byDoc(r.getLong(0)) == byDoc(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} split across clusters")
+    }
+  }
+
+  test("q66 date spine is gap-free and contiguous per customer") {
+    val rows = ExtendedOps.q66DateSpine(spark, Sf).collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    byCust.foreach { case (_, rs) =>
+      val months = rs.map(_.getTimestamp(1).toLocalDateTime).sortBy(_.toString)
+      months.sliding(2).foreach {
+        case Array(a, b) => assert(a.plusMonths(1) == b, s"gap between $a and $b")
+        case _ =>
+      }
+    }
+    // gap months exist and carry zero counts
+    assert(rows.exists(_.getLong(2) == 0L), "expected zero-activity months")
+  }
+
+  test("q63 fuzzy pairs are blocked, ordered, within threshold") {
+    val rows = ExtendedOps.q63FuzzyMatch(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) < r.getLong(2))
+      assert(r.getInt(3) >= 1 && r.getInt(3) <= 2)
+    }
+  }
+
+  test("q61 top tokens are count-descending with tie-break on token") {
+    val rows = ExtendedOps.q61TopTokens(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.length == 20)
+    rows.sliding(2).foreach {
+      case Array((ta, ca), (tb, cb)) =>
+        assert(ca > cb || (ca == cb && ta < tb))
+      case _ =>
+    }
+  }
+
+  test("q59 grouping sets: grand total matches table count") {
+    val rows = ExtendedOps.q59GroupingSets(spark, Sf).collect()
+    val total = rows.filter(r => r.getString(0) == "ALL" && r.getString(1) == "ALL")
+    assert(total.length == 1)
+    assert(total.head.getLong(3) == graft.Tables.lineitem(spark, Sf).count())
+  }
+}
