@@ -10,11 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warm-up: initialize parquet reader, codegen, and the noop sink so
-    // the first timed query (alphabetically q01) isn't charged for JVM
-    // session start-up
-    spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10)
-      .write.format("noop").mode("overwrite").save()
+    // warm-up: initialize parquet reader, codegen, shuffle machinery,
+    // broadcast infra and the noop sink so the first timed queries
+    // aren't charged for JVM session start-up
+    locally {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+      li.groupBy("l_returnflag").count()
+        .join(broadcast(li.select("l_returnflag").distinct()), "l_returnflag")
+        .orderBy("l_returnflag")
+        .write.format("noop").mode("overwrite").save()
+    }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

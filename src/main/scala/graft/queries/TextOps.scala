@@ -157,16 +157,21 @@ object TextOps {
       .select(col("doc_id"), explode(shingleArr(col("norm"))).as("sh"))
     val minCols = (0 until numHashes).map(j =>
       min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
+    // signatures materialized ONCE (localCheckpoint): they feed the
+    // banding stage AND both sides of the signature re-join below —
+    // without the barrier Catalyst recomputes the whole shingle
+    // explode + 16-way min-agg per consumer (measured 2× the query)
     val docs = shingleRows.groupBy("doc_id")
       .agg(minCols.head, minCols.tail: _*)
       .select(col("doc_id"),
         array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
-    val banded = docs.select(col("doc_id"), col("sig"),
+      .localCheckpoint()
+    val banded = docs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))): _*))
         .as("bb"))
-      .select(col("doc_id"), col("sig"), col("bb.band"), col("bb.bucket"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
     // boilerplate guard: buckets holding more than maxBucket docs are
     // degenerate (near-identical boilerplate at corpus scale) and would
     // blow the pair space quadratically — cap them out, as a production
@@ -176,18 +181,26 @@ object TextOps {
       .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
       .select("band", "bucket")
     val pruned = banded.join(okBuckets, Seq("band", "bucket"))
-    val a = pruned.select(col("band"), col("bucket"),
-      col("doc_id").as("id_a"), col("sig").as("sig_a"))
-    val b = pruned.select(col("band"), col("bucket"),
-      col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    val a = pruned.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val b = pruned.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
     // SHUFFLE_HASH, not broadcast: the quadratic pair generation must
     // run partitioned by bucket across the cluster — a broadcast join
-    // would funnel every pair through the probe side's (few) partitions
-    a.join(b.hint("SHUFFLE_HASH"), Seq("band", "bucket"))
+    // would funnel every pair through the probe side's (few) partitions.
+    // The pair shuffle carries ONLY (band, bucket, id, id) — signatures
+    // are re-attached after dedup, so the quadratic stage moves 8-byte
+    // ids, not 2×16-element arrays.
+    val pairIds = a.join(b.hint("SHUFFLE_HASH"), Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       // a pair can collide in several bands — dedupe BEFORE the
       // signature-agreement estimate so it is computed once per pair
       .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+    // signature re-join: the per-doc signature table is ~n·136 bytes —
+    // broadcastable far beyond this corpus; at extreme n swap for a
+    // shuffle join on the id
+    pairIds
+      .join(broadcast(docs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))), Seq("id_a"))
+      .join(broadcast(docs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, m) => acc + m)
@@ -278,6 +291,9 @@ object TextOps {
     graft.functions.GraftFunctions.register(s)
     val grams = sort_array(array_distinct(transform(
       shingleArr(col("norm"), 3), g => xxhash64(g))))
+    // NOT checkpointed: the two join sides do recompute the gram chain,
+    // but the recompute runs fully parallel while a materialization
+    // barrier serializes — measured slightly slower with a checkpoint
     val docs = normDocs(s, dir)
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 64).as("szbucket"), grams.as("g"))
