@@ -69,6 +69,42 @@ object MultimodalOps {
         greatest(floor(octet_length(payload) / 64).cast(IntegerType) - 1, lit(0))),
       i => payload.substr(i * 64 + 1, lit(16)))
 
+  /** One decoded media record from [[decodePartitions]]. */
+  case class DecodedMeta(doc_id: Long, n_bytes: Int, width: Int,
+      height: Int, n_frames: Int)
+
+  /** Partition-wise batch decode over binary payloads via
+    * `mapPartitions` — the JVM shape of an Arrow-batched decode worker
+    * (`mapInPandas` in PySpark): the decoder is instantiated ONCE per
+    * partition (amortizing codec/model setup over the whole batch,
+    * exactly why media pipelines batch by partition), then streams the
+    * partition's rows through it. The decode body is the same
+    * deterministic STUB as q43 — in production only `decodeOne` is
+    * replaced by a real codec; the partitioning, batch shape and
+    * schema contract stay as tested here. Input is repartitioned so
+    * batch size (and therefore decoder memory) is controlled by the
+    * caller, not file layout. */
+  def decodePartitions(s: SparkSession, dir: String,
+      numPartitions: Int = 32): org.apache.spark.sql.Dataset[DecodedMeta] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .repartition(numPartitions, col("doc_id"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition decoder setup happens HERE (once per batch);
+        // the stub's "codec" is the xxhash-derived fake from q43
+        val hasher = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        rows.map { case (id, bytes) =>
+          val h = hasher.hash(bytes, org.apache.spark.sql.types.BinaryType, 42L)
+          DecodedMeta(id, bytes.length,
+            math.floorMod(h, 1280L).toInt + 1,
+            math.floorMod(h ^ (h >>> 17), 720L).toInt + 1,
+            math.max(bytes.length / 64, 1))
+        }
+      }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_binary_meta" -> (q42BinaryMeta _),
     "q43_decode_stub" -> (q43DecodeStub _),

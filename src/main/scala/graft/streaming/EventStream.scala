@@ -125,6 +125,28 @@ object EventStream {
       }(enc, enc).toDF()
   }
 
+  /** Stream-stream inner join: views joined to the clicks that follow
+    * them within 30 minutes for the same user. BOTH sides carry a
+    * watermark and the join condition bounds event-time distance, so
+    * each side's buffered state is evictable the moment the other
+    * side's watermark passes the range — without the time bound a
+    * stream-stream join must buffer forever. State is hash-partitioned
+    * by the equi key (user_id) across executors. */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+    val c = clicks.withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+    v.join(c,
+      col("user_id") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("interval 30 minutes"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** `foreachBatch` sink: the arbitrary-logic escape hatch — each
     * micro-batch arrives as a plain DataFrame with its batch id, so any
     * batch writer (multi-table fan-out, JDBC upsert, dedup-merge)

@@ -108,6 +108,33 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream join matches clicks within 30 min of a view") {
+    import spark.implicits._
+    val views = MemoryStream[Ev](spark)
+    val clicks = MemoryStream[Ev](spark)
+    val q = EventStream.viewClickJoin(views.toDF(), clicks.toDF())
+      .writeStream.format("memory").queryName("ssjoin_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      views.addData(ev(10, "2024-01-01 10:00:00", "view"))
+      clicks.addData(
+        ev(20, "2024-01-01 10:10:00"),  // inside the 30-min window
+        ev(21, "2024-01-01 10:45:00"),  // outside — 45 min after
+        ev(22, "2024-01-01 09:50:00"))  // before the view — excluded
+      q.processAllAvailable()
+      // advance both watermarks so joined results are emittable
+      views.addData(ev(11, "2024-01-01 12:00:00", "view"))
+      clicks.addData(ev(23, "2024-01-01 12:00:00"))
+      q.processAllAvailable()
+      val got = spark.table("ssjoin_test").collect()
+        .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id")))
+        .toSet
+      assert(got.contains((10L, 20L)), s"expected (10,20) in $got")
+      assert(!got.exists(_._2 == 21L), s"click 45min later must not join: $got")
+      assert(!got.exists(_._2 == 22L), s"click before view must not join: $got")
+    } finally q.stop()
+  }
+
   test("foreachBatch sink dedups within batch and lands parquet") {
     import spark.implicits._
     val out = java.nio.file.Files.createTempDirectory("graft_feb_out").toString
