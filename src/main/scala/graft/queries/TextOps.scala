@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType}
 
@@ -374,7 +375,68 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q72 — sequence packing: assign documents to fixed-capacity
+    * context-window bins (512 tokens) per language stream, in doc_id
+    * order — the batch-construction step ahead of tokenized training.
+    * Fixed-boundary streaming pack (bin = floor(preceding-cumsum /
+    * capacity)): one window over the per-lang partition, no driver
+    * loop; the exact greedy-reset variant needs sequential state — at
+    * scale that is a `flatMapGroupsWithState` per stream, this
+    * approximation is what high-throughput packers actually run. */
+  def q72SequencePacking(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .select(col("lang"), col("doc_id"), col("tok"), col("cum"),
+        floor((col("cum") - col("tok")) / 512).as("pack_id"))
+      .orderBy("lang", "doc_id")
+  }
+
+  /** q73 — repetition detection: duplicate 4-gram fraction of the
+    * normalized text (1 − distinct/total) — the self-repetition
+    * quality signal curation pipelines threshold on. One codegen'd
+    * projection per document. */
+  def q73Repetition(s: SparkSession, dir: String): DataFrame = {
+    val g = transform(
+      sequence(lit(0), greatest(length(col("norm")) - 4, lit(0))),
+      i => substr(col("norm"), i + 1, lit(4)))
+    normDocs(s, dir)
+      .select(col("doc_id"), g.as("g"))
+      .filter(size(col("g")) > 0)
+      .select(col("doc_id"),
+        size(col("g")).as("n_grams"),
+        size(array_distinct(col("g"))).as("n_distinct"),
+        (lit(1.0) - size(array_distinct(col("g"))).cast(DoubleType) / size(col("g")))
+          .as("rep_ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** q74 — benchmark decontamination: count, per corpus document, the
+    * distinct 8-char-grams it shares with a benchmark set (here: docs
+    * 0-4 stand in for an eval set) — the n-gram-overlap contamination
+    * check run before training. The benchmark gram set is BROADCAST
+    * (benchmarks are small by definition), so the corpus side streams
+    * through one narrow join however large it is; the per-doc count is
+    * map-side combinable. */
+  def q74Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docGrams = normDocs(s, dir)
+      .select(col("doc_id"),
+        explode(shingleArr(col("norm"), 8)).as("g"))
+    val bench = docGrams.filter(col("doc_id") < 5).select("g").distinct()
+    docGrams.filter(col("doc_id") >= 5)
+      .join(broadcast(bench), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q72_sequence_packing" -> (q72SequencePacking _),
+    "q73_repetition" -> (q73Repetition _),
+    "q74_decontaminate" -> (q74Decontaminate _),
     "q44_array_fns" -> (q44ArrayFns _),
     "q45_ngram_jaccard" -> (q45NgramJaccard _),
     "q48_lang_id" -> (q48LangId _),
@@ -414,6 +476,41 @@ object TextOps {
       |    ON a.lang = b.lang AND a.szbucket = b.szbucket AND a.doc_id < b.doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q72_sequence_packing" ->
+      """SELECT lang, doc_id, tok, CAST(cum AS BIGINT) AS cum,
+        |  CAST(floor(CAST(cum - tok AS DOUBLE) / 512) AS BIGINT) AS pack_id
+        |FROM (
+        |  SELECT lang, doc_id, tok,
+        |    sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM (SELECT lang, doc_id,
+        |          CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok
+        |        FROM documents))
+        |ORDER BY lang, doc_id""".stripMargin,
+    "q73_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(g) AS INTEGER) AS n_grams,
+        |  CAST(len(list_distinct(g)) AS INTEGER) AS n_distinct,
+        |  1.0 - CAST(len(list_distinct(g)) AS DOUBLE) / len(g) AS rep_ratio
+        |FROM (SELECT doc_id, list_transform(range(1, length(n) - 2),
+        |        i -> substring(n, i, 4)) AS g
+        |      FROM (SELECT doc_id,
+        |              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+        |            FROM documents))
+        |WHERE len(g) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q74_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(n) - 6),
+        |           i -> substring(n, i, 8)))) AS g
+        |  FROM (SELECT doc_id,
+        |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+        |        FROM documents)),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5)
+        |SELECT doc_id, count(*) AS n_shared
+        |FROM grams JOIN bench USING (g)
+        |WHERE doc_id >= 5
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q52_chunking" ->
       """SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
         |  CAST(length(substring(text, CAST(i AS INTEGER) * 150 + 1, 200)) AS INTEGER) AS chunk_len,

@@ -35,6 +35,51 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom filter prunes the fact side of a selective join") {
+    val s = spark
+    val saved = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.get(k))
+    try {
+      // creation side must be UNDER its threshold, application side
+      // OVER its — relax both so the tiny test tables qualify; at real
+      // scale the defaults gate this automatically
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "1GB")
+      s.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val dim = graft.Tables.orders(s, Sf)
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val joined = graft.Tables.lineitem(s, Sf)
+        .join(dim, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "l_quantity")
+      val plan = joined.queryExecution.optimizedPlan.toString
+      assert(plan.toLowerCase.contains("bloomfilter"),
+        s"expected a runtime bloom filter on the fact scan:\n${plan.take(3000)}")
+      assert(joined.count() > 0)
+    } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
+  test("managed-table DDL surface: CTAS, INSERT, catalog listing") {
+    val s = spark
+    try {
+      graft.Tables.nation(s, Sf).createOrReplaceTempView("nation_src")
+      s.sql("CREATE TABLE nation_managed USING parquet AS SELECT * FROM nation_src")
+      val before = s.table("nation_managed").count()
+      s.sql("INSERT INTO nation_managed SELECT * FROM nation_src WHERE n_nationkey = 0")
+      assert(s.table("nation_managed").count() == before + 1)
+      assert(s.catalog.tableExists("nation_managed"))
+      // TRUNCATE-and-reload (the serving-store refresh idiom, SURVEY §2.3 K3)
+      s.sql("TRUNCATE TABLE nation_managed")
+      assert(s.table("nation_managed").count() == 0)
+      s.sql("INSERT INTO nation_managed SELECT * FROM nation_src")
+      assert(s.table("nation_managed").count() == before)
+    } finally s.sql("DROP TABLE IF EXISTS nation_managed")
+  }
+
   test("partitioned write prunes partitions on a partition-key filter") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     graft.Tables.documents(spark, Sf).write.mode("overwrite")
