@@ -156,6 +156,22 @@ object ExtendedOps {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** q75 — error-safe expression surface (Spark 4 runs under ANSI
+    * mode, where overflow/bad-cast/div-by-zero THROW): `try_divide` /
+    * `try_cast` / `try_add` return NULL instead, the contract batch
+    * pipelines want for dirty data — one malformed row must not kill a
+    * 100 TB job. */
+  def q75TryFns(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_orderkey") < 300)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        try_divide(col("l_quantity"), col("l_discount")).as("qty_per_disc"),
+        try_divide(col("l_quantity"), nullif(col("l_discount"), col("l_discount")))
+          .as("div_null"),
+        expr("try_cast(l_returnflag AS INT)").as("flag_as_int"),
+        expr("try_cast(l_linenumber AS STRING)").as("line_str"))
+      .orderBy("l_orderkey", "l_linenumber")
+
   // ------------------------------------------------------------------ text
 
   /** q61 — corpus vocabulary top-k: explode tokens → count → global
@@ -278,6 +294,7 @@ object ExtendedOps {
     "q67_dedup_clusters" -> (q67DedupClusters _),
     "q70_histogram" -> (q70Histogram _),
     "q71_null_fns" -> (q71NullFns _),
+    "q75_try_fns" -> (q75TryFns _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -382,6 +399,18 @@ object ExtendedOps {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2 AS total
         |FROM orders GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+    // DuckDB has no try_divide and its double x/0.0 yields NaN (Spark's
+    // try_divide yields NULL), so the oracle spells the NULL-on-zero
+    // contract with an explicit CASE
+    "q75_try_fns" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_discount = 0 THEN NULL
+        |    ELSE l_quantity / l_discount END AS qty_per_disc,
+        |  CAST(NULL AS DOUBLE) AS div_null,
+        |  TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+        |  CAST(l_linenumber AS VARCHAR) AS line_str
+        |FROM lineitem WHERE l_orderkey < 300
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q71_null_fns" ->
       """SELECT l_orderkey, l_linenumber,
         |  nullif(l_discount, 0.0) AS disc_or_null,

@@ -153,6 +153,33 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("windowed aggregation runs on the RocksDB state store provider") {
+    import spark.implicits._
+    // RocksDB is the production state store at scale: state lives
+    // off-heap/on-disk per executor instead of in the JVM heap, so
+    // watermarked state survives executor memory pressure
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev](spark)
+    val q = EventStream.tumblingHourly(mem.toDF())
+      .writeStream.format("memory").queryName("rocksdb_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:20:00"))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-01 12:30:00")) // close hour 10
+      q.processAllAvailable()
+      val out = spark.table("rocksdb_test").collect()
+        .map(r => (r.getAs[Timestamp]("hour_start").toString,
+          r.getAs[Long]("n_events"))).toMap
+      assert(out("2024-01-01 10:00:00.0") == 2L, s"$out")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+    }
+  }
+
   test("session windows group by 30-minute gaps") {
     import spark.implicits._
     val mem = MemoryStream[Ev](spark)
