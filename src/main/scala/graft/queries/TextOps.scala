@@ -445,7 +445,29 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q76 — bounded-state heavy hitters per language via the
+    * Misra-Gries [[graft.functions.HeavyHitters]] UDAF: top tokens
+    * with k-entry state per group however large the group — the
+    * scalable alternative to q61's exact global top-k when per-group
+    * vocabularies don't fit memory. Rows-only: MG counts are
+    * merge-order dependent within the n/(k+1) bound (guarantees are
+    * unit-tested instead). */
+  def q76HeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    val hh = udaf(graft.functions.HeavyHitters(8))
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("lang")
+      .agg(hh(col("t")).as("top"))
+      .select(col("lang"),
+        posexplode(arrays_zip(col("top.items"), col("top.counts"))))
+      .select(col("lang"), col("pos").as("rank"),
+        col("col.items").as("token"), col("col.counts").as("cnt"))
+      .orderBy("lang", "rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q76_heavy_hitters" -> (q76HeavyHitters _),
     "q72_sequence_packing" -> (q72SequencePacking _),
     "q73_repetition" -> (q73Repetition _),
     "q74_decontaminate" -> (q74Decontaminate _),

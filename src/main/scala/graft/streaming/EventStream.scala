@@ -125,6 +125,53 @@ object EventStream {
       }(enc, enc).toDF()
   }
 
+  /** Spark-4 arbitrary-stateful v2 (`transformWithState`): the typed
+    * StatefulProcessor API replacing flatMapGroupsWithState — named,
+    * composable per-key state cells (Value/List/MapState) with
+    * per-state TTL, timers decoupled from output mode, and
+    * RocksDB-backed storage (the API REQUIRES the RocksDB provider).
+    * This processor keeps the same running per-user totals as
+    * [[statefulUserTotals]], as a migration example. */
+  private class UserTotalProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Row, UserTotal] {
+    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var state: ValueState[UserTotal] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      state = getHandle.getValueState[UserTotal]("totals",
+        Encoders.product[UserTotal], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[Row],
+        timerValues: TimerValues): Iterator[UserTotal] = {
+      val prev = if (state.exists()) state.get() else UserTotal(key, 0L, 0.0)
+      var n = prev.n_events
+      var total = prev.total_value
+      rows.foreach { r =>
+        n += 1
+        total += r.getAs[Double]("value")
+      }
+      val next = UserTotal(key, n, total)
+      state.update(next)
+      Iterator.single(next)
+    }
+  }
+
+  /** [[statefulUserTotals]] on the transformWithState API. */
+  def statefulUserTotalsV2(stream: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import org.apache.spark.sql.Encoders
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(stream.schema)
+    implicit val outEnc: org.apache.spark.sql.Encoder[UserTotal] =
+      Encoders.product[UserTotal]
+    stream.groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .transformWithState(new UserTotalProcessor, TimeMode.None(),
+        OutputMode.Update())
+      .toDF()
+  }
+
   /** Stream-stream inner join: views joined to the clicks that follow
     * them within 30 minutes for the same user. BOTH sides carry a
     * watermark and the join condition bounds event-time distance, so

@@ -153,6 +153,35 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("transformWithState keeps running totals (stateful v2, RocksDB)") {
+    import spark.implicits._
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    // transformWithState requires the RocksDB state store provider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev](spark)
+    val q = EventStream.statefulUserTotalsV2(mem.toDF())
+      .writeStream.format("memory").queryName("tws_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(Ev(1, ts("2024-01-01 10:00:00"), 1L, "click", 2.0, "{}"),
+        Ev(2, ts("2024-01-01 10:01:00"), 1L, "view", 3.0, "{}"),
+        Ev(3, ts("2024-01-01 10:02:00"), 2L, "click", 5.0, "{}"))
+      q.processAllAvailable()
+      mem.addData(Ev(4, ts("2024-01-01 10:03:00"), 1L, "click", 4.0, "{}"))
+      q.processAllAvailable()
+      val latest = spark.table("tws_test").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) => u -> rows.maxBy(_.getAs[Long]("n_events")) }
+      assert(latest(1L).getAs[Long]("n_events") == 3L)
+      assert(math.abs(latest(1L).getAs[Double]("total_value") - 9.0) < 1e-9)
+      assert(latest(2L).getAs[Long]("n_events") == 1L)
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+    }
+  }
+
   test("windowed aggregation runs on the RocksDB state store provider") {
     import spark.implicits._
     // RocksDB is the production state store at scale: state lives
