@@ -172,6 +172,44 @@ object ExtendedOps {
         expr("try_cast(l_linenumber AS STRING)").as("line_str"))
       .orderBy("l_orderkey", "l_linenumber")
 
+  /** q77 — pure theta join (no equi conjunct): every nation paired
+    * with the strictly-higher-key nations. Plans as
+    * BroadcastNestedLoopJoin — acceptable ONLY when one side is
+    * broadcast-small; a theta join of two facts is the plan to reject
+    * in review (O(n·m) compares with no partitioning to hide behind). */
+  def q77ThetaJoin(s: SparkSession, dir: String): DataFrame = {
+    val a = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("key_a"), col("n_name").as("name_a"),
+        col("n_regionkey").as("reg_a"))
+    val b = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("key_b"), col("n_regionkey").as("reg_b"))
+    a.join(broadcast(b), col("reg_a") < col("reg_b"))
+      .groupBy("key_a", "name_a")
+      .agg(count(lit(1)).as("n_higher_region"),
+        min(col("key_b")).as("min_higher_key"))
+      .orderBy("key_a")
+  }
+
+  /** q78 — full outer join: customer spend vs a quota table built from
+    * another segment — unmatched rows survive from BOTH sides with
+    * NULLs. The fill pattern (coalesce over both keys) is the standard
+    * reconciliation-report idiom. */
+  def q78FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val auto = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "AUTOMOBILE" && col("c_custkey") < 200)
+      .select(col("c_custkey").as("key_a"), col("c_acctbal").as("bal_a"))
+    val mach = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "MACHINERY" && col("c_custkey") < 200)
+      .select(col("c_custkey").as("key_b"), col("c_acctbal").as("bal_b"))
+    auto.join(mach, col("key_a") === col("key_b"), "full_outer")
+      .select(coalesce(col("key_a"), col("key_b")).as("custkey"),
+        when(col("key_a").isNotNull && col("key_b").isNotNull, "both")
+          .when(col("key_a").isNotNull, "auto_only")
+          .otherwise("mach_only").as("side"),
+        col("bal_a"), col("bal_b"))
+      .orderBy("custkey")
+  }
+
   // ------------------------------------------------------------------ text
 
   /** q61 — corpus vocabulary top-k: explode tokens → count → global
@@ -295,6 +333,8 @@ object ExtendedOps {
     "q70_histogram" -> (q70Histogram _),
     "q71_null_fns" -> (q71NullFns _),
     "q75_try_fns" -> (q75TryFns _),
+    "q77_theta_join" -> (q77ThetaJoin _),
+    "q78_full_outer" -> (q78FullOuter _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -399,6 +439,25 @@ object ExtendedOps {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2 AS total
         |FROM orders GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+    "q77_theta_join" ->
+      """SELECT a.n_nationkey AS key_a, a.n_name AS name_a,
+        |  count(*) AS n_higher_region,
+        |  CAST(min(b.n_nationkey) AS INTEGER) AS min_higher_key
+        |FROM nation a JOIN nation b ON a.n_regionkey < b.n_regionkey
+        |GROUP BY a.n_nationkey, a.n_name
+        |ORDER BY key_a""".stripMargin,
+    "q78_full_outer" ->
+      """SELECT coalesce(a.c_custkey, b.c_custkey) AS custkey,
+        |  CASE WHEN a.c_custkey IS NOT NULL AND b.c_custkey IS NOT NULL THEN 'both'
+        |    WHEN a.c_custkey IS NOT NULL THEN 'auto_only'
+        |    ELSE 'mach_only' END AS side,
+        |  a.c_acctbal AS bal_a, b.c_acctbal AS bal_b
+        |FROM (SELECT * FROM customer
+        |      WHERE c_mktsegment = 'AUTOMOBILE' AND c_custkey < 200) a
+        |FULL OUTER JOIN (SELECT * FROM customer
+        |      WHERE c_mktsegment = 'MACHINERY' AND c_custkey < 200) b
+        |  ON a.c_custkey = b.c_custkey
+        |ORDER BY custkey""".stripMargin,
     // DuckDB has no try_divide and its double x/0.0 yields NaN (Spark's
     // try_divide yields NULL), so the oracle spells the NULL-on-zero
     // contract with an explicit CASE
