@@ -17,6 +17,23 @@ class RelationalSpec extends SparkTestBase {
     assert(orphans.isEmpty, s"oracle without query: $orphans")
   }
 
+  test("every registered query emits only atomic columns") {
+    // the driver's rows-only check sorts results in pandas, which
+    // cannot sort array/map/struct cells (this failed q43 in round 2);
+    // schema inspection is plan-build only, so this sweeps all queries
+    // cheaply
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    graft.SparkEntry.queries.foreach { case (name, fn) =>
+      val schema = fn(spark, Sf).schema
+      schema.fields.foreach { f =>
+        assert(!f.dataType.isInstanceOf[ArrayType] &&
+          !f.dataType.isInstanceOf[MapType] &&
+          !f.dataType.isInstanceOf[StructType],
+          s"$name column ${f.name} has non-atomic type ${f.dataType}")
+      }
+    }
+  }
+
   test("no module silently overrides another's query key") {
     val moduleSizes = Seq(Relational.queries, EventOps.queries,
       TextOps.queries, VectorOps.queries, MultimodalOps.queries,
