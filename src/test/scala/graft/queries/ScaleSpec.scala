@@ -35,6 +35,38 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("AQE splits a skewed shuffle partition at runtime (skew join)") {
+    val s = spark
+    import s.implicits._
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> s.conf.get(k))
+    try {
+      // shrink the skew thresholds so the test-sized skew qualifies;
+      // at real scale the defaults (256MB advisory) do this unaided
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+      s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // 95% of the fact rows share one key — the classic hot-key shape
+      val fact = s.range(0, 200000)
+        .select(when(col("id") % 20 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          col("id").as("payload"))
+      val dim = s.range(0, 50000).select(col("id").as("k"),
+        (col("id") * 2).as("attr"))
+      val joined = fact.join(dim, Seq("k"))
+      // collect (not count/write) so THIS Dataset's QueryExecution runs
+      // and its AdaptiveSparkPlan finalizes — count/write execute clones
+      assert(joined.collect().nonEmpty)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected AQE skew-split join:\n${plan.take(3000)}")
+    } finally saved.foreach { case (k, v) => s.conf.set(k, v) }
+  }
+
   test("runtime bloom filter prunes the fact side of a selective join") {
     val s = spark
     val saved = Seq(
