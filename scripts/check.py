@@ -73,14 +73,16 @@ def main():
     extra = sorted(set(glob.glob(f"{outdir}/*/")) )
     noracle = [p.rstrip("/").rsplit("/", 1)[-1] for p in extra
                if p.rstrip("/").rsplit("/", 1)[-1] not in oracle]
+    n_ronly = 0
     for name in noracle:
         try:
             n = con.sql(f"SELECT count(*) FROM read_parquet('{outdir}/{name}/*.parquet')").fetchone()[0]
             print(f"INFO {name}: no oracle, {n} rows")
+            n_ronly += 1
         except Exception as e:
             n_fail += 1
             print(f"FAIL {name}: rows-only read failed: {e}")
-    print(f"== {n_pass} pass / {n_fail} fail / {len(noracle)} rows-only ==")
+    print(f"== {n_pass} pass / {n_fail} fail / {n_ronly} rows-only ==")
     sys.exit(1 if n_fail else 0)
 
 if __name__ == "__main__":

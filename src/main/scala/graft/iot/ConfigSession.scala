@@ -50,7 +50,11 @@ object ConfigSession {
     * applied as `spark.<key>` — exactly the reference's passthrough
     * loop (`spark_builder.config(f"spark.{key}", value)`,
     * `process_iot_data.py:56-65`), so `sql.shuffle.partitions: 64`
-    * under `spark:` sets conf `spark.sql.shuffle.partitions`. */
+    * under `spark:` sets conf `spark.sql.shuffle.partitions`.
+    * Reference-faithful sharp edge: a key written WITH the prefix
+    * (`spark.sql.shuffle.partitions` under `spark:`) re-prefixes to
+    * the meaningless `spark.spark.sql...` — exactly what the
+    * reference's loop does with such a config. */
   def sparkConfs(cfg: Map[String, String]): Seq[(String, String)] = {
     val section = cfg.collect {
       case (k, v) if k.startsWith("spark.") => k.drop("spark.".length) -> v

@@ -173,7 +173,8 @@ object ExtendedOps {
       .orderBy("l_orderkey", "l_linenumber")
 
   /** q77 — pure theta join (no equi conjunct): every nation paired
-    * with the strictly-higher-key nations. Plans as
+    * with the nations of strictly-higher REGIONS (nations in the top
+    * region drop out — no higher region exists). Plans as
     * BroadcastNestedLoopJoin — acceptable ONLY when one side is
     * broadcast-small; a theta join of two facts is the plan to reject
     * in review (O(n·m) compares with no partitioning to hide behind). */
@@ -294,9 +295,11 @@ object ExtendedOps {
       .select(col("id"), col("id").as("comp"))
       .localCheckpoint()
     // label sums stay well under 2^63 while doc_ids ≤ ~2^40 and clustered
-    // docs ≤ ~2^22; at larger scale track the sum as DECIMAL(38)
+    // docs ≤ ~2^22; at larger scale track the sum as DECIMAL(38).
+    // coalesce: sum over ZERO rows is NULL (empty pair graph — no doc
+    // reaches the threshold), which must read as 0, not NPE
     def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("comp"))).first().getLong(0)
+      df.agg(coalesce(sum(col("comp")), lit(0L))).first().getLong(0)
     var prevSum = -1L
     var curSum = labelSum(labels)
     var iter = 0

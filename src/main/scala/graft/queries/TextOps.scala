@@ -411,6 +411,10 @@ object TextOps {
       sequence(lit(0), greatest(length(col("norm")) - 4, lit(0))),
       i => substr(col("norm"), i + 1, lit(4))))
     normDocs(s, dir)
+      // docs whose normalized text is shorter than one gram produce no
+      // grams — drop them BEFORE the clamped sequence emits a bogus
+      // partial gram (the oracle's range() is empty for those docs)
+      .filter(length(col("norm")) >= 4)
       .select(col("doc_id"), g.as("gram"))
       .select(col("doc_id"), xxhash64(col("gram")).as("gh"))
       .groupBy("doc_id")

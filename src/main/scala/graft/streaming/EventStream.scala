@@ -41,19 +41,13 @@ object EventStream {
   }
 
   /** Tumbling 1-hour aggregate with a 10-minute watermark — the
-    * streaming form of [[graft.queries.EventOps.q25TumblingWindow]]. */
+    * streaming form of [[graft.queries.EventOps.q25TumblingWindow]].
+    * Delegates to the SAME function the DuckDB oracle verifies, so the
+    * streaming and batch aggregates cannot drift (an earlier hand-
+    * copied version did drift to a plain double sum). */
   def tumblingHourly(stream: DataFrame): DataFrame =
-    stream
-      .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      // fixed-point sum — same expression as the oracle-verified batch
-      // twin (EventOps.tumblingHourly), so the incremental result is
-      // bit-identical regardless of row arrival order
-      .agg(count(lit(1)).as("n_events"),
-        (sum(floor(col("value") * 1e6))
-          .cast(org.apache.spark.sql.types.DoubleType) / 1e6).as("sum_value"))
-      .select(col("window.start").as("hour_start"), col("event_type"),
-        col("n_events"), col("sum_value"))
+    graft.queries.EventOps.tumblingHourly(
+      stream.withWatermark("ts", "10 minutes"))
 
   /** Sliding windows: 1-hour window every 15 minutes. */
   def slidingCounts(stream: DataFrame): DataFrame =
@@ -134,27 +128,47 @@ object EventStream {
     * [[statefulUserTotals]], as a migration example. */
   private class UserTotalProcessor
       extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Row, UserTotal] {
-    import org.apache.spark.sql.streaming.{TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TimerValues, TTLConfig, ValueState}
     import org.apache.spark.sql.Encoders
     @transient private var state: ValueState[UserTotal] = _
+    @transient private var timerState: ValueState[Long] = _
 
     override def init(outputMode: OutputMode,
-        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
       state = getHandle.getValueState[UserTotal]("totals",
         Encoders.product[UserTotal], TTLConfig.NONE)
+      timerState = getHandle.getValueState[Long]("evict_at",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(key: Long, rows: Iterator[Row],
         timerValues: TimerValues): Iterator[UserTotal] = {
       val prev = if (state.exists()) state.get() else UserTotal(key, 0L, 0.0)
       var n = prev.n_events
       var total = prev.total_value
+      var maxTsMs = 0L
       rows.foreach { r =>
         n += 1
         total += r.getAs[Double]("value")
+        maxTsMs = math.max(maxTsMs, r.getAs[java.sql.Timestamp]("ts").getTime)
       }
       val next = UserTotal(key, n, total)
       state.update(next)
+      // bounded state, v1 semantics: evict 1h (event time) after the
+      // user's last event — replace the previous timer so exactly one
+      // is pending per key
+      if (timerState.exists()) getHandle.deleteTimer(timerState.get())
+      val evictAt = maxTsMs + 3600000L
+      getHandle.registerTimer(evictAt)
+      timerState.update(evictAt)
       Iterator.single(next)
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[UserTotal] = {
+      state.clear()
+      timerState.clear()
+      Iterator.empty
     }
   }
 
@@ -166,8 +180,10 @@ object EventStream {
       Encoders.row(stream.schema)
     implicit val outEnc: org.apache.spark.sql.Encoder[UserTotal] =
       Encoders.product[UserTotal]
-    stream.groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
-      .transformWithState(new UserTotalProcessor, TimeMode.None(),
+    stream.withWatermark("ts", "10 minutes")
+      .groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      // EventTime mode drives the eviction timers off the watermark
+      .transformWithState(new UserTotalProcessor, TimeMode.EventTime(),
         OutputMode.Update())
       .toDF()
   }

@@ -19,9 +19,10 @@ class RelationalSpec extends SparkTestBase {
 
   test("every registered query emits only atomic columns") {
     // the driver's rows-only check sorts results in pandas, which
-    // cannot sort array/map/struct cells (this failed q43 in round 2);
-    // schema inspection is plan-build only, so this sweeps all queries
-    // cheaply
+    // cannot sort array/map/struct cells (this failed q43 in round 2).
+    // NOTE: "plan build" is not free for every query — q37's
+    // localCheckpoint and q67's label loop execute eagerly — but at
+    // sf0.001 the whole sweep stays cheap
     import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
     graft.SparkEntry.queries.foreach { case (name, fn) =>
       val schema = fn(spark, Sf).schema
