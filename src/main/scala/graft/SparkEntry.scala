@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       VectorOps.queries ++ MultimodalOps.queries ++ IotParity.queries ++
-      ExtendedOps.queries
+      ExtendedOps.queries ++ graft.pipelines.CurationPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -32,5 +32,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ MultimodalOps.oracles ++ IotParity.oracles ++
-      ExtendedOps.oracles
+      ExtendedOps.oracles ++ graft.pipelines.CurationPipeline.oracles
 }

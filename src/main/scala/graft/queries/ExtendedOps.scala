@@ -285,9 +285,17 @@ object ExtendedOps {
     *
     * This is the step that turns pairwise near-dup detection into the
     * keep-one-per-cluster decision a training-data pipeline needs. */
-  def q67DedupClusters(s: SparkSession, dir: String): DataFrame = {
-    val pairs = TextOps.ngramJaccardPairs(s, dir, 0.5)
-      .select("id_a", "id_b")
+  def q67DedupClusters(s: SparkSession, dir: String): DataFrame =
+    connectedComponents(
+      TextOps.ngramJaccardPairs(s, dir, 0.5).select("id_a", "id_b"))
+      .select(col("id").as("doc_id"), col("cluster_id"))
+      .orderBy("doc_id")
+
+  /** Connected components over an (id_a, id_b) pair frame — q67's
+    * engine, reusable (the curation pipeline runs it over its own
+    * survivor pair set). Returns (id, cluster_id = min reachable id)
+    * for every id appearing in a pair. */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint()
@@ -319,8 +327,7 @@ object ExtendedOps {
       curSum = labelSum(labels)
       iter += 1
     }
-    labels.select(col("id").as("doc_id"), col("comp").as("cluster_id"))
-      .orderBy("doc_id")
+    labels.select(col("id"), col("comp").as("cluster_id"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

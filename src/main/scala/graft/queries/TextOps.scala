@@ -288,14 +288,26 @@ object TextOps {
     * sorted + distinct ONCE per document, so the quadratic pair stage
     * can use the zero-allocation sorted-merge intersect expression. */
   private[queries] def ngramJaccardPairs(s: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    ngramJaccardPairsOf(
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          normText(col("text")).as("norm")),
+      threshold)
+
+  /** Pair stage over ANY (doc_id, lang, n_chars, norm) frame — reused
+    * by the end-to-end curation pipeline on its dedup survivors. */
+  private[graft] def ngramJaccardPairsOf(docsNorm: DataFrame,
       threshold: Double): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+    graft.functions.GraftFunctions.register(docsNorm.sparkSession)
     val grams = sort_array(array_distinct(transform(
       shingleArr(col("norm"), 3), g => xxhash64(g))))
     // NOT checkpointed: the two join sides do recompute the gram chain,
     // but the recompute runs fully parallel while a materialization
-    // barrier serializes — measured slightly slower with a checkpoint
-    val docs = normDocs(s, dir)
+    // barrier serializes — measured slightly slower with a checkpoint.
+    // The repartition is the anti-CollapseProject barrier (see
+    // normDocs) so the norm chain runs once per doc, not per shingle.
+    val docs = docsNorm.repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 64).as("szbucket"), grams.as("g"))
       .withColumn("sz", size(col("g")))
