@@ -211,6 +211,19 @@ object ExtendedOps {
       .orderBy("custkey")
   }
 
+  /** q81 — right outer join: all orders kept, customer attributes
+    * NULL where the (filtered) customer side has no match — the
+    * mirror of q05's left join, completing the outer-join family. */
+  def q81RightJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, dir).filter(col("o_orderkey") < 2000),
+        col("c_custkey") === col("o_custkey"), "right")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("c_name"), col("c_mktsegment"),
+        col("c_custkey").isNotNull.as("has_building_cust"))
+      .orderBy("o_orderkey")
+
   // ------------------------------------------------------------------ text
 
   /** q61 — corpus vocabulary top-k: explode tokens → count → global
@@ -345,6 +358,7 @@ object ExtendedOps {
     "q75_try_fns" -> (q75TryFns _),
     "q77_theta_join" -> (q77ThetaJoin _),
     "q78_full_outer" -> (q78FullOuter _),
+    "q81_right_join" -> (q81RightJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -449,6 +463,13 @@ object ExtendedOps {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2 AS total
         |FROM orders GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+    "q81_right_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
+        |  c_custkey IS NOT NULL AS has_building_cust
+        |FROM (SELECT * FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |RIGHT JOIN (SELECT * FROM orders WHERE o_orderkey < 2000) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY o_orderkey""".stripMargin,
     "q77_theta_join" ->
       """SELECT a.n_nationkey AS key_a, a.n_name AS name_a,
         |  count(*) AS n_higher_region,
