@@ -43,7 +43,10 @@ object CurationPipeline {
     // exact dedup: min doc_id per normalized text
     val keepIds = quality.groupBy("norm").agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val exact = quality.join(keepIds, Seq("doc_id"))
+    // materialized once: the exact-dedup survivor set feeds the pair
+    // stage, the component-label join AND the final chunking pass —
+    // without the barrier each consumer re-runs scan+filter+dedup
+    val exact = quality.join(keepIds, Seq("doc_id")).localCheckpoint()
     // near-dup clusters over the exact-dedup survivors: same pair
     // stage as q45 but restricted to survivors, then q67's component
     // labels; a doc survives iff it is its cluster's min-id rep (or

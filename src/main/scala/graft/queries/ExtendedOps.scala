@@ -211,6 +211,23 @@ object ExtendedOps {
       .orderBy("custkey")
   }
 
+  /** q79 — calendar arithmetic beyond q20: month shifting with
+    * end-of-month clamping (`add_months`), month-end snapping
+    * (`last_day`), day-of-week / ISO week extraction, and
+    * pattern formatting — the second tier of the date/time surface
+    * (dialect parity with DuckDB verified: Spark's Sunday=1 dayofweek
+    * is DuckDB's Sunday=0 plus one). */
+  def q79DateFns2(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .filter(col("o_orderkey") < 2000)
+      .select(col("o_orderkey"),
+        add_months(col("o_orderdate"), 3).as("plus_3m"),
+        last_day(col("o_orderdate")).as("month_end"),
+        dayofweek(col("o_orderdate")).as("dow"),
+        weekofyear(col("o_orderdate")).as("iso_week"),
+        date_format(col("o_orderdate"), "yyyy-MM").as("ym"))
+      .orderBy("o_orderkey")
+
   /** q81 — right outer join: all orders kept, customer attributes
     * NULL where the (filtered) customer side has no match — the
     * mirror of q05's left join, completing the outer-join family. */
@@ -358,6 +375,7 @@ object ExtendedOps {
     "q75_try_fns" -> (q75TryFns _),
     "q77_theta_join" -> (q77ThetaJoin _),
     "q78_full_outer" -> (q78FullOuter _),
+    "q79_date_fns2" -> (q79DateFns2 _),
     "q81_right_join" -> (q81RightJoin _),
   )
 
@@ -463,6 +481,15 @@ object ExtendedOps {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2 AS total
         |FROM orders GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+    "q79_date_fns2" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+        |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+        |  CAST(dayofweek(o_orderdate) + 1 AS INTEGER) AS dow,
+        |  CAST(weekofyear(o_orderdate) AS INTEGER) AS iso_week,
+        |  strftime(o_orderdate, '%Y-%m') AS ym
+        |FROM orders WHERE o_orderkey < 2000
+        |ORDER BY o_orderkey""".stripMargin,
     "q81_right_join" ->
       """SELECT o_orderkey, o_custkey, c_name, c_mktsegment,
         |  c_custkey IS NOT NULL AS has_building_cust
