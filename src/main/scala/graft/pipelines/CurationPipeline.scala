@@ -2,7 +2,6 @@ package graft.pipelines
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.IntegerType
 
 import graft.Tables
 import graft.queries.{ExtendedOps, TextOps}
@@ -31,14 +30,11 @@ import graft.queries.{ExtendedOps, TextOps}
   */
 object CurationPipeline {
 
-  private def normText(c: org.apache.spark.sql.Column) =
-    trim(regexp_replace(lower(c), "\\s+", " "))
-
   /** Docs surviving normalize → quality → exact dedup → near-dup
     * representative selection. Returns (doc_id, lang, norm). */
   def survivors(s: SparkSession, dir: String): DataFrame = {
     val quality = Tables.documents(s, dir)
-      .withColumn("norm", normText(col("text")))
+      .withColumn("norm", TextOps.normText(col("text")))
       .filter(size(split(col("text"), "\\s+")) >= 20)
     // exact dedup: min doc_id per normalized text
     val keepIds = quality.groupBy("norm").agg(min(col("doc_id")).as("doc_id"))
@@ -60,19 +56,15 @@ object CurationPipeline {
       .select(exact("doc_id"), col("lang"), col("norm"))
   }
 
-  /** Full pipeline: survivors chunked for context windows. */
-  def run(s: SparkSession, dir: String): DataFrame = {
-    val (sizeC, step) = (200, 150)
-    val lastIdx = floor((length(col("norm")) - 1) / step).cast(IntegerType)
+  /** Full pipeline: survivors chunked for context windows (q52's
+    * shared chunk generator over the NORMALIZED text). */
+  def run(s: SparkSession, dir: String): DataFrame =
     survivors(s, dir)
-      .select(col("doc_id"), col("lang"),
-        posexplode(transform(sequence(lit(0), lastIdx),
-          i => col("norm").substr(i * step + 1, lit(sizeC)))))
+      .select(col("doc_id"), col("lang"), TextOps.chunkCols(col("norm")))
       .select(col("doc_id"), col("lang"), col("pos").as("chunk_idx"),
         length(col("col")).as("chunk_len"),
         md5(col("col").cast("binary")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
-  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q80_curation_pipeline" -> (run _),

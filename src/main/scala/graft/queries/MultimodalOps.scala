@@ -93,13 +93,17 @@ object MultimodalOps {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition decoder setup happens HERE (once per batch);
-        // the stub's "codec" is the xxhash-derived fake from q43
+        // the stub's "codec" reproduces q43's expressions EXACTLY:
+        // xxhash64(payload) is hash(bytes, seed=42) and
+        // xxhash64(payload, 1) chains hash(1, <prev>) — asserted
+        // field-for-field against q43 in MultimodalSpec
         val hasher = org.apache.spark.sql.catalyst.expressions.XxHash64Function
         rows.map { case (id, bytes) =>
           val h = hasher.hash(bytes, org.apache.spark.sql.types.BinaryType, 42L)
+          val h2 = hasher.hash(1, org.apache.spark.sql.types.IntegerType, h)
           DecodedMeta(id, bytes.length,
             math.floorMod(h, 1280L).toInt + 1,
-            math.floorMod(h ^ (h >>> 17), 720L).toInt + 1,
+            math.floorMod(h2, 720L).toInt + 1,
             math.max(bytes.length / 64, 1))
         }
       }

@@ -21,9 +21,9 @@ import graft.Tables
   */
 object TextOps {
 
-  /** Whitespace normalization shared by dedup + fingerprint:
-    * lowercase, collapse runs of whitespace, trim. */
-  private def normText(c: Column): Column =
+  /** Whitespace normalization shared by dedup + fingerprint (and the
+    * curation pipeline): lowercase, collapse runs of whitespace, trim. */
+  private[graft] def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
   /** Whitespace tokens of the raw text. */
@@ -361,17 +361,22 @@ object TextOps {
     * training pipeline feeds the tokenizer. Chunk text is emitted as
     * md5 so the verify output stays narrow. One narrow stage: chunking
     * never shuffles; downstream repartition controls task sizing. */
-  def q52Chunking(s: SparkSession, dir: String): DataFrame = {
-    val (sizeC, step) = (200, 150)
-    val lastIdx = floor((length(col("text")) - 1) / step).cast(IntegerType)
+  def q52Chunking(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lastIdx),
-          i => col("text").substr(i * step + 1, lit(sizeC)))))
+      .select(col("doc_id"), chunkCols(col("text")))
       .select(col("doc_id"), col("pos").as("chunk_idx"),
         length(col("col")).as("chunk_len"),
         md5(col("col").cast("binary")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_idx")
+
+  /** Overlapping-window chunk generator (default 200-char windows,
+    * 150-char stride): emits posexplode's (pos, col) — shared by q52
+    * and the curation pipeline's final stage. */
+  private[graft] def chunkCols(src: Column, sizeC: Int = 200,
+      step: Int = 150): Column = {
+    val lastIdx = floor((length(src) - 1) / step).cast(IntegerType)
+    posexplode(transform(sequence(lit(0), lastIdx),
+      i => src.substr(i * step + 1, lit(sizeC))))
   }
 
   /** q53 — text cleaning: control-char strip + whitespace collapse +

@@ -29,12 +29,12 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
-  test("decode byte counts agree with the expression-based q43 stub") {
+  test("decode fields agree with the expression-based q43 stub") {
     val fromExpr = MultimodalOps.q43DecodeStub(spark, Sf)
-      .select("doc_id", "n_bytes").collect()
-      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+      .select("doc_id", "n_bytes", "width", "height").collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
     val fromPartitions = MultimodalOps.decodePartitions(spark, Sf)
-      .collect().map(d => d.doc_id -> d.n_bytes).toMap
+      .collect().map(d => d.doc_id -> (d.n_bytes, d.width, d.height)).toMap
     assert(fromExpr == fromPartitions)
   }
 }
