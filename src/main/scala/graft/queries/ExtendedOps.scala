@@ -241,6 +241,32 @@ object ExtendedOps {
         col("c_custkey").isNotNull.as("has_building_cust"))
       .orderBy("o_orderkey")
 
+  /** q82 — higher-order array functions: `filter` / `exists` /
+    * `forall` / `transform`+`aggregate` lambdas over token arrays —
+    * the codegen-friendly per-row collection programs that replace
+    * row-at-a-time UDFs. */
+  def q82HigherOrder(s: SparkSession, dir: String): DataFrame = {
+    val t = split(col("text"), "\\s+")
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(filter(t, x => length(x) > 5)).as("n_long"),
+        exists(t, x => x.rlike("[0-9]")).as("has_digit"),
+        forall(t, x => !x.rlike("[A-Z]")).as("all_lower"),
+        aggregate(transform(t, x => length(x).cast("long")), lit(0L),
+          (acc, x) => acc + x).as("total_chars"))
+      .orderBy("doc_id")
+  }
+
+  /** q83 — `explode_outer`: generator that PRESERVES rows whose array
+    * is empty (a plain explode silently drops them — the classic
+    * lost-rows trap when flattening sparse extractions). */
+  def q83ExplodeOuter(s: SparkSession, dir: String): DataFrame = {
+    val rare = filter(split(lower(col("text")), "\\s+"), x => x.like("qu%"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode_outer(rare).as("rare_tok"))
+      .orderBy(col("doc_id"), col("rare_tok"))
+  }
+
   // ------------------------------------------------------------------ text
 
   /** q61 — corpus vocabulary top-k: explode tokens → count → global
@@ -377,6 +403,8 @@ object ExtendedOps {
     "q78_full_outer" -> (q78FullOuter _),
     "q79_date_fns2" -> (q79DateFns2 _),
     "q81_right_join" -> (q81RightJoin _),
+    "q82_higher_order" -> (q82HigherOrder _),
+    "q83_explode_outer" -> (q83ExplodeOuter _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -481,6 +509,22 @@ object ExtendedOps {
         |  count(*) AS cnt,
         |  CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2 AS total
         |FROM orders GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+    "q82_higher_order" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(t, x -> length(x) > 5)) AS INTEGER) AS n_long,
+        |  len(list_filter(t, x -> regexp_matches(x, '[0-9]'))) > 0 AS has_digit,
+        |  len(list_filter(t, x -> NOT regexp_matches(x, '[A-Z]'))) = len(t) AS all_lower,
+        |  CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS BIGINT) AS total_chars
+        |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    // NULLS FIRST matches Spark's ascending default (DuckDB defaults
+    // to NULLS LAST) — the preserved empty-array rows sort first
+    "q83_explode_outer" ->
+      """SELECT doc_id,
+        |  unnest(CASE WHEN len(z) = 0 THEN [NULL] ELSE z END) AS rare_tok
+        |FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |        x -> x LIKE 'qu%') AS z FROM documents)
+        |ORDER BY doc_id, rare_tok NULLS FIRST""".stripMargin,
     "q79_date_fns2" ->
       """SELECT o_orderkey,
         |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m,
