@@ -241,6 +241,26 @@ object ExtendedOps {
         col("c_custkey").isNotNull.as("has_building_cust"))
       .orderBy("o_orderkey")
 
+  /** q84 — approximate percentiles (Greenwald-Khanna sketch): the
+    * 100 TB answer to q50's exact sort-based percentiles — bounded
+    * sketch state per group, map-side combinable, error ≤ 1/accuracy.
+    * Completes the approximate family (HLL count-distinct q12,
+    * Misra-Gries heavy hitters q76). Rows-only: sketch contents are
+    * engine-specific (DuckDB uses t-digest). */
+  def q84ApproxPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val ps = percentile_approx(col("o_totalprice"),
+      array(lit(0.25), lit(0.5), lit(0.75)), lit(1000))
+    Tables.orders(s, dir)
+      .groupBy("o_orderstatus")
+      .agg(ps.as("p"), count(lit(1)).as("n"))
+      .select(col("o_orderstatus"),
+        element_at(col("p"), 1).as("p25"),
+        element_at(col("p"), 2).as("p50"),
+        element_at(col("p"), 3).as("p75"),
+        col("n"))
+      .orderBy("o_orderstatus")
+  }
+
   /** q82 — higher-order array functions: `filter` / `exists` /
     * `forall` / `transform`+`aggregate` lambdas over token arrays —
     * the codegen-friendly per-row collection programs that replace
@@ -405,6 +425,7 @@ object ExtendedOps {
     "q81_right_join" -> (q81RightJoin _),
     "q82_higher_order" -> (q82HigherOrder _),
     "q83_explode_outer" -> (q83ExplodeOuter _),
+    "q84_approx_percentiles" -> (q84ApproxPercentiles _),
   )
 
   val oracles: Map[String, String] = Map(
