@@ -128,6 +128,59 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  // --- ANN recall gate: q41/q51 measured against q40's exact top-10.
+  // The ground truth is free — q40 computes it on the same table with
+  // the same cosine expression, so a recall regression turns red here
+  // even though both ANN queries stay rows-only in CORRECTNESS.
+  lazy val exactTop10: Map[Long, Set[Long]] =
+    VectorOps.q40CosineTopK(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
+
+  private def recallAt10(df: org.apache.spark.sql.DataFrame): Double = {
+    val got = df.collect().groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
+    exactTop10.map { case (q, truth) =>
+      got.getOrElse(q, Set.empty[Long]).count(truth) / 10.0
+    }.sum / exactTop10.size
+  }
+
+  test("LSH ANN: exhaustive multi-probe (maxHamming = bits) IS exact") {
+    val ann = VectorOps.annLsh(spark, Sf, bits = 4, maxHamming = 4, k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("cand_id"))).toSeq.sorted
+    val exact = VectorOps.q40CosineTopK(spark, Sf)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("cand_id"))).toSeq.sorted
+    assert(ann == exact)
+  }
+
+  test("LSH ANN: Hamming-1 multi-probe recall dominates single-probe") {
+    val r0 = recallAt10(VectorOps.annLsh(spark, Sf, 8, 0, 10))
+    val r1 = recallAt10(VectorOps.annLsh(spark, Sf, 8, 1, 10))
+    assert(r1 >= r0, s"multi-probe recall $r1 < single-probe $r0")
+  }
+
+  test("LSH ANN: 4-bit Hamming<=2 multi-probe clears the recall gate") {
+    val r = recallAt10(VectorOps.annLsh(spark, Sf, bits = 4, maxHamming = 2, k = 10))
+    // this random-noise corpus (top-10 cosines 0.24-0.40, no planted
+    // neighbors) is LSH-hostile; 0.82 simulated mean for this config
+    assert(r >= 0.5, s"recall@10 = $r < 0.5")
+  }
+
+  test("IVF ANN: probing every list IS exact; nprobe=2 clears the gate") {
+    val annAll = VectorOps.annIvf(spark, Sf, nprobe = Int.MaxValue, k = 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("cand_id"))).toSeq.sorted
+    val exact = VectorOps.q40CosineTopK(spark, Sf)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
+        r.getAs[Long]("cand_id"))).toSeq.sorted
+    assert(annAll == exact)
+    val r2 = recallAt10(VectorOps.annIvf(spark, Sf, nprobe = 2, k = 10))
+    // simulated 0.64 for nprobe=2 of K=4 lists on this corpus
+    assert(r2 >= 0.4, s"IVF nprobe=2 recall@10 = $r2 < 0.4")
+  }
+
   test("q51 IVF ANN returns ranked candidates per query from probed lists") {
     val rows = VectorOps.q51AnnIvf(spark, Sf).collect()
     val perQ = rows.groupBy(_.getAs[Long]("query_id"))
