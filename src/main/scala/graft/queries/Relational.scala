@@ -387,8 +387,45 @@ object Relational {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** q85 — part/supplier star join (TPC-H Q9-flavored brand revenue by
+    * supplier nation): the lineitem fact joins three broadcast dims
+    * (part, supplier, nation — all tiny relative to the fact at any
+    * scale factor), so at 100 TB the fact side never shuffles for the
+    * dims; the only shuffle is the final (n_name, p_brand) aggregate,
+    * bounded by |nations|·|brands| groups after map-side combine. */
+  def q85PartSupplierStar(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name", "p_brand")
+      .agg(count(lit(1)).as("line_cnt"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+      .orderBy("n_name", "p_brand")
+
+  /** q86 — promo revenue share (TPC-H Q14-style): part-attribute
+    * conditional aggregate per ship month. Numerator and denominator
+    * both go through the fixed-point sum, so the final share is one
+    * double multiply + divide of identical operands on both engines.
+    * part is broadcast; one shuffle on the month key. */
+  def q86PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    val promo = when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
+      .agg(count(lit(1)).as("line_cnt"),
+        dsum(promo, 4).as("promo_revenue"),
+        dsum(disc, 4).as("total_revenue"),
+        (dsum(promo, 4) * lit(100.0) / dsum(disc, 4)).as("promo_share_pct"))
+      .orderBy("ship_month")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
+    "q85_part_supplier_star" -> (q85PartSupplierStar _),
+    "q86_promo_share" -> (q86PromoShare _),
     "q50_percentiles" -> (q50Percentiles _),
     "q54_pivot" -> (q54Pivot _),
     "q55_unpivot" -> (q55Unpivot _),
@@ -599,6 +636,26 @@ object Relational {
         |WINDOW w AS (PARTITION BY o_orderpriority
         |  ORDER BY o_totalprice, o_orderkey)
         |ORDER BY o_orderpriority, o_orderkey""".stripMargin,
+    "q85_part_supplier_star" ->
+      s"""SELECT n_name, p_brand, count(*) AS line_cnt,
+        |  ${fsum("l_quantity")} AS sum_qty,
+        |  ${fsum("l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)", 4)} AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name, p_brand ORDER BY n_name, p_brand""".stripMargin,
+    "q86_promo_share" -> {
+      val disc = "l_extendedprice * (CAST(1 AS DOUBLE) - l_discount)"
+      val promo = s"CASE WHEN p_type = 'PROMO' THEN $disc ELSE CAST(0 AS DOUBLE) END"
+      s"""SELECT date_trunc('month', l_shipdate) AS ship_month,
+        |  count(*) AS line_cnt,
+        |  ${fsum(promo, 4)} AS promo_revenue,
+        |  ${fsum(disc, 4)} AS total_revenue,
+        |  (${fsum(promo, 4)}) * 1e2 / (${fsum(disc, 4)}) AS promo_share_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY ship_month""".stripMargin
+    },
     "q50_percentiles" ->
       """SELECT o_orderstatus,
         |  quantile_cont(o_totalprice, 0.25) AS p25,

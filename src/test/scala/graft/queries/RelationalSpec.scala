@@ -61,6 +61,29 @@ class RelationalSpec extends SparkTestBase {
     assert(df.count() == 25)
   }
 
+  test("q85 star join broadcasts all three dims (fact side never shuffles)") {
+    val df = Relational.q85PartSupplierStar(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(plan).length == 3, plan.take(3000))
+    assert(!plan.contains("CartesianProduct"))
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every (nation, brand) group aggregates at least one lineitem
+    assert(rows.forall(_.getAs[Long]("line_cnt") >= 1))
+  }
+
+  test("q86 promo share is bounded by [0, 100] and revenue-consistent") {
+    val rows = Relational.q86PromoShare(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val promo = r.getAs[Double]("promo_revenue")
+      val total = r.getAs[Double]("total_revenue")
+      assert(promo >= 0 && promo <= total)
+      val pct = r.getAs[Double]("promo_share_pct")
+      assert(pct >= 0.0 && pct <= 100.0)
+    }
+  }
+
   test("q02 filter pushes down to the parquet scan") {
     val df = Relational.q02FilterProject(spark, Sf)
     val scan = df.queryExecution.executedPlan.toString
