@@ -109,7 +109,7 @@ object EventOps {
       .groupBy("event_type", "n_keys", "key_list")
       .agg(count(lit(1)).as("n"),
         sum(col("k_val")).as("sum_k"))
-      .orderBy("event_type")
+      .orderBy("event_type", "n_keys", "key_list")
   }
 
   /** q49 — sliding windows (1 hour every 15 min): each event lands in 4
@@ -183,10 +183,16 @@ object EventOps {
         |  CAST(sum(CAST(floor("value" * 1e6) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_value
         |FROM events CROSS JOIN (VALUES (0), (1), (2), (3)) k(k)
         |GROUP BY 1 ORDER BY win_start""".stripMargin,
+    // n_keys / key_list are DERIVED from the props text (same key-order
+    // regex on both engines: JSON object keys in document order), not
+    // hard-coded to the current single-key testdata shape — richer
+    // future props rows regroup instead of silently diverging
     "q46_map_fns" ->
       """SELECT event_type,
-        |  CAST(1 AS INTEGER) AS n_keys, 'k' AS key_list, count(*) AS n,
+        |  CAST(len(regexp_extract_all(props, '"([^"]+)"\s*:', 1)) AS INTEGER) AS n_keys,
+        |  array_to_string(regexp_extract_all(props, '"([^"]+)"\s*:', 1), ',') AS key_list,
+        |  count(*) AS n,
         |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM events GROUP BY 1, 2, 3 ORDER BY event_type, n_keys, key_list""".stripMargin,
   )
 }

@@ -418,7 +418,11 @@ object Relational {
       .agg(count(lit(1)).as("line_cnt"),
         dsum(promo, 4).as("promo_revenue"),
         dsum(disc, 4).as("total_revenue"),
-        (dsum(promo, 4) * lit(100.0) / dsum(disc, 4)).as("promo_share_pct"))
+        // nullif: a month whose discounted revenue floors to 0 would
+        // throw under Spark ANSI while DuckDB yields inf — NULL on both
+        // sides is the one agreeing answer (same discipline as q68)
+        (dsum(promo, 4) * lit(100.0) / nullif(dsum(disc, 4), lit(0.0)))
+          .as("promo_share_pct"))
       .orderBy("ship_month")
   }
 
@@ -652,7 +656,7 @@ object Relational {
         |  count(*) AS line_cnt,
         |  ${fsum(promo, 4)} AS promo_revenue,
         |  ${fsum(disc, 4)} AS total_revenue,
-        |  (${fsum(promo, 4)}) * 1e2 / (${fsum(disc, 4)}) AS promo_share_pct
+        |  (${fsum(promo, 4)}) * 1e2 / NULLIF((${fsum(disc, 4)}), 0e0) AS promo_share_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY ship_month""".stripMargin
     },

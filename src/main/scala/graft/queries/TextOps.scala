@@ -210,15 +210,13 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
-  /** q38 — SimHash: 64-bit signature = sign of the per-bit sum of ±1
-    * votes from each token's xxhash64. Near-dup candidates share a
-    * 16-bit band (4 bands ⇒ Hamming distance ≤ 3 guaranteed caught).
-    * Output: per-doc signature + its 4 band keys. No oracle (hash
-    * choice is engine-specific). */
-  def q38Simhash(s: SparkSession, dir: String): DataFrame = {
-    // Scale shape: explode to (doc_id, token_hash), one hash per token,
-    // then ONE aggregate computes all 64 bit-votes map-side — the same
-    // shuffle profile as a word count, no per-bit re-hash.
+  /** Per-document 64-bit SimHash signature: sign of the per-bit sum of
+    * ±1 votes from each token's xxhash64. Scale shape: explode to
+    * (doc_id, token_hash), one hash per token, then ONE aggregate
+    * computes all 64 bit-votes map-side — the same shuffle profile as
+    * a word count, no per-bit re-hash. Shared by q38 (signatures) and
+    * q87 (verified pairs). */
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
     val tok = Tables.documents(s, dir)
       .select(col("doc_id"), explode(tokens(normText(col("text")))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
@@ -230,11 +228,62 @@ object TextOps {
       .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce((x, y) => x.bitwiseOR(y))
     votes.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** The 4 16-bit band keys of a signature — by pigeonhole, two
+    * signatures within Hamming distance 3 agree on at least one band. */
+  private def simhashBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
+            .as("bucket"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+
+  /** q38 — SimHash signatures: per-doc 64-bit signature + its 4 band
+    * keys. No oracle (hash choice is engine-specific). */
+  def q38Simhash(s: SparkSession, dir: String): DataFrame =
+    simhashSigs(s, dir)
       .select(col("doc_id") +: col("simhash") +:
         (0 until 4).map(b =>
           shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
             .as(s"band$b")): _*)
       .orderBy("doc_id")
+
+  /** q87 — SimHash near-duplicate PAIRS, end-to-end: candidates are
+    * generated ONLY within equal 16-bit bands (pigeonhole: Hamming ≤ 3
+    * ⇒ some band matches, so recall at the threshold is 1.0), then
+    * verified exactly with `bit_count(sig_a XOR sig_b) <= 3`. Same
+    * id-only pair discipline as q37: the quadratic stage shuffles
+    * (band, bucket, id, id) rows; 8-byte signatures are re-attached
+    * broadcast-side after pair dedup. Bucket cap guards boilerplate
+    * blowup. Rows-only (signature choice is engine-specific); the
+    * exact-dup-subset sanity lives in LlmOpsSpec. */
+  def q87SimhashPairs(s: SparkSession, dir: String): DataFrame = {
+    // signatures feed the banding stage AND both re-join sides —
+    // materialize once (same three-consumer shape as q37's docs)
+    val sigs = simhashSigs(s, dir).localCheckpoint()
+    val banded = simhashBands(sigs)
+    val maxBucket = 64
+    val okBuckets = banded.groupBy("band", "bucket")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
+      .select("band", "bucket")
+    val pruned = banded.join(okBuckets, Seq("band", "bucket"))
+    val a = pruned.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
+    val b = pruned.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
+    val pairIds = a.join(b.hint("SHUFFLE_HASH"), Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .select("id_a", "id_b")
+    pairIds
+      .join(broadcast(sigs.select(col("doc_id").as("id_a"),
+        col("simhash").as("sig_a"))), Seq("id_a"))
+      .join(broadcast(sigs.select(col("doc_id").as("id_b"),
+        col("simhash").as("sig_b"))), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
   }
 
   /** q58 — stratified sampling: per-language fractions via `sampleBy`
@@ -507,6 +556,7 @@ object TextOps {
     "q36_fingerprint" -> (q36Fingerprint _),
     "q37_minhash_pairs" -> (q37MinhashPairs _),
     "q38_simhash" -> (q38Simhash _),
+    "q87_simhash_pairs" -> (q87SimhashPairs _),
   )
 
   /** DuckDB rendering of the [[ngramJaccardPairs]] pair stage (no

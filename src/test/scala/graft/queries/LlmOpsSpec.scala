@@ -70,6 +70,34 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q87 simhash pairs: verified Hamming<=3, exact dups appear at distance 0") {
+    val pairs = TextOps.q87SimhashPairs(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 3) }
+    // identical normalized text => identical token stream => identical
+    // signature: every exact-dup pair must surface with hamming == 0
+    // (band agreement is total, so no candidate can be missed). sf0.001
+    // has no exact dups, so plant some: copy docs 0-9 under new ids
+    // into a temp documents.parquet and run the registered query on it.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_q87").toString
+    val docs = graft.Tables.documents(spark, Sf)
+    val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)
+    docs.unionByName(
+        docs.filter(col("doc_id") < 10)
+          .withColumn("doc_id", col("doc_id") + maxId + 1))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val planted = TextOps.q87SimhashPairs(spark, tmp).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Int]("hamming")))
+    val zeroDist = planted.collect { case (a, b, 0) => (a, b) }.toSet
+    (0L until 10L).foreach { i =>
+      assert(zeroDist.contains((i, i + maxId + 1)),
+        s"planted exact dup ($i, ${i + maxId + 1}) missing from q87 pairs")
+    }
+  }
+
   test("native cosine expression is bit-identical to the declarative form") {
     val emb = graft.Tables.embeddings(spark, Sf).limit(50)
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
@@ -141,7 +169,11 @@ class LlmOpsSpec extends SparkTestBase {
     val got = df.collect().groupBy(_.getAs[Long]("query_id"))
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
     exactTop10.map { case (q, truth) =>
-      got.getOrElse(q, Set.empty[Long]).count(truth) / 10.0
+      // denominator is the ground-truth size, not a hard-coded 10, so a
+      // k change in q40 fails the shape assert loudly instead of
+      // silently mis-scaling every recall gate
+      assert(truth.size == 10, s"ground truth for query $q has ${truth.size} != 10 rows")
+      got.getOrElse(q, Set.empty[Long]).count(truth).toDouble / truth.size
     }.sum / exactTop10.size
   }
 

@@ -128,6 +128,29 @@ class RelationalSpec extends SparkTestBase {
     assert(tags.subsetOf(Set("both", "urgent_only")) && tags.nonEmpty)
   }
 
+  test("q46 key derivation agrees between Spark map_keys and the oracle regex") {
+    // the oracle derives n_keys/key_list from the props TEXT with
+    // '"([^"]+)"\s*:' — this fixture proves a multi-key (and an
+    // escaped-quote-free nested-value) props row regroups identically
+    // on both sides instead of silently breaking the hard-coded shape
+    // the round-3 oracle had
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{IntegerType, MapType, StringType}
+    import spark.implicits._
+    val fixtures = Seq("""{"k": 3}""", """{"a": 1, "b": 2, "c": 3}""",
+      """{"k":7,"z": 9}""")
+    val sparkSide = fixtures.toDF("props")
+      .select(array_join(map_keys(
+        from_json(col("props"), MapType(StringType, IntegerType))), ",")
+        .as("key_list"))
+      .collect().map(_.getString(0)).toSeq
+    val oracleRegex = """"([^"]+)"\s*:""".r
+    val oracleSide = fixtures.map(p =>
+      oracleRegex.findAllMatchIn(p).map(_.group(1)).mkString(","))
+    assert(sparkSide == oracleSide, s"$sparkSide != $oracleSide")
+    assert(sparkSide == Seq("k", "a,b,c", "k,z"))
+  }
+
   test("q13 rollup includes the grand-total row") {
     val rows = Relational.q13Rollup(spark, Sf).collect()
     val grand = rows.filter(r =>
