@@ -370,14 +370,26 @@ object ExtendedOps {
   /** Connected components over an (id_a, id_b) pair frame — q67's
     * engine, reusable (the curation pipeline runs it over its own
     * survivor pair set). Returns (id, cluster_id = min reachable id)
-    * for every id appearing in a pair. */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-      .localCheckpoint()
+    * for every id appearing in a pair.
+    *
+    * Fault-tolerance: the default per-round barrier is
+    * `localCheckpoint`, whose truncated lineage dies with an executor —
+    * fine single-node and fastest. Pass `checkpointDir` (a reliable
+    * store: HDFS/object storage on a cluster) to use RELIABLE
+    * checkpoints instead, so a 100 TB run survives executor loss
+    * mid-loop at the cost of one write+read of the (small) label table
+    * per round. */
+  private[graft] def connectedComponents(pairs: DataFrame,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(d => pairs.sparkSession.sparkContext.setCheckpointDir(d))
+    def barrier(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = barrier(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
+    var labels = barrier(
+      edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("comp")))
     // label sums stay well under 2^63 while doc_ids ≤ ~2^40 and clustered
     // docs ≤ ~2^22; at larger scale track the sum as DECIMAL(38).
     // coalesce: sum over ZERO rows is NULL (empty pair graph — no doc
@@ -396,9 +408,9 @@ object ExtendedOps {
       // pointer jumping: comp is always itself a vertex id, so replace
       // each comp by that vertex's comp — halves label-chain length
       val reps = minN.select(col("id").as("rid"), col("comp").as("rcomp"))
-      val jumped = minN.join(reps, minN("comp") === reps("rid"))
-        .select(minN("id"), col("rcomp").as("comp"))
-        .localCheckpoint()
+      val jumped = barrier(
+        minN.join(reps, minN("comp") === reps("rid"))
+          .select(minN("id"), col("rcomp").as("comp")))
       labels = jumped
       curSum = labelSum(labels)
       iter += 1

@@ -1,22 +1,26 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.IntegerType
 
 import graft.Tables
 
 /** Multimodal columns: image/audio/video treated as opaque `binary`
-  * payloads with typed metadata alongside. No media codecs exist in
-  * this environment, so the *decode* step is a clearly-marked
-  * deterministic STUB (hash-derived pseudo-metadata); everything
-  * Spark-side — binary columns, schema, partitioning, batch shape —
-  * is real and oracle-checked where expressible.
+  * payloads with typed metadata alongside.
   *
-  * In production the stubbed expressions are replaced by a vectorized
-  * decode over `mapPartitions` (JVM codec) or Arrow-batched python
-  * workers; the surrounding plan (pruned scan → per-partition decode →
-  * metadata aggregate) is unchanged.
+  * Two tiers:
+  *   - q88 + [[decodePartitions]] are REAL byte-level decodes: genuine
+  *     little-endian BMP (BITMAPINFOHEADER) and PCM WAV (RIFF) blobs
+  *     are built bytewise per document, then parsed back by an
+  *     independent expression program (substr + hex + conv byte
+  *     arithmetic) — width/height/sample-rate/duration come from the
+  *     actual bytes, and the construct→parse roundtrip is
+  *     DuckDB-oracle-checked against the closed-form parameters.
+  *   - q43 remains the clearly-marked deterministic STUB for payload
+  *     formats whose codecs don't exist in this environment (JPEG/
+  *     H.264/…): hash-derived pseudo-metadata behind the same plan
+  *     shape a real vectorized decoder would use.
   */
 object MultimodalOps {
 
@@ -69,42 +73,150 @@ object MultimodalOps {
         greatest(floor(octet_length(payload) / 64).cast(IntegerType) - 1, lit(0))),
       i => payload.substr(i * 64 + 1, lit(16)))
 
+  // ------------------------------------------ real header construct/parse
+
+  /** Hex rendering of `v`'s low `n` bytes, little-endian byte order —
+    * the building block for writing genuine BMP/WAV integer fields. */
+  private def leHex(v: Column, n: Int): Column =
+    concat((0 until n).map(i =>
+      lpad(hex(shiftright(v, 8 * i).bitwiseAND(255)), 2, "0")): _*)
+
+  /** Little-endian unsigned integer read from `n` bytes of `bin` at
+    * 1-based byte offset `pos` — pure substr/hex/conv byte arithmetic,
+    * the parse-side inverse of [[leHex]] with no shared code path. */
+  private def leVal(bin: Column, pos: Int, n: Int): Column =
+    (0 until n).map(i =>
+      conv(hex(bin.substr(lit(pos + i), lit(1))), 16, 10).cast("long")
+        * lit(1L << (8 * i))).reduce(_ + _)
+
+  /** Zero-fill hex pool: 9408 bytes covers the largest pixel buffer
+    * (64-wide rows padded to 196 bytes × 48 rows) and the largest WAV
+    * data chunk (4000 bytes). */
+  private val ZeroHex = "00" * 9408
+
+  /** (doc_id, bmp, wav): genuine media blobs built BYTEWISE from
+    * closed-form per-document parameters — a valid 24bpp
+    * BITMAPINFOHEADER BMP (54-byte header + padded pixel rows) and a
+    * valid PCM WAV (RIFF/fmt/data, 44-byte header + sample data).
+    * Every multi-byte field goes through [[leHex]], so file-format
+    * endianness is real, not simulated. One codegen'd projection. */
+  private[graft] def mediaBlobs(s: SparkSession, dir: String): DataFrame = {
+    val d = col("doc_id")
+    // BMP: width 1-64, height 1-48, rows padded to 4-byte boundaries
+    val w = pmod(d, lit(64)) + 1
+    val h = pmod(d, lit(48)) + 1
+    val rowBytes = (w * 3 + 3) - pmod(w * 3 + 3, lit(4))
+    val imgSize = rowBytes * h
+    val bmpHex = concat(
+      lit("424D"),                // 'BM'
+      leHex(imgSize + 54, 4),     // file size
+      lit("00000000"),            // reserved
+      leHex(lit(54), 4),          // pixel data offset
+      leHex(lit(40), 4),          // BITMAPINFOHEADER size
+      leHex(w, 4), leHex(h, 4),   // width, height (LE i32)
+      leHex(lit(1), 2),           // planes
+      leHex(lit(24), 2),          // bits per pixel
+      leHex(lit(0), 4),           // compression = BI_RGB
+      leHex(imgSize, 4),          // image size
+      leHex(lit(2835), 4), leHex(lit(2835), 4), // 72 DPI in px/metre
+      leHex(lit(0), 4), leHex(lit(0), 4),       // palette counts
+      lit(ZeroHex).substr(lit(1), imgSize * 2)) // pixel rows
+    // WAV: PCM, doc-derived rate/channels/sample count, 16-bit samples
+    val rate = element_at(
+      array(lit(8000L), lit(16000L), lit(44100L), lit(48000L)),
+      (pmod(d, lit(4)) + 1).cast(IntegerType))
+    val channels = pmod(d, lit(2)) + 1
+    val nSamples = pmod(d, lit(1000)) + 1
+    val dataLen = nSamples * channels * 2
+    val wavHex = concat(
+      lit("52494646"),            // 'RIFF'
+      leHex(dataLen + 36, 4),     // riff chunk size
+      lit("57415645"),            // 'WAVE'
+      lit("666D7420"),            // 'fmt '
+      leHex(lit(16), 4),          // fmt chunk size
+      leHex(lit(1), 2),           // audio format = PCM
+      leHex(channels, 2),
+      leHex(rate, 4),
+      leHex(rate * channels * 2, 4), // byte rate
+      leHex(channels * 2, 2),     // block align
+      leHex(lit(16), 2),          // bits per sample
+      lit("64617461"),            // 'data'
+      leHex(dataLen, 4),
+      lit(ZeroHex).substr(lit(1), dataLen * 2))
+    Tables.documents(s, dir)
+      .select(d, unhex(bmpHex).as("bmp"), unhex(wavHex).as("wav"))
+  }
+
+  /** q88 — REAL media header decode, oracle-checked: parses the BMP and
+    * WAV headers of [[mediaBlobs]] back out of the raw bytes (magic
+    * strings, little-endian dims, sample rate, data length, duration)
+    * with an expression program independent of the construction. The
+    * DuckDB oracle recomputes every field closed-form from doc_id, so
+    * an endianness/offset bug in EITHER construct or parse breaks the
+    * hash match. Scales as one narrow projection — no shuffle. */
+  def q88MediaHeaders(s: SparkSession, dir: String): DataFrame = {
+    val bmp = col("bmp")
+    val wav = col("wav")
+    val bmpOk = (bmp.substr(lit(1), lit(2)).cast("string") === "BM") &&
+      (leVal(bmp, 3, 4) === octet_length(bmp).cast("long")) &&
+      (leVal(bmp, 11, 4) === 54L) && (leVal(bmp, 15, 4) === 40L) &&
+      (leVal(bmp, 27, 2) === 1L)
+    val dataLen = leVal(wav, 41, 4)
+    val wavOk = (wav.substr(lit(1), lit(4)).cast("string") === "RIFF") &&
+      (wav.substr(lit(9), lit(4)).cast("string") === "WAVE") &&
+      (wav.substr(lit(13), lit(4)).cast("string") === "fmt ") &&
+      (leVal(wav, 21, 2) === 1L) &&
+      (leVal(wav, 5, 4) === octet_length(wav).cast("long") - 8) &&
+      (octet_length(wav).cast("long") === dataLen + 44)
+    mediaBlobs(s, dir)
+      .select(col("doc_id"),
+        bmpOk.as("bmp_ok"),
+        leVal(bmp, 19, 4).cast(IntegerType).as("width"),
+        leVal(bmp, 23, 4).cast(IntegerType).as("height"),
+        leVal(bmp, 29, 2).cast(IntegerType).as("bpp"),
+        leVal(bmp, 3, 4).as("bmp_file_size"),
+        wavOk.as("wav_ok"),
+        leVal(wav, 25, 4).as("wav_rate"),
+        leVal(wav, 23, 2).cast(IntegerType).as("wav_channels"),
+        leVal(wav, 35, 2).cast(IntegerType).as("wav_bits"),
+        dataLen.as("wav_data_len"),
+        ((dataLen * 1000).cast("double") / leVal(wav, 29, 4))
+          .as("wav_duration_ms"))
+      .orderBy("doc_id")
+  }
+
   /** One decoded media record from [[decodePartitions]]. */
   case class DecodedMeta(doc_id: Long, n_bytes: Int, width: Int,
-      height: Int, n_frames: Int)
+      height: Int, bpp: Int)
 
   /** Partition-wise batch decode over binary payloads via
     * `mapPartitions` — the JVM shape of an Arrow-batched decode worker
     * (`mapInPandas` in PySpark): the decoder is instantiated ONCE per
-    * partition (amortizing codec/model setup over the whole batch,
-    * exactly why media pipelines batch by partition), then streams the
-    * partition's rows through it. The decode body is the same
-    * deterministic STUB as q43 — in production only `decodeOne` is
-    * replaced by a real codec; the partitioning, batch shape and
-    * schema contract stay as tested here. Input is repartitioned so
-    * batch size (and therefore decoder memory) is controlled by the
-    * caller, not file layout. */
+    * partition (amortizing codec setup over the whole batch, exactly
+    * why media pipelines batch by partition), then streams the
+    * partition's rows through it. The decode is REAL: a little-endian
+    * `ByteBuffer` view reads the BMP magic, dimensions and depth from
+    * the actual header bytes of [[mediaBlobs]] — asserted
+    * field-for-field against q88's independent expression parse in
+    * MultimodalSpec. Input is repartitioned so batch size (and
+    * therefore decoder memory) is controlled by the caller, not file
+    * layout. */
   def decodePartitions(s: SparkSession, dir: String,
       numPartitions: Int = 32): org.apache.spark.sql.Dataset[DecodedMeta] = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+    mediaBlobs(s, dir)
+      .select(col("doc_id"), col("bmp"))
       .repartition(numPartitions, col("doc_id"))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
-        // per-partition decoder setup happens HERE (once per batch);
-        // the stub's "codec" reproduces q43's expressions EXACTLY:
-        // xxhash64(payload) is hash(bytes, seed=42) and
-        // xxhash64(payload, 1) chains hash(1, <prev>) — asserted
-        // field-for-field against q43 in MultimodalSpec
-        val hasher = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        // per-partition decoder setup happens HERE (once per batch)
+        val order = java.nio.ByteOrder.LITTLE_ENDIAN
         rows.map { case (id, bytes) =>
-          val h = hasher.hash(bytes, org.apache.spark.sql.types.BinaryType, 42L)
-          val h2 = hasher.hash(1, org.apache.spark.sql.types.IntegerType, h)
+          require(bytes.length >= 54 && bytes(0) == 'B' && bytes(1) == 'M',
+            s"doc $id: not a BMP payload")
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(order)
           DecodedMeta(id, bytes.length,
-            math.floorMod(h, 1280L).toInt + 1,
-            math.floorMod(h2, 720L).toInt + 1,
-            math.max(bytes.length / 64, 1))
+            bb.getInt(18), bb.getInt(22), bb.getShort(28).toInt)
         }
       }
   }
@@ -112,6 +224,7 @@ object MultimodalOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_binary_meta" -> (q42BinaryMeta _),
     "q43_decode_stub" -> (q43DecodeStub _),
+    "q88_media_headers" -> (q88MediaHeaders _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -121,5 +234,27 @@ object MultimodalOps {
         |  md5(text) AS digest_md5,
         |  sha256(text) AS digest_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // every field recomputed CLOSED-FORM from doc_id — the Spark side
+    // must roundtrip construct→bytes→parse to the same values, so the
+    // oracle catches offset/endianness bugs in either direction
+    "q88_media_headers" ->
+      """SELECT doc_id,
+        |  TRUE AS bmp_ok,
+        |  CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  CAST(24 AS INTEGER) AS bpp,
+        |  CAST(54 + ((3*w+3) - (3*w+3)%4) * h AS BIGINT) AS bmp_file_size,
+        |  TRUE AS wav_ok,
+        |  CAST(rate AS BIGINT) AS wav_rate,
+        |  CAST(ch AS INTEGER) AS wav_channels,
+        |  CAST(16 AS INTEGER) AS wav_bits,
+        |  CAST(ns*ch*2 AS BIGINT) AS wav_data_len,
+        |  CAST(ns*ch*2*1000 AS DOUBLE) / (rate*ch*2) AS wav_duration_ms
+        |FROM (SELECT doc_id, doc_id%64+1 AS w, doc_id%48+1 AS h,
+        |        CASE doc_id%4 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+        |          WHEN 2 THEN 44100 ELSE 48000 END AS rate,
+        |        doc_id%2+1 AS ch, doc_id%1000+1 AS ns
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
   )
 }

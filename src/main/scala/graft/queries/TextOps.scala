@@ -492,27 +492,43 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** q74 — benchmark decontamination: count, per corpus document, the
-    * distinct 8-char-grams it shares with a benchmark set (here: docs
-    * 0-4 stand in for an eval set) — the n-gram-overlap contamination
-    * check run before training. The benchmark gram set is BROADCAST
-    * (benchmarks are small by definition), so the corpus side streams
-    * through one narrow join however large it is; the per-doc count is
-    * map-side combinable. */
-  def q74Decontaminate(s: SparkSession, dir: String): DataFrame = {
-    // grams hashed to longs before the join: the corpus-side shuffle
-    // carries 8-byte keys and the broadcast bench set is a long hash
-    // set, not boxed strings (count is hash-invariant)
-    val docGrams = normDocs(s, dir)
-      .select(col("doc_id"),
-        explode(shingleArr(col("norm"), 8)).as("g"))
+  /** Distinct 8-char-gram hashes of any frame with a `text` column —
+    * grams hashed to longs (count is hash-invariant; the broadcast set
+    * is 8-byte longs, not boxed strings). */
+  private def gramHashes(df: DataFrame, k: Int = 8): DataFrame =
+    df.select(col("doc_id"), normText(col("text")).as("norm"))
+      // anti-CollapseProject barrier: normalize once per doc, not per
+      // shingle (see normDocs)
+      .repartition(col("doc_id"))
+      .select(col("doc_id"), explode(shingleArr(col("norm"), k)).as("g"))
       .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-    val bench = docGrams.filter(col("doc_id") < 5).select("gh").distinct()
-    docGrams.filter(col("doc_id") >= 5)
-      .join(broadcast(bench), Seq("gh"))
+
+  /** Benchmark decontamination against an EXTERNAL benchmark frame:
+    * count, per corpus document, the distinct 8-char-grams it shares
+    * with the benchmark texts — the n-gram-overlap contamination check
+    * run before training. Both frames need (doc_id, text). The
+    * benchmark gram set is BROADCAST (benchmarks are small by
+    * definition), so the corpus side streams through one narrow join
+    * however large it is; the per-doc count is map-side combinable. */
+  private[graft] def decontaminateAgainst(corpus: DataFrame,
+      bench: DataFrame): DataFrame = {
+    val benchSet = gramHashes(bench).select("gh").distinct()
+    gramHashes(corpus)
+      .join(broadcast(benchSet), Seq("gh"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_shared"))
       .orderBy("doc_id")
+  }
+
+  /** q74 — decontamination as registered: docs 0-4 of the corpus stand
+    * in for the eval set (the testdata ships no second corpus); any
+    * external benchmark table plugs into [[decontaminateAgainst]]
+    * without code changes (exercised in LlmOpsSpec). */
+  def q74Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    decontaminateAgainst(
+      docs.filter(col("doc_id") >= 5),
+      docs.filter(col("doc_id") < 5))
   }
 
   /** q76 — bounded-state heavy hitters per language via the

@@ -43,6 +43,23 @@ class ExtendedOpsSpec extends SparkTestBase {
     }
   }
 
+  test("connectedComponents with a reliable checkpoint dir matches localCheckpoint") {
+    // the 100 TB fault-tolerance path: same labels, different barrier.
+    // The reliable run survives executor loss (lineage is on storage,
+    // not in executor memory) — here we assert result equivalence and
+    // that the checkpoint dir was actually used
+    val pairs = TextOps.ngramJaccardPairs(spark, Sf, 0.5).select("id_a", "id_b")
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val local = ExtendedOps.connectedComponents(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val reliable = ExtendedOps.connectedComponents(pairs, Some(ckptDir)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(local == reliable)
+    val written = java.nio.file.Files.walk(java.nio.file.Paths.get(ckptDir))
+      .filter(java.nio.file.Files.isRegularFile(_)).count()
+    assert(written > 0, "reliable checkpoint wrote nothing")
+  }
+
   test("q66 date spine is gap-free and contiguous per customer") {
     val rows = ExtendedOps.q66DateSpine(spark, Sf).collect()
     val byCust = rows.groupBy(_.getLong(0))

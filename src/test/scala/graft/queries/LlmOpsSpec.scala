@@ -98,6 +98,30 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("decontaminateAgainst takes an external benchmark frame") {
+    // a corpus doc measured against a bench set CONTAINING ITSELF must
+    // share exactly its own distinct 8-gram count — checks the
+    // parameterized path end-to-end with an externally supplied frame
+    val docs = graft.Tables.documents(spark, Sf)
+    val bench = docs.filter(col("doc_id").between(10, 12))
+      .select("doc_id", "text")
+    val shared = TextOps.decontaminateAgainst(bench, bench).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    val ownGrams = docs.filter(col("doc_id").between(10, 12))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), greatest(length(
+            trim(regexp_replace(lower(col("text")), "\\s+", " "))) - 8, lit(0))),
+          i => trim(regexp_replace(lower(col("text")), "\\s+", " "))
+            .substr(i + 1, lit(8))))).as("g"))
+      .groupBy("doc_id").agg(countDistinct(col("g")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(shared.keySet == ownGrams.keySet)
+    ownGrams.foreach { case (id, n) =>
+      assert(shared(id) >= n, s"doc $id shares ${shared(id)} < own $n grams")
+    }
+  }
+
   test("native cosine expression is bit-identical to the declarative form") {
     val emb = graft.Tables.embeddings(spark, Sf).limit(50)
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
