@@ -23,7 +23,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       VectorOps.queries ++ MultimodalOps.queries ++ IotParity.queries ++
-      ExtendedOps.queries ++ graft.pipelines.CurationPipeline.queries
+      ExtendedOps.queries ++ SqlOps.queries ++
+      graft.pipelines.CurationPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -32,5 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ MultimodalOps.oracles ++ IotParity.oracles ++
-      ExtendedOps.oracles ++ graft.pipelines.CurationPipeline.oracles
+      ExtendedOps.oracles ++ SqlOps.oracles ++
+      graft.pipelines.CurationPipeline.oracles
 }

@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** SQL-surface extensions: subquery forms (correlated scalar, EXISTS,
+  * LATERAL), window value functions, and the boolean/bitwise aggregate
+  * + string tier the q21/q22/q65 families don't cover.
+  *
+  * q89/q90/q92 run ONE SQL text through BOTH engines (the q29
+  * pattern): Spark executes it via `spark.sql` over registered views —
+  * exercising Catalyst's subquery decorrelation (correlated scalar →
+  * aggregate+join, EXISTS → semi join, LATERAL+LIMIT → per-group
+  * top-k) — and the driver runs the identical string in DuckDB. No
+  * reference counterpart (the reference has no subqueries at all,
+  * SURVEY §2.4 absence list); capability rows come from the driver
+  * contract.
+  */
+object SqlOps {
+
+  private def withViews(s: SparkSession, dir: String): SparkSession = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem")
+    Tables.orders(s, dir).createOrReplaceTempView("orders")
+    Tables.customer(s, dir).createOrReplaceTempView("customer")
+    Tables.part(s, dir).createOrReplaceTempView("part")
+    s
+  }
+
+  /** q89 — correlated SCALAR subquery (TPC-H Q17 shape): lineitems
+    * below half their part's average quantity, revenue per brand.
+    * Catalyst decorrelates to a per-part aggregate + join — one extra
+    * shuffle on l_partkey, never a per-row subquery execution (the
+    * plan-shape test asserts no per-row loop survives). avg(l_quantity)
+    * is exact: quantities are integer-valued doubles, so the sum is
+    * below 2^53 and order-independent — safe to compare against.
+    * 5e-1 not 0.5: DuckDB parses bare decimals as DECIMAL. */
+  val CorrelatedScalarSql: String =
+    """SELECT p_brand, count(*) AS n_small,
+      |  CAST(sum(CAST(floor(l_extendedprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
+      |    AS small_revenue
+      |FROM lineitem l JOIN part p ON l_partkey = p_partkey
+      |WHERE l_quantity < (SELECT 5e-1 * avg(l_quantity)
+      |                    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
+  def q89CorrelatedScalar(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir).sql(CorrelatedScalarSql)
+
+  /** q90 — EXISTS subquery (TPC-H Q4 shape): orders with at least one
+    * returned lineitem, counted per priority. Catalyst plans a LEFT
+    * SEMI join on the (pushed-down-filtered) lineitem side. */
+  val ExistsSql: String =
+    """SELECT o_orderpriority, count(*) AS n_orders
+      |FROM orders o
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem l
+      |              WHERE l.l_orderkey = o.o_orderkey
+      |                AND l.l_returnflag = 'R')
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  def q90Exists(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir).sql(ExistsSql)
+
+  /** q92 — LATERAL join with per-row ORDER BY + LIMIT: each customer's
+    * two most expensive orders. Catalyst decorrelates the LIMIT into a
+    * rank-filtered window over a single join — the per-group top-k
+    * shape — rather than re-running the inner query per customer.
+    * Output doubles are raw parquet values (no re-aggregation), so
+    * bit-equality holds trivially. */
+  val LateralSql: String =
+    """SELECT c_custkey, o_orderkey, o_totalprice
+      |FROM customer c, LATERAL (
+      |  SELECT o_orderkey, o_totalprice FROM orders
+      |  WHERE o_custkey = c.c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+      |ORDER BY c_custkey, o_orderkey""".stripMargin
+
+  def q92LateralTopk(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir).sql(LateralSql)
+
+  /** q91 — window VALUE functions: first/last/nth over the full
+    * partition frame (default frames stop at CURRENT ROW — last_value
+    * without the explicit frame is a classic silent bug, asserted in
+    * SqlOpsSpec). Deterministic order keys throughout. */
+  def q91WindowValues(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 300)
+      .select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        last(col("o_totalprice")).over(w).as("last_price"),
+        nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+      .orderBy("o_orderkey")
+  }
+
+  /** q93 — boolean + bitwise aggregates: bit_and/bit_or/bit_xor fold
+    * the key space, bool_and/bool_or fold predicates — all five are
+    * order-independent (bitwise/boolean ops commute), so cross-engine
+    * equality is exact. Partial aggregation map-side as usual. */
+  def q93BoolBitAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(expr("bit_and(o_orderkey)").as("key_and"),
+        expr("bit_or(o_orderkey)").as("key_or"),
+        expr("bit_xor(o_orderkey)").as("key_xor"),
+        expr("bool_and(o_totalprice > 0)").as("all_positive"),
+        expr("bool_or(o_orderstatus = 'P')").as("any_pending"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderpriority")
+
+  /** q94 — string functions tier 2 (beyond q21's case/substr/concat/
+    * regexp family): translate, split_part, ascii/chr, strpos, repeat,
+    * reverse, left/right, rpad. One codegen'd projection. */
+  def q94StringFns2(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .filter(col("c_custkey") < 200)
+      .select(col("c_custkey"),
+        expr("translate(c_name, '#0', '_O')").as("translated"),
+        expr("split_part(c_name, '#', 2)").as("name_num"),
+        ascii(substring(col("c_mktsegment"), 1, 1)).as("seg_ascii"),
+        expr("chr(65 + c_custkey % 26)").as("bucket_chr"),
+        instr(col("c_name"), "#").as("hash_pos"),
+        expr("repeat(c_mktsegment, 2)").as("seg_twice"),
+        reverse(col("c_name")).as("name_rev"),
+        expr("left(c_name, 4)").as("name_left"),
+        expr("right(c_name, 3)").as("name_right"),
+        rpad(col("c_mktsegment"), 12, ".").as("seg_pad"))
+      .orderBy("c_custkey")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q89_correlated_scalar" -> (q89CorrelatedScalar _),
+    "q90_exists" -> (q90Exists _),
+    "q91_window_values" -> (q91WindowValues _),
+    "q92_lateral_topk" -> (q92LateralTopk _),
+    "q93_bool_bit_agg" -> (q93BoolBitAgg _),
+    "q94_string_fns2" -> (q94StringFns2 _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    // q89/q90/q92: the SAME SQL text Spark executed
+    "q89_correlated_scalar" -> CorrelatedScalarSql,
+    "q90_exists" -> ExistsSql,
+    "q92_lateral_topk" -> LateralSql,
+    "q91_window_values" ->
+      """SELECT o_orderkey, o_custkey,
+        |  first_value(o_totalprice) OVER w AS first_price,
+        |  last_value(o_totalprice) OVER w AS last_price,
+        |  nth_value(o_totalprice, 2) OVER w AS second_price
+        |FROM orders WHERE o_custkey < 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q93_bool_bit_agg" ->
+      """SELECT o_orderpriority,
+        |  bit_and(o_orderkey) AS key_and,
+        |  bit_or(o_orderkey) AS key_or,
+        |  bit_xor(o_orderkey) AS key_xor,
+        |  bool_and(o_totalprice > 0) AS all_positive,
+        |  bool_or(o_orderstatus = 'P') AS any_pending,
+        |  count(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q94_string_fns2" ->
+      """SELECT c_custkey,
+        |  translate(c_name, '#0', '_O') AS translated,
+        |  split_part(c_name, '#', 2) AS name_num,
+        |  ascii(substring(c_mktsegment, 1, 1)) AS seg_ascii,
+        |  chr(CAST(65 + c_custkey % 26 AS INTEGER)) AS bucket_chr,
+        |  CAST(strpos(c_name, '#') AS INTEGER) AS hash_pos,
+        |  repeat(c_mktsegment, 2) AS seg_twice,
+        |  reverse(c_name) AS name_rev,
+        |  left(c_name, 4) AS name_left,
+        |  right(c_name, 3) AS name_right,
+        |  rpad(c_mktsegment, 12, '.') AS seg_pad
+        |FROM customer WHERE c_custkey < 200 ORDER BY c_custkey""".stripMargin,
+  )
+}

@@ -38,7 +38,7 @@ class RelationalSpec extends SparkTestBase {
   test("no module silently overrides another's query key") {
     val moduleSizes = Seq(Relational.queries, EventOps.queries,
       TextOps.queries, VectorOps.queries, MultimodalOps.queries,
-      IotParity.queries, ExtendedOps.queries,
+      IotParity.queries, ExtendedOps.queries, SqlOps.queries,
       graft.pipelines.CurationPipeline.queries).map(_.size).sum
     assert(graft.SparkEntry.queries.size == moduleSizes,
       "duplicate query keys across modules")

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Subquery decorrelation plan shapes + window-frame and aggregate
+  * semantics for the SqlOps surface on sf0.001. */
+class SqlOpsSpec extends SparkTestBase {
+
+  test("q89 correlated scalar subquery decorrelates (no cartesian, has aggregate+join)") {
+    val df = SqlOps.q89CorrelatedScalar(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    assert(df.count() > 0)
+  }
+
+  test("q90 EXISTS plans a left semi join") {
+    val plan = SqlOps.q90Exists(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), plan.take(2000))
+  }
+
+  test("q92 lateral top-k: at most 2 orders per customer, correctly ranked") {
+    val rows = SqlOps.q92LateralTopk(spark, Sf).collect()
+    val plan = SqlOps.q92LateralTopk(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    val perCust = rows.groupBy(_.getLong(0))
+    assert(perCust.values.forall(_.length <= 2))
+    // the kept orders really are the customer's most expensive ones
+    val allOrders = graft.Tables.orders(spark, Sf)
+      .select("o_custkey", "o_orderkey", "o_totalprice").collect()
+      .groupBy(_.getLong(0))
+    perCust.foreach { case (cust, kept) =>
+      val expect = allOrders(cust)
+        .sortBy(r => (-r.getDouble(2), r.getLong(1))).take(2)
+        .map(_.getLong(1)).toSet
+      assert(kept.map(_.getLong(1)).toSet == expect, s"customer $cust")
+    }
+  }
+
+  test("q91 window values: full frame (not the default CURRENT ROW frame)") {
+    val rows = SqlOps.q91WindowValues(spark, Sf).collect()
+    val orders = graft.Tables.orders(spark, Sf)
+      .filter(col("o_custkey") < 300)
+      .select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (c, rs) =>
+        c -> rs.sortBy(r => (r.getAs[java.time.LocalDateTime]("o_orderdate")
+          .toString, r.getLong(1)))
+      }
+    rows.foreach { r =>
+      val seq = orders(r.getLong(1))
+      // last_value must be the partition's LAST row — with the default
+      // frame it would equal the current row's own price instead
+      assert(r.getDouble(2) == seq.head.getDouble(3), s"first ${r.getLong(0)}")
+      assert(r.getDouble(3) == seq.last.getDouble(3), s"last ${r.getLong(0)}")
+      val second = r.get(4)
+      if (seq.length >= 2) assert(second == seq(1).getDouble(3))
+      else assert(second == null)
+    }
+  }
+
+  test("q93 bool/bit aggregates match a driver-side fold") {
+    val rows = SqlOps.q93BoolBitAgg(spark, Sf).collect()
+    val orders = graft.Tables.orders(spark, Sf)
+      .select("o_orderpriority", "o_orderkey", "o_totalprice", "o_orderstatus")
+      .collect().groupBy(_.getString(0))
+    rows.foreach { r =>
+      val grp = orders(r.getString(0))
+      val keys = grp.map(_.getLong(1))
+      assert(r.getLong(1) == keys.reduce(_ & _))
+      assert(r.getLong(2) == keys.reduce(_ | _))
+      assert(r.getLong(3) == keys.reduce(_ ^ _))
+      assert(r.getBoolean(4) == grp.forall(_.getDouble(2) > 0))
+      assert(r.getBoolean(5) == grp.exists(_.getString(3) == "P"))
+    }
+  }
+
+  test("q94 string tier-2 spot values") {
+    val r = SqlOps.q94StringFns2(spark, Sf)
+      .filter(col("c_custkey") === 7).collect().head
+    val name = graft.Tables.customer(spark, Sf)
+      .filter(col("c_custkey") === 7).select("c_name").collect().head.getString(0)
+    assert(r.getAs[String]("name_rev") == name.reverse)
+    assert(r.getAs[String]("name_left") == name.take(4))
+    assert(r.getAs[String]("name_right") == name.takeRight(3))
+    assert(r.getAs[String]("bucket_chr") == ('A' + 7 % 26).toChar.toString)
+    assert(r.getAs[Int]("hash_pos") == name.indexOf('#') + 1)
+  }
+}
