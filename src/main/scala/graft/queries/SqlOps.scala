@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -132,6 +132,69 @@ object SqlOps {
         rpad(col("c_mktsegment"), 12, ".").as("seg_pad"))
       .orderBy("c_custkey")
 
+  /** q95 — UNCORRELATED scalar subquery in HAVING (TPC-H Q11 shape):
+    * customers whose spend exceeds 2× the per-customer average. The
+    * subquery runs ONCE (a scalar broadcast into the having filter),
+    * never per group; both engines evaluate the same fixed-point sums
+    * so the threshold comparison is exact. */
+  val HavingScalarSql: String = {
+    val fs = "CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) AS DOUBLE) / 1e2"
+    s"""SELECT o_custkey, count(*) AS n_orders, $fs AS spend
+      |FROM orders GROUP BY o_custkey
+      |HAVING $fs > (SELECT 2e0 * ($fs) / count(DISTINCT o_custkey) FROM orders)
+      |ORDER BY o_custkey""".stripMargin
+  }
+
+  def q95HavingScalar(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir).sql(HavingScalarSql)
+
+  /** q96 — NOT IN subquery: Spark plans the null-aware anti join
+    * (BroadcastHashJoin LeftAnti with the NAAJ flag) — the
+    * three-valued-logic-correct anti join, distinct from q07's plain
+    * anti. The subquery column is non-null here so results equal a
+    * plain anti join, but the PLAN is the null-aware operator
+    * (asserted in SqlOpsSpec). */
+  val NotInSql: String =
+    """SELECT c_custkey, c_mktsegment FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+      |                        WHERE o_totalprice > 300000)
+      |ORDER BY c_custkey""".stripMargin
+
+  def q96NotIn(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir).sql(NotInSql)
+
+  /** q97 — least-squares regression (regr_slope/intercept/r2 shape)
+    * from EXACT integer sufficient statistics: x = quantity (integer-
+    * valued), y = floor(price) — all five sums are exact BIGINTs
+    * (order-independent), cast to double once, then combined with the
+    * closed-form formulas in identical expression trees on both
+    * engines → bit-identical doubles. The built-in regr_* aggregates
+    * sum doubles in partition order and are NOT cross-engine
+    * deterministic — same discipline as q60's corr. Magnitude check:
+    * y² ≤ 1.2e10, so syy stays exact past sf10. */
+  def q97RegressionStats(s: SparkSession, dir: String): DataFrame = {
+    val x = col("l_quantity").cast("long")
+    val y = floor(col("l_extendedprice")).cast("long")
+    val d = (c: Column) => c.cast("double")
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"), sum(x).as("sx"), sum(y).as("sy"),
+        sum(x * x).as("sxx"), sum(x * y).as("sxy"), sum(y * y).as("syy"))
+      .select(col("l_returnflag"), col("n"),
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          nullif(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")),
+            lit(0.0))).as("slope"),
+        ((d(col("sy")) - ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) /
+          nullif(d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")),
+            lit(0.0))) * d(col("sx"))) / d(col("n"))).as("intercept"),
+        (((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))) *
+          (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))) /
+          nullif((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))) *
+            (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))),
+            lit(0.0))).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_correlated_scalar" -> (q89CorrelatedScalar _),
     "q90_exists" -> (q90Exists _),
@@ -139,6 +202,9 @@ object SqlOps {
     "q92_lateral_topk" -> (q92LateralTopk _),
     "q93_bool_bit_agg" -> (q93BoolBitAgg _),
     "q94_string_fns2" -> (q94StringFns2 _),
+    "q95_having_scalar" -> (q95HavingScalar _),
+    "q96_not_in" -> (q96NotIn _),
+    "q97_regression_stats" -> (q97RegressionStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -146,6 +212,27 @@ object SqlOps {
     "q89_correlated_scalar" -> CorrelatedScalarSql,
     "q90_exists" -> ExistsSql,
     "q92_lateral_topk" -> LateralSql,
+    "q95_having_scalar" -> HavingScalarSql,
+    "q96_not_in" -> NotInSql,
+    "q97_regression_stats" -> {
+      val num = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+      val den = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+      val denY = "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))"
+      s"""SELECT l_returnflag, n,
+        |  $num / NULLIF($den, 0e0) AS slope,
+        |  (CAST(sy AS DOUBLE) - ($num / NULLIF($den, 0e0)) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS intercept,
+        |  ($num * $num) / NULLIF($den * $denY, 0e0) AS r2
+        |FROM (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    sum(CAST(l_quantity AS BIGINT)) AS sx,
+        |    sum(CAST(floor(l_extendedprice) AS BIGINT)) AS sy,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx,
+        |    sum(CAST(l_quantity AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS sxy,
+        |    sum(CAST(floor(l_extendedprice) AS BIGINT) * CAST(floor(l_extendedprice) AS BIGINT)) AS syy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin
+    },
     "q91_window_values" ->
       """SELECT o_orderkey, o_custkey,
         |  first_value(o_totalprice) OVER w AS first_price,

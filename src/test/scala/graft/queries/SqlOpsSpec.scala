@@ -80,6 +80,53 @@ class SqlOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q95 HAVING scalar subquery returns the above-average spenders") {
+    val rows = SqlOps.q95HavingScalar(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // independently recompute the threshold and re-check every survivor
+    val spends = graft.Tables.orders(spark, Sf)
+      .groupBy("o_custkey")
+      .agg(sum(floor(col("o_totalprice") * 100)).as("cents"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // threshold in cents: 2 × (total spend / distinct customers)
+    val threshold = 2.0 * spends.values.map(BigInt(_)).sum.toDouble / spends.size
+    rows.foreach { r => assert(spends(r.getLong(0)) > threshold - 1) }
+    assert(rows.length == spends.values.count(_ > threshold))
+  }
+
+  test("q96 NOT IN plans the null-aware anti join and matches set difference") {
+    val df = SqlOps.q96NotIn(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+    val got = df.collect().map(_.getLong(0)).toSet
+    val custs = graft.Tables.customer(spark, Sf)
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val big = graft.Tables.orders(spark, Sf)
+      .filter(col("o_totalprice") > 300000)
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    assert(got == custs.diff(big))
+  }
+
+  test("q97 closed-form regression agrees with Spark's built-in regr_* aggregates") {
+    val ours = SqlOps.q97RegressionStats(spark, Sf).collect()
+      .map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val builtin = graft.Tables.lineitem(spark, Sf)
+      .groupBy("l_returnflag")
+      .agg(expr("regr_slope(floor(l_extendedprice), l_quantity)").as("s"),
+        expr("regr_intercept(floor(l_extendedprice), l_quantity)").as("i"),
+        expr("regr_r2(floor(l_extendedprice), l_quantity)").as("r"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+      .toMap
+    ours.foreach { case (k, (s, i, r)) =>
+      val (bs, bi, br) = builtin(k)
+      assert(math.abs(s - bs) < 1e-6 * math.max(1, math.abs(bs)), s"slope $k")
+      assert(math.abs(i - bi) < 1e-6 * math.max(1, math.abs(bi)), s"intercept $k")
+      assert(math.abs(r - br) < 1e-6, s"r2 $k")
+    }
+  }
+
   test("q94 string tier-2 spot values") {
     val r = SqlOps.q94StringFns2(spark, Sf)
       .filter(col("c_custkey") === 7).collect().head
