@@ -216,8 +216,13 @@ object TextOps {
     * computes all 64 bit-votes map-side — the same shuffle profile as
     * a word count, no per-bit re-hash. Shared by q38 (signatures) and
     * q87 (verified pairs). */
-  private def simhashSigs(s: SparkSession, dir: String): DataFrame = {
-    val tok = Tables.documents(s, dir)
+  private def simhashSigs(s: SparkSession, dir: String): DataFrame =
+    simhashOf(Tables.documents(s, dir))
+
+  /** SimHash signatures of ANY (doc_id, text) frame — reused by the
+    * streaming near-dup ingest on its micro-batches. */
+  private[graft] def simhashOf(docs: DataFrame): DataFrame = {
+    val tok = docs
       .select(col("doc_id"), explode(tokens(normText(col("text")))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
     val voteCols = (0 until 64).map(b =>
@@ -232,7 +237,7 @@ object TextOps {
 
   /** The 4 16-bit band keys of a signature — by pigeonhole, two
     * signatures within Hamming distance 3 agree on at least one band. */
-  private def simhashBands(sigs: DataFrame): DataFrame =
+  private[graft] def simhashBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"),
       explode(array((0 until 4).map(b =>
         struct(lit(b).as("band"),

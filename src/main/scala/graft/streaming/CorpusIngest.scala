@@ -50,7 +50,7 @@ object CorpusIngest {
       }
       .option("checkpointLocation", checkpointDir)
 
-  private def storeExists(s: org.apache.spark.sql.SparkSession,
+  private[streaming] def storeExists(s: org.apache.spark.sql.SparkSession,
       dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)

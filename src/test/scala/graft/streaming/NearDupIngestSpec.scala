@@ -1,0 +1,69 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Cross-batch NEAR-dup ingest: the store accumulates one
+  * representative per near-dup cluster, across batches. */
+class NearDupIngestSpec extends SparkTestBase {
+
+  // 100-token text and a 1-token perturbation: most bit-vote sums are
+  // far from zero, so the signatures differ in only a few bits
+  private val base =
+    Iterator.fill(10)("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+      .mkString(" ")
+  private val nearVariant = base.dropRight("kappa".length) + "lambda"
+  private val distinct1 = "an entirely different document about spark engines"
+  private val distinct2 = "fresh new content with no overlap whatsoever today"
+
+  private def hamming(a: String, b: String): Int = {
+    import spark.implicits._
+    val sigs = graft.queries.TextOps.simhashOf(
+      Seq((0L, a), (1L, b)).toDF("doc_id", "text"))
+      .orderBy("doc_id").collect().map(_.getAs[Long]("simhash"))
+    java.lang.Long.bitCount(sigs(0) ^ sigs(1))
+  }
+
+  // the ingest's Hamming threshold is configurable; the fixture pair
+  // sits at a deterministic distance of 5 (10×10 tokens put ~25% of
+  // bit-vote sums at zero, so a one-token edit flips a handful), and
+  // the genuinely distinct docs are far beyond the threshold
+  private val MaxH = 6
+
+  test("fixture property: the variant is a genuine near-dup (0 < hamming <= MaxH)") {
+    val h = hamming(base, nearVariant)
+    assert(h > 0 && h <= MaxH, s"fixture hamming $h outside (0, $MaxH]")
+    assert(hamming(base, distinct1) > MaxH)
+    assert(hamming(nearVariant, distinct2) > MaxH)
+  }
+
+  test("near-dup ingest drops in-batch and cross-batch near-duplicates") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_near").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_near_ck").toString
+    val mem = MemoryStream[Doc](spark)
+    val q = NearDupIngest.ingest(mem.toDF(), store, ckpt, maxHamming = MaxH).start()
+    try {
+      // batch 1: base + its near-variant (in-batch near-dup cluster →
+      // min-id rep survives) + one distinct doc
+      mem.addData(Doc(1, base, "en"), Doc(2, nearVariant, "en"),
+        Doc(3, distinct1, "en"))
+      q.processAllAvailable()
+      val after1 = spark.read.parquet(store)
+      assert(after1.count() == 2)
+      assert(after1.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 3L))
+
+      // batch 2: the variant again (cross-batch near-dup vs stored doc
+      // 1 → dropped) + one genuinely new doc
+      mem.addData(Doc(4, nearVariant, "en"), Doc(5, distinct2, "en"))
+      q.processAllAvailable()
+      val after2 = spark.read.parquet(store)
+      assert(after2.select("doc_id").collect().map(_.getLong(0)).toSet ==
+        Set(1L, 3L, 5L))
+      // the store carries signatures for future batches
+      assert(after2.columns.contains("simhash"))
+    } finally q.stop()
+  }
+}
