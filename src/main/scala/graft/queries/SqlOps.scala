@@ -195,6 +195,73 @@ object SqlOps {
       .orderBy("l_returnflag")
   }
 
+  /** q98 — one-pass column PROFILING (the Deequ/data-quality shape):
+    * per column of `orders`, null count, exact distinct count, and
+    * min/max rendered to hand-matched string forms (DECIMAL cast for
+    * doubles, date_format for timestamps — double→string shortest-
+    * rendering diverges between engines and is never used). The six
+    * count-distincts plan ONE scan with an Expand (×6) — the standard
+    * multi-distinct strategy; at 100 TB swap exact distinct for HLL
+    * and the shape is unchanged. */
+  def q98ColumnProfile(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    def stanza(name: String, nulls: Column, nd: Column, minS: Column,
+        maxS: Column): Column =
+      struct(lit(name).as("col_name"), nulls.as("n_nulls"),
+        nd.as("n_distinct"), minS.as("min_val"), maxS.as("max_val"))
+    def nNulls(c: String): Column = count_if(col(c).isNull)
+    val dec = (c: Column) => c.cast("decimal(18,2)").cast("string")
+    val ts = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    o.agg(
+        count(lit(1)).as("n_rows"),
+        stanza("o_custkey", nNulls("o_custkey"),
+          countDistinct(col("o_custkey")),
+          min(col("o_custkey")).cast("string"),
+          max(col("o_custkey")).cast("string")).as("s1"),
+        stanza("o_orderdate", nNulls("o_orderdate"),
+          countDistinct(col("o_orderdate")),
+          ts(min(col("o_orderdate"))), ts(max(col("o_orderdate")))).as("s2"),
+        stanza("o_orderkey", nNulls("o_orderkey"),
+          countDistinct(col("o_orderkey")),
+          min(col("o_orderkey")).cast("string"),
+          max(col("o_orderkey")).cast("string")).as("s3"),
+        stanza("o_orderpriority", nNulls("o_orderpriority"),
+          countDistinct(col("o_orderpriority")),
+          min(col("o_orderpriority")), max(col("o_orderpriority"))).as("s4"),
+        stanza("o_orderstatus", nNulls("o_orderstatus"),
+          countDistinct(col("o_orderstatus")),
+          min(col("o_orderstatus")), max(col("o_orderstatus"))).as("s5"),
+        stanza("o_totalprice", nNulls("o_totalprice"),
+          countDistinct(col("o_totalprice")),
+          dec(min(col("o_totalprice"))), dec(max(col("o_totalprice")))).as("s6"))
+      .select(col("n_rows"), explode(array(col("s1"), col("s2"), col("s3"),
+        col("s4"), col("s5"), col("s6"))).as("p"))
+      .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
+        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
+      .orderBy("col_name")
+  }
+
+  /** q99 — array SET operations (beyond q44's element access/sort):
+    * intersect/union/except/overlap between the token sets of a
+    * document's head and tail. Sizes + a boolean only — set-op output
+    * ORDER is implementation-defined, cardinalities are not. */
+  def q99ArraySetOps(s: SparkSession, dir: String): DataFrame = {
+    // greatest(…, 1): sub-100-char docs would otherwise hand Spark a
+    // negative start (counts from the end) and DuckDB a different
+    // clamping — clamp identically on both engines
+    val headToks = array_distinct(split(substring(col("text"), 1, 100), "\\s+"))
+    val tailToks = array_distinct(split(
+      col("text").substr(greatest(length(col("text")) - 99, lit(1)), lit(100)),
+      "\\s+"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(array_intersect(headToks, tailToks)).as("n_common"),
+        size(array_union(headToks, tailToks)).as("n_union"),
+        size(array_except(headToks, tailToks)).as("n_head_only"),
+        arrays_overlap(headToks, tailToks).as("overlaps"))
+      .orderBy("doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_correlated_scalar" -> (q89CorrelatedScalar _),
     "q90_exists" -> (q90Exists _),
@@ -205,6 +272,8 @@ object SqlOps {
     "q95_having_scalar" -> (q95HavingScalar _),
     "q96_not_in" -> (q96NotIn _),
     "q97_regression_stats" -> (q97RegressionStats _),
+    "q98_column_profile" -> (q98ColumnProfile _),
+    "q99_array_setops" -> (q99ArraySetOps _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -251,6 +320,42 @@ object SqlOps {
         |  bool_or(o_orderstatus = 'P') AS any_pending,
         |  count(*) AS n
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q98_column_profile" -> {
+      def stanza(name: String, nd: String, minV: String, maxV: String) =
+        s"""SELECT '$name' AS col_name, count(*) AS n_rows,
+           |  count(*) FILTER (WHERE $name IS NULL) AS n_nulls,
+           |  count(DISTINCT $name) AS n_distinct,
+           |  $minV AS min_val, $maxV AS max_val FROM orders""".stripMargin
+      Seq(
+        stanza("o_custkey", "o_custkey",
+          "CAST(min(o_custkey) AS VARCHAR)", "CAST(max(o_custkey) AS VARCHAR)"),
+        stanza("o_orderdate", "o_orderdate",
+          "strftime(min(o_orderdate), '%Y-%m-%d %H:%M:%S')",
+          "strftime(max(o_orderdate), '%Y-%m-%d %H:%M:%S')"),
+        stanza("o_orderkey", "o_orderkey",
+          "CAST(min(o_orderkey) AS VARCHAR)", "CAST(max(o_orderkey) AS VARCHAR)"),
+        stanza("o_orderpriority", "o_orderpriority",
+          "min(o_orderpriority)", "max(o_orderpriority)"),
+        stanza("o_orderstatus", "o_orderstatus",
+          "min(o_orderstatus)", "max(o_orderstatus)"),
+        stanza("o_totalprice", "o_totalprice",
+          "CAST(CAST(min(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)",
+          "CAST(CAST(max(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)"),
+      ).mkString("SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val FROM (\n",
+        "\nUNION ALL\n", "\n) ORDER BY col_name")
+    },
+    "q99_array_setops" ->
+      """SELECT doc_id,
+        |  CAST(len(list_intersect(h, t)) AS INTEGER) AS n_common,
+        |  CAST(len(list_distinct(list_concat(h, t))) AS INTEGER) AS n_union,
+        |  CAST(len(list_filter(h, x -> NOT list_contains(t, x))) AS INTEGER) AS n_head_only,
+        |  len(list_intersect(h, t)) > 0 AS overlaps
+        |FROM (SELECT doc_id,
+        |    list_distinct(string_split_regex(substring(text, 1, 100), '\s+')) AS h,
+        |    list_distinct(string_split_regex(substring(text,
+        |      greatest(length(text) - 99, 1), 100), '\s+')) AS t
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q94_string_fns2" ->
       """SELECT c_custkey,
         |  translate(c_name, '#0', '_O') AS translated,

@@ -127,6 +127,36 @@ class SqlOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q98 column profile: one row per column, internally consistent") {
+    val rows = SqlOps.q98ColumnProfile(spark, Sf).collect()
+    assert(rows.map(_.getString(0)).toSeq ==
+      Seq("o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority",
+        "o_orderstatus", "o_totalprice"))
+    val n = graft.Tables.orders(spark, Sf).count()
+    rows.foreach { r =>
+      assert(r.getLong(1) == n)
+      assert(r.getLong(2) == 0)                 // no nulls in testdata
+      assert(r.getLong(3) >= 1 && r.getLong(3) <= n)
+      assert(r.getString(4) <= r.getString(5) ||
+        r.getString(0) == "o_totalprice" || r.getString(0) == "o_custkey" ||
+        r.getString(0) == "o_orderkey")         // numeric strings don't sort lexically
+    }
+    val okey = rows.find(_.getString(0) == "o_orderkey").get
+    assert(okey.getLong(3) == n)                // primary key: all distinct
+  }
+
+  test("q99 array set ops: inclusion-exclusion holds per document") {
+    val rows = SqlOps.q99ArraySetOps(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (common, union, headOnly) = (r.getInt(1), r.getInt(2), r.getInt(3))
+      assert(common >= 0 && headOnly >= 0)
+      // |head| = common + headOnly; |union| = |head| + |tail| - common
+      assert(union >= common + headOnly)
+      assert(r.getBoolean(4) == (common > 0))
+    }
+  }
+
   test("q94 string tier-2 spot values") {
     val r = SqlOps.q94StringFns2(spark, Sf)
       .filter(col("c_custkey") === 7).collect().head
