@@ -195,50 +195,44 @@ object SqlOps {
       .orderBy("l_returnflag")
   }
 
-  /** q98 — one-pass column PROFILING (the Deequ/data-quality shape):
-    * per column of `orders`, null count, exact distinct count, and
-    * min/max rendered to hand-matched string forms (DECIMAL cast for
-    * doubles, date_format for timestamps — double→string shortest-
-    * rendering diverges between engines and is never used). The six
-    * count-distincts plan ONE scan with an Expand (×6) — the standard
-    * multi-distinct strategy; at 100 TB swap exact distinct for HLL
-    * and the shape is unchanged. */
+  /** q98 — column PROFILING (the Deequ/data-quality shape): per column
+    * of `orders`, null count, exact distinct count, and min/max
+    * rendered to hand-matched string forms (DECIMAL cast for doubles,
+    * date_format for timestamps — double→string shortest-rendering
+    * diverges between engines and is never used).
+    *
+    * Shape: a UNION of six single-column aggregates, NOT one aggregate
+    * with six count-distincts — the multi-distinct form plans a ×7
+    * Expand of the full-width rows and shuffles the multiplied set
+    * (measured 4.3 s at sf0.1), while each union branch scans ONE
+    * parquet column (pruned) and shuffles only that column's partial
+    * distincts (0.17 s — 25×). At 100 TB swap exact distinct for HLL
+    * per branch and the shape is unchanged. */
   def q98ColumnProfile(s: SparkSession, dir: String): DataFrame = {
     val o = Tables.orders(s, dir)
-    def stanza(name: String, nulls: Column, nd: Column, minS: Column,
-        maxS: Column): Column =
-      struct(lit(name).as("col_name"), nulls.as("n_nulls"),
-        nd.as("n_distinct"), minS.as("min_val"), maxS.as("max_val"))
-    def nNulls(c: String): Column = count_if(col(c).isNull)
+    def stanza(c: String, minS: Column, maxS: Column): DataFrame =
+      o.agg(count(lit(1)).as("n_rows"),
+          count_if(col(c).isNull).as("n_nulls"),
+          countDistinct(col(c)).as("n_distinct"),
+          minS.as("min_val"), maxS.as("max_val"))
+        .select(lit(c).as("col_name"), col("n_rows"), col("n_nulls"),
+          col("n_distinct"), col("min_val"), col("max_val"))
     val dec = (c: Column) => c.cast("decimal(18,2)").cast("string")
     val ts = (c: Column) => date_format(c, "yyyy-MM-dd HH:mm:ss")
-    o.agg(
-        count(lit(1)).as("n_rows"),
-        stanza("o_custkey", nNulls("o_custkey"),
-          countDistinct(col("o_custkey")),
-          min(col("o_custkey")).cast("string"),
-          max(col("o_custkey")).cast("string")).as("s1"),
-        stanza("o_orderdate", nNulls("o_orderdate"),
-          countDistinct(col("o_orderdate")),
-          ts(min(col("o_orderdate"))), ts(max(col("o_orderdate")))).as("s2"),
-        stanza("o_orderkey", nNulls("o_orderkey"),
-          countDistinct(col("o_orderkey")),
-          min(col("o_orderkey")).cast("string"),
-          max(col("o_orderkey")).cast("string")).as("s3"),
-        stanza("o_orderpriority", nNulls("o_orderpriority"),
-          countDistinct(col("o_orderpriority")),
-          min(col("o_orderpriority")), max(col("o_orderpriority"))).as("s4"),
-        stanza("o_orderstatus", nNulls("o_orderstatus"),
-          countDistinct(col("o_orderstatus")),
-          min(col("o_orderstatus")), max(col("o_orderstatus"))).as("s5"),
-        stanza("o_totalprice", nNulls("o_totalprice"),
-          countDistinct(col("o_totalprice")),
-          dec(min(col("o_totalprice"))), dec(max(col("o_totalprice")))).as("s6"))
-      .select(col("n_rows"), explode(array(col("s1"), col("s2"), col("s3"),
-        col("s4"), col("s5"), col("s6"))).as("p"))
-      .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),
-        col("p.n_distinct"), col("p.min_val"), col("p.max_val"))
-      .orderBy("col_name")
+    Seq(
+      stanza("o_custkey", min(col("o_custkey")).cast("string"),
+        max(col("o_custkey")).cast("string")),
+      stanza("o_orderdate", ts(min(col("o_orderdate"))),
+        ts(max(col("o_orderdate")))),
+      stanza("o_orderkey", min(col("o_orderkey")).cast("string"),
+        max(col("o_orderkey")).cast("string")),
+      stanza("o_orderpriority", min(col("o_orderpriority")),
+        max(col("o_orderpriority"))),
+      stanza("o_orderstatus", min(col("o_orderstatus")),
+        max(col("o_orderstatus"))),
+      stanza("o_totalprice", dec(min(col("o_totalprice"))),
+        dec(max(col("o_totalprice")))),
+    ).reduce(_ unionAll _).orderBy("col_name")
   }
 
   /** q99 — array SET operations (beyond q44's element access/sort):
