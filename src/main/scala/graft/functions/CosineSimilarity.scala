@@ -137,6 +137,71 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Number of DISTINCT k-character substrings (character k-grams) of a
+  * string, in one pass over the row — no explode, no shuffle.
+  *
+  * The declarative form (explode grams → count-distinct aggregate) is
+  * the right shape when the grams themselves flow onward (joins,
+  * global vocabularies); when only the per-document cardinality is
+  * needed (q73's repetition signal) it pays an explode of ~len rows
+  * per document plus a count-distinct shuffle for what is a per-row
+  * scalar. This expression computes it in place: code-point-correct
+  * windows (matching `substr`/DuckDB `substring` semantics), exact
+  * distinct via a per-row hash set — identical to the oracle's
+  * `len(list_distinct(...))`, with no hash-collision caveat.
+  *
+  * `k` must be a foldable integer literal (embedded into codegen). */
+case class DistinctGramCount(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"distinct_gram_count expects (string, foldable int), got ($l, $r)")
+    }
+
+  private lazy val k: Int = right.eval().asInstanceOf[Int]
+
+  override def dataType: DataType = IntegerType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "distinct_gram_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val cps = a.toString.codePoints().toArray
+    val n = cps.length - k + 1
+    if (n <= 0) 0
+    else {
+      val set = new java.util.HashSet[String](Math.max(16, n * 2))
+      var i = 0
+      while (i < n) { set.add(new String(cps, i, k)); i += 1 }
+      set.size()
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val (cps, n, set, i) = (ctx.freshName("cps"), ctx.freshName("n"),
+        ctx.freshName("set"), ctx.freshName("i"))
+      s"""
+         |int[] $cps = $a.toString().codePoints().toArray();
+         |int $n = $cps.length - $k + 1;
+         |if ($n <= 0) { ${ev.value} = 0; } else {
+         |  java.util.HashSet $set = new java.util.HashSet(java.lang.Math.max(16, $n * 2));
+         |  for (int $i = 0; $i < $n; $i++) $set.add(new String($cps, $i, $k));
+         |  ${ev.value} = $set.size();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: either call [[GraftFunctions.register]] on a live
   * session, or set `spark.sql.extensions=graft.functions.GraftExtensions`
   * so every session in the deployment gets the functions injected. */
@@ -146,7 +211,9 @@ object GraftFunctions {
     ("cosine_sim", classOf[CosineSimilarity].getName,
       children => CosineSimilarity(children(0), children(1))),
     ("sorted_intersect_count", classOf[SortedIntersectCount].getName,
-      children => SortedIntersectCount(children(0), children(1))))
+      children => SortedIntersectCount(children(0), children(1))),
+    ("distinct_gram_count", classOf[DistinctGramCount].getName,
+      children => DistinctGramCount(children(0), children(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, cls, builder) =>

@@ -122,6 +122,36 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("distinct_gram_count matches a reference implementation (incl. CJK, shorts)") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val samples = Seq("abcabcabc", "aaaa", "abc", "", "中文中文中文字",
+      "the quick brown fox jumps over the lazy dog")
+    val got = samples.toDF("s")
+      .select(call_function("distinct_gram_count", col("s"), lit(4)).as("n"))
+      .collect().map(_.getInt(0)).toSeq
+    val ref = samples.map { s =>
+      val cps = s.codePoints.toArray
+      (0 to cps.length - 4).map(i => new String(cps, i, 4)).distinct.size
+    }
+    assert(got == ref, s"$got != $ref")
+    // and the full q73 column agrees with the explode-aggregate form
+    val viaExpr = TextOps.q73Repetition(spark, Sf).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    val viaExplode = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("norm"))
+      .filter(length(col("norm")) >= 4)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), length(col("norm")) - 4),
+        i => substr(col("norm"), i + 1, lit(4)))).as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("int").as("ng"),
+        countDistinct(col("g")).cast("int").as("nd"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(viaExpr == viaExplode)
+  }
+
   test("native cosine expression is bit-identical to the declarative form") {
     val emb = graft.Tables.embeddings(spark, Sf).limit(50)
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
