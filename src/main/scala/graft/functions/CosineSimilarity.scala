@@ -202,6 +202,102 @@ case class DistinctGramCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `numHashes` MinHash signature values of a string's k-character
+  * shingle multiset, in ONE zero-allocation pass per row.
+  *
+  * Bit-compatible with the declarative pipeline
+  * `min(xxhash64(lit(j), shingle))` per j over
+  * `explode(transform(sequence(...), substr(...)))`: shingle windows
+  * are code-point based like `substr` (a string shorter than k yields
+  * its single whole-string shingle, matching the clamped sequence),
+  * and each hash chains exactly like the two-arg `xxhash64(j, sh)` —
+  * seed 42 → hash(j: int) → hash(shingle bytes). Instead of exploding
+  * ~len rows per document and min-aggregating 16 columns through a
+  * shuffle, this walks the UTF8 bytes once, hashing each window
+  * in-place via XXH64 over (base, offset, len) — no substring
+  * allocation, no explode, no aggregate. Equality with the
+  * explode-aggregate form is asserted in LlmOpsSpec.
+  *
+  * `k` and `numHashes` must be foldable integer literals. */
+case class MinHashSigs(first: Expression, second: Expression,
+    third: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (first.dataType, second.dataType, third.dataType) match {
+      case (org.apache.spark.sql.types.StringType, IntegerType, IntegerType)
+        if second.foldable && third.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (a, b, c) => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sigs expects (string, foldable int, foldable int), got ($a, $b, $c)")
+    }
+
+  private lazy val k: Int = second.eval().asInstanceOf[Int]
+  private lazy val numHashes: Int = third.eval().asInstanceOf[Int]
+
+  // seed_j = the state of two-arg xxhash64(j, sh) after hashing j
+  private lazy val seeds: Array[Long] = {
+    val hasher = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    Array.tabulate(numHashes)(j =>
+      hasher.hash(j, IntegerType, 42L))
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "minhash_sigs"
+
+  /** The per-row kernel — also the codegen target (called via a
+    * captured reference, so whole-stage codegen stays intact). */
+  def compute(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val nb = u.numBytes()
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    // code-point start byte offsets (substr counts characters)
+    val starts = new Array[Int](nb + 1)
+    var nCps = 0
+    var i = 0
+    while (i < nb) {
+      starts(nCps) = i
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        u.getByte(i))
+      nCps += 1
+    }
+    starts(nCps) = nb
+    // a string shorter than k yields its single whole-string shingle
+    // (mirror of sequence(0, greatest(len - k, 0)): always >= 1 window)
+    val nWin = math.max(nCps - k + 1, 1)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    var w = 0
+    while (w < nWin) {
+      val s = starts(math.min(w, nCps))
+      val e = starts(math.min(w + k, nCps))
+      var j = 0
+      while (j < numHashes) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(base, off + s, e - s, seeds(j))
+        if (h < mins(j)) mins(j) = h
+        j += 1
+      }
+      w += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _, _) => {
+      val ref = ctx.addReferenceObj("minhashSigs", this, classOf[MinHashSigs].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): Expression = copy(first = f, second = s, third = t)
+}
+
 /** Registration: either call [[GraftFunctions.register]] on a live
   * session, or set `spark.sql.extensions=graft.functions.GraftExtensions`
   * so every session in the deployment gets the functions injected. */
@@ -213,7 +309,9 @@ object GraftFunctions {
     ("sorted_intersect_count", classOf[SortedIntersectCount].getName,
       children => SortedIntersectCount(children(0), children(1))),
     ("distinct_gram_count", classOf[DistinctGramCount].getName,
-      children => DistinctGramCount(children(0), children(1))))
+      children => DistinctGramCount(children(0), children(1))),
+    ("minhash_sigs", classOf[MinHashSigs].getName,
+      children => MinHashSigs(children(0), children(1), children(2))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, cls, builder) =>

@@ -130,9 +130,17 @@ object TextOps {
 
   /** 5-char shingle set of the normalized text. */
   private def shingleArr(c: Column, k: Int = 5): Column =
-    array_distinct(transform(
+    array_distinct(shingleArrRaw(c, k))
+
+  /** Shingle MULTISET (no dedup): for consumers that are dedup-
+    * invariant (min-aggregation, or a later distinct on the hashed
+    * longs), skipping `array_distinct` here avoids a boxed-string
+    * hash-set pass per document — measured ~2× on q37's signature
+    * stage at sf0.1. */
+  private def shingleArrRaw(c: Column, k: Int): Column =
+    transform(
       sequence(lit(0), greatest(length(c) - k, lit(0))),
-      i => substr(c, i + 1, lit(k))))
+      i => substr(c, i + 1, lit(k)))
 
   /** q37 — MinHash-LSH near-duplicate pairs. 16 minhashes in 4 bands of
     * 4; docs sharing any band bucket become candidates (the ONLY join —
@@ -143,29 +151,26 @@ object TextOps {
     * No oracle — minhash choice is engine-specific; driver records a
     * rows-only check.
     *
-    * Shape: explode(shingles) → 16 hashes per shingle row → min-agg.
-    * One pass over the text, one combinable shuffle on doc_id. (The
-    * tempting all-array form — 16 × array_min(transform(shingles,…)) —
-    * re-evaluates the shingle construction per hash because higher-order
-    * functions defeat Catalyst subexpression elimination: measured 43 s
-    * vs <1 s at sf0.01. No array_distinct needed: min over a multiset
-    * equals min over its set.) */
+    * Signature stage: the native [[graft.functions.MinHashSigs]]
+    * expression computes all 16 minhashes per document in one
+    * zero-allocation byte walk — no shingle explode, no 16-column
+    * min-agg shuffle (the explode-aggregate form measured ~6 s of the
+    * query at sf0.1; the expression ~1 s, bit-identical — equality
+    * asserted in LlmOpsSpec). History: the per-hash all-array form —
+    * 16 × array_min(transform(shingles,…)) — re-evaluates the shingle
+    * construction per hash because higher-order functions defeat
+    * Catalyst subexpression elimination: measured 43 s at sf0.01. */
   def q37MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     val numHashes = 16
     val bands = 4
     val rows = numHashes / bands
-    val shingleRows = normDocs(s, dir)
-      .select(col("doc_id"), explode(shingleArr(col("norm"))).as("sh"))
-    val minCols = (0 until numHashes).map(j =>
-      min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
     // signatures materialized ONCE (localCheckpoint): they feed the
-    // banding stage AND both sides of the signature re-join below —
-    // without the barrier Catalyst recomputes the whole shingle
-    // explode + 16-way min-agg per consumer (measured 2× the query)
-    val docs = shingleRows.groupBy("doc_id")
-      .agg(minCols.head, minCols.tail: _*)
+    // banding stage AND both sides of the signature re-join below
+    val docs = normDocs(s, dir)
       .select(col("doc_id"),
-        array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
+        call_function("minhash_sigs", col("norm"), lit(5), lit(numHashes))
+          .as("sig"))
       .localCheckpoint()
     val banded = docs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
@@ -354,8 +359,10 @@ object TextOps {
   private[graft] def ngramJaccardPairsOf(docsNorm: DataFrame,
       threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(docsNorm.sparkSession)
+    // raw multiset: the outer array_distinct on the hashed longs
+    // already dedups (cheaper than a boxed-string dedup first)
     val grams = sort_array(array_distinct(transform(
-      shingleArr(col("norm"), 3), g => xxhash64(g))))
+      shingleArrRaw(col("norm"), 3), g => xxhash64(g))))
     // NOT checkpointed: the two join sides do recompute the gram chain,
     // but the recompute runs fully parallel while a materialization
     // barrier serializes — measured slightly slower with a checkpoint.

@@ -152,6 +152,48 @@ class LlmOpsSpec extends SparkTestBase {
     assert(viaExpr == viaExplode)
   }
 
+  test("minhash_sigs expression is bit-identical to the explode-aggregate form") {
+    graft.functions.GraftFunctions.register(spark)
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val viaExpr = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        call_function("minhash_sigs", norm, lit(5), lit(16)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val minCols = (0 until 16).map(j =>
+      min(xxhash64(lit(j), col("sh"))).as(s"m$j"))
+    val viaAgg = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), greatest(length(norm) - 5, lit(0))),
+        i => substr(norm, i + 1, lit(5)))).as("sh"))
+      .groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+      .select(col("doc_id"),
+        array((0 until 16).map(j => col(s"m$j")): _*).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaExpr.keySet == viaAgg.keySet)
+    viaExpr.foreach { case (id, sig) =>
+      assert(sig == viaAgg(id), s"doc $id signature mismatch")
+    }
+    // edge cases: shorter-than-k and empty-ish strings follow substr's
+    // clamped single-window semantics
+    import spark.implicits._
+    val edge = Seq((0L, "abc"), (1L, "a"), (2L, "abcdef"))
+      .toDF("doc_id", "text")
+    val e1 = edge.select(col("doc_id"),
+        call_function("minhash_sigs", col("text"), lit(5), lit(4)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val eAgg = edge.select(col("doc_id"), explode(transform(
+        sequence(lit(0), greatest(length(col("text")) - 5, lit(0))),
+        i => substr(col("text"), i + 1, lit(5)))).as("sh"))
+      .groupBy("doc_id")
+      .agg(min(xxhash64(lit(0), col("sh"))).as("m0"),
+        min(xxhash64(lit(1), col("sh"))).as("m1"),
+        min(xxhash64(lit(2), col("sh"))).as("m2"),
+        min(xxhash64(lit(3), col("sh"))).as("m3"))
+      .select(col("doc_id"), array(col("m0"), col("m1"), col("m2"), col("m3")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(e1 == eAgg)
+  }
+
   test("native cosine expression is bit-identical to the declarative form") {
     val emb = graft.Tables.embeddings(spark, Sf).limit(50)
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
