@@ -298,6 +298,89 @@ case class MinHashSigs(first: Expression, second: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
+/** Sorted DISTINCT xxhash64 values of a string's k-character grams —
+  * the per-document input of the sorted-merge Jaccard/overlap family,
+  * in one pass per row.
+  *
+  * Bit-compatible with the declarative chain
+  * `sort_array(array_distinct(transform(<k-gram windows>, xxhash64)))`
+  * (code-point windows with the clamped whole-string shingle for
+  * short inputs, single-arg xxhash64 = seed 42 over the gram bytes),
+  * but with no per-element lambda frames or substring allocations:
+  * one UTF8-byte walk hashes each window in place, then a primitive
+  * sort + in-place dedup. The chain measured 4.6 s for the corpus
+  * projection at sf0.1; this is the q45/q67/q74/q80 feeder, so the
+  * whole near-dup tail inherits the win. Equality is unit-tested. */
+case class SortedGramHashes(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.StringType, IntegerType) if right.foldable =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_gram_hashes expects (string, foldable int), got ($l, $r)")
+    }
+
+  private lazy val k: Int = right.eval().asInstanceOf[Int]
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "sorted_gram_hashes"
+
+  /** Per-row kernel — also the codegen target. */
+  def compute(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val nb = u.numBytes()
+    val base = u.getBaseObject
+    val off = u.getBaseOffset
+    val starts = new Array[Int](nb + 1)
+    var nCps = 0
+    var i = 0
+    while (i < nb) {
+      starts(nCps) = i
+      i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(
+        u.getByte(i))
+      nCps += 1
+    }
+    starts(nCps) = nb
+    val nWin = math.max(nCps - k + 1, 1)
+    val hs = new Array[Long](nWin)
+    var w = 0
+    while (w < nWin) {
+      val s = starts(math.min(w, nCps))
+      val e = starts(math.min(w + k, nCps))
+      hs(w) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + s, e - s, 42L)
+      w += 1
+    }
+    java.util.Arrays.sort(hs)
+    var m = 0
+    var j = 0
+    while (j < nWin) {
+      if (m == 0 || hs(j) != hs(m - 1)) { hs(m) = hs(j); m += 1 }
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOfRange(hs, 0, m))
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val ref = ctx.addReferenceObj("sortedGramHashes", this,
+        classOf[SortedGramHashes].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registration: either call [[GraftFunctions.register]] on a live
   * session, or set `spark.sql.extensions=graft.functions.GraftExtensions`
   * so every session in the deployment gets the functions injected. */
@@ -311,7 +394,9 @@ object GraftFunctions {
     ("distinct_gram_count", classOf[DistinctGramCount].getName,
       children => DistinctGramCount(children(0), children(1))),
     ("minhash_sigs", classOf[MinHashSigs].getName,
-      children => MinHashSigs(children(0), children(1), children(2))))
+      children => MinHashSigs(children(0), children(1), children(2))),
+    ("sorted_gram_hashes", classOf[SortedGramHashes].getName,
+      children => SortedGramHashes(children(0), children(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, cls, builder) =>

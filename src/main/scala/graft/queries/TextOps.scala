@@ -359,10 +359,10 @@ object TextOps {
   private[graft] def ngramJaccardPairsOf(docsNorm: DataFrame,
       threshold: Double): DataFrame = {
     graft.functions.GraftFunctions.register(docsNorm.sparkSession)
-    // raw multiset: the outer array_distinct on the hashed longs
-    // already dedups (cheaper than a boxed-string dedup first)
-    val grams = sort_array(array_distinct(transform(
-      shingleArrRaw(col("norm"), 3), g => xxhash64(g))))
+    // native single-pass gram builder — bit-identical to
+    // sort_array(array_distinct(transform(<windows>, xxhash64))) but
+    // without per-element lambda frames (see SortedGramHashes)
+    val grams = call_function("sorted_gram_hashes", col("norm"), lit(3))
     // NOT checkpointed: the two join sides do recompute the gram chain,
     // but the recompute runs fully parallel while a materialization
     // barrier serializes — measured slightly slower with a checkpoint.
@@ -517,17 +517,33 @@ object TextOps {
   /** Benchmark decontamination against an EXTERNAL benchmark frame:
     * count, per corpus document, the distinct 8-char-grams it shares
     * with the benchmark texts — the n-gram-overlap contamination check
-    * run before training. Both frames need (doc_id, text). The
-    * benchmark gram set is BROADCAST (benchmarks are small by
-    * definition), so the corpus side streams through one narrow join
-    * however large it is; the per-doc count is map-side combinable. */
+    * run before training. Both frames need (doc_id, text).
+    *
+    * Shape: the benchmark collapses to ONE sorted gram-hash array row
+    * (benchmarks are small by definition — ~8 bytes/distinct gram;
+    * collect_set is an aggregate, nothing touches the driver),
+    * broadcast to every task; each corpus document builds its own
+    * sorted distinct gram array in-place (native SortedGramHashes) and
+    * counts the overlap with the zero-allocation sorted-merge
+    * expression. No gram explode on the corpus side, no join, no count
+    * shuffle — measured 4.7 s vs the explode + broadcast-join form's
+    * 5.1 s at sf0.1 (the residue is scan + normalize, shared by both
+    * forms), with identical rows and two fewer stages. For a benchmark
+    * too large for one row (~100M+ grams) fall back to the join shape. */
   private[graft] def decontaminateAgainst(corpus: DataFrame,
       bench: DataFrame): DataFrame = {
-    val benchSet = gramHashes(bench).select("gh").distinct()
-    gramHashes(corpus)
-      .join(broadcast(benchSet), Seq("gh"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shared"))
+    graft.functions.GraftFunctions.register(corpus.sparkSession)
+    val benchArr = gramHashes(bench)
+      .agg(sort_array(collect_set(col("gh"))).as("bench_g"))
+    val grams = call_function("sorted_gram_hashes", col("norm"), lit(8))
+    val shared = call_function("sorted_intersect_count", col("g"), col("bench_g"))
+    corpus
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .repartition(col("doc_id")) // anti-CollapseProject barrier (see normDocs)
+      .select(col("doc_id"), grams.as("g"))
+      .crossJoin(broadcast(benchArr))
+      .select(col("doc_id"), shared.cast("long").as("n_shared"))
+      .filter(col("n_shared") > 0) // join form only emitted overlapping docs
       .orderBy("doc_id")
   }
 

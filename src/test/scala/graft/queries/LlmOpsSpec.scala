@@ -194,6 +194,40 @@ class LlmOpsSpec extends SparkTestBase {
     assert(e1 == eAgg)
   }
 
+  test("sorted_gram_hashes is bit-identical to the declarative chain") {
+    graft.functions.GraftFunctions.register(spark)
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    for (k <- Seq(3, 8)) {
+      val viaExpr = graft.Tables.documents(spark, Sf)
+        .select(col("doc_id"),
+          call_function("sorted_gram_hashes", norm, lit(k)).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val viaChain = graft.Tables.documents(spark, Sf)
+        .select(col("doc_id"), norm.as("norm"))
+        .select(col("doc_id"), sort_array(array_distinct(transform(
+          transform(sequence(lit(0), greatest(length(col("norm")) - k, lit(0))),
+            i => substr(col("norm"), i + 1, lit(k))),
+          g => xxhash64(g)))).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(viaExpr == viaChain, s"k=$k mismatch")
+    }
+    // short/empty edge cases follow the clamped single-window semantics
+    import spark.implicits._
+    val e = Seq((0L, "ab"), (1L, ""), (2L, "abcd"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        call_function("sorted_gram_hashes", col("text"), lit(3)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val eChain = Seq((0L, "ab"), (1L, ""), (2L, "abcd"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), sort_array(array_distinct(transform(
+        transform(sequence(lit(0), greatest(length(col("text")) - 3, lit(0))),
+          i => substr(col("text"), i + 1, lit(3))),
+        g => xxhash64(g)))).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(e == eChain)
+  }
+
   test("native cosine expression is bit-identical to the declarative form") {
     val emb = graft.Tables.embeddings(spark, Sf).limit(50)
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
