@@ -151,6 +151,17 @@ class RelationalSpec extends SparkTestBase {
     assert(sparkSide == Seq("k", "a,b,c", "k,z"))
   }
 
+  test("no registered query plans a CartesianProduct") {
+    // every cross/theta join must broadcast its small side (BNLJ) —
+    // an unhinted CartesianProduct is the canonical 100 TB scale
+    // killer; this sweep turns any regression red
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, Sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a CartesianProduct:\n${plan.take(1500)}")
+    }
+  }
+
   test("q13 rollup includes the grand-total row") {
     val rows = Relational.q13Rollup(spark, Sf).collect()
     val grand = rows.filter(r =>
