@@ -44,10 +44,15 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     println(json)
     // also persist the line: log tails get truncated (r3's total was
-    // lost that way) — the file is always a complete, parseable record
+    // lost that way) — the file is always a complete, parseable record.
+    // best-effort: an unwritable path must not fail a successful bench
+    // (the JSON already went to stdout) or skip spark.stop()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
-    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $out: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -378,12 +378,19 @@ object ExtendedOps {
     * store: HDFS/object storage on a cluster) to use RELIABLE
     * checkpoints instead, so a 100 TB run survives executor loss
     * mid-loop at the cost of one write+read of the (small) label table
-    * per round. */
+    * per round. The session's previous checkpoint dir is restored on
+    * exit; the CALLER owns the directory's lifecycle (each round
+    * leaves one label-table checkpoint behind — delete the dir after
+    * consuming the result, or run with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`). */
   private[graft] def connectedComponents(pairs: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(d => pairs.sparkSession.sparkContext.setCheckpointDir(d))
+    val sc = pairs.sparkSession.sparkContext
+    val prevCkptDir = sc.getCheckpointDir
+    checkpointDir.foreach(sc.setCheckpointDir)
     def barrier(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    try {
     val edges = barrier(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
@@ -416,6 +423,11 @@ object ExtendedOps {
       iter += 1
     }
     labels.select(col("id"), col("comp").as("cluster_id"))
+    } finally {
+      // don't leave the session-global checkpoint dir repointed at our
+      // directory — later callers' checkpoint() would land here
+      if (checkpointDir.isDefined) sc.setCheckpointDir(prevCkptDir.orNull)
+    }
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

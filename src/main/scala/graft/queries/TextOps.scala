@@ -240,15 +240,64 @@ object TextOps {
     votes.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** The 4 16-bit band keys of a signature — by pigeonhole, two
-    * signatures within Hamming distance 3 agree on at least one band. */
-  private[graft] def simhashBands(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"),
-      explode(array((0 until 4).map(b =>
-        struct(lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(0xFFFFL)
-            .as("bucket"))): _*)).as("bb"))
+  /** The `nBands` band keys of a 64-bit signature (contiguous bit
+    * ranges, first `64 % nBands` bands one bit wider) — by pigeonhole,
+    * two signatures within Hamming distance `nBands - 1` agree on at
+    * least one band. nBands = 4 gives the classic 4×16-bit split. */
+  private[graft] def simhashBands(sigs: DataFrame, nBands: Int = 4): DataFrame = {
+    val base = 64 / nBands
+    val rem = 64 % nBands
+    val bandCols = (0 until nBands).map { b =>
+      val width = base + (if (b < rem) 1 else 0)
+      val start = b * base + math.min(b, rem)
+      val mask = if (width == 64) -1L else (1L << width) - 1
+      struct(lit(b).as("band"),
+        shiftright(col("simhash"), start).bitwiseAND(mask).as("bucket"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Verified SimHash near-dup pairs between two (doc_id, simhash)
+    * frames — the shared engine of q87 and the streaming
+    * [[graft.streaming.NearDupIngest]]. Bands are sized from
+    * `maxHamming` (nBands = maxHamming + 1), so band agreement is
+    * GUARANTEED for every pair at or under the threshold — candidate
+    * recall is 1.0 among un-capped buckets at any threshold, not just
+    * 3. `maxBucket` carves out degenerate buckets (boilerplate at
+    * corpus scale would blow the pair space quadratically); callers
+    * that must not lose exact-duplicate clusters to the cap collapse
+    * identical signatures FIRST (as NearDupIngest does) — after that,
+    * bucket population is bounded by signature diversity. Same id-only
+    * pair discipline as q37: the quadratic stage shuffles (band,
+    * bucket, id, id); signatures re-attach broadcast-side. */
+  private[graft] def simhashNearPairs(a: DataFrame, b: DataFrame,
+      maxHamming: Int, selfJoin: Boolean,
+      maxBucket: Option[Int] = Some(64)): DataFrame = {
+    val nBands = maxHamming + 1
+    val ab = simhashBands(a.select("doc_id", "simhash"), nBands)
+      .withColumnRenamed("doc_id", "id_a")
+    val bbAll = simhashBands(b.select("doc_id", "simhash"), nBands)
+      .withColumnRenamed("doc_id", "id_b")
+    val bb = maxBucket match {
+      case Some(cap) =>
+        val ok = bbAll.groupBy("band", "bucket")
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= cap)
+          .select("band", "bucket")
+        bbAll.join(ok, Seq("band", "bucket"))
+      case None => bbAll
+    }
+    val cands = ab.join(bb.hint("SHUFFLE_HASH"), Seq("band", "bucket"))
+    (if (selfJoin) cands.filter(col("id_a") < col("id_b")) else cands)
+      .dropDuplicates("id_a", "id_b")
+      .join(broadcast(a.select(col("doc_id").as("id_a"),
+        col("simhash").as("sig_a"))), Seq("id_a"))
+      .join(broadcast(b.select(col("doc_id").as("id_b"),
+        col("simhash").as("sig_b"))), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** q38 — SimHash signatures: per-doc 64-bit signature + its 4 band
     * keys. No oracle (hash choice is engine-specific). */
@@ -260,39 +309,20 @@ object TextOps {
             .as(s"band$b")): _*)
       .orderBy("doc_id")
 
-  /** q87 — SimHash near-duplicate PAIRS, end-to-end: candidates are
-    * generated ONLY within equal 16-bit bands (pigeonhole: Hamming ≤ 3
-    * ⇒ some band matches, so recall at the threshold is 1.0), then
-    * verified exactly with `bit_count(sig_a XOR sig_b) <= 3`. Same
-    * id-only pair discipline as q37: the quadratic stage shuffles
-    * (band, bucket, id, id) rows; 8-byte signatures are re-attached
-    * broadcast-side after pair dedup. Bucket cap guards boilerplate
-    * blowup. Rows-only (signature choice is engine-specific); the
-    * exact-dup-subset sanity lives in LlmOpsSpec. */
+  /** q87 — SimHash near-duplicate PAIRS, end-to-end: band-bucketed
+    * candidates (pigeonhole-sized bands, so every pair at Hamming ≤ 3
+    * shares a band), exact `bit_count(xor)` verify — via
+    * [[simhashNearPairs]]. The 64-doc bucket cap carves out degenerate
+    * boilerplate buckets: pairs inside capped buckets are deliberately
+    * NOT emitted (a production run collapses exact-duplicate clusters
+    * first, as NearDupIngest does, so only genuinely pathological
+    * boilerplate hits the cap). Rows-only (signature choice is
+    * engine-specific); planted-dup sanity lives in LlmOpsSpec. */
   def q87SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     // signatures feed the banding stage AND both re-join sides —
     // materialize once (same three-consumer shape as q37's docs)
     val sigs = simhashSigs(s, dir).localCheckpoint()
-    val banded = simhashBands(sigs)
-    val maxBucket = 64
-    val okBuckets = banded.groupBy("band", "bucket")
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
-      .select("band", "bucket")
-    val pruned = banded.join(okBuckets, Seq("band", "bucket"))
-    val a = pruned.select(col("band"), col("bucket"), col("doc_id").as("id_a"))
-    val b = pruned.select(col("band"), col("bucket"), col("doc_id").as("id_b"))
-    val pairIds = a.join(b.hint("SHUFFLE_HASH"), Seq("band", "bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .select("id_a", "id_b")
-    pairIds
-      .join(broadcast(sigs.select(col("doc_id").as("id_a"),
-        col("simhash").as("sig_a"))), Seq("id_a"))
-      .join(broadcast(sigs.select(col("doc_id").as("id_b"),
-        col("simhash").as("sig_b"))), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
-      .filter(col("hamming") <= 3)
+    simhashNearPairs(sigs, sigs, maxHamming = 3, selfJoin = true)
       .orderBy("id_a", "id_b")
   }
 

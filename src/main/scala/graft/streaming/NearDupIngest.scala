@@ -11,47 +11,37 @@ import graft.queries.{ExtendedOps, TextOps}
   * only): each micro-batch
   *
   *   1. signs every incoming doc with a 64-bit SimHash;
-  *   2. near-dedups WITHIN the batch: band-bucketed candidate pairs
-  *      (never all-pairs), exact `bit_count(xor) <= maxHamming`
-  *      verify, connected-components clustering, keep min-id reps —
-  *      the same principled keep-one-per-cluster decision as q67, so
-  *      transitive chains collapse to one survivor, not a greedy
-  *      prefix;
-  *   3. drops reps within `maxHamming` of ANY stored doc: batch bands
-  *      join the store's bands bucket-equi, then exact verify;
-  *   4. appends the survivors (with their signatures) to the store.
+  *   2. collapses EXACT-signature duplicates (min doc_id wins) — this
+  *      bounds every band bucket by signature diversity, so the
+  *      boilerplate-burst case (thousands of identical docs in one
+  *      batch) never meets the pair stage's bucket cap;
+  *   3. near-dedups the signature reps WITHIN the batch:
+  *      pigeonhole-sized band buckets → exact Hamming verify →
+  *      connected-components clustering, keep min-id reps — the same
+  *      principled keep-one-per-cluster decision as q67, so
+  *      transitive chains collapse to one survivor;
+  *   4. drops reps within `maxHamming` of ANY stored doc (batch bands
+  *      join the store's bands bucket-equi, exact verify);
+  *   5. appends the survivors (with their signatures) to the store.
+  *      Docs with NULL/empty text get no signature and bypass the
+  *      near-dup stages, but are RETAINED (same as the exact-dedup
+  *      ingest) — dedup must never silently lose data.
+  *
+  * Band count is derived from `maxHamming` (pigeonhole), so the
+  * threshold is honored exactly at ANY value — a pair within the
+  * threshold always shares a band.
   *
   * The parquet store is the dedup state: the per-batch match reads
   * ONLY (doc_id, simhash) — 16 bytes/doc after columnar pruning. At
   * 100 TB the standard upgrade is a persisted band-index side table
-  * (4 rows/doc, bucket-partitioned, so a batch probes matching
-  * buckets instead of re-deriving bands from every stored signature);
-  * the batch logic is unchanged by it.
+  * (bucket-partitioned, so a batch probes matching buckets instead of
+  * re-deriving bands from every stored signature); the batch logic is
+  * unchanged by it.
   *
   * Exactly-once: checkpoint replay is idempotent — a replayed doc is
-  * Hamming-0 from its own stored copy and drops in step 3.
+  * Hamming-0 from its own stored copy and drops in step 4.
   */
 object NearDupIngest {
-
-  /** Verified near-dup pairs between two (doc_id, simhash, …) frames:
-    * band-bucket candidates, exact Hamming verify. `selfJoin = true`
-    * orders ids (a < b); false keeps every (left, right) hit. */
-  private def nearPairs(a: DataFrame, b: DataFrame, maxHamming: Int,
-      selfJoin: Boolean): DataFrame = {
-    val ab = TextOps.simhashBands(a.select("doc_id", "simhash"))
-      .withColumnRenamed("doc_id", "id_a")
-    val bb = TextOps.simhashBands(b.select("doc_id", "simhash"))
-      .withColumnRenamed("doc_id", "id_b")
-    val cands = ab.join(bb, Seq("band", "bucket"))
-    val filtered =
-      if (selfJoin) cands.filter(col("id_a") < col("id_b")) else cands
-    filtered
-      .dropDuplicates("id_a", "id_b")
-      .join(a.select(col("doc_id").as("id_a"), col("simhash").as("sig_a")), Seq("id_a"))
-      .join(b.select(col("doc_id").as("id_b"), col("simhash").as("sig_b")), Seq("id_b"))
-      .filter(bit_count(col("sig_a").bitwiseXOR(col("sig_b"))) <= maxHamming)
-      .select("id_a", "id_b")
-  }
 
   /** Streaming writer: docs (doc_id, text, …) → near-dedup'd parquet
     * store carrying a `simhash` column. */
@@ -63,25 +53,39 @@ object NearDupIngest {
         // source re-delivery can duplicate ids within one batch — keep
         // one row per id before the signature join multiplies them
         val b0 = batch.dropDuplicates("doc_id")
+        // left join: docs with no tokens (null/empty text) have no
+        // signature row; they skip dedup but are never dropped
         val withSig = b0
           .join(TextOps.simhashOf(b0.select(col("doc_id"), col("text"))),
-            Seq("doc_id"))
-          .localCheckpoint() // three consumers: pairs (×2 sides) + survivors
-        // in-batch: cluster near-dups, keep the min-id representative
-        val pairs = nearPairs(withSig, withSig, maxHamming, selfJoin = true)
+            Seq("doc_id"), "left_outer")
+          .localCheckpoint() // feeds pair stages (×2 sides) + survivors
+        val signed = withSig.filter(col("simhash").isNotNull)
+        // exact-signature collapse: min doc_id per signature
+        val sigReps = signed.groupBy("simhash")
+          .agg(min(col("doc_id")).as("doc_id"))
+          .select("doc_id", "simhash")
+        // in-batch: cluster near-dups among the reps, keep min-id rep
+        val pairs = TextOps
+          .simhashNearPairs(sigReps, sigReps, maxHamming, selfJoin = true)
+          .select("id_a", "id_b")
         val nonReps = ExtendedOps.connectedComponents(pairs)
           .filter(col("id") =!= col("cluster_id"))
           .select(col("id").as("doc_id"))
-        val reps = withSig.join(nonReps, Seq("doc_id"), "left_anti")
+        val reps = sigReps.join(nonReps, Seq("doc_id"), "left_anti")
         // cross-batch: drop reps near any stored doc
         val fresh =
           if (CorpusIngest.storeExists(s, storeDir)) {
-            val stored = s.read.parquet(storeDir).select("doc_id", "simhash")
-            val hits = nearPairs(reps, stored, maxHamming, selfJoin = false)
+            val stored = s.read.parquet(storeDir)
+              .select("doc_id", "simhash").filter(col("simhash").isNotNull)
+            val hits = TextOps
+              .simhashNearPairs(reps, stored, maxHamming, selfJoin = false)
               .select(col("id_a").as("doc_id")).distinct()
             reps.join(hits, Seq("doc_id"), "left_anti")
           } else reps
-        fresh.withColumn("_batch_id", lit(batchId))
+        val unsigned = withSig.filter(col("simhash").isNull)
+        withSig.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
+          .unionByName(unsigned)
+          .withColumn("_batch_id", lit(batchId))
           .write.mode("append").parquet(storeDir)
       }
       .option("checkpointLocation", checkpointDir)

@@ -78,9 +78,11 @@ class LlmOpsSpec extends SparkTestBase {
     pairs.foreach { case (a, b, h) => assert(a < b && h >= 0 && h <= 3) }
     // identical normalized text => identical token stream => identical
     // signature: every exact-dup pair must surface with hamming == 0
-    // (band agreement is total, so no candidate can be missed). sf0.001
-    // has no exact dups, so plant some: copy docs 0-9 under new ids
-    // into a temp documents.parquet and run the registered query on it.
+    // (band agreement is total, and the planted cluster stays far
+    // under the 64-doc bucket cap — clusters BEYOND the cap are
+    // deliberately not emitted, see q87's scaladoc). sf0.001 has no
+    // exact dups, so plant some: copy docs 0-9 under new ids into a
+    // temp documents.parquet and run the registered query on it.
     val tmp = java.nio.file.Files.createTempDirectory("graft_q87").toString
     val docs = graft.Tables.documents(spark, Sf)
     val maxId = docs.agg(max(col("doc_id"))).first().getLong(0)

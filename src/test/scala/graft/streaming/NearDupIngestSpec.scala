@@ -64,6 +64,23 @@ class NearDupIngestSpec extends SparkTestBase {
         Set(1L, 3L, 5L))
       // the store carries signatures for future batches
       assert(after2.columns.contains("simhash"))
+
+      // batch 3: a null-text doc must be RETAINED (no signature, no
+      // dedup — but never silently dropped), and a 70-doc boilerplate
+      // burst (beyond the 64 bucket cap) must still collapse to ONE
+      // survivor because exact signatures are deduped before banding
+      val boilerplate = "standard license header text appears verbatim at " +
+        "the top of every generated source file in this repository"
+      mem.addData(Doc(6, null, "en") +:
+        (100L until 170L).map(i => Doc(i, boilerplate, "en")): _*)
+      q.processAllAvailable()
+      val after3 = spark.read.parquet(store)
+      val ids = after3.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(ids.contains(6L), "null-text doc was dropped")
+      assert(ids.intersect((100L until 170L).toSet) == Set(100L),
+        s"boilerplate burst not collapsed: ${ids.filter(_ >= 100L)}")
+      assert(after3.filter(col("doc_id") === 6).select("simhash")
+        .collect().head.isNullAt(0))
     } finally q.stop()
   }
 }
