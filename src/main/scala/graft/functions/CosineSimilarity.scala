@@ -381,6 +381,74 @@ case class SortedGramHashes(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** 64-bit SimHash of a string's whitespace tokens in one pass —
+  * sig bit b = sign of Σ over tokens of (±1 from bit b of
+  * xxhash64(token)).
+  *
+  * Bit-compatible with the declarative pipeline
+  * `explode(split(s, "\\s+"))` → `xxhash64(token)` → 64 conditional
+  * SUM votes → sign/OR fold: tokenization is `Pattern.split(s, -1)`
+  * exactly like Spark's `split` (leading separators yield an empty
+  * first token, an empty string yields one empty token), each token
+  * hashes its UTF8 bytes with seed 42, and the sign test is
+  * strictly-positive. Replaces a ~len-row explode + 64-column
+  * aggregate shuffle per document with a per-row kernel. Equality
+  * with the explode-aggregate form is unit-tested. */
+case class SimHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"simhash64 expects string, got $t")
+    }
+
+  override def dataType: DataType = LongType
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "simhash64"
+
+  /** Per-row kernel — also the codegen target. */
+  def compute(u: org.apache.spark.unsafe.types.UTF8String): Long = {
+    val tokens = u.toString.split("\\s+", -1)
+    val votes = new Array[Int](64)
+    var t = 0
+    while (t < tokens.length) {
+      val tok = org.apache.spark.unsafe.types.UTF8String.fromString(tokens(t))
+      val h = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(tok.getBaseObject, tok.getBaseOffset, tok.numBytes, 42L)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("simhash64", this, classOf[SimHash64].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Registration: either call [[GraftFunctions.register]] on a live
   * session, or set `spark.sql.extensions=graft.functions.GraftExtensions`
   * so every session in the deployment gets the functions injected. */
@@ -396,7 +464,9 @@ object GraftFunctions {
     ("minhash_sigs", classOf[MinHashSigs].getName,
       children => MinHashSigs(children(0), children(1), children(2))),
     ("sorted_gram_hashes", classOf[SortedGramHashes].getName,
-      children => SortedGramHashes(children(0), children(1))))
+      children => SortedGramHashes(children(0), children(1))),
+    ("simhash64", classOf[SimHash64].getName,
+      children => SimHash64(children(0))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, cls, builder) =>

@@ -216,28 +216,21 @@ object TextOps {
   }
 
   /** Per-document 64-bit SimHash signature: sign of the per-bit sum of
-    * ±1 votes from each token's xxhash64. Scale shape: explode to
-    * (doc_id, token_hash), one hash per token, then ONE aggregate
-    * computes all 64 bit-votes map-side — the same shuffle profile as
-    * a word count, no per-bit re-hash. Shared by q38 (signatures) and
-    * q87 (verified pairs). */
+    * ±1 votes from each token's xxhash64, computed by the native
+    * one-pass [[graft.functions.SimHash64]] expression — a per-row
+    * projection, no token explode, no 64-column vote-aggregate shuffle
+    * (bit-equality with that explode-aggregate form is unit-tested).
+    * Shared by q38 (signatures) and q87 (verified pairs). */
   private def simhashSigs(s: SparkSession, dir: String): DataFrame =
     simhashOf(Tables.documents(s, dir))
 
   /** SimHash signatures of ANY (doc_id, text) frame — reused by the
-    * streaming near-dup ingest on its micro-batches. */
+    * streaming near-dup ingest on its micro-batches. NULL text yields
+    * a NULL signature (callers that must not lose rows keep them). */
   private[graft] def simhashOf(docs: DataFrame): DataFrame = {
-    val tok = docs
-      .select(col("doc_id"), explode(tokens(normText(col("text")))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val voteCols = (0 until 64).map(b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
-        .otherwise(-1L)).as(s"v$b"))
-    val votes = tok.groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
-    val sig = (0 until 64)
-      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    votes.select(col("doc_id"), sig.as("simhash"))
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs.select(col("doc_id"),
+      call_function("simhash64", normText(col("text"))).as("simhash"))
   }
 
   /** The `nBands` band keys of a 64-bit signature (contiguous bit

@@ -230,6 +230,42 @@ class LlmOpsSpec extends SparkTestBase {
     assert(e == eChain)
   }
 
+  test("simhash64 expression is bit-identical to the explode-aggregate form") {
+    graft.functions.GraftFunctions.register(spark)
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val viaExpr = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), call_function("simhash64", norm).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val voteCols = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    val sigCol = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    val viaAgg = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), explode(split(norm, "\\s+")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), sigCol.as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaExpr == viaAgg)
+    // tokenization edges: empty string (one empty token), leading and
+    // trailing whitespace (empty first/last tokens) — same both ways
+    import spark.implicits._
+    val edge = Seq((0L, ""), (1L, " a"), (2L, "a "), (3L, "a  b"))
+      .toDF("doc_id", "text")
+    val e1 = edge.select(col("doc_id"),
+        call_function("simhash64", col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e2 = edge
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), sigCol.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(e1 == e2)
+  }
+
   test("native cosine expression is bit-identical to the declarative form") {
     val emb = graft.Tables.embeddings(spark, Sf).limit(50)
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
