@@ -23,7 +23,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       VectorOps.queries ++ MultimodalOps.queries ++ IotParity.queries ++
-      ExtendedOps.queries ++ SqlOps.queries ++
+      ExtendedOps.queries ++ SqlOps.queries ++ CorpusOps.queries ++
       graft.pipelines.CurationPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -33,6 +33,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ MultimodalOps.oracles ++ IotParity.oracles ++
-      ExtendedOps.oracles ++ SqlOps.oracles ++
+      ExtendedOps.oracles ++ SqlOps.oracles ++ CorpusOps.oracles ++
       graft.pipelines.CurationPipeline.oracles
 }

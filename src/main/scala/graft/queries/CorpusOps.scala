@@ -1,0 +1,358 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+import graft.Tables
+
+/** Corpus-curation extras beyond the TextOps dedup core: deterministic
+  * content-addressed sharding, PII redaction, per-document token
+  * entropy, int8 embedding quantization, Zipf vocabulary fit, and
+  * weighted sampling — the remaining operations a training-data
+  * pipeline runs between dedup and shard writing. (The reference
+  * pipeline — see `/root/reference/scripts/process_iot_data.py` — has
+  * no corpus surface at all; this module is part of the
+  * beyond-the-reference LLM-data mandate.)
+  *
+  * Every query here is DuckDB-oracle-verified. Cross-engine
+  * determinism rules used throughout:
+  *
+  *   - "randomness" is md5-derived: the first 8 hex chars of
+  *     `md5(normalized text)` parsed as a base-16 integer. Spark uses
+  *     the native `conv`; DuckDB (no `conv`) evaluates an unrolled
+  *     strpos-polynomial over the same 8 chars — same value, different
+  *     spelling (values are compared, not SQL text).
+  *   - transcendentals (`ln`) never feed a raw double output: each ln
+  *     is floor-quantized to an exact BIGINT (`floor(ln(x)·1e6)`) so
+  *     sums are order-independent integers and any derived double is a
+  *     deterministic function of integers (a 1-ulp engine difference in
+  *     `ln` flips a floor only within ~1e-10 of a boundary).
+  *   - int/int → double division, float → double casts, and double
+  *     `+ − × ÷ floor abs` are exact IEEE ops — identical bits in both
+  *     engines, safe to emit raw.
+  */
+object CorpusOps {
+
+  /** First 8 md5 hex chars of the column as a non-negative BIGINT in
+    * [0, 2^32) — the deterministic "random" source shared by q100/q105. */
+  private def md5Hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** DuckDB spelling of [[md5Hash32]]: unrolled hex polynomial (DuckDB
+    * has no `conv`). `h` is a SQL expression yielding the md5 hex string. */
+  private def hexPoly(h: String): String =
+    "(" + (0 until 8).map(i =>
+      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1))-1)" +
+        s"*${math.pow(16, 7 - i).toLong}").mkString(" + ") + ")"
+
+  private def normSql(col: String = "text"): String =
+    s"trim(regexp_replace(lower($col), '\\s+', ' ', 'g'))"
+
+  private def norm(c: Column): Column =
+    trim(regexp_replace(lower(c), "\\s+", " "))
+
+  // ------------------------------------------------------- q100 sharding
+
+  /** q100 — content-addressed training-shard assignment + balance
+    * report: shard = md5-hash of the normalized text mod 64, so the
+    * same document lands in the same shard on every run, on any
+    * cluster, regardless of input order or partitioning (byte-identical
+    * re-sharding is what makes incremental corpus rebuilds diffable).
+    * One shuffle on the 64-value shard key; the report is 64 rows.
+    * At 100 TB the same expression feeds `write.partitionBy("shard")`
+    * — the report here is the balance audit of that layout. */
+  def q100ShardAssign(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(pmod(md5Hash32(norm(col("text"))), lit(64L)).as("shard"),
+        col("doc_id"), col("n_chars"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+        min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      .orderBy("shard")
+
+  // ---------------------------------------------------- q101 PII redact
+
+  private val EmailPat = "[a-z0-9.]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhonePat = "\\b\\d{3}-555-\\d{4}\\b"
+  private val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** q101 — PII redaction: emails, phone numbers, and IPv4 addresses
+    * replaced by type tags, with per-class match counts for the audit
+    * log. Pure per-row regex projection — codegen'd, no shuffle, scales
+    * linearly. Like q88's media headers, the PII-bearing text is
+    * CONSTRUCTED deterministically (from customer keys) then redacted,
+    * so the oracle can verify the roundtrip closed-form; the redaction
+    * program itself is exactly what runs on real text. Patterns are
+    * written in the common Java-regex/RE2 subset (no backrefs, no
+    * lookaround) so both engines match identically. */
+  def q101PiiRedact(s: SparkSession, dir: String): DataFrame = {
+    val msg = concat(
+      lit("contact "),
+      regexp_replace(lower(col("c_name")), "[^a-z0-9]", "."),
+      lit("@corp.example.com"), lit(" tel "),
+      lpad((col("c_custkey") % 1000).cast("string"), 3, "0"),
+      lit("-555-"),
+      lpad((col("c_custkey") % 10000).cast("string"), 4, "0"),
+      lit(" ip "),
+      (col("c_custkey") % 256).cast("string"), lit("."),
+      (col("c_nationkey") % 256).cast("string"), lit("."),
+      expr("(c_custkey DIV 256) % 256").cast("string"), lit("."),
+      ((col("c_custkey") * 7) % 256).cast("string"),
+      lit(" segment "), col("c_mktsegment"))
+    Tables.customer(s, dir)
+      .select(col("c_custkey"), msg.as("msg"))
+      .select(col("c_custkey"),
+        length(col("msg")).as("msg_len"),
+        size(regexp_extract_all(col("msg"), lit(EmailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("msg"), lit(PhonePat), lit(0))).as("n_phones"),
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("msg"), EmailPat, "<EMAIL>"),
+            PhonePat, "<PHONE>"),
+          IpPat, "<IP>").as("redacted"))
+      .orderBy("c_custkey")
+  }
+
+  // -------------------------------------------------- q102 token entropy
+
+  /** q102 — per-document Shannon token entropy (nats) + type-token
+    * ratio: the standard "natural text vs boilerplate/spam" quality
+    * signals (low entropy = repetitive text; low TTR = small
+    * vocabulary). entropy = ln(n) − (Σ c·ln c)/n over per-token counts
+    * c. Shape: explode → two hash aggs keyed by doc_id — partial
+    * aggregation absorbs the explode map-side, and the doc_id keys are
+    * uniform, so the shuffle is skew-free at any corpus size. Both ln
+    * terms are floor-quantized to BIGINTs (see object doc), making
+    * `entropy_scaled` exact and `entropy`/`ttr` deterministic doubles. */
+  def q102TokenEntropy(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val lnQ = (c: Column) => floor(log(d(c)) * 1e6).cast(LongType)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(norm(col("text")), " ")).as("t"))
+      .groupBy("doc_id", "lang", "t").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(floor(d(col("c")) * log(d(col("c"))) * 1e6).cast(LongType)).as("sclnc"))
+      .select(col("doc_id"), col("lang"), col("n_tokens"), col("n_types"),
+        (d(col("n_types")) / col("n_tokens")).as("ttr"),
+        (col("n_tokens") * lnQ(col("n_tokens")) - col("sclnc")).as("entropy_scaled"),
+        ((col("n_tokens") * lnQ(col("n_tokens")) - col("sclnc")) /
+          (lit(1e6) * col("n_tokens"))).as("entropy"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------- q103 int8 quantization
+
+  /** q103 — symmetric int8 embedding quantization report: per-vector
+    * max-abs, quantized checksum Σq, and the total reconstruction error
+    * Σ|x − q/scale| (scale = 127/max_abs, q = floor(x·scale + ½) ∈
+    * [−127, 127] by construction — `floor(x+½)` instead of `round`
+    * because both engines floor identically while their `round`s
+    * differ at rendering-boundary halves). Everything is per-row
+    * higher-order `aggregate` over the embedding array — no explode, no
+    * shuffle, linear scan; the report is the audit a quantized-index
+    * build logs. All-zero vectors get NULL scale/error (nullif guard). */
+  def q103EmbedQuant(s: SparkSession, dir: String): DataFrame = {
+    val e = col("embedding")
+    val maxAbs = array_max(transform(e, x => abs(x.cast(DoubleType))))
+    val scale = lit(127.0) / nullif(maxAbs, lit(0.0))
+    val qv = (x: Column) => floor(x.cast(DoubleType) * scale + lit(0.5))
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"), size(e).as("n_dims"),
+        maxAbs.as("max_abs"),
+        aggregate(e, lit(0L), (acc, x) => acc + qv(x).cast(LongType)).as("sum_q"),
+        aggregate(e, lit(0L), (acc, x) =>
+          acc + floor(abs(x.cast(DoubleType) - qv(x) / scale) * 1e9)
+            .cast(LongType)).as("err_scaled"))
+      .orderBy("vec_id")
+  }
+
+  // ------------------------------------------------------- q104 Zipf fit
+
+  /** q104 — Zipf law fit per language: least-squares regression of
+    * ln(frequency) on ln(rank) over the top-1000 vocabulary terms.
+    * Natural corpora run slope ≈ −1; a flat slope flags synthetic or
+    * templated text, a cliff flags boilerplate domination — a one-row-
+    * per-language corpus-health gauge. Shape: word count (map-side
+    * combined) → per-lang top-k window (k rows survive per lang) →
+    * closed-form regression from integer sufficient statistics (the
+    * quantized-ln idiom, same shape as q97). */
+  def q104ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val d = (c: Column) => c.cast(DoubleType)
+    val lnQ = (c: Column) => floor(log(d(c)) * 1e6).cast(LongType)
+    val ranked = Tables.documents(s, dir)
+      .select(col("lang"), explode(split(norm(col("text")), " ")).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("t"))))
+      .filter(col("r") <= 1000)
+      .select(col("lang"), lnQ(col("r")).as("x"), lnQ(col("c")).as("y"))
+    val det = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val cov = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lang"), col("n").as("n_terms"),
+        (cov / nullif(det, lit(0.0))).as("slope"),
+        ((d(col("sy")) - (cov / nullif(det, lit(0.0))) * d(col("sx"))) /
+          d(col("n"))).as("intercept"),
+        ((cov * cov) / nullif(det *
+          (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))),
+          lit(0.0))).as("r2"))
+      .orderBy("lang")
+  }
+
+  // ------------------------------------------------ q105 weighted sample
+
+  /** q105 — deterministic weighted sampling (Efraimidis–Spirakis A-ES):
+    * each document gets key = −ln(u)/w with u ∈ (0,1] md5-derived and
+    * w = n_chars, and the k smallest keys per language win — longer
+    * documents proportionally more likely, yet the sample is a pure
+    * function of content (reproducible across runs/clusters, stable
+    * under repartitioning — the property `sample(fraction)` cannot
+    * give). Per-lang top-k window; at 100 TB swap the window for the
+    * same key into a per-partition top-k + merge (q18's
+    * TakeOrderedAndProject shape) — the key stays identical. */
+  def q105WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (md5Hash32(norm(col("text"))) + 1).cast(DoubleType) / lit(4294967296.0)
+    val key = -log(u) / nullif(col("n_chars"), lit(0L)).cast(DoubleType)
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"), col("n_chars"), key.as("k"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("k"), col("doc_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "rank")
+  }
+
+  // ------------------------------------------------------------ registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q100_shard_assign" -> (q100ShardAssign _),
+    "q101_pii_redact" -> (q101PiiRedact _),
+    "q102_token_entropy" -> (q102TokenEntropy _),
+    "q103_embed_quant" -> (q103EmbedQuant _),
+    "q104_zipf_fit" -> (q104ZipfFit _),
+    "q105_weighted_sample" -> (q105WeightedSample _))
+
+  private val email = EmailPat
+  private val phone = PhonePat
+  private val ip = IpPat
+
+  val oracles: Map[String, String] = Map(
+    "q100_shard_assign" -> s"""
+      |SELECT shard, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM (SELECT ${hexPoly(s"md5(${normSql()})")} % 64 AS shard,
+      |        doc_id, n_chars FROM documents)
+      |GROUP BY shard ORDER BY shard""".stripMargin,
+
+    "q101_pii_redact" -> s"""
+      |WITH msg AS (
+      |  SELECT c_custkey,
+      |    concat('contact ',
+      |      regexp_replace(lower(c_name), '[^a-z0-9]', '.', 'g'),
+      |      '@corp.example.com', ' tel ',
+      |      lpad(CAST(c_custkey % 1000 AS VARCHAR), 3, '0'), '-555-',
+      |      lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0'),
+      |      ' ip ', CAST(c_custkey % 256 AS VARCHAR), '.',
+      |      CAST(c_nationkey % 256 AS VARCHAR), '.',
+      |      CAST((c_custkey // 256) % 256 AS VARCHAR), '.',
+      |      CAST((c_custkey * 7) % 256 AS VARCHAR),
+      |      ' segment ', c_mktsegment) AS msg
+      |  FROM customer)
+      |SELECT c_custkey, CAST(length(msg) AS INTEGER) AS msg_len,
+      |  CAST(len(regexp_extract_all(msg, '$email')) AS INTEGER) AS n_emails,
+      |  CAST(len(regexp_extract_all(msg, '$phone')) AS INTEGER) AS n_phones,
+      |  regexp_replace(regexp_replace(regexp_replace(msg,
+      |    '$email', '<EMAIL>', 'g'), '$phone', '<PHONE>', 'g'),
+      |    '$ip', '<IP>', 'g') AS redacted
+      |FROM msg ORDER BY c_custkey""".stripMargin,
+
+    "q102_token_entropy" -> s"""
+      |WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(${normSql()}, ' ')) AS t
+      |  FROM documents),
+      |cnt AS (
+      |  SELECT doc_id, lang, t, count(*) AS c FROM tok
+      |  GROUP BY doc_id, lang, t),
+      |agg AS (
+      |  SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tokens,
+      |    count(*) AS n_types,
+      |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+      |      * 1e6) AS BIGINT)) AS BIGINT) AS sclnc
+      |  FROM cnt GROUP BY doc_id, lang)
+      |SELECT doc_id, lang, n_tokens, n_types,
+      |  CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+      |  n_tokens * CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+      |    - sclnc AS entropy_scaled,
+      |  (n_tokens * CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+      |    - sclnc) / (1e6 * n_tokens) AS entropy
+      |FROM agg ORDER BY doc_id""".stripMargin,
+
+    "q103_embed_quant" -> """
+      |WITH el AS (
+      |  SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |    len(embedding) AS n_dims
+      |  FROM embeddings),
+      |m AS (SELECT vec_id, max(abs(x)) AS max_abs FROM el GROUP BY vec_id)
+      |SELECT el.vec_id, any_value(el.label) AS label,
+      |  CAST(any_value(el.n_dims) AS INTEGER) AS n_dims,
+      |  any_value(m.max_abs) AS max_abs,
+      |  CAST(sum(CAST(floor(el.x * (127e0 / nullif(m.max_abs, 0e0)) + 5e-1)
+      |    AS BIGINT)) AS BIGINT) AS sum_q,
+      |  CAST(sum(CAST(floor(abs(el.x -
+      |      floor(el.x * (127e0 / nullif(m.max_abs, 0e0)) + 5e-1)
+      |        / (127e0 / nullif(m.max_abs, 0e0))) * 1e9) AS BIGINT))
+      |    AS BIGINT) AS err_scaled
+      |FROM el JOIN m ON el.vec_id = m.vec_id
+      |GROUP BY el.vec_id ORDER BY el.vec_id""".stripMargin,
+
+    "q104_zipf_fit" -> s"""
+      |WITH tok AS (
+      |  SELECT lang, unnest(string_split(${normSql()}, ' ')) AS t
+      |  FROM documents),
+      |vc AS (SELECT lang, t, count(*) AS c FROM tok GROUP BY lang, t),
+      |rk AS (SELECT lang, c,
+      |    row_number() OVER (PARTITION BY lang ORDER BY c DESC, t) AS r
+      |  FROM vc),
+      |su AS (SELECT lang,
+      |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+      |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT) AS y
+      |  FROM rk WHERE r <= 1000),
+      |st AS (SELECT lang, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(x*y) AS BIGINT) AS sxy,
+      |    CAST(sum(y*y) AS BIGINT) AS syy
+      |  FROM su GROUP BY lang)
+      |SELECT lang, n AS n_terms,
+      |  (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+      |    / nullif(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx, 0e0)
+      |    AS slope,
+      |  (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+      |    / nullif(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx, 0e0))
+      |    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept,
+      |  ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy)
+      |    * (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy))
+      |    / nullif((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx)
+      |      * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy), 0e0) AS r2
+      |FROM st ORDER BY lang""".stripMargin,
+
+    "q105_weighted_sample" -> s"""
+      |WITH k AS (
+      |  SELECT lang, doc_id, n_chars,
+      |    -ln((${hexPoly(s"md5(${normSql()})")} + 1) / 4294967296e0)
+      |      / nullif(n_chars, 0) AS key
+      |  FROM documents),
+      |rk AS (SELECT lang, doc_id, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY key, doc_id)
+      |      AS INTEGER) AS rank
+      |  FROM k)
+      |SELECT lang, rank, doc_id, n_chars FROM rk
+      |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)
+}

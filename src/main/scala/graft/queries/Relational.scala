@@ -172,11 +172,17 @@ object Relational {
 
   /** q12 — approx_count_distinct (HLL++): the 100 TB answer to exact
     * count-distinct's full shuffle. No oracle — approximate by design;
-    * driver records a rows-only check. */
+    * driver records a rows-only check.
+    *
+    * rsd 0.02 (p=12, 4096 registers ≈ 410 longs of aggregation buffer
+    * per group), not 0.01: p=14 would quadruple the buffer to ~1.6k
+    * longs per group — a codegen-width and per-group-memory cliff that
+    * at high group cardinality dominates the aggregation hash map —
+    * for one decimal of error nobody reads off a dashboard. */
   def q12ApproxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         count(lit(1)).as("n"))
       .orderBy("l_returnflag")
 

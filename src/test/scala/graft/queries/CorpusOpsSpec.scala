@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Semantic properties of the CorpusOps surface (the oracle gate checks
+  * value equality with DuckDB; these check the operators MEAN what they
+  * claim). */
+class CorpusOpsSpec extends SparkTestBase {
+
+  test("q100 shard assignment is total, stable, and content-addressed") {
+    val docs = graft.Tables.documents(spark, Sf)
+    val rep = CorpusOps.q100ShardAssign(spark, Sf).collect()
+    // every document lands in exactly one shard
+    assert(rep.map(_.getLong(1)).sum == docs.count())
+    assert(rep.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 64))
+    // independent recomputation is byte-identical (content-addressed:
+    // no RNG, no partition dependence)
+    val again = CorpusOps.q100ShardAssign(spark, Sf).collect()
+    assert(rep.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("q101 redaction leaves no matchable PII behind") {
+    val out = CorpusOps.q101PiiRedact(spark, Sf)
+    val leftover = out.filter(
+      col("redacted").rlike("[a-z0-9.]+@[a-z0-9.-]+\\.[a-z]{2,}") ||
+      col("redacted").rlike("\\b\\d{3}-555-\\d{4}\\b") ||
+      col("redacted").rlike("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"))
+    assert(leftover.count() == 0)
+    // and each constructed message contained exactly one of each class
+    assert(out.filter(col("n_emails") =!= 1 || col("n_phones") =!= 1)
+      .count() == 0)
+    assert(out.filter(!col("redacted").contains("<EMAIL>") ||
+      !col("redacted").contains("<PHONE>") ||
+      !col("redacted").contains("<IP>")).count() == 0)
+  }
+
+  test("q102 entropy is 0 for single-type docs and ≤ ln(n_types)") {
+    val out = CorpusOps.q102TokenEntropy(spark, Sf)
+      .select("doc_id", "n_types", "entropy").collect()
+    out.foreach { r =>
+      val (types, ent) = (r.getLong(1), r.getDouble(2))
+      if (types == 1L) assert(math.abs(ent) < 1e-5)
+      // uniform distribution maximizes entropy at ln(n_types); the
+      // quantized computation can overshoot by at most ~2e-6
+      assert(ent <= math.log(types.toDouble) + 1e-5)
+      assert(ent >= -1e-5)
+    }
+  }
+
+  test("q103 per-dim quantization error is bounded by half a step") {
+    val out = CorpusOps.q103EmbedQuant(spark, Sf)
+      .select("n_dims", "max_abs", "err_scaled").collect()
+    out.foreach { r =>
+      val (n, maxAbs, err) = (r.getInt(0), r.getDouble(1), r.getLong(2))
+      if (maxAbs > 0) {
+        // q = floor(x·scale + ½) ⇒ |x − q/scale| ≤ (1/2)/scale per dim
+        val bound = n * (maxAbs / 127.0 / 2.0) * 1e9 + n // +n: floor slack
+        assert(err <= bound, s"err=$err bound=$bound")
+      }
+    }
+  }
+
+  test("q104 Zipf slope is negative with meaningful fit on every lang") {
+    val out = CorpusOps.q104ZipfFit(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getDouble(2) < 0.0, s"slope ${r.getDouble(2)} not negative")
+      val r2 = r.getDouble(4)
+      assert(r2 > 0.0 && r2 <= 1.0 + 1e-12)
+    }
+  }
+
+  test("q105 weighted sample is deterministic and ranked per language") {
+    val a = CorpusOps.q105WeightedSample(spark, Sf).collect()
+    val b = CorpusOps.q105WeightedSample(spark, Sf).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq)
+    // exactly ranks 1..k per language, k ≤ 5
+    a.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val ranks = rows.map(_.getInt(1)).sorted.toSeq
+      assert(ranks == (1 to ranks.size))
+    }
+  }
+
+  test("q105 weighting favors longer documents") {
+    // Efraimidis–Spirakis with w = n_chars: the selected docs' mean
+    // length should exceed the corpus mean (a weak but deterministic
+    // check — the sample is fixed given the data)
+    val docs = graft.Tables.documents(spark, Sf)
+    val corpusMean = docs.agg(avg(col("n_chars"))).first().getDouble(0)
+    val sampleMean = CorpusOps.q105WeightedSample(spark, Sf)
+      .agg(avg(col("n_chars"))).first().getDouble(0)
+    assert(sampleMean > corpusMean * 0.9,
+      s"sample mean $sampleMean vs corpus mean $corpusMean")
+  }
+}
