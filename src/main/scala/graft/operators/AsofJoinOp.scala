@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.Attribute
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.classic.{SparkSession => CSparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graft.Bridge
+
+import graft.plans.{AsofJoin, AsofJoinStrategy}
+
+/** DataFrame-level entry point for the custom as-of join plan
+  * (`graft.plans.AsofJoin`). Registers the planner strategy on the
+  * session the first time it's used (deployments that set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` get it on
+  * every session without this).
+  *
+  * `asof(trades, quotes, keys = Seq("sym" -> "sym"), time = "ts" -> "qts")`
+  * returns trades ++ quotes columns where each trade carries the
+  * latest quote with `qts <= ts` for its key (NULLs when none).
+  */
+object AsofJoinOp {
+
+  def asof(left: DataFrame, right: DataFrame,
+      keys: Seq[(String, String)], time: (String, String)): DataFrame = {
+    require(keys.nonEmpty, "as-of join needs at least one key pair")
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lPlan = Bridge.analyzed(left)
+    // hand-built nodes bypass the analyzer's DeduplicateRelations, so a
+    // self-join's shared attribute ids must be broken by re-aliasing
+    // (fresh ids) before the node is assembled
+    val rSafe =
+      if (Bridge.analyzed(right).outputSet.intersect(lPlan.outputSet).nonEmpty)
+        right.select(right.columns.toSeq.map(c => col(c).as(c)): _*)
+      else right
+    val rPlan = Bridge.analyzed(rSafe)
+    val node = AsofJoin(lPlan, rPlan,
+      keys.map(k => attr(lPlan, k._1)), keys.map(k => attr(rPlan, k._2)),
+      attr(lPlan, time._1), attr(rPlan, time._2))
+    Bridge.ofRows(spark, node)
+  }
+
+  private def attr(plan: LogicalPlan, name: String): Attribute =
+    plan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
+
+  /** Idempotent per-session strategy registration via the public
+    * `experimental` hook (no session rebuild needed). */
+  def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cs = spark.asInstanceOf[CSparkSession]
+    if (!cs.experimental.extraStrategies.contains(AsofJoinStrategy))
+      cs.experimental.extraStrategies =
+        cs.experimental.extraStrategies :+ AsofJoinStrategy
+  }
+}

@@ -1,0 +1,173 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BoundReference, Expression, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** AS-OF JOIN as a first-class operator — the full custom-plan stack
+  * (SURVEY.md §7.3 tier (c)): logical node → planner strategy →
+  * physical exec, registered via `SparkSessionExtensions`
+  * (`graft.functions.GraftExtensions`) or per-session through
+  * `spark.experimental.extraStrategies`.
+  *
+  * Semantics (left as-of join, the time-series standard): for every
+  * left row, the single right row with equal join keys and the GREATEST
+  * right-time ≤ left-time; left rows with no such match keep NULLs on
+  * the right (left-outer). SQL-null key or time never matches.
+  *
+  * Why a custom operator instead of composing built-ins: Spark has no
+  * as-of join — the declarative re-expressions are a union + keyed
+  * window carry (`EventOps.q27AsofJoin`, one shuffle of n+m rows, full
+  * per-key sort of the merged stream, and only ONE carried right
+  * column without widening the window state) or an inequality join
+  * (BroadcastNestedLoop — quadratic). This exec is the shape a native
+  * engine uses: co-partition both sides on the key (two shuffles that
+  * AQE sizes independently), sort each side once, then a single
+  * forward-only merge pass per partition — O(n+m) compares, ONE
+  * buffered right row of state, and the whole right row is available
+  * to the output, not one carried column.
+  *
+  * 100 TB posture: both shuffles are plain hash-partitioned exchanges
+  * (skew-salting and AQE skew handling apply as with any join); the
+  * merge holds one right row — memory per task is the sort's, which
+  * spills. The exec declares `outputPartitioning`/`outputOrdering`
+  * from its left child, so downstream per-key aggregates reuse the
+  * exchange.
+  */
+case class AsofJoin(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression) extends BinaryNode {
+
+  require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
+    "as-of join needs at least one equi-key pair")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsofJoin =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsofJoin]] → [[AsofJoinExec]]. Register through
+  * `GraftExtensions` or `spark.experimental.extraStrategies`. */
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoin(l, r, lk, rk, lt, rt) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Sorted-merge as-of join: children co-partitioned on the keys and
+  * sorted by (keys, time) — EnsureRequirements inserts the exchanges
+  * and sorts — then one forward-only merge per partition. */
+case class AsofJoinExec(
+    leftKeys: Seq[Expression],
+    rightKeys: Seq[Expression],
+    leftTime: Expression,
+    rightTime: Expression,
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  // left rows pass through in place and in order — let downstream
+  // per-key operators reuse this exchange + sort
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val leftOut = left.output
+    val rightOut = right.output
+    val (lk, rk, lt, rt) = (leftKeys, rightKeys, leftTime, rightTime)
+    val keyTypes = lk.map(_.dataType)
+    val timeType = lt.dataType
+    val outAttrs = output
+    left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
+      (lIter, rIter) =>
+        val lKeyProj = UnsafeProjection.create(lk, leftOut)
+        val rKeyProj = UnsafeProjection.create(rk, rightOut)
+        val lTimeProj = UnsafeProjection.create(Seq(lt), leftOut)
+        val rTimeProj = UnsafeProjection.create(Seq(rt), rightOut)
+        val keyOrd = GenerateOrdering.generate(keyTypes.zipWithIndex.map {
+          case (dt, i) => SortOrder(BoundReference(i, dt, nullable = true), Ascending)
+        })
+        val timeOrd = GenerateOrdering.generate(Seq(
+          SortOrder(BoundReference(0, timeType, nullable = true), Ascending)))
+        // bind against a nullable view of the right schema: BindReferences
+        // takes nullability from the INPUT attribute, and a non-nullable
+        // right child would codegen away the null checks that the
+        // no-match nullRight row needs
+        val outProj = UnsafeProjection.create(outAttrs,
+          leftOut ++ rightOut.map(_.withNullability(true)))
+        val nullRight = new GenericInternalRow(rightOut.size)
+        val joined = new JoinedRow
+        val rBuf = rIter.buffered
+
+        new Iterator[InternalRow] {
+          // the latest time-eligible right row seen, and for which key
+          // (rows ahead of the left cursor stay unconsumed, so this is
+          // the operator's ENTIRE cross-row state: one row + one key)
+          private var lastRight: InternalRow = _
+          private var lastRightKey: UnsafeRow = _
+
+          override def hasNext: Boolean = lIter.hasNext
+
+          override def next(): InternalRow = {
+            val lrow = lIter.next()
+            val lkRow = lKeyProj(lrow)
+            val ltRow = lTimeProj(lrow)
+            if (lkRow.anyNull || ltRow.isNullAt(0)) {
+              // SQL semantics: NULL keys/times never match
+              return outProj(joined(lrow, nullRight))
+            }
+            var done = false
+            while (!done && rBuf.hasNext) {
+              val rkRow = rKeyProj(rBuf.head)
+              if (rkRow.anyNull) { rBuf.next() } // can never match anything
+              else {
+                val c = keyOrd.compare(rkRow, lkRow)
+                if (c < 0) {
+                  // left keys only grow — rights behind the key are dead
+                  rBuf.next(); lastRight = null; lastRightKey = null
+                } else if (c == 0) {
+                  val rtRow = rTimeProj(rBuf.head)
+                  if (rtRow.isNullAt(0)) { rBuf.next() }
+                  else if (timeOrd.compare(rtRow, ltRow) <= 0) {
+                    // newest time-eligible right so far for this key
+                    // (lkRow == rkRow here, and lkRow is the stable buffer)
+                    lastRightKey = lkRow.copy()
+                    lastRight = rBuf.next().copy()
+                  } else done = true // right is ahead in time — stop
+                } else done = true // right is ahead in key — stop
+              }
+            }
+            val matched = lastRight != null &&
+              keyOrd.compare(lastRightKey, lkRow) == 0
+            outProj(joined(lrow, if (matched) lastRight else nullRight))
+          }
+        }
+    }
+  }
+}

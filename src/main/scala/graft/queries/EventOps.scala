@@ -125,12 +125,38 @@ object EventOps {
         col("n_events"), col("sum_value"))
       .orderBy("win_start")
 
+  /** q106 — the SAME as-of query as q27, through the custom
+    * sorted-merge plan ([[graft.plans.AsofJoin]] → `AsofJoinExec`)
+    * instead of the union+window re-expression: co-partition errors
+    * and clicks on user_id, sort each side once, one forward merge
+    * pass. Shares q27's DuckDB native-ASOF oracle — so BOTH the
+    * declarative twin and the custom operator are independently
+    * verified against a reference as-of implementation, and each
+    * other. */
+  def q106AsofExec(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("ts").as("c_ts"))
+    graft.operators.AsofJoinOp
+      .asof(errors, clicks, Seq("user_id" -> "c_user_id"), "ts" -> "c_ts")
+      .filter(col("c_ts").isNotNull)
+      .select(col("event_id"), col("user_id"),
+        col("c_ts").as("last_click_ts"),
+        ((unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(col("c_ts").cast("timestamp"))) / lit(1e6))
+          .as("gap_seconds"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_json_extract" -> (q24JsonExtract _),
     "q49_sliding_window" -> (q49SlidingWindow _),
     "q25_tumbling_window" -> (q25TumblingWindow _),
     "q26_sessionize" -> (q26Sessionize _),
     "q27_asof_join" -> (q27AsofJoin _),
+    "q106_asof_exec" -> (q106AsofExec _),
     "q46_map_fns" -> (q46MapFns _),
   )
 
@@ -169,6 +195,15 @@ object EventOps {
         |  CAST(sum(n_events) AS BIGINT) AS total_events
         |FROM per_session GROUP BY user_id ORDER BY user_id""".stripMargin,
     "q27_asof_join" ->
+      """SELECT e.event_id, e.user_id,
+        |  CAST(c.ts AS TIMESTAMP) AS last_click_ts,
+        |  (epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))) / 1e6 AS gap_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON e.user_id = c.user_id AND c.ts <= e.ts
+        |ORDER BY e.event_id""".stripMargin,
+    // identical semantics through the custom sorted-merge exec
+    "q106_asof_exec" ->
       """SELECT e.event_id, e.user_id,
         |  CAST(c.ts AS TIMESTAMP) AS last_click_ts,
         |  (epoch_us(CAST(e.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP))) / 1e6 AS gap_seconds
