@@ -46,12 +46,16 @@ object AsofJoinOp {
       throw new IllegalArgumentException(
         s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
 
-  /** Idempotent per-session strategy registration via the public
-    * `experimental` hook (no session rebuild needed). */
+  /** Idempotent per-session registration of the planner strategy and
+    * the pushdown rule via the public `experimental` hooks (no session
+    * rebuild needed). */
   def ensureStrategy(spark: org.apache.spark.sql.SparkSession): Unit = {
     val cs = spark.asInstanceOf[CSparkSession]
     if (!cs.experimental.extraStrategies.contains(AsofJoinStrategy))
       cs.experimental.extraStrategies =
         cs.experimental.extraStrategies :+ AsofJoinStrategy
+    if (!cs.experimental.extraOptimizations.contains(graft.plans.AsofJoinPushdown))
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ graft.plans.AsofJoinPushdown
   }
 }

@@ -67,6 +67,38 @@ object AsofJoinStrategy extends SparkStrategy {
   }
 }
 
+/** Filter pushdown through [[AsofJoin]] — the `Rule[LogicalPlan]` tier
+  * of the custom-operator stack. Catalyst's own PushDownPredicates
+  * cannot see through an unknown node, so without this rule every
+  * predicate a user writes above an as-of join sits there and the left
+  * scan reads 100% of its data.
+  *
+  * Safe direction only: each output row derives from exactly ONE left
+  * row (the join is 1:1 left-outer), so deterministic predicates over
+  * left-side columns commute with the join and move into the left
+  * child (then reach the parquet scan via PhysicalOperation).
+  * Right-side predicates do NOT move — below the join they would
+  * change which right row is "latest" and break the outer semantics —
+  * exactly the left-outer pushdown asymmetry Catalyst applies to
+  * built-in joins. */
+object AsofJoinPushdown extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond, aj: AsofJoin) =>
+      val (pushable, rest) = splitConjunctivePredicates(cond).partition(p =>
+        p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(left =
+          org.apache.spark.sql.catalyst.plans.logical.Filter(
+            pushable.reduce(org.apache.spark.sql.catalyst.expressions.And), aj.left))
+        rest.reduceOption(org.apache.spark.sql.catalyst.expressions.And)
+          .map(org.apache.spark.sql.catalyst.plans.logical.Filter(_, pushed))
+          .getOrElse(pushed)
+      }
+  }
+}
+
 /** Sorted-merge as-of join: children co-partitioned on the keys and
   * sorted by (keys, time) — EnsureRequirements inserts the exchanges
   * and sorts — then one forward-only merge per partition. */

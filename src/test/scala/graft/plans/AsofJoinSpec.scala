@@ -95,6 +95,38 @@ class AsofJoinSpec extends SparkTestBase {
     assert(rows.forall(r => r.getLong(1) == r.getLong(4)))
   }
 
+  test("left-side filters push through the join; right-side filters stay") {
+    val ev = graft.Tables.events(spark, Sf)
+    val joined = AsofJoinOp.asof(
+      ev.filter(col("event_type") === "error").select("event_id", "user_id", "ts"),
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("ts").as("c_ts")),
+      Seq("user_id" -> "c_user_id"), "ts" -> "c_ts")
+    // left-side predicate: must sink below the AsofJoin node
+    val leftFiltered = joined.filter(col("user_id") < 50)
+    val opt = leftFiltered.queryExecution.optimizedPlan
+    val filterAbove = opt.collect {
+      case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(_, _: AsofJoin) => f
+    }
+    assert(filterAbove.isEmpty, s"left filter not pushed:\n$opt")
+    // and the result matches pre-filtering the left input
+    val expected = AsofJoinOp.asof(
+      ev.filter(col("event_type") === "error" && col("user_id") < 50)
+        .select("event_id", "user_id", "ts"),
+      ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user_id"), col("ts").as("c_ts")),
+      Seq("user_id" -> "c_user_id"), "ts" -> "c_ts")
+      .collect().map(_.toString).sorted.toSeq
+    assert(leftFiltered.collect().map(_.toString).sorted.toSeq == expected)
+    // right-side predicate: must NOT move below the join (outer
+    // semantics — below the join it would change the as-of match)
+    val rightFiltered = joined.filter(col("c_ts").isNotNull)
+    val stays = rightFiltered.queryExecution.optimizedPlan.collect {
+      case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _: AsofJoin) => cond
+    }
+    assert(stays.nonEmpty, "right-side filter was wrongly pushed")
+  }
+
   test("result is stable across input partitioning") {
     val left = (1 to 500).map(i => (s"k${i % 7}", (i * 13 % 101).toLong, i))
     val right = (1 to 300).map(i => (s"k${i % 11}", (i * 17 % 97).toLong, i))
