@@ -391,38 +391,58 @@ object ExtendedOps {
     def barrier(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     try {
-    val edges = barrier(
+    // Iterated graph CONTRACTION, not fixed-graph label propagation:
+    // each round computes l(v) = min(v, neighbors), pointer-jumps once
+    // (l∘l — keeps chain diameters O(log) instead of O(n) rounds),
+    // relabels the edge list by l∘l and DROPS intra-component edges.
+    // Near-dup graphs are mostly dense cliques, so the first round
+    // collapses almost everything and later rounds run on a
+    // geometrically shrinking remainder — unlike propagation on the
+    // full edge list, which rescans 100% of the edges every round.
+    // That shrinkage is the 100 TB property: total work is ~2 passes
+    // over the input edges, not rounds × edges.
+    var edges = barrier(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
-    var labels = barrier(
+    // id → current component label for EVERY original vertex; composed
+    // with each round's contraction map
+    var mapping = barrier(
       edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("comp")))
-    // label sums stay well under 2^63 while doc_ids ≤ ~2^40 and clustered
-    // docs ≤ ~2^22; at larger scale track the sum as DECIMAL(38).
-    // coalesce: sum over ZERO rows is NULL (empty pair graph — no doc
-    // reaches the threshold), which must read as 0, not NPE
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("comp")), lit(0L))).first().getLong(0)
-    var prevSum = -1L
-    var curSum = labelSum(labels)
+    var nEdges = edges.count()
     var iter = 0
-    while (curSum != prevSum && iter < 25) {
-      prevSum = curSum
-      val prop = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("comp"))
-      val minN = prop.union(labels.select(col("id"), col("comp")))
-        .groupBy("id").agg(min(col("comp")).as("comp"))
-      // pointer jumping: comp is always itself a vertex id, so replace
-      // each comp by that vertex's comp — halves label-chain length
-      val reps = minN.select(col("id").as("rid"), col("comp").as("rcomp"))
-      val jumped = barrier(
-        minN.join(reps, minN("comp") === reps("rid"))
-          .select(minN("id"), col("rcomp").as("comp")))
-      labels = jumped
-      curSum = labelSum(labels)
+    while (nEdges > 0 && iter < 25) {
+      // min over self ∪ neighbors (the symmetric edge list has every
+      // vertex on the src side, so (src, src) supplies the identity)
+      val l1 = edges.select(col("dst").as("v"), col("src").as("cand"))
+        .union(edges.select(col("src").as("v"), col("src").as("cand")))
+        .groupBy("v").agg(min(col("cand")).as("l"))
+      // one pointer jump: l2(v) = l(l(v)); every l value is itself a
+      // vertex of the current graph, so the self-join is total
+      val l2 = barrier(
+        l1.join(l1.select(col("v").as("lv"), col("l").as("ll")),
+            l1("l") === col("lv"))
+          .select(l1("v"), col("ll").as("l")))
+      // contract: relabel both endpoints, drop now-internal edges
+      edges = barrier(
+        edges.join(l2.select(col("v").as("sv"), col("l").as("sl")),
+            col("src") === col("sv"))
+          .join(l2.select(col("v").as("dv"), col("l").as("dl")),
+            col("dst") === col("dv"))
+          .filter(col("sl") =!= col("dl"))
+          .select(col("sl").as("src"), col("dl").as("dst"))
+          .distinct())
+      // compose: comp values are current-graph vertices; ones whose
+      // component already fully contracted have no l2 row and keep
+      // their (final) label — hence the left join + coalesce
+      mapping = barrier(
+        mapping.join(l2.select(col("v").as("mv"), col("l").as("ml")),
+            mapping("comp") === col("mv"), "left")
+          .select(mapping("id"), coalesce(col("ml"), mapping("comp")).as("comp")))
+      nEdges = edges.count()
       iter += 1
     }
-    labels.select(col("id"), col("comp").as("cluster_id"))
+    mapping.select(col("id"), col("comp").as("cluster_id"))
     } finally {
       // don't leave the session-global checkpoint dir repointed at our
       // directory — later callers' checkpoint() would land here
