@@ -229,6 +229,50 @@ object CorpusOps {
       .orderBy("lang", "rank")
   }
 
+  // ------------------------------------------------- q107 LM quality score
+
+  /** q107 — bigram-LM quality scoring (the CCNet/perplexity-filter
+    * shape): score each document by its per-bigram cross-entropy under
+    * the corpus's OWN bigram MLE model, xent = avg −ln(c(w1,w2)/c(w1)).
+    * Repetitive/templated text scores near 0, natural prose higher —
+    * the standard "train a cheap LM on the corpus, filter by
+    * perplexity" curation signal, self-contained (no external model).
+    *
+    * Shape: per-row bigram explode (zip_with over two slices, no
+    * window) → two count aggregates → two joins back → per-doc
+    * aggregate. The count tables and join keys are Zipf-skewed by
+    * construction ("the …" dominates) — at 100 TB that's AQE skew-join
+    * territory, or salt c1's hot prefixes; the aggregates themselves
+    * combine map-side. The bigram frame feeds three consumers, so it
+    * is checkpointed once. No smoothing is needed: the model is
+    * trained on the scored corpus itself, so every scored bigram has
+    * count ≥ 1. Both ln terms are floor-quantized (object doc) —
+    * `xent_scaled` is an exact BIGINT. */
+  def q107BigramLm(s: SparkSession, dir: String): DataFrame = {
+    val lnQ = (c: Column) => floor(log(c.cast(DoubleType)) * 1e6).cast(LongType)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), split(norm(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = docs.select(col("doc_id"), col("lang"),
+        explode(zip_with(
+          slice(col("t"), lit(1), size(col("t")) - 1),
+          slice(col("t"), lit(2), size(col("t")) - 1),
+          (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .select(col("doc_id"), col("lang"),
+        col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint()
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+      .select(col("doc_id"), col("lang"),
+        (lnQ(col("c1")) - lnQ(col("c12"))).as("q"))
+      .groupBy("doc_id", "lang")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("xent_scaled"))
+      .select(col("doc_id"), col("lang"), col("n_bigrams"), col("xent_scaled"),
+        (col("xent_scaled") / (lit(1e6) * col("n_bigrams"))).as("xent"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -237,7 +281,8 @@ object CorpusOps {
     "q102_token_entropy" -> (q102TokenEntropy _),
     "q103_embed_quant" -> (q103EmbedQuant _),
     "q104_zipf_fit" -> (q104ZipfFit _),
-    "q105_weighted_sample" -> (q105WeightedSample _))
+    "q105_weighted_sample" -> (q105WeightedSample _),
+    "q107_bigram_lm" -> (q107BigramLm _))
 
   private val email = EmailPat
   private val phone = PhonePat
@@ -354,5 +399,25 @@ object CorpusOps {
       |      AS INTEGER) AS rank
       |  FROM k)
       |SELECT lang, rank, doc_id, n_chars FROM rk
-      |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin)
+      |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+
+    "q107_bigram_lm" -> s"""
+      |WITH d AS (
+      |  SELECT doc_id, lang, string_split(${normSql()}, ' ') AS toks
+      |  FROM documents
+      |  WHERE len(string_split(${normSql()}, ' ')) >= 2),
+      |bg0 AS (SELECT doc_id, lang,
+      |    unnest(list_zip(toks, toks[2:])) AS p FROM d),
+      |bg AS (SELECT doc_id, lang, p[1] AS w1, p[2] AS w2 FROM bg0
+      |       WHERE p[2] IS NOT NULL),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      |q AS (SELECT doc_id, lang,
+      |    CAST(floor(ln(CAST(c1.c1 AS DOUBLE)) * 1e6) AS BIGINT)
+      |      - CAST(floor(ln(CAST(c12.c12 AS DOUBLE)) * 1e6) AS BIGINT) AS q
+      |  FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+      |SELECT doc_id, lang, count(*) AS n_bigrams,
+      |  CAST(sum(q) AS BIGINT) AS xent_scaled,
+      |  CAST(sum(q) AS BIGINT) / (1e6 * count(*)) AS xent
+      |FROM q GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin)
 }

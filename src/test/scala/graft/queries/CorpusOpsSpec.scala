@@ -83,6 +83,28 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q107 cross-entropy is non-negative and repetition scores lowest") {
+    val rows = CorpusOps.q107BigramLm(spark, Sf)
+      .select("doc_id", "n_bigrams", "xent").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // xent = avg(ln c1 − ln c12) with c12 ≤ c1; quantization can dip
+      // at most 1e-6 per bigram below zero
+      assert(r.getDouble(2) >= -1e-5, s"doc ${r.getLong(0)} xent negative")
+      assert(!r.getDouble(2).isNaN && !r.getDouble(2).isInfinite)
+    }
+    // a corpus-unique natural doc must outscore a doc made of one
+    // repeated bigram — check the property on the real corpus: the
+    // min-xent doc has lower type/token diversity than the max-xent doc
+    val ent = CorpusOps.q102TokenEntropy(spark, Sf)
+      .select("doc_id", "ttr").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lo = rows.minBy(_.getDouble(2)).getLong(0)
+    val hi = rows.maxBy(_.getDouble(2)).getLong(0)
+    assert(ent(lo) <= ent(hi),
+      s"min-xent doc $lo has higher TTR than max-xent doc $hi")
+  }
+
   test("q105 weighting favors longer documents") {
     // Efraimidis–Spirakis with w = n_chars: the selected docs' mean
     // length should exceed the corpus mean (a weak but deterministic
