@@ -409,4 +409,54 @@ class LlmOpsSpec extends SparkTestBase {
       assert(r.getAs[Int]("height") >= 1 && r.getAs[Int]("height") <= 720)
     }
   }
+
+  test("q108 bounded-state covariance matches the explode+groupBy twin") {
+    val cells = VectorOps.q108Covariance(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cells.size == 64 * 65 / 2)
+    // declarative twin: per-vector (i, j) pair explode, same floor
+    // quantization, shuffles 2080 rows per vector — the shape the
+    // Aggregator exists to avoid, used here as the reference
+    val emb = graft.Tables.embeddings(spark, Sf)
+    val el = emb.select(col("vec_id"),
+      posexplode(col("embedding")).as(Seq("i", "x")))
+      .select(col("vec_id"), col("i"), col("x").cast("double").as("x"))
+    val m = el.groupBy("i")
+      .agg((sum(floor(col("x") * 1e9).cast("long")).cast("double") / 1e9 /
+        count(lit(1))).as("m"))
+    val cen = el.join(m, "i")
+      .select(col("vec_id"), col("i"), (col("x") - col("m")).as("c"))
+    val twin = cen.as("a")
+      .join(cen.as("b"),
+        col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+      .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+      .agg(sum(floor(col("a.c") * col("b.c") * 1e9).cast("long")).as("cs"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(cells == twin)
+  }
+
+  test("topPrincipalComponent is a unit-norm eigenvector of q108's matrix") {
+    val (v, lambda) = VectorOps.topPrincipalComponent(spark, Sf)
+    assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
+    assert(lambda > 0)
+    val c = Array.ofDim[Double](64, 64)
+    VectorOps.q108Covariance(spark, Sf).collect().foreach { r =>
+      val (i, j, cv) = (r.getInt(0), r.getInt(1), r.getDouble(3))
+      c(i)(j) = cv; c(j)(i) = cv
+    }
+    def resid(vec: Array[Double], l: Double): Double = {
+      val cv = Array.tabulate(64)(i =>
+        (0 until 64).map(j => c(i)(j) * vec(j)).sum)
+      math.sqrt(
+        cv.zip(vec).map { case (a, b) => val d = a - l * b; d * d }.sum) / l
+    }
+    // near-random embeddings have a small eigengap, so convergence is
+    // slow — gate loosely and assert it tightens with more iterations
+    assert(resid(v, lambda) < 1e-2, s"residual ${resid(v, lambda)}")
+    val (v3, l3) = VectorOps.topPrincipalComponent(spark, Sf, iters = 300)
+    assert(resid(v3, l3) < resid(v, lambda))
+    // deterministic across runs
+    val (v2, l2) = VectorOps.topPrincipalComponent(spark, Sf)
+    assert(v.toSeq == v2.toSeq && lambda == l2)
+  }
 }
