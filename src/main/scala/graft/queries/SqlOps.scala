@@ -256,6 +256,53 @@ object SqlOps {
       .orderBy("doc_id")
   }
 
+  /** q109 — data-quality audit (the Deequ/dbt-tests shape): a fixed
+    * suite of constraint checks — composite-key uniqueness, referential
+    * integrity (anti-join counts via NOT EXISTS), value ranges, domain
+    * membership, positivity — emitted as one report row per check with
+    * the violation count and a pass flag. ONE SQL text through both
+    * engines (the q29/q89 pattern). Each check is a single scan-shaped
+    * aggregate or a semi/anti join; nothing is row-by-row — the audit
+    * of a 100 TB table costs the same passes a count(*) family does,
+    * and checks over the same table share scans under codegen. This is
+    * the verification layer the reference pipeline runs implicitly
+    * (its malformed-row drops) made explicit and reportable. */
+  val DataQualitySql: String =
+    """SELECT checks.*, n_violations = 0 AS pass FROM (
+      |  SELECT 'lineitem_pk_unique' AS check_name,
+      |    (SELECT count(*) FROM lineitem) AS n_checked,
+      |    (SELECT count(*) FROM lineitem)
+      |      - (SELECT count(*) FROM
+      |          (SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem) d)
+      |      AS n_violations
+      |  UNION ALL
+      |  SELECT 'orders_custkey_fk',
+      |    (SELECT count(*) FROM orders),
+      |    (SELECT count(*) FROM orders o WHERE NOT EXISTS
+      |       (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |  UNION ALL
+      |  SELECT 'lineitem_orderkey_fk',
+      |    (SELECT count(*) FROM lineitem),
+      |    (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+      |       (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+      |  UNION ALL
+      |  SELECT 'lineitem_qty_range',
+      |    (SELECT count(*) FROM lineitem),
+      |    (SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50)
+      |  UNION ALL
+      |  SELECT 'orders_status_domain',
+      |    (SELECT count(*) FROM orders),
+      |    (SELECT count(*) FROM orders
+      |     WHERE o_orderstatus NOT IN ('F', 'O', 'P'))
+      |  UNION ALL
+      |  SELECT 'orders_price_positive',
+      |    (SELECT count(*) FROM orders),
+      |    (SELECT count(*) FROM orders WHERE o_totalprice <= 0)
+      |) AS checks ORDER BY check_name""".stripMargin
+
+  def q109DataQuality(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir).sql(DataQualitySql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_correlated_scalar" -> (q89CorrelatedScalar _),
     "q90_exists" -> (q90Exists _),
@@ -268,6 +315,7 @@ object SqlOps {
     "q97_regression_stats" -> (q97RegressionStats _),
     "q98_column_profile" -> (q98ColumnProfile _),
     "q99_array_setops" -> (q99ArraySetOps _),
+    "q109_data_quality" -> (q109DataQuality _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -277,6 +325,7 @@ object SqlOps {
     "q92_lateral_topk" -> LateralSql,
     "q95_having_scalar" -> HavingScalarSql,
     "q96_not_in" -> NotInSql,
+    "q109_data_quality" -> DataQualitySql,
     "q97_regression_stats" -> {
       val num = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
       val den = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"

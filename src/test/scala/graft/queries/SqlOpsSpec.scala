@@ -157,6 +157,39 @@ class SqlOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q109 all checks pass on clean data and FIRE on poisoned data") {
+    val clean = SqlOps.q109DataQuality(spark, Sf).collect()
+    assert(clean.length == 6)
+    val cleanV = clean.map(r => r.getString(0) -> r.getLong(2)).toMap
+    // the audit SURFACES REAL DIRT: the synthetic generator reuses
+    // line numbers, so (l_orderkey, l_linenumber) is not unique —
+    // everything else is clean
+    assert(cleanV("lineitem_pk_unique") > 0L)
+    assert(clean.filter(_.getString(0) != "lineitem_pk_unique")
+      .forall(_.getAs[Boolean]("pass")),
+      s"unexpected violations: ${cleanV.filter(_._2 > 0)}")
+    // poison the orders view: an orphan custkey, a bad status, a
+    // non-positive price, a duplicated lineitem pk — then the same SQL
+    // text must count exactly those violations
+    import spark.implicits._
+    graft.Tables.orders(spark, Sf)
+      .unionByName(Seq((-1L, -999L, "X", -5.0))
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .withColumn("o_orderdate", lit(null).cast("timestamp_ntz"))
+        .withColumn("o_orderpriority", lit("1-URGENT")))
+      .createOrReplaceTempView("orders")
+    val li = graft.Tables.lineitem(spark, Sf)
+    li.limit(1).unionByName(li).createOrReplaceTempView("lineitem")
+    val fired = spark.sql(SqlOps.DataQualitySql).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(fired("orders_custkey_fk") == cleanV("orders_custkey_fk") + 1)
+    assert(fired("orders_status_domain") == cleanV("orders_status_domain") + 1)
+    assert(fired("orders_price_positive") == cleanV("orders_price_positive") + 1)
+    assert(fired("lineitem_pk_unique") == cleanV("lineitem_pk_unique") + 1)
+    // the poisoned order has no lineitems, so the lineitem fk is clean
+    assert(fired("lineitem_orderkey_fk") == cleanV("lineitem_orderkey_fk"))
+  }
+
   test("q94 string tier-2 spot values") {
     val r = SqlOps.q94StringFns2(spark, Sf)
       .filter(col("c_custkey") === 7).collect().head
