@@ -368,6 +368,24 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r >= 0.5, s"recall@10 = $r < 0.5")
   }
 
+  test("PCA ANN: exact at full candidates, monotone in candidate count") {
+    // re-ranking every candidate with exact cosine IS brute force
+    val rAll = recallAt10(VectorOps.annPca(spark, Sf, 8, 100000, 10))
+    assert(rAll == 1.0, s"full-candidate recall $rAll != 1")
+    val r25 = recallAt10(VectorOps.annPca(spark, Sf, 8, 25, 10))
+    val r200 = recallAt10(VectorOps.annPca(spark, Sf, 8, 200, 10))
+    assert(r200 >= r25, s"recall not monotone: 200-cand $r200 < 25-cand $r25")
+  }
+
+  test("q110 PCA ANN clears the recall gate") {
+    val r = recallAt10(VectorOps.q110AnnPca(spark, Sf))
+    // random-noise corpus: 8 of 64 dims keep ~12% of the variance, so
+    // reduced-space ordering is a weak proxy — the gate is deliberately
+    // modest, like the LSH one; real embedding corpora concentrate
+    // variance and score far higher
+    assert(r >= 0.4, s"recall@10 = $r < 0.4")
+  }
+
   test("IVF ANN: probing every list IS exact; nprobe=2 clears the gate") {
     val annAll = VectorOps.annIvf(spark, Sf, nprobe = Int.MaxValue, k = 10)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
