@@ -42,9 +42,17 @@ object AsofJoinOp {
   }
 
   private def attr(plan: LogicalPlan, name: String): Attribute =
-    plan.output.find(_.name.equalsIgnoreCase(name)).getOrElse(
-      throw new IllegalArgumentException(
-        s"column $name not in [${plan.output.map(_.name).mkString(", ")}]"))
+    plan.output.filter(_.name.equalsIgnoreCase(name)) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"column $name not in [${plan.output.map(_.name).mkString(", ")}]")
+      // post-join plans routinely carry duplicate names; binding the
+      // first match silently would join on an arbitrary column — fail
+      // like Spark's own resolver does on ambiguity
+      case many => throw new IllegalArgumentException(
+        s"column $name is ambiguous: ${many.size} matches " +
+          s"[${many.map(a => s"${a.name}#${a.exprId.id}").mkString(", ")}]")
+    }
 
   /** Idempotent per-session registration of the planner strategy and
     * the pushdown rule via the public `experimental` hooks (no session

@@ -281,12 +281,16 @@ object TextOps {
       case None => bbAll
     }
     val cands = ab.join(bb.hint("SHUFFLE_HASH"), Seq("band", "bucket"))
+    // signature re-attach: NO forced broadcast — side b can be an
+    // unbounded store (NearDupIngest's cross-batch path), so a hard
+    // broadcast() is a memory ceiling; AQE converts the shuffle join
+    // to broadcast at runtime whenever the side is actually small
     (if (selfJoin) cands.filter(col("id_a") < col("id_b")) else cands)
       .dropDuplicates("id_a", "id_b")
-      .join(broadcast(a.select(col("doc_id").as("id_a"),
-        col("simhash").as("sig_a"))), Seq("id_a"))
-      .join(broadcast(b.select(col("doc_id").as("id_b"),
-        col("simhash").as("sig_b"))), Seq("id_b"))
+      .join(a.select(col("doc_id").as("id_a"),
+        col("simhash").as("sig_a")), Seq("id_a"))
+      .join(b.select(col("doc_id").as("id_b"),
+        col("simhash").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).as("hamming"))
       .filter(col("hamming") <= maxHamming)

@@ -54,7 +54,10 @@ object CorpusIngest {
       dir: String): Boolean = {
     val path = new org.apache.hadoop.fs.Path(dir)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    // flat stores have top-level part files; partitioned stores
+    // (NearDupIngest's `_batch_id=N/`) have key=value directories
     fs.exists(path) && fs.listStatus(path).exists(f =>
-      f.getPath.getName.endsWith(".parquet"))
+      f.getPath.getName.endsWith(".parquet") ||
+        (f.isDirectory && f.getPath.getName.contains("=")))
   }
 }

@@ -38,8 +38,14 @@ import graft.queries.{ExtendedOps, TextOps}
   * re-deriving bands from every stored signature); the batch logic is
   * unchanged by it.
   *
-  * Exactly-once: checkpoint replay is idempotent — a replayed doc is
-  * Hamming-0 from its own stored copy and drops in step 4.
+  * Exactly-once: the store is partitioned by `_batch_id` and written
+  * with DYNAMIC partition overwrite (the [[AsofEnrich]] pattern), so a
+  * checkpoint-replayed batch overwrites its own partition instead of
+  * appending duplicates — this covers unsigned (null-text) docs too,
+  * which never match anything in the dedup stages. The cross-batch
+  * match reads the store MINUS the current batch's partition;
+  * otherwise a replayed doc would Hamming-0-match its own half-written
+  * copy and be dropped by the overwrite.
   */
 object NearDupIngest {
 
@@ -76,6 +82,7 @@ object NearDupIngest {
         val fresh =
           if (CorpusIngest.storeExists(s, storeDir)) {
             val stored = s.read.parquet(storeDir)
+              .filter(col("_batch_id") =!= batchId) // replay: not our own half-write
               .select("doc_id", "simhash").filter(col("simhash").isNotNull)
             val hits = TextOps
               .simhashNearPairs(reps, stored, maxHamming, selfJoin = false)
@@ -86,7 +93,10 @@ object NearDupIngest {
         withSig.join(fresh.select("doc_id"), Seq("doc_id"), "left_semi")
           .unionByName(unsigned)
           .withColumn("_batch_id", lit(batchId))
-          .write.mode("append").parquet(storeDir)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("_batch_id")
+          .parquet(storeDir)
       }
       .option("checkpointLocation", checkpointDir)
 }

@@ -83,4 +83,36 @@ class NearDupIngestSpec extends SparkTestBase {
         .collect().head.isNullAt(0))
     } finally q.stop()
   }
+
+  test("replaying a batch is idempotent — null-text docs included") {
+    import spark.implicits._
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_near_src").toString
+    val store = java.nio.file.Files.createTempDirectory("graft_near_st").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_near_ck2").toString
+    // signed docs (one near-dup pair) AND an unsigned null-text doc —
+    // the unsigned row never matches anything in the dedup stages, so
+    // only partition overwrite keeps its replay idempotent
+    Seq(Doc(1, base, "en"), Doc(2, nearVariant, "en"), Doc(3, null, "en"))
+      .toDF().write.mode("overwrite").parquet(srcDir)
+    // file source (unlike MemoryStream) supports checkpoint recovery
+    def stream = spark.readStream
+      .schema(Seq.empty[Doc].toDF().schema).parquet(srcDir)
+    val q1 = NearDupIngest.ingest(stream, store, ckpt, maxHamming = MaxH).start()
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+    val before = spark.read.parquet(store).collect()
+      .map(_.toString).sorted.toSeq
+    assert(before.length == 2) // rep of the near-dup pair + the null doc
+    // wipe the last commit marker so restart REPLAYS the batch
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toLong)
+    assert(commits.nonEmpty)
+    val last = commits.last
+    new java.io.File(last.getParentFile, s".${last.getName}.crc").delete()
+    last.delete()
+    val q2 = NearDupIngest.ingest(stream, store, ckpt, maxHamming = MaxH).start()
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+    val after = spark.read.parquet(store).collect()
+      .map(_.toString).sorted.toSeq
+    assert(after == before)
+  }
 }
