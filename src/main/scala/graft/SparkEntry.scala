@@ -24,7 +24,7 @@ object SparkEntry {
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       VectorOps.queries ++ MultimodalOps.queries ++ IotParity.queries ++
       ExtendedOps.queries ++ SqlOps.queries ++ CorpusOps.queries ++
-      graft.pipelines.CurationPipeline.queries
+      WarehouseOps.queries ++ graft.pipelines.CurationPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -34,5 +34,5 @@ object SparkEntry {
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ MultimodalOps.oracles ++ IotParity.oracles ++
       ExtendedOps.oracles ++ SqlOps.oracles ++ CorpusOps.oracles ++
-      graft.pipelines.CurationPipeline.oracles
+      WarehouseOps.oracles ++ graft.pipelines.CurationPipeline.oracles
 }

@@ -466,7 +466,9 @@ object GraftFunctions {
     ("sorted_gram_hashes", classOf[SortedGramHashes].getName,
       children => SortedGramHashes(children(0), children(1))),
     ("simhash64", classOf[SimHash64].getName,
-      children => SimHash64(children(0))))
+      children => SimHash64(children(0))),
+    ("zorder2", classOf[ZOrder2].getName,
+      children => ZOrder2(children(0), children(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, cls, builder) =>

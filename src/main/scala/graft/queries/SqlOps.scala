@@ -303,6 +303,74 @@ object SqlOps {
   def q109DataQuality(s: SparkSession, dir: String): DataFrame =
     withViews(s, dir).sql(DataQualitySql)
 
+  /** q111 — listagg / string_agg: ordered string concatenation per
+    * group (Spark 4's `listagg … WITHIN GROUP`), the classic
+    * "order history as one line" reporting aggregate. The ORDER BY key
+    * (o_orderdate, o_orderkey) is unique per group, so the
+    * concatenation order — and therefore the string — is deterministic
+    * cross-engine; DuckDB spells it `string_agg(x, sep ORDER BY …)`.
+    * Groups are customer-sized (≤ ~30 orders), so result strings stay
+    * small however large the table — listagg over an UNBOUNDED group
+    * is the anti-pattern (a single giant row), not this. */
+  val ListaggSql: String =
+    """SELECT o_custkey,
+      |  listagg(o_orderpriority, '|')
+      |    WITHIN GROUP (ORDER BY o_orderdate, o_orderkey) AS prio_seq,
+      |  count(*) AS n_orders
+      |FROM orders WHERE o_custkey < 100
+      |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin
+
+  def q111Listagg(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir).sql(ListaggSql)
+
+  /** q112 — ordered-set / inverse-distribution aggregates: mode and
+    * percentile_disc. `mode(x, true)` is Spark's DETERMINISTIC mode
+    * (lowest value wins ties) — the plain `mode(x)` tie-break is
+    * partition-order-dependent and can never be oracle-checked; the
+    * DuckDB oracle replicates min-of-tied-argmax explicitly.
+    * percentile_disc picks an actual data value (no interpolation), so
+    * cross-engine equality is exact — unlike percentile_cont, whose
+    * interpolated doubles diverge in the last bit. */
+  val ModePdiscSql: String =
+    """SELECT o_orderpriority,
+      |  mode(o_orderstatus, true) AS status_mode,
+      |  percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+      |  percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+      |  percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
+      |  count(*) AS n
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  def q112ModePdisc(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir).sql(ModePdiscSql)
+
+  /** q113 — RECURSIVE CTE (Spark 4 `WITH RECURSIVE`): a month spine
+    * generated by recursion from the table's own date bounds, LEFT
+    * JOINed to orders — the calendar-completeness report that shows
+    * empty months, with ONE SQL text through both engines. Recursion
+    * depth = month count (~80), far under Spark's recursion limit;
+    * the spine is driver-side tiny however large the fact table, and
+    * the join is a broadcast of the spine. `CAST(date_trunc(…) AS
+    * TIMESTAMP)` everywhere: DuckDB's date_trunc returns DATE, Spark's
+    * TIMESTAMP — the cast pins both to one type. */
+  val RecursiveSpineSql: String =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS lo,
+      |         CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) AS hi
+      |  FROM orders),
+      |months(m) AS (
+      |  SELECT lo FROM bounds
+      |  UNION ALL
+      |  SELECT m + INTERVAL '1' MONTH FROM months, bounds WHERE m < hi)
+      |SELECT m, count(o_orderkey) AS n_orders,
+      |  CAST(coalesce(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)), 0)
+      |    AS DOUBLE) / 1e2 AS month_rev
+      |FROM months LEFT JOIN orders
+      |  ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
+      |GROUP BY m ORDER BY m""".stripMargin
+
+  def q113RecursiveSpine(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir).sql(RecursiveSpineSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q89_correlated_scalar" -> (q89CorrelatedScalar _),
     "q90_exists" -> (q90Exists _),
@@ -316,6 +384,9 @@ object SqlOps {
     "q98_column_profile" -> (q98ColumnProfile _),
     "q99_array_setops" -> (q99ArraySetOps _),
     "q109_data_quality" -> (q109DataQuality _),
+    "q111_listagg" -> (q111Listagg _),
+    "q112_mode_pdisc" -> (q112ModePdisc _),
+    "q113_recursive_spine" -> (q113RecursiveSpine _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -326,6 +397,36 @@ object SqlOps {
     "q95_having_scalar" -> HavingScalarSql,
     "q96_not_in" -> NotInSql,
     "q109_data_quality" -> DataQualitySql,
+    // q113: the SAME recursive SQL text Spark executed
+    "q113_recursive_spine" -> RecursiveSpineSql,
+    "q111_listagg" ->
+      """SELECT o_custkey,
+        |  string_agg(o_orderpriority, '|' ORDER BY o_orderdate, o_orderkey)
+        |    AS prio_seq,
+        |  count(*) AS n_orders
+        |FROM orders WHERE o_custkey < 100
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    // min-of-tied-argmax replicates Spark's deterministic mode exactly
+    "q112_mode_pdisc" ->
+      """SELECT p.o_orderpriority, m.status_mode, p.p25, p.p50, p.p75, p.n
+        |FROM (
+        |  SELECT o_orderpriority,
+        |    percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS p25,
+        |    percentile_disc(0.5)  WITHIN GROUP (ORDER BY o_totalprice) AS p50,
+        |    percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS p75,
+        |    count(*) AS n
+        |  FROM orders GROUP BY o_orderpriority) p
+        |JOIN (
+        |  SELECT o_orderpriority,
+        |    min(o_orderstatus) FILTER (WHERE rk = 1) AS status_mode
+        |  FROM (SELECT o_orderpriority, o_orderstatus,
+        |          rank() OVER (PARTITION BY o_orderpriority
+        |                       ORDER BY cnt DESC) AS rk
+        |        FROM (SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+        |              FROM orders GROUP BY 1, 2))
+        |  GROUP BY o_orderpriority) m
+        |ON p.o_orderpriority = m.o_orderpriority
+        |ORDER BY p.o_orderpriority""".stripMargin,
     "q97_regression_stats" -> {
       val num = "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
       val den = "(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"

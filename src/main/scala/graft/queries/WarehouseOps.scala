@@ -1,0 +1,255 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Warehouse-maintenance and iterative-analytics operators: fixed-point
+  * PageRank over a co-purchase graph (q114), SCD2 dimension upsert
+  * (q115), time-series gap-fill with LOCF (q116), and Z-order
+  * clustering keys for multi-column data skipping (q117).
+  *
+  * All four are oracle-verified: iteration counts are fixed and every
+  * accumulation is integer (order-independent), so even the iterative
+  * graph algorithm is bit-exact cross-engine — the same fixed-point
+  * discipline as q60/q97/q100.
+  *
+  * No reference counterpart (the reference has no joins, SURVEY §2.4
+  * absence list); these rows come from the driver contract's
+  * capability surface.
+  */
+object WarehouseOps {
+
+  // ---------------------------------------------------------------- q114
+
+  private val Iters = 3
+
+  /** q114 — PageRank (3 fixed iterations) over the part co-purchase
+    * graph: `u → v` iff parts u and v appear in the same order. The
+    * scale-defining choices:
+    *
+    *   - ranks are FIXED-POINT BIGINTs (1e9 = rank 1.0); every
+    *     per-node contribution is an integer division and every
+    *     combine an integer sum, so the result is independent of
+    *     partitioning and addition order — exactly reproducible on any
+    *     cluster size AND in the DuckDB oracle (3 chained CTEs);
+    *   - the edge list is built once (one self-join shuffle on
+    *     l_orderkey, deduped) and `localCheckpoint`ed: 4 consumers
+    *     (outdegree + 3 iterations) re-read the materialized blocks
+    *     instead of re-running the quadratic stage;
+    *   - each iteration is edges ⋈ ranks (ranks is |V| rows — AQE
+    *     broadcasts it) followed by one groupBy(dst) sum with map-side
+    *     partial aggregation: the classic scalable PageRank shape,
+    *     O(iters) shuffles of |V|-sized data, never all-pairs;
+    *   - damping 0.85 as `(85 * s) div 100`, teleport 0.15e9 — the
+    *     integer PageRank update. Total mass ≤ |V| * 1e9 keeps every
+    *     sum far below BIGINT overflow past sf100.
+    */
+  def q114PageRank(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
+      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+      .distinct()
+      .localCheckpoint() // 4 consumers: outdeg + 3 iteration joins
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+    var ranks = deg.select(col("src").as("id"), lit(1000000000L).as("r"))
+    for (_ <- 1 to Iters)
+      ranks = edges.join(deg, "src")
+        .join(ranks, col("src") === col("id"))
+        .select(col("dst"), expr("r div outdeg").as("c"))
+        .groupBy("dst").agg(sum(col("c")).as("s"))
+        // co-purchase edges are symmetric, so every node has in-edges
+        // and stays in the frame across iterations
+        .select(col("dst").as("id"),
+          expr("150000000 + 85 * s div 100").as("r"))
+    ranks.orderBy(col("r").desc, col("id"))
+      .limit(100)
+      .select(col("id").as("part_id"), col("r").as("rank_fp"))
+  }
+
+  /** The oracle unrolls the same 3 iterations as chained CTEs; DuckDB
+    * sums BIGINT into HUGEINT, so the update is cast back per step. */
+  private val PageRankSql: String = {
+    def iter(k: Int) =
+      s"""r$k AS (
+         |  SELECT e.dst AS id,
+         |    CAST(150000000 + (85 * sum(r.r // d.outdeg)) // 100 AS BIGINT) AS r
+         |  FROM edges e JOIN r${k - 1} r ON e.src = r.id
+         |  JOIN deg d ON e.src = d.src
+         |  GROUP BY e.dst)""".stripMargin
+    s"""WITH edges AS (
+       |  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+       |  FROM lineitem a JOIN lineitem b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+       |r0 AS (SELECT src AS id, CAST(1000000000 AS BIGINT) AS r FROM deg),
+       |${(1 to Iters).map(iter).mkString(",\n")}
+       |SELECT id AS part_id, r AS rank_fp FROM r$Iters
+       |ORDER BY rank_fp DESC, part_id LIMIT 100""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q115
+
+  /** q115 — SCD2 (slowly-changing-dimension type 2) upsert: apply a
+    * change batch to a versioned dimension. The change batch is
+    * derived deterministically from `customer` (every 7th key changes
+    * segment, every 31st key arrives as a brand-new member) so the
+    * oracle can reproduce it; a real pipeline passes any change frame.
+    *
+    * The apply is three branch-free set operations — close the
+    * current version of changed keys (semi join), keep the rest
+    * (anti join), insert the new versions — then a union: no per-row
+    * driver logic, and each branch is one broadcast-able join against
+    * the (small) change-key set. At 100 TB this is the standard
+    * partition-overwrite dimension merge: partition the dim by key
+    * range and only partitions containing changed keys rewrite
+    * (NearDupIngest's dynamic-overwrite write is the same mechanism).
+    */
+  def q115Scd2(s: SparkSession, dir: String): DataFrame = {
+    val openTs = lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))
+    val batchTs = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    val base = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+    val changes = base.filter(col("c_custkey") % 7 === 3)
+      .select(col("c_custkey"), lit("PROMO").as("segment"))
+      .unionByName(base.filter(col("c_custkey") % 31 === 0)
+        .select((col("c_custkey") + 1000000).as("c_custkey"),
+          lit("NEWSEG").as("segment")))
+    val changedKeys = changes.select("c_custkey").distinct()
+    val closed = base.join(changedKeys, Seq("c_custkey"), "left_semi")
+      .select(col("c_custkey"), col("segment"), openTs.as("valid_from"),
+        batchTs.as("valid_to"), lit(false).as("is_current"))
+    val untouched = base.join(changedKeys, Seq("c_custkey"), "left_anti")
+      .select(col("c_custkey"), col("segment"), openTs.as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current"))
+    val inserted = changes
+      .select(col("c_custkey"), col("segment"), batchTs.as("valid_from"),
+        lit(null).cast("timestamp").as("valid_to"), lit(true).as("is_current"))
+    closed.unionByName(untouched).unionByName(inserted)
+      .orderBy("c_custkey", "valid_from")
+  }
+
+  private val Scd2Sql: String =
+    """WITH base AS (SELECT c_custkey, c_mktsegment AS segment FROM customer),
+      |changes AS (
+      |  SELECT c_custkey, 'PROMO' AS segment FROM base WHERE c_custkey % 7 = 3
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEWSEG' FROM base WHERE c_custkey % 31 = 0)
+      |SELECT c_custkey, segment, valid_from, valid_to, is_current FROM (
+      |  SELECT b.c_custkey, b.segment,
+      |    TIMESTAMP '1995-01-01 00:00:00' AS valid_from,
+      |    CASE WHEN c.c_custkey IS NOT NULL
+      |      THEN TIMESTAMP '1998-01-01 00:00:00' END AS valid_to,
+      |    c.c_custkey IS NULL AS is_current
+      |  FROM base b LEFT JOIN (SELECT DISTINCT c_custkey FROM changes) c
+      |    ON b.c_custkey = c.c_custkey
+      |  UNION ALL
+      |  SELECT c_custkey, segment, TIMESTAMP '1998-01-01 00:00:00',
+      |    NULL, true
+      |  FROM changes)
+      |ORDER BY c_custkey, valid_from""".stripMargin
+
+  // ---------------------------------------------------------------- q116
+
+  /** q116 — time-series gap-fill: a per-user daily spine (generated
+    * from each user's own [min, max] day range) LEFT JOINed to the
+    * daily aggregate, then LOCF (last-observation-carried-forward) via
+    * `last(…, ignoreNulls)` over a running frame. Daily totals are
+    * fixed-point BIGINTs (exact, order-independent). The spine is
+    * `sequence()`-exploded per user — rows scale as users × days, and
+    * the LOCF window shuffles once on user_id; no driver-side loops.
+    * The DuckDB oracle builds the global day spine with a recursive
+    * CTE (its `range()` cannot take subquery bounds) and clips it to
+    * each user's range — same rows, same fill. */
+  def q116GapFill(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v_fp"))
+    val spine = daily.groupBy("user_id")
+      .agg(min(col("day")).as("lo"), max(col("day")).as("hi"))
+      .select(col("user_id"),
+        explode(sequence(col("lo"), col("hi"), expr("INTERVAL '1' DAY")))
+          .as("day"))
+    val w = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(daily, Seq("user_id", "day"), "left_outer")
+      .select(col("user_id"), col("day"),
+        last(col("v_fp"), ignoreNulls = true).over(w).as("v_filled"),
+        col("v_fp").isNull.as("is_gap"))
+      .orderBy("user_id", "day")
+  }
+
+  private val GapFillSql: String =
+    """WITH RECURSIVE
+      |daily AS (
+      |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+      |    sum(CAST(floor(value * 1e2) AS BIGINT)) AS v_fp
+      |  FROM events GROUP BY 1, 2),
+      |bounds AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+      |           FROM daily GROUP BY user_id),
+      |gb AS (SELECT min(lo) AS glo, max(hi) AS ghi FROM bounds),
+      |days(day) AS (
+      |  SELECT glo FROM gb
+      |  UNION ALL
+      |  SELECT day + INTERVAL '1' DAY FROM days, gb WHERE day < ghi),
+      |spine AS (SELECT b.user_id, d.day FROM bounds b
+      |          JOIN days d ON d.day BETWEEN b.lo AND b.hi)
+      |SELECT s.user_id, s.day,
+      |  last_value(dd.v_fp IGNORE NULLS) OVER (
+      |    PARTITION BY s.user_id ORDER BY s.day
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
+      |  dd.v_fp IS NULL AS is_gap
+      |FROM spine s LEFT JOIN daily dd
+      |  ON s.user_id = dd.user_id AND s.day = dd.day
+      |ORDER BY s.user_id, s.day""".stripMargin
+
+  // ---------------------------------------------------------------- q117
+
+  /** q117 — Z-order clustering key: the [[graft.functions.ZOrder2]]
+    * Morton interleave of (o_custkey, o_orderkey) low 16 bits — the
+    * sort key a clustered write uses so parquet min/max pruning works
+    * on BOTH columns (measured in WarehouseOpsSpec: per-chunk spans on
+    * a z-sorted layout are ~sqrt(chunk) tight on each dimension, where
+    * a single-column sort leaves the other dimension table-wide). The
+    * oracle replicates the interleave with 32 shift-mask-multiply
+    * terms — bit-identical, a pure projection on both sides. */
+  def q117Zorder(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        (col("o_custkey") % 65536).as("x"),
+        (col("o_orderkey") % 65536).as("y"))
+      .select(col("o_orderkey"), col("x"), col("y"),
+        call_function("zorder2", col("x"), col("y")).as("z"))
+      .orderBy("z", "o_orderkey")
+  }
+
+  private val ZorderSql: String = {
+    val terms = (0 until 16).flatMap(i => Seq(
+      s"((x >> $i) & 1) * ${1L << (2 * i)}",
+      s"((y >> $i) & 1) * ${1L << (2 * i + 1)}"))
+    s"""SELECT o_orderkey, x, y,
+       |  CAST(${terms.mkString(" + ")} AS BIGINT) AS z
+       |FROM (SELECT o_orderkey, o_custkey % 65536 AS x,
+       |        o_orderkey % 65536 AS y FROM orders)
+       |ORDER BY z, o_orderkey""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_pagerank" -> (q114PageRank _),
+    "q115_scd2" -> (q115Scd2 _),
+    "q116_gap_fill" -> (q116GapFill _),
+    "q117_zorder" -> (q117Zorder _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q114_pagerank" -> PageRankSql,
+    "q115_scd2" -> Scd2Sql,
+    "q116_gap_fill" -> GapFillSql,
+    "q117_zorder" -> ZorderSql,
+  )
+}

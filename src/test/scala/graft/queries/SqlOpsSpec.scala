@@ -201,4 +201,55 @@ class SqlOpsSpec extends SparkTestBase {
     assert(r.getAs[String]("bucket_chr") == ('A' + 7 % 26).toChar.toString)
     assert(r.getAs[Int]("hash_pos") == name.indexOf('#') + 1)
   }
+
+  test("q111 listagg: element count matches the group size, order is by date") {
+    val rows = SqlOps.q111Listagg(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seq = r.getAs[String]("prio_seq")
+      assert(seq.split("\\|", -1).length == r.getAs[Long]("n_orders"))
+    }
+    // spot-check one customer's concatenation order against the table
+    val k = rows.head.getAs[Long]("o_custkey")
+    val expected = graft.Tables.orders(spark, Sf)
+      .filter(col("o_custkey") === k)
+      .orderBy("o_orderdate", "o_orderkey")
+      .select("o_orderpriority").collect().map(_.getString(0)).mkString("|")
+    assert(rows.head.getAs[String]("prio_seq") == expected)
+  }
+
+  test("q112 ordered-set aggregates: percentiles ordered and drawn from data") {
+    val prices = graft.Tables.orders(spark, Sf)
+      .select("o_totalprice").collect().map(_.getDouble(0)).toSet
+    SqlOps.q112ModePdisc(spark, Sf).collect().foreach { r =>
+      val (p25, p50, p75) = (r.getAs[Double]("p25"),
+        r.getAs[Double]("p50"), r.getAs[Double]("p75"))
+      assert(p25 <= p50 && p50 <= p75)
+      // percentile_disc picks actual data values, never interpolates
+      assert(prices(p25) && prices(p50) && prices(p75))
+      assert(Set("F", "O", "P")(r.getAs[String]("status_mode")))
+    }
+  }
+
+  test("q113 recursive spine: contiguous months covering the full range") {
+    val rows = SqlOps.q113RecursiveSpine(spark, Sf).collect()
+    val months = rows.map(_.getAs[java.sql.Timestamp]("m").toLocalDateTime)
+    // contiguous: each month is exactly +1 from its predecessor
+    months.sliding(2).foreach { case Array(a, b) =>
+      assert(a.plusMonths(1) == b)
+      case _ => ()
+    }
+    // spine covers exactly [min, max] of the data
+    val (lo, hi) = {
+      val r = graft.Tables.orders(spark, Sf)
+        .agg(min(date_trunc("month", col("o_orderdate"))),
+          max(date_trunc("month", col("o_orderdate")))).collect().head
+      (r.getAs[java.sql.Timestamp](0).toLocalDateTime,
+        r.getAs[java.sql.Timestamp](1).toLocalDateTime)
+    }
+    assert(months.head == lo && months.last == hi)
+    // every order lands in exactly one month bucket
+    assert(rows.map(_.getAs[Long]("n_orders")).sum ==
+      graft.Tables.orders(spark, Sf).count())
+  }
 }

@@ -1,0 +1,134 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Invariant tests for the warehouse/iterative family (q114–q117);
+  * cross-engine value equality is the driver's DuckDB oracle. */
+class WarehouseOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- q114
+
+  test("pagerank: teleport floor holds and total mass never grows") {
+    val ranks = WarehouseOps.q114PageRank(spark, Sf).collect()
+    assert(ranks.nonEmpty)
+    val rs = ranks.map(_.getAs[Long]("rank_fp"))
+    // every node keeps at least the teleport mass
+    assert(rs.forall(_ >= 150000000L))
+    // top-100 is sorted desc with the id tie-break
+    assert(rs.sameElements(rs.sortBy(-_)))
+    // integer flooring only LOSES mass: no single node can exceed the
+    // whole graph's initial mass (a sanity ceiling, not a tight bound)
+    val li = graft.Tables.lineitem(spark, Sf)
+    val nNodes = li.join(li.groupBy("l_orderkey").count().filter($"count" > 1),
+      "l_orderkey").select("l_partkey").distinct().count()
+    assert(rs.forall(_ <= nNodes * 1000000000L))
+  }
+
+  test("pagerank: deterministic across runs") {
+    val a = WarehouseOps.q114PageRank(spark, Sf).collect().map(_.toString)
+    val b = WarehouseOps.q114PageRank(spark, Sf).collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
+  // ---------------------------------------------------------------- q115
+
+  test("scd2: exactly one current version per key, closed rows bounded") {
+    val out = WarehouseOps.q115Scd2(spark, Sf)
+    // every key has exactly one current version
+    val perKey = out.groupBy("c_custkey")
+      .agg(sum(when($"is_current", 1).otherwise(0)).as("n_cur"))
+    assert(perKey.filter($"n_cur" =!= 1).count() == 0)
+    // closed rows carry the batch timestamp; current rows carry none
+    assert(out.filter(!$"is_current" && $"valid_to".isNull).count() == 0)
+    assert(out.filter($"is_current" && $"valid_to".isNotNull).count() == 0)
+    // row count = base + change rows (each change adds one version)
+    val base = graft.Tables.customer(spark, Sf).count()
+    val changed = graft.Tables.customer(spark, Sf)
+      .filter($"c_custkey" % 7 === 3).count()
+    val added = graft.Tables.customer(spark, Sf)
+      .filter($"c_custkey" % 31 === 0).count()
+    assert(out.count() == base + changed + added)
+    // a changed key's history: closed 1995 version + current 1998 one
+    val k = out.filter($"c_custkey" === 3).orderBy("valid_from").collect()
+    assert(k.length == 2 && !k(0).getAs[Boolean]("is_current") &&
+      k(1).getAs[Boolean]("is_current") &&
+      k(1).getAs[String]("segment") == "PROMO")
+  }
+
+  // ---------------------------------------------------------------- q116
+
+  test("gap-fill: dense per-user spine, LOCF leaves no nulls") {
+    val out = WarehouseOps.q116GapFill(spark, Sf)
+    // the spine starts at each user's first observed day, so LOCF
+    // always has a value to carry — no nulls anywhere
+    assert(out.filter($"v_filled".isNull).count() == 0)
+    // spine density: rows per user == day span + 1
+    val dense = out.groupBy("user_id")
+      .agg(count(lit(1)).as("n"),
+        (datediff(max($"day"), min($"day")) + 1).as("span"))
+    assert(dense.filter($"n" =!= $"span").count() == 0)
+    // filled gap rows repeat the previous day's value
+    val gap = out.orderBy("user_id", "day").collect()
+      .sliding(2).find { case Array(prev, cur) =>
+        cur.getAs[Boolean]("is_gap") &&
+          prev.getAs[Long]("user_id") == cur.getAs[Long]("user_id")
+        case _ => false
+      }
+    gap.foreach { case Array(prev, cur) =>
+      assert(cur.getAs[Long]("v_filled") == prev.getAs[Long]("v_filled"))
+    }
+  }
+
+  // ---------------------------------------------------------------- q117
+
+  test("zorder2 expression matches the per-bit reference interleave") {
+    graft.functions.GraftFunctions.register(spark)
+    def ref(x: Long, y: Long): Long = {
+      var z = 0L
+      for (i <- 0 until 16) {
+        z |= ((x >> i) & 1L) << (2 * i)
+        z |= ((y >> i) & 1L) << (2 * i + 1)
+      }
+      z
+    }
+    val rnd = new scala.util.Random(7)
+    val cases = Seq.tabulate(200)(_ =>
+      (rnd.nextLong().abs % 65536, rnd.nextLong().abs % 65536)) ++
+      Seq((0L, 0L), (65535L, 65535L), (1L, 0L), (0L, 1L))
+    val got = cases.toDF("x", "y")
+      .select(call_function("zorder2", $"x", $"y").as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.sameElements(cases.map { case (x, y) => ref(x, y) }))
+  }
+
+  test("z-sorted layout keeps BOTH dimensions' chunk spans tight") {
+    // the data-skipping claim, measured on a 64×64 uniform grid: chunk
+    // rows stand in for parquet row groups. A z-sort's 256-row chunk
+    // covers a ~16×16 tile (both spans ~sqrt(chunk)); an x-sort's
+    // chunk covers 4 full columns (y-span = table width). Grid data
+    // makes the geometry exact — q117's skewed custkey/orderkey ranges
+    // at tiny SF don't.
+    graft.functions.GraftFunctions.register(spark)
+    val n = 64
+    val grid = for (x <- 0L until n; y <- 0L until n) yield (x, y)
+    val zRows = grid.toDF("x", "y")
+      .select($"x", $"y", call_function("zorder2", $"x", $"y").as("z"))
+      .orderBy("z").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val chunkSize = 256
+    def avgSpan(rows: Seq[(Long, Long)], sel: ((Long, Long)) => Long): Double = {
+      val chunks = rows.grouped(chunkSize).toSeq
+      chunks.map(c => (c.map(sel).max - c.map(sel).min).toDouble)
+        .sum / chunks.size
+    }
+    val xSorted = grid.sortBy(identity) // lexicographic (x, then y)
+    val (zx, zy) = (avgSpan(zRows, _._1), avgSpan(zRows, _._2))
+    val xSortY = avgSpan(xSorted, _._2) // = 63: every chunk sees all y
+    assert(xSortY == n - 1.0)
+    // both z-spans stay at tile scale — an order of magnitude under
+    // the table width the single-column sort leaves on y
+    assert(zx <= 16 && zy <= 16, s"z spans ($zx, $zy) exceed tile size")
+  }
+}
