@@ -21,9 +21,18 @@ import graft.plans.{AsofJoin, AsofJoinStrategy}
   */
 object AsofJoinOp {
 
+  /** `direction`: "backward" (default — latest right at or before) or
+    * "forward" (earliest right at or after). `toleranceUnits` bounds
+    * |right − left| in the time column's physical units (microseconds
+    * for timestamps, days for dates, raw value for integral columns);
+    * out-of-window candidates degrade to the left-outer NULL row. */
   def asof(left: DataFrame, right: DataFrame,
-      keys: Seq[(String, String)], time: (String, String)): DataFrame = {
+      keys: Seq[(String, String)], time: (String, String),
+      direction: String = "backward",
+      toleranceUnits: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one key pair")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lPlan = Bridge.analyzed(left)
@@ -37,7 +46,8 @@ object AsofJoinOp {
     val rPlan = Bridge.analyzed(rSafe)
     val node = AsofJoin(lPlan, rPlan,
       keys.map(k => attr(lPlan, k._1)), keys.map(k => attr(rPlan, k._2)),
-      attr(lPlan, time._1), attr(rPlan, time._2))
+      attr(lPlan, time._1), attr(rPlan, time._2),
+      forward = direction == "forward", toleranceUnits = toleranceUnits)
     Bridge.ofRows(spark, node)
   }
 

@@ -44,10 +44,13 @@ case class AsofJoin(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
-    rightTime: Expression) extends BinaryNode {
+    rightTime: Expression,
+    forward: Boolean = false,
+    toleranceUnits: Option[Long] = None) extends BinaryNode {
 
   require(leftKeys.nonEmpty && leftKeys.size == rightKeys.size,
     "as-of join needs at least one equi-key pair")
+  require(toleranceUnits.forall(_ >= 0), "tolerance must be non-negative")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -61,8 +64,8 @@ case class AsofJoin(
   * `GraftExtensions` or `spark.experimental.extraStrategies`. */
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoin(l, r, lk, rk, lt, rt) =>
-      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r)) :: Nil
+    case AsofJoin(l, r, lk, rk, lt, rt, fwd, tol) =>
+      AsofJoinExec(lk, rk, lt, rt, planLater(l), planLater(r), fwd, tol) :: Nil
     case _ => Nil
   }
 }
@@ -101,14 +104,27 @@ object AsofJoinPushdown extends org.apache.spark.sql.catalyst.rules.Rule[Logical
 
 /** Sorted-merge as-of join: children co-partitioned on the keys and
   * sorted by (keys, time) — EnsureRequirements inserts the exchanges
-  * and sorts — then one forward-only merge per partition. */
+  * and sorts — then one forward-only merge per partition.
+  *
+  * `forward = false` (default): greatest right time ≤ left time —
+  * "latest version at or before". `forward = true`: SMALLEST right
+  * time ≥ left time — "next event at or after"; the merge still
+  * consumes each side once because left times are non-decreasing, so a
+  * right row earlier than the current left is dead for every later
+  * left too. `toleranceUnits` bounds |right − left| in the time
+  * column's PHYSICAL units (microseconds for timestamps, days for
+  * dates, the raw value for integral columns); a candidate outside the
+  * window degrades to the left-outer NULL row — both knobs identical
+  * in shape to pandas `merge_asof(direction=, tolerance=)`. */
 case class AsofJoinExec(
     leftKeys: Seq[Expression],
     rightKeys: Seq[Expression],
     leftTime: Expression,
     rightTime: Expression,
     left: SparkPlan,
-    right: SparkPlan) extends BinaryExecNode {
+    right: SparkPlan,
+    forward: Boolean = false,
+    toleranceUnits: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -136,6 +152,19 @@ case class AsofJoinExec(
     val keyTypes = lk.map(_.dataType)
     val timeType = lt.dataType
     val outAttrs = output
+    val fwd = forward
+    val tol = toleranceUnits
+    // physical-long read of the time column, for the tolerance window
+    val timeAsLong: InternalRow => Long = timeType match {
+      case _ if tol.isEmpty => _ => 0L // never consulted
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.LongType => r => r.getLong(0)
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.DateType => r => r.getInt(0).toLong
+      case other => throw new IllegalArgumentException(
+        s"as-of tolerance unsupported for time type $other")
+    }
     left.execute().zipPartitions(right.execute(), preservesPartitioning = true) {
       (lIter, rIter) =>
         val lKeyProj = UnsafeProjection.create(lk, leftOut)
@@ -158,11 +187,13 @@ case class AsofJoinExec(
         val rBuf = rIter.buffered
 
         new Iterator[InternalRow] {
-          // the latest time-eligible right row seen, and for which key
-          // (rows ahead of the left cursor stay unconsumed, so this is
-          // the operator's ENTIRE cross-row state: one row + one key)
+          // BACKWARD state: the latest time-eligible right row seen,
+          // and for which key (rows ahead of the left cursor stay
+          // unconsumed, so this is the operator's ENTIRE cross-row
+          // state: one row + one key + its physical time)
           private var lastRight: InternalRow = _
           private var lastRightKey: UnsafeRow = _
+          private var lastRightTimeU: Long = 0L
 
           override def hasNext: Boolean = lIter.hasNext
 
@@ -174,6 +205,12 @@ case class AsofJoinExec(
               // SQL semantics: NULL keys/times never match
               return outProj(joined(lrow, nullRight))
             }
+            if (fwd) nextForward(lrow, lkRow, ltRow)
+            else nextBackward(lrow, lkRow, ltRow)
+          }
+
+          private def nextBackward(lrow: InternalRow, lkRow: UnsafeRow,
+              ltRow: InternalRow): InternalRow = {
             var done = false
             while (!done && rBuf.hasNext) {
               val rkRow = rKeyProj(rBuf.head)
@@ -190,14 +227,50 @@ case class AsofJoinExec(
                     // newest time-eligible right so far for this key
                     // (lkRow == rkRow here, and lkRow is the stable buffer)
                     lastRightKey = lkRow.copy()
+                    lastRightTimeU = timeAsLong(rtRow)
                     lastRight = rBuf.next().copy()
                   } else done = true // right is ahead in time — stop
                 } else done = true // right is ahead in key — stop
               }
             }
             val matched = lastRight != null &&
-              keyOrd.compare(lastRightKey, lkRow) == 0
+              keyOrd.compare(lastRightKey, lkRow) == 0 &&
+              tol.forall(timeAsLong(ltRow) - lastRightTimeU <= _)
             outProj(joined(lrow, if (matched) lastRight else nullRight))
+          }
+
+          private def nextForward(lrow: InternalRow, lkRow: UnsafeRow,
+              ltRow: InternalRow): InternalRow = {
+            // the candidate is rBuf.head, NOT consumed — a future right
+            // can match many lefts ("next event at or after" is shared
+            // by every left that precedes it)
+            var candidate: InternalRow = null
+            var candTimeU = 0L
+            var done = false
+            while (!done && rBuf.hasNext) {
+              val rkRow = rKeyProj(rBuf.head)
+              if (rkRow.anyNull) { rBuf.next() }
+              else {
+                val c = keyOrd.compare(rkRow, lkRow)
+                if (c < 0) { rBuf.next() } // dead key
+                else if (c == 0) {
+                  val rtRow = rTimeProj(rBuf.head)
+                  if (rtRow.isNullAt(0)) { rBuf.next() }
+                  else if (timeOrd.compare(rtRow, ltRow) < 0) {
+                    // earlier than this left — left times only grow, so
+                    // it can never match a later left either
+                    rBuf.next()
+                  } else {
+                    candidate = rBuf.head
+                    candTimeU = timeAsLong(rtRow)
+                    done = true
+                  }
+                } else done = true // right is ahead in key — no match
+              }
+            }
+            val matched = candidate != null &&
+              tol.forall(candTimeU - timeAsLong(ltRow) <= _)
+            outProj(joined(lrow, if (matched) candidate else nullRight))
           }
         }
     }

@@ -150,6 +150,32 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** q119 — FORWARD as-of with a tolerance window, through the same
+    * custom exec: for every click, the NEXT error by that user within
+    * 10 minutes ("did this interaction precede a failure") — the
+    * `merge_asof(direction='forward', tolerance=…)` shape. The merge
+    * stays one pass (left times are non-decreasing, so rights behind
+    * the cursor are dead for every later left too); candidates outside
+    * the window degrade to the left-outer NULL row. DuckDB's native
+    * ASOF has no tolerance, so the oracle is the LATERAL top-1 form —
+    * an independent implementation, not an echo. */
+  def q119AsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("event_id", "user_id", "ts")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id").as("e_user_id"), col("ts").as("e_ts"))
+    graft.operators.AsofJoinOp
+      .asof(clicks, errors, Seq("user_id" -> "e_user_id"), "ts" -> "e_ts",
+        direction = "forward", toleranceUnits = Some(10L * 60 * 1000000))
+      .select(col("event_id"), col("user_id"),
+        col("e_ts").as("next_error_ts"),
+        ((unix_micros(col("e_ts").cast("timestamp")) -
+          unix_micros(col("ts").cast("timestamp"))) / lit(1e6))
+          .as("gap_seconds"))
+      .orderBy("event_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q24_json_extract" -> (q24JsonExtract _),
     "q49_sliding_window" -> (q49SlidingWindow _),
@@ -157,6 +183,7 @@ object EventOps {
     "q26_sessionize" -> (q26Sessionize _),
     "q27_asof_join" -> (q27AsofJoin _),
     "q106_asof_exec" -> (q106AsofExec _),
+    "q119_asof_forward" -> (q119AsofForward _),
     "q46_map_fns" -> (q46MapFns _),
   )
 
@@ -203,6 +230,18 @@ object EventOps {
         |  ON e.user_id = c.user_id AND c.ts <= e.ts
         |ORDER BY e.event_id""".stripMargin,
     // identical semantics through the custom sorted-merge exec
+    "q119_asof_forward" ->
+      """SELECT c.event_id, c.user_id,
+        |  CAST(n.ts AS TIMESTAMP) AS next_error_ts,
+        |  (epoch_us(CAST(n.ts AS TIMESTAMP)) - epoch_us(CAST(c.ts AS TIMESTAMP)))
+        |    / 1e6 AS gap_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN LATERAL (
+        |  SELECT e.ts FROM events e
+        |  WHERE e.event_type = 'error' AND e.user_id = c.user_id
+        |    AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+        |  ORDER BY e.ts LIMIT 1) n ON TRUE
+        |ORDER BY c.event_id""".stripMargin,
     "q106_asof_exec" ->
       """SELECT e.event_id, e.user_id,
         |  CAST(c.ts AS TIMESTAMP) AS last_click_ts,

@@ -251,6 +251,25 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q118 — RANGE frame with a time-interval bound: trailing-90-day
+    * spend per customer. The frame is VALUE-based (all orders within
+    * 90 days, however many rows), the complement of q17's ROWS frame —
+    * Spark expresses the interval as epoch-second offsets over a
+    * numeric sort key, DuckDB natively as `RANGE BETWEEN INTERVAL 90
+    * DAY PRECEDING`; date peers are frame-mates under both. Same
+    * one-shuffle window shape as q15–q17. */
+  def q118RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(unix_timestamp(col("o_orderdate")))
+      .rangeBetween(-90L * 86400L, 0L)
+    Tables.orders(s, dir)
+      .filter(col("o_custkey") < 200)
+      .select(col("o_custkey"), col("o_orderkey"),
+        sum(floor(col("o_totalprice") * 1e2).cast("long")).over(w)
+          .as("trail90_fp"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   // -------------------------------------------------------- sort / set ops
 
   /** q18 — global top-k: planned as TakeOrderedAndProject (per-partition
@@ -456,6 +475,7 @@ object Relational {
     "q15_window_rank" -> (q15WindowRank _),
     "q16_window_lag" -> (q16WindowLag _),
     "q17_window_frame" -> (q17WindowFrame _),
+    "q118_range_frame" -> (q118RangeFrame _),
     "q18_topk" -> (q18TopK _),
     "q19_setops" -> (q19SetOps _),
     "q20_date_fns" -> (q20DateFns _),
@@ -575,6 +595,14 @@ object Relational {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / 1e2
         |    AS running_spend
         |FROM orders WHERE o_custkey < 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q118_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |  CAST(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)) OVER (
+        |    PARTITION BY o_custkey ORDER BY o_orderdate
+        |    RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS trail90_fp
+        |FROM orders WHERE o_custkey < 200
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     "q18_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders

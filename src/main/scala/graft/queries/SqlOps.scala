@@ -351,16 +351,23 @@ object SqlOps {
     * the spine is driver-side tiny however large the fact table, and
     * the join is a broadcast of the spine. `CAST(date_trunc(…) AS
     * TIMESTAMP)` everywhere: DuckDB's date_trunc returns DATE, Spark's
-    * TIMESTAMP — the cast pins both to one type. */
+    * TIMESTAMP — the cast pins both to one type.
+    *
+    * The recursion CARRIES `hi` as state instead of re-joining
+    * `bounds` each step: a `FROM months, bounds` recursive term
+    * re-evaluates the bounds aggregate — a full fact-table scan — once
+    * PER STEP (measured 14 s vs 2.5 s at sf0.1; the residue is
+    * Spark's per-step driver iteration, inherent to WITH RECURSIVE —
+    * recursion is for ~100-step spines, never data-sized loops). */
   val RecursiveSpineSql: String =
     """WITH RECURSIVE bounds AS (
       |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS lo,
       |         CAST(date_trunc('month', max(o_orderdate)) AS TIMESTAMP) AS hi
       |  FROM orders),
-      |months(m) AS (
-      |  SELECT lo FROM bounds
+      |months(m, hi) AS (
+      |  SELECT lo, hi FROM bounds
       |  UNION ALL
-      |  SELECT m + INTERVAL '1' MONTH FROM months, bounds WHERE m < hi)
+      |  SELECT m + INTERVAL '1' MONTH, hi FROM months WHERE m < hi)
       |SELECT m, count(o_orderkey) AS n_orders,
       |  CAST(coalesce(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)), 0)
       |    AS DOUBLE) / 1e2 AS month_rev

@@ -192,10 +192,10 @@ object WarehouseOps {
       |bounds AS (SELECT user_id, min(day) AS lo, max(day) AS hi
       |           FROM daily GROUP BY user_id),
       |gb AS (SELECT min(lo) AS glo, max(hi) AS ghi FROM bounds),
-      |days(day) AS (
-      |  SELECT glo FROM gb
+      |days(day, ghi) AS (
+      |  SELECT glo, ghi FROM gb
       |  UNION ALL
-      |  SELECT day + INTERVAL '1' DAY FROM days, gb WHERE day < ghi),
+      |  SELECT day + INTERVAL '1' DAY, ghi FROM days WHERE day < ghi),
       |spine AS (SELECT b.user_id, d.day FROM bounds b
       |          JOIN days d ON d.day BETWEEN b.lo AND b.hi)
       |SELECT s.user_id, s.day,

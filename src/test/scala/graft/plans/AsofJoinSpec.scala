@@ -12,11 +12,13 @@ class AsofJoinSpec extends SparkTestBase {
   import spark.implicits._
 
   private def asofSmall(left: Seq[(String, Long, Int)],
-      right: Seq[(String, Long, Int)]): Map[(String, Long, Int), Option[Long]] =
+      right: Seq[(String, Long, Int)],
+      direction: String = "backward",
+      tolerance: Option[Long] = None): Map[(String, Long, Int), Option[Long]] =
     AsofJoinOp.asof(
       left.toDF("k", "t", "id"),
       right.toDF("rk", "rt", "rid"),
-      Seq("k" -> "rk"), "t" -> "rt")
+      Seq("k" -> "rk"), "t" -> "rt", direction, tolerance)
       .collect()
       .map(r => ((r.getString(0), r.getLong(1), r.getInt(2)),
         if (r.isNullAt(4)) None else Some(r.getLong(4))))
@@ -150,5 +152,57 @@ class AsofJoinSpec extends SparkTestBase {
         if (r.isNullAt(3)) None else Some(r.getLong(3))))
       .toMap
     assert(a == twin)
+  }
+
+  test("forward direction: earliest right ≥ left, shared across lefts") {
+    val out = asofSmall(
+      left = Seq(("a", 10L, 1), ("a", 12L, 2), ("a", 20L, 3), ("b", 5L, 4)),
+      right = Seq(("a", 8L, 0), ("a", 15L, 0), ("b", 3L, 0)),
+      direction = "forward")
+    assert(out(("a", 10L, 1)) == Some(15L)) // next at or after 10
+    assert(out(("a", 12L, 2)) == Some(15L)) // SAME candidate, not consumed
+    assert(out(("a", 20L, 3)) == None)      // rights exhausted
+    assert(out(("b", 5L, 4)) == None)       // right is strictly behind
+    // inclusive tie: rt == lt matches forward too
+    val tie = asofSmall(Seq(("a", 15L, 1)), Seq(("a", 15L, 0)), "forward")
+    assert(tie(("a", 15L, 1)) == Some(15L))
+  }
+
+  test("tolerance bounds the match window in both directions") {
+    val left = Seq(("a", 100L, 1), ("a", 200L, 2))
+    val right = Seq(("a", 90L, 0), ("a", 230L, 0))
+    // backward: 100-90=10 within 10 (inclusive); 200-90=110 outside
+    val back = asofSmall(left, right, "backward", tolerance = Some(10L))
+    assert(back(("a", 100L, 1)) == Some(90L))
+    assert(back(("a", 200L, 2)) == None)
+    // forward: 230-200=30 within 30 (inclusive); 230-100=130 outside
+    val fwd = asofSmall(left, right, "forward", tolerance = Some(30L))
+    assert(fwd(("a", 100L, 1)) == None)
+    assert(fwd(("a", 200L, 2)) == Some(230L))
+  }
+
+  test("forward + tolerance matches a brute-force reference on random data") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 400).map(i => (s"k${rnd.nextInt(5)}", rnd.nextInt(200).toLong, i))
+    val right = (1 to 250).map(i => (s"k${rnd.nextInt(6)}", rnd.nextInt(200).toLong, i))
+    val tol = 25L
+    val got = asofSmall(left, right, "forward", Some(tol))
+    left.foreach { case lr @ (k, t, _) =>
+      val expected = right.filter(r => r._1 == k && r._2 >= t && r._2 - t <= tol)
+        .map(_._2).minOption
+      assert(got(lr) == expected, s"left $lr: got ${got(lr)}, want $expected")
+    }
+  }
+
+  test("q119 plans the custom exec and only in-window matches survive") {
+    val plan = graft.queries.EventOps.q119AsofForward(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan.take(1500))
+    val rows = graft.queries.EventOps.q119AsofForward(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.filter(!_.isNullAt(3)).foreach { r =>
+      val gap = r.getDouble(3)
+      assert(gap >= 0 && gap <= 600.0, s"gap $gap outside [0, 600s]")
+    }
   }
 }
