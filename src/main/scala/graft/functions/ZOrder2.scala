@@ -73,3 +73,65 @@ object ZOrder2 {
     x
   }
 }
+
+/** Dense projection of an embedding onto `coeffs.length` principal
+  * components, one fused per-row kernel: out[j] = Σᵢ emb[i]·c[j][i]
+  * (double accumulation in index order, result cast to float).
+  *
+  * Bit-identical to the declarative form — `array(Σ getItem(i) *
+  * lit(c))` over 64 dims × 8 components — but that form is a 512-node
+  * expression tree PER projection: Catalyst ANALYSIS of the q110 plan
+  * alone measured 1.8 s, and the generated code falls out of the JIT's
+  * method-size sweet spot. The kernel removes both (plan is one node;
+  * codegen is one reference call), the MinHashSigs/SortedGramHashes
+  * pattern applied to the ANN projection path. Coefficients are
+  * captured state, not expressions — built via [[graft]] Bridge's
+  * `column`, not the function registry. */
+case class PcaProject(child: Expression, coeffs: Array[Array[Double]])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pca_project expects array<float>, got $other")
+  }
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "pca_project"
+
+  def compute(a: org.apache.spark.sql.catalyst.util.ArrayData)
+      : org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = a.numElements()
+    val out = new Array[Float](coeffs.length)
+    var j = 0
+    while (j < coeffs.length) {
+      val row = coeffs(j)
+      val m = math.min(n, row.length)
+      var s = 0.0
+      var i = 0
+      while (i < m) { s += a.getFloat(i).toDouble * row(i); i += 1 }
+      out(j) = s.toFloat
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("pcaProject", this, classOf[PcaProject].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -270,6 +270,27 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** q120 — NULL-SAFE equi join (`<=>` / IS NOT DISTINCT FROM): the
+    * join both engines need when the key domain includes NULL and
+    * NULL must match NULL (SQL `=` drops those rows silently — the
+    * classic missing-rows bug when joining on nullable dimensions).
+    * Keys are nullified deterministically so both engines see the same
+    * domain; aggregates are joined (not rows) so the NULL×NULL match
+    * stays one row. Spark plans EqualNullSafe inside a regular hash
+    * join — same shuffle shape as `=`. Explicit NULLS FIRST: Spark's
+    * ASC default differs from DuckDB's. */
+  def q120NullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val lhs = Tables.orders(s, dir)
+      .groupBy(nullif(col("o_custkey") % 50, lit(17)).as("k"))
+      .agg(count(lit(1)).as("n_orders"))
+    val rhs = Tables.customer(s, dir)
+      .groupBy(nullif(col("c_custkey") % 50, lit(17)).as("k2"))
+      .agg(count(lit(1)).as("n_cust"))
+    lhs.join(rhs, lhs("k") <=> rhs("k2"), "inner")
+      .select(col("k"), col("n_orders"), col("n_cust"))
+      .orderBy(asc_nulls_first("k"))
+  }
+
   // -------------------------------------------------------- sort / set ops
 
   /** q18 — global top-k: planned as TakeOrderedAndProject (per-partition
@@ -476,6 +497,7 @@ object Relational {
     "q16_window_lag" -> (q16WindowLag _),
     "q17_window_frame" -> (q17WindowFrame _),
     "q118_range_frame" -> (q118RangeFrame _),
+    "q120_null_safe_join" -> (q120NullSafeJoin _),
     "q18_topk" -> (q18TopK _),
     "q19_setops" -> (q19SetOps _),
     "q20_date_fns" -> (q20DateFns _),
@@ -604,6 +626,14 @@ object Relational {
         |    AS BIGINT) AS trail90_fp
         |FROM orders WHERE o_custkey < 200
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q120_null_safe_join" ->
+      """SELECT l.k, l.n_orders, r.n_cust
+        |FROM (SELECT nullif(o_custkey % 50, 17) AS k, count(*) AS n_orders
+        |      FROM orders GROUP BY 1) l
+        |JOIN (SELECT nullif(c_custkey % 50, 17) AS k2, count(*) AS n_cust
+        |      FROM customer GROUP BY 1) r
+        |  ON l.k IS NOT DISTINCT FROM r.k2
+        |ORDER BY l.k NULLS FIRST""".stripMargin,
     "q18_topk" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,

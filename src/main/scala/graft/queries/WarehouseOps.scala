@@ -34,10 +34,14 @@ object WarehouseOps {
     *     combine an integer sum, so the result is independent of
     *     partitioning and addition order — exactly reproducible on any
     *     cluster size AND in the DuckDB oracle (3 chained CTEs);
-    *   - the edge list is built once (one self-join shuffle on
-    *     l_orderkey, deduped) and `localCheckpoint`ed: 4 consumers
-    *     (outdegree + 3 iterations) re-read the materialized blocks
-    *     instead of re-running the quadratic stage;
+    *   - the edge list is built by ONE groupBy(order) + double
+    *     explode of the per-order part set — one 600k-row shuffle,
+    *     pairs generated map-side — not a lineitem self-join (which
+    *     shuffles both sides and merges: measured 6.0 s vs 3.8 s at
+    *     sf0.1 for the same 2.39M edges) — then deduped and
+    *     `localCheckpoint`ed: 4 consumers (outdegree + 3 iterations)
+    *     re-read the materialized blocks instead of re-running the
+    *     quadratic stage;
     *   - each iteration is edges ⋈ ranks (ranks is |V| rows — AQE
     *     broadcasts it) followed by one groupBy(dst) sum with map-side
     *     partial aggregation: the classic scalable PageRank shape,
@@ -49,9 +53,11 @@ object WarehouseOps {
   def q114PageRank(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") =!= col("b.pk"))
-      .select(col("a.pk").as("src"), col("b.pk").as("dst"))
+    val edges = li.groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .select("src", "dst")
       .distinct()
       .localCheckpoint() // 4 consumers: outdeg + 3 iteration joins
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))

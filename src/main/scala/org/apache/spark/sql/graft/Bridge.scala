@@ -22,4 +22,16 @@ object Bridge {
 
   def analyzed(df: Dataset[_]): LogicalPlan =
     df.asInstanceOf[CDataset[_]].queryExecution.analyzed
+
+  /** Wrap a hand-built catalyst [[Expression]] as a [[Column]] — for
+    * expressions with non-Expression constructor state (captured model
+    * coefficients) that cannot go through the function registry. */
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** The inverse doorway: a [[Column]]'s underlying expression. */
+  def expr(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 }

@@ -377,6 +377,22 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r200 >= r25, s"recall not monotone: 200-cand $r200 < 25-cand $r25")
   }
 
+  test("PcaProject kernel is bit-identical to the declarative projection tree") {
+    val pcs = VectorOps.topPrincipalComponents(spark, Sf, 4)
+    val emb = graft.Tables.embeddings(spark, Sf).limit(50)
+    val native = emb.select(org.apache.spark.sql.graft.Bridge.column(
+        graft.functions.PcaProject(
+          org.apache.spark.sql.graft.Bridge.expr(col("embedding")), pcs))
+        .as("p"))
+      .collect().map(_.getSeq[Float](0))
+    val declarative = emb.select(array((0 until 4).map(j =>
+        (0 until 64).map(i => col("embedding").getItem(i).cast("double") *
+          lit(pcs(j)(i))).reduce(_ + _)): _*).cast("array<float>").as("p"))
+      .collect().map(_.getSeq[Float](0))
+    assert(native.length == 50)
+    native.zip(declarative).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("q110 PCA ANN clears the recall gate") {
     val r = recallAt10(VectorOps.q110AnnPca(spark, Sf))
     // random-noise corpus: 8 of 64 dims keep ~12% of the variance, so

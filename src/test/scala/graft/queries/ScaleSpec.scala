@@ -112,6 +112,37 @@ class ScaleSpec extends SparkTestBase {
     } finally s.sql("DROP TABLE IF EXISTS nation_managed")
   }
 
+  test("dynamic partition pruning: dim filter prunes fact partitions at runtime") {
+    // the star-join scale pattern: the fact is partitioned on the join
+    // key, the dim filter is only known after planning — DPP turns the
+    // dim's build side into a runtime partition filter on the fact
+    // scan, so a 100 TB fact reads only the partitions the dim selects
+    val out = java.nio.file.Files.createTempDirectory("graft_dpp").toString
+    graft.Tables.orders(spark, Sf).write.mode("overwrite")
+      .partitionBy("o_orderpriority").parquet(out)
+    val fact = spark.read.parquet(out)
+    import spark.implicits._
+    // the filter is on a NON-key dim column: the matching partitions
+    // are unknowable at plan time (a filter directly on the join key
+    // would constant-propagate into a STATIC partition filter, and an
+    // in-memory dim would constant-FOLD the filter away entirely — the
+    // dim must be a file source for a selective Filter node to exist)
+    // (and an equality predicate — DPP's isLikelySelective heuristic
+    // does not treat a bare boolean column as selective)
+    val dimDir = java.nio.file.Files.createTempDirectory("graft_dpp_dim").toString
+    Seq(("1-URGENT", "hot"), ("2-HIGH", "warm"), ("3-MEDIUM", "warm"),
+      ("4-NOT SPECIFIED", "cold"), ("5-LOW", "cold"))
+      .toDF("o_orderpriority", "urgency")
+      .write.mode("overwrite").parquet(dimDir)
+    val dim = spark.read.parquet(dimDir)
+    val joined = fact.join(dim.filter(col("urgency") === "hot"), "o_orderpriority")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), plan.take(3000))
+    val expected = graft.Tables.orders(spark, Sf)
+      .filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(joined.count() == expected)
+  }
+
   test("partitioned write prunes partitions on a partition-key filter") {
     val out = java.nio.file.Files.createTempDirectory("graft_part").toString
     graft.Tables.documents(spark, Sf).write.mode("overwrite")
