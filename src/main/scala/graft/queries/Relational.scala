@@ -291,6 +291,40 @@ object Relational {
       .orderBy(asc_nulls_first("k"))
   }
 
+  /** q121 — BINNED range join: points (lineitem ship dates) into
+    * intervals (14-day windows around a sampled order set) with NO
+    * equi key. The naive plan for pure interval containment is a
+    * nested-loop O(points × intervals); the scalable rewrite bins
+    * time: intervals explode into their covered days (one row per
+    * day), points map to their ONE day — so the pair space collapses
+    * to an EQUI join on the bin plus an exact containment re-check,
+    * and each (point, interval) pair meets at exactly one bin (the
+    * point's), so no dedup is needed. Shuffle volume is points +
+    * interval-days, never their product; the plan-shape spec asserts
+    * no nested-loop join survives. DuckDB oracles it with its native
+    * inequality (IEJoin) plan — an independent strategy for the same
+    * semantics. */
+  def q121BinnedRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val win = Tables.orders(s, dir)
+      .filter(col("o_orderkey") % 997 === 0)
+      .select(col("o_orderkey").as("win_id"),
+        col("o_orderdate").as("w_start"),
+        (col("o_orderdate") + expr("INTERVAL 14 DAYS")).as("w_end"))
+    val binned = win.select(col("win_id"), col("w_start"), col("w_end"),
+      explode(sequence(date_trunc("DAY", col("w_start")),
+        date_trunc("DAY", col("w_end")), expr("INTERVAL 1 DAY"))).as("bin"))
+    Tables.lineitem(s, dir)
+      .select(col("l_shipdate"), col("l_extendedprice"),
+        date_trunc("DAY", col("l_shipdate")).as("bin"))
+      .join(binned, Seq("bin"))
+      .filter(col("l_shipdate") >= col("w_start") &&
+        col("l_shipdate") < col("w_end"))
+      .groupBy("win_id")
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(col("l_extendedprice")).as("window_rev"))
+      .orderBy("win_id")
+  }
+
   // -------------------------------------------------------- sort / set ops
 
   /** q18 — global top-k: planned as TakeOrderedAndProject (per-partition
@@ -498,6 +532,7 @@ object Relational {
     "q17_window_frame" -> (q17WindowFrame _),
     "q118_range_frame" -> (q118RangeFrame _),
     "q120_null_safe_join" -> (q120NullSafeJoin _),
+    "q121_binned_range_join" -> (q121BinnedRangeJoin _),
     "q18_topk" -> (q18TopK _),
     "q19_setops" -> (q19SetOps _),
     "q20_date_fns" -> (q20DateFns _),
@@ -626,6 +661,15 @@ object Relational {
         |    AS BIGINT) AS trail90_fp
         |FROM orders WHERE o_custkey < 200
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q121_binned_range_join" ->
+      s"""SELECT w.o_orderkey AS win_id, count(*) AS n_lines,
+        |  ${fsum("l.l_extendedprice")} AS window_rev
+        |FROM (SELECT o_orderkey, o_orderdate FROM orders
+        |      WHERE o_orderkey % 997 = 0) w
+        |JOIN lineitem l
+        |  ON l.l_shipdate >= w.o_orderdate
+        | AND l.l_shipdate < w.o_orderdate + INTERVAL 14 DAY
+        |GROUP BY w.o_orderkey ORDER BY win_id""".stripMargin,
     "q120_null_safe_join" ->
       """SELECT l.k, l.n_orders, r.n_cust
         |FROM (SELECT nullif(o_custkey % 50, 17) AS k, count(*) AS n_orders

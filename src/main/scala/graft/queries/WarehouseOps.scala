@@ -245,8 +245,59 @@ object WarehouseOps {
        |ORDER BY z, o_orderkey""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q122
+
+  /** q122 — triangle counting on a degree-bounded subgraph of the
+    * co-purchase graph (every 10th part): ORIENTED edges (src < dst)
+    * make each triangle a < b < c appear exactly once, so the count is
+    * two equi joins — 2-paths (a→b→c) closed by an edge-existence
+    * check — never an all-pairs stage. Per-node participation is the
+    * exploded triangle corners re-aggregated. 2-path volume is
+    * Σ_b deg(b)², which is why production triangle counts run on a
+    * degree-capped or sampled graph exactly like this blocking; the
+    * sampling predicate (`l_partkey % 10 = 0`) is part of the query's
+    * definition, shared with the oracle. Everything is integer →
+    * bit-exact cross-engine. */
+  def q122Triangles(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") < col("dst")) // oriented: one row per edge
+      .select("src", "dst")
+      .distinct()
+      .localCheckpoint() // 3 consumers: both 2-path sides + the closer
+    val paths = edges.select(col("src").as("a"), col("dst").as("b"))
+      .join(edges.select(col("src").as("b"), col("dst").as("c")), "b")
+    val tris = paths.join(edges.select(col("src").as("a"),
+        col("dst").as("c")).hint("SHUFFLE_HASH"), Seq("a", "c"), "left_semi")
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("part_id"))
+      .groupBy("part_id").agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("n_triangles").desc, col("part_id"))
+      .limit(50)
+  }
+
+  private val TrianglesSql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |            WHERE l_partkey % 10 = 0),
+      |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+      |      FROM e e1 JOIN e e2 ON e1.dst = e2.src
+      |      WHERE EXISTS (SELECT 1 FROM e e3
+      |                    WHERE e3.src = e1.src AND e3.dst = e2.dst))
+      |SELECT part_id, count(*) AS n_triangles FROM (
+      |  SELECT a AS part_id FROM t
+      |  UNION ALL SELECT b FROM t
+      |  UNION ALL SELECT c FROM t)
+      |GROUP BY part_id
+      |ORDER BY n_triangles DESC, part_id LIMIT 50""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_pagerank" -> (q114PageRank _),
+    "q122_triangles" -> (q122Triangles _),
     "q115_scd2" -> (q115Scd2 _),
     "q116_gap_fill" -> (q116GapFill _),
     "q117_zorder" -> (q117Zorder _),
@@ -254,6 +305,7 @@ object WarehouseOps {
 
   val oracles: Map[String, String] = Map(
     "q114_pagerank" -> PageRankSql,
+    "q122_triangles" -> TrianglesSql,
     "q115_scd2" -> Scd2Sql,
     "q116_gap_fill" -> GapFillSql,
     "q117_zorder" -> ZorderSql,

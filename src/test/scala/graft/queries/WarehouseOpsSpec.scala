@@ -82,6 +82,51 @@ class WarehouseOpsSpec extends SparkTestBase {
     }
   }
 
+  // ---------------------------------------------------------------- q121
+
+  test("binned range join: equi-join plan, identical to the nested-loop form") {
+    val df = Relational.q121BinnedRangeJoin(spark, Sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoop") && !plan.contains("Cartesian"),
+      plan.take(2000))
+    // the naive inequality join — correct but O(points × intervals)
+    val win = graft.Tables.orders(spark, Sf)
+      .filter($"o_orderkey" % 997 === 0)
+      .select($"o_orderkey".as("win_id"), $"o_orderdate".as("w_start"),
+        ($"o_orderdate" + expr("INTERVAL 14 DAYS")).as("w_end"))
+    val naive = graft.Tables.lineitem(spark, Sf)
+      .join(win, $"l_shipdate" >= $"w_start" && $"l_shipdate" < $"w_end")
+      .groupBy("win_id").agg(count(lit(1)).as("n_lines"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val binned = df.collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(binned == naive)
+  }
+
+  // ---------------------------------------------------------------- q122
+
+  test("triangle counts match a brute-force reference") {
+    val out = WarehouseOps.q122Triangles(spark, Sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force on the collected subgraph
+    val li = graft.Tables.lineitem(spark, Sf)
+      .filter($"l_partkey" % 10 === 0)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val edges = li.groupBy(_._1).values.flatMap { grp =>
+      val ps = grp.map(_._2).distinct.toSeq
+      for (a <- ps; b <- ps if a < b) yield (a, b)
+    }.toSet
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val triCount = new scala.collection.mutable.HashMap[Long, Long]()
+      .withDefaultValue(0L)
+    for ((a, b) <- edges; c <- adj.getOrElse(b, Set.empty) if edges((a, c))) {
+      triCount(a) += 1; triCount(b) += 1; triCount(c) += 1
+    }
+    val expected = triCount.toSeq.sortBy(t => (-t._2, t._1)).take(50).toMap
+    assert(out == expected)
+  }
+
   // ---------------------------------------------------------------- q117
 
   test("zorder2 expression matches the per-bit reference interleave") {
