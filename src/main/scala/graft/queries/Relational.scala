@@ -325,6 +325,28 @@ object Relational {
       .orderBy("win_id")
   }
 
+  /** q123 — multiset set operations (INTERSECT ALL / EXCEPT ALL):
+    * bag semantics keep DUPLICATE cardinality — min(m, n) copies for
+    * intersect, max(m − n, 0) for except — which q19's distinct
+    * variants erase. Spark plans both as a single aggregate computing
+    * per-row counts on each side then a generate (no join); the result
+    * is aggregated per key here so the output order is total. */
+  def q123SetOpsAll(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_custkey")
+    val low = orders.filter(col("o_orderpriority") === "5-LOW")
+      .select("o_custkey")
+    urgent.intersectAll(low).groupBy("o_custkey")
+      .agg(count(lit(1)).as("copies"))
+      .withColumn("setop", lit("intersect_all"))
+      .unionByName(urgent.exceptAll(low).groupBy("o_custkey")
+        .agg(count(lit(1)).as("copies"))
+        .withColumn("setop", lit("except_all")))
+      .select("setop", "o_custkey", "copies")
+      .orderBy("setop", "o_custkey")
+  }
+
   // -------------------------------------------------------- sort / set ops
 
   /** q18 — global top-k: planned as TakeOrderedAndProject (per-partition
@@ -533,6 +555,7 @@ object Relational {
     "q118_range_frame" -> (q118RangeFrame _),
     "q120_null_safe_join" -> (q120NullSafeJoin _),
     "q121_binned_range_join" -> (q121BinnedRangeJoin _),
+    "q123_setops_all" -> (q123SetOpsAll _),
     "q18_topk" -> (q18TopK _),
     "q19_setops" -> (q19SetOps _),
     "q20_date_fns" -> (q20DateFns _),
@@ -661,6 +684,18 @@ object Relational {
         |    AS BIGINT) AS trail90_fp
         |FROM orders WHERE o_custkey < 200
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q123_setops_all" ->
+      """WITH urgent AS (SELECT o_custkey FROM orders
+        |                WHERE o_orderpriority = '1-URGENT'),
+        |low AS (SELECT o_custkey FROM orders WHERE o_orderpriority = '5-LOW')
+        |SELECT 'intersect_all' AS setop, o_custkey, count(*) AS copies
+        |FROM (SELECT * FROM urgent INTERSECT ALL SELECT * FROM low)
+        |GROUP BY o_custkey
+        |UNION ALL
+        |SELECT 'except_all', o_custkey, count(*)
+        |FROM (SELECT * FROM urgent EXCEPT ALL SELECT * FROM low)
+        |GROUP BY o_custkey
+        |ORDER BY setop, o_custkey""".stripMargin,
     "q121_binned_range_join" ->
       s"""SELECT w.o_orderkey AS win_id, count(*) AS n_lines,
         |  ${fsum("l.l_extendedprice")} AS window_rev
