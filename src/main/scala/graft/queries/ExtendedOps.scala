@@ -450,7 +450,32 @@ object ExtendedOps {
     }
   }
 
+  /** q124 — MERGEABLE distinct-count sketches (DataSketches HLL):
+    * per-group sketches that UNION to any rollup level without
+    * re-scanning — the pre-aggregated distinct-count store pattern
+    * (persist the binary sketch per partition/day, answer "distinct
+    * users last N days" by merging N sketches). q12's
+    * approx_count_distinct gives one number; this keeps the STATE
+    * re-aggregatable. The 'ALL' row is the union of the five per-group
+    * sketches, not a second scan. Rows-only (sketch internals are
+    * engine-specific); the union-consistency and error-bound
+    * properties are unit-tested. */
+  def q124HllSketch(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy("o_orderpriority")
+      .agg(expr("hll_sketch_agg(o_custkey)").as("sk"),
+        count(lit(1)).as("n_rows"))
+    per.select(col("o_orderpriority").as("grp"),
+        expr("hll_sketch_estimate(sk)").as("est_distinct"), col("n_rows"))
+      .unionByName(per.agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("est_distinct"),
+          sum(col("n_rows")).as("n_rows"))
+        .select(lit("ALL").as("grp"), col("est_distinct"), col("n_rows")))
+      .orderBy("grp")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q124_hll_sketch" -> (q124HllSketch _),
     "q59_grouping_sets" -> (q59GroupingSets _),
     "q60_stats_agg" -> (q60StatsAgg _),
     "q61_top_tokens" -> (q61TopTokens _),

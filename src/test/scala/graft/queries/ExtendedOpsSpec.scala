@@ -100,4 +100,28 @@ class ExtendedOpsSpec extends SparkTestBase {
     assert(total.length == 1)
     assert(total.head.getLong(3) == graft.Tables.lineitem(spark, Sf).count())
   }
+
+  test("q124 HLL sketches: estimates near exact, union consistent with one scan") {
+    import org.apache.spark.sql.functions._
+    val rows = ExtendedOps.q124HllSketch(spark, Sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exactPer = graft.Tables.orders(spark, Sf)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("d")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    exactPer.foreach { case (g, exact) =>
+      val est = rows(g)
+      assert(math.abs(est - exact) <= math.max(3L, (exact * 0.05).toLong),
+        s"$g: est $est vs exact $exact")
+    }
+    val exactAll = graft.Tables.orders(spark, Sf)
+      .select(countDistinct(col("o_custkey"))).collect().head.getLong(0)
+    assert(math.abs(rows("ALL") - exactAll) <=
+      math.max(3L, (exactAll * 0.05).toLong))
+    // the union of per-group sketches equals a direct one-scan sketch
+    val direct = graft.Tables.orders(spark, Sf)
+      .select(expr("hll_sketch_estimate(hll_sketch_agg(o_custkey))"))
+      .collect().head.getLong(0)
+    assert(rows("ALL") == direct, "sketch union diverged from direct sketch")
+  }
 }
