@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, MapType, StringType}
@@ -176,7 +176,39 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** q125 — z-score anomaly detection over sensor values: per-type
+    * mean/std from EXACT integer sufficient statistics (the q97
+    * discipline — fixed-point sums are order-independent, the
+    * double formulas are evaluated in identical expression trees on
+    * both engines → bit-identical), then a second pass flags events
+    * with |z| > 3. Two scans, one broadcast of the 4-row stats frame —
+    * the monitoring shape that runs over a 100 TB event log as two
+    * columnar passes with no shuffle beyond the tiny aggregate. */
+  def q125Outliers(s: SparkSession, dir: String): DataFrame = {
+    val fv = floor(col("value") * 100).cast("long")
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), fv.as("fv"))
+    val d = (c: Column) => c.cast("double")
+    val stats = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("fv")).as("sx"),
+        sum(col("fv") * col("fv")).as("sxx"))
+      .select(col("event_type"), col("n"),
+        (d(col("sx")) / col("n")).as("mean_fp"),
+        sqrt(d(col("sxx")) / col("n") -
+          (d(col("sx")) / col("n")) * (d(col("sx")) / col("n"))).as("std_fp"))
+    ev.join(broadcast(stats), "event_type")
+      .groupBy("event_type")
+      .agg(first(col("n")).as("n"),
+        count_if(abs(d(col("fv")) - col("mean_fp")) >
+          lit(3.0) * col("std_fp")).as("n_outliers"),
+        (first(col("mean_fp")) / 1e2).as("mean_value"),
+        (first(col("std_fp")) / 1e2).as("std_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q125_outliers" -> (q125Outliers _),
     "q24_json_extract" -> (q24JsonExtract _),
     "q49_sliding_window" -> (q49SlidingWindow _),
     "q25_tumbling_window" -> (q25TumblingWindow _),
@@ -230,6 +262,25 @@ object EventOps {
         |  ON e.user_id = c.user_id AND c.ts <= e.ts
         |ORDER BY e.event_id""".stripMargin,
     // identical semantics through the custom sorted-merge exec
+    "q125_outliers" ->
+      """WITH f AS (SELECT event_type, CAST(floor(value * 1e2) AS BIGINT) AS fv
+        |           FROM events WHERE value IS NOT NULL),
+        |st AS (SELECT event_type, count(*) AS n,
+        |         CAST(sum(fv) AS BIGINT) AS sx,
+        |         CAST(sum(fv * fv) AS BIGINT) AS sxx
+        |       FROM f GROUP BY event_type),
+        |m AS (SELECT event_type, n,
+        |        CAST(sx AS DOUBLE) / n AS mean_fp,
+        |        sqrt(CAST(sxx AS DOUBLE) / n -
+        |          (CAST(sx AS DOUBLE) / n) * (CAST(sx AS DOUBLE) / n)) AS std_fp
+        |      FROM st)
+        |SELECT f.event_type, any_value(m.n) AS n,
+        |  count(*) FILTER (WHERE abs(CAST(f.fv AS DOUBLE) - m.mean_fp)
+        |                     > 3e0 * m.std_fp) AS n_outliers,
+        |  any_value(m.mean_fp) / 1e2 AS mean_value,
+        |  any_value(m.std_fp) / 1e2 AS std_value
+        |FROM f JOIN m ON f.event_type = m.event_type
+        |GROUP BY f.event_type ORDER BY f.event_type""".stripMargin,
     "q119_asof_forward" ->
       """SELECT c.event_id, c.user_id,
         |  CAST(n.ts AS TIMESTAMP) AS next_error_ts,
