@@ -207,8 +207,79 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** q126 — conversion funnel (the ClickHouse `windowFunnel` shape):
+    * per user, the deepest stage of signup→view→click→purchase reached
+    * IN ORDER within 1 day of the first signup. Each stage's first
+    * qualifying timestamp is a per-user constant, so the whole chain is
+    * four conditional-min windows over ONE user_id partition — one
+    * shuffle, one sort, no self-joins; at 100 TB the cost is a single
+    * keyed exchange regardless of funnel depth. */
+  def q126Funnel(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+    val lim = col("s0") + expr("INTERVAL 1 DAY")
+    val staged = Tables.events(s, dir)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("s0", min(when(col("event_type") === "signup", col("ts"))).over(w))
+      .withColumn("v0", min(when(col("event_type") === "view" &&
+        col("ts") >= col("s0") && col("ts") <= lim, col("ts"))).over(w))
+      .withColumn("c0", min(when(col("event_type") === "click" &&
+        col("ts") >= col("v0") && col("ts") <= lim, col("ts"))).over(w))
+      .withColumn("p0", min(when(col("event_type") === "purchase" &&
+        col("ts") >= col("c0") && col("ts") <= lim, col("ts"))).over(w))
+    staged.groupBy("user_id")
+      .agg(min(col("s0")).as("s0"), min(col("v0")).as("v0"),
+        min(col("c0")).as("c0"), min(col("p0")).as("p0"))
+      .select(when(col("p0").isNotNull, 4).when(col("c0").isNotNull, 3)
+        .when(col("v0").isNotNull, 2).when(col("s0").isNotNull, 1)
+        .otherwise(0).as("stage"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+      .orderBy("stage")
+  }
+
+  /** q127 — weekly cohort retention: users grouped by first-seen week,
+    * fraction still active N weeks later. One narrow (user_id, week)
+    * dedup, a cohort min-aggregate, one keyed join, and a tiny matrix
+    * aggregate — every shuffle is on user_id or the (cohort, offset)
+    * matrix key, all width-pruned before exchange. */
+  def q127Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("week", col("ts")).cast("date").as("week"))
+    val cohort = ev.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+    ev.distinct().join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        expr("datediff(week, cohort_week) div 7").as("week_offset"))
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .withColumn("cohort_size",
+        max(when(col("week_offset") === 0, col("n_active")))
+          .over(Window.partitionBy("cohort_week")))
+      .select(col("cohort_week"), col("week_offset"), col("n_active"),
+        (col("n_active").cast(DoubleType) / col("cohort_size")).as("retention"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** q128 — event transition matrix (first-order Markov counts): for
+    * each consecutive pair of events per user, count prev→next and its
+    * conditional probability. lag over the user partition (one keyed
+    * shuffle), then a 25-cell aggregate; probabilities are exact
+    * BIGINT/BIGINT divisions so both engines round identically. */
+  def q128Transitions(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .groupBy(col("prev_type"), col("event_type").as("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast(DoubleType) /
+        sum(col("n")).over(Window.partitionBy("prev_type")))
+      .orderBy("prev_type", "next_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_outliers" -> (q125Outliers _),
+    "q126_funnel" -> (q126Funnel _),
+    "q127_retention" -> (q127Retention _),
+    "q128_transitions" -> (q128Transitions _),
     "q24_json_extract" -> (q24JsonExtract _),
     "q49_sliding_window" -> (q49SlidingWindow _),
     "q25_tumbling_window" -> (q25TumblingWindow _),
@@ -262,6 +333,51 @@ object EventOps {
         |  ON e.user_id = c.user_id AND c.ts <= e.ts
         |ORDER BY e.event_id""".stripMargin,
     // identical semantics through the custom sorted-merge exec
+    "q126_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |s AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
+        |               OVER (PARTITION BY user_id) AS s0 FROM e),
+        |v AS (SELECT *, min(CASE WHEN event_type = 'view' AND ts >= s0
+        |                         AND ts <= s0 + INTERVAL 1 DAY THEN ts END)
+        |               OVER (PARTITION BY user_id) AS v0 FROM s),
+        |c AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts >= v0
+        |                         AND ts <= s0 + INTERVAL 1 DAY THEN ts END)
+        |               OVER (PARTITION BY user_id) AS c0 FROM v),
+        |p AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts >= c0
+        |                         AND ts <= s0 + INTERVAL 1 DAY THEN ts END)
+        |               OVER (PARTITION BY user_id) AS p0 FROM c),
+        |u AS (SELECT user_id,
+        |        max(CASE WHEN p0 IS NOT NULL THEN 4 WHEN c0 IS NOT NULL THEN 3
+        |                 WHEN v0 IS NOT NULL THEN 2 WHEN s0 IS NOT NULL THEN 1
+        |                 ELSE 0 END) AS stage
+        |      FROM p GROUP BY user_id)
+        |SELECT stage, count(*) AS n_users FROM u GROUP BY stage ORDER BY stage""".stripMargin,
+    "q127_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |              CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS week
+        |            FROM events),
+        |cohort AS (SELECT user_id, min(week) AS cohort_week FROM ev GROUP BY user_id),
+        |m AS (SELECT c.cohort_week,
+        |        date_diff('day', c.cohort_week, a.week) // 7 AS week_offset,
+        |        count(DISTINCT a.user_id) AS n_active
+        |      FROM (SELECT DISTINCT user_id, week FROM ev) a
+        |      JOIN cohort c ON a.user_id = c.user_id
+        |      GROUP BY 1, 2)
+        |SELECT cohort_week, week_offset, n_active,
+        |  CAST(n_active AS DOUBLE) /
+        |    max(CASE WHEN week_offset = 0 THEN n_active END)
+        |      OVER (PARTITION BY cohort_week) AS retention
+        |FROM m ORDER BY cohort_week, week_offset""".stripMargin,
+    "q128_transitions" ->
+      """WITH l AS (SELECT user_id, event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_type
+        |           FROM events),
+        |g AS (SELECT prev_type, event_type AS next_type, count(*) AS n
+        |      FROM l WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev_type, next_type, n,
+        |  CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE) AS p
+        |FROM g ORDER BY prev_type, next_type""".stripMargin,
     "q125_outliers" ->
       """WITH f AS (SELECT event_type, CAST(floor(value * 1e2) AS BIGINT) AS fv
         |           FROM events WHERE value IS NOT NULL),
