@@ -275,8 +275,61 @@ object EventOps {
       .orderBy("prev_type", "next_type")
   }
 
+  /** q129 — exact exponentially-weighted moving average (α = 1/2) of
+    * each user's sensor value over their last 16 events, reported at
+    * their latest event. The halving weights are powers of two, so the
+    * weighted sum is EXACT 64-bit integer arithmetic (fv·2^k), and both
+    * engines perform the identical double division at the end — a
+    * smoothing operator that is usually "approximately equal" across
+    * engines becomes bit-exact. One keyed shuffle; the frame walk is
+    * partition-local. */
+  def q129Ewma(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val frame = order.rowsBetween(-15, Window.currentRow)
+    Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("user_id"), col("event_id"), col("ts"),
+        floor(col("value") * 100).cast("long").as("fv"))
+      .withColumn("arr", collect_list(col("fv")).over(frame))
+      .withColumn("rn", row_number().over(order))
+      .withColumn("n_events", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === col("n_events"))
+      .withColumn("num", expr(
+        """aggregate(zip_with(arr, sequence(1, size(arr)),
+          |  (x, p) -> x * shiftleft(CAST(1 AS BIGINT), 16 + p - 1 - size(arr))),
+          |  CAST(0 AS BIGINT), (a, b) -> a + b)""".stripMargin))
+      .withColumn("den", expr(
+        "shiftleft(CAST(1 AS BIGINT), 16 - size(arr)) * (shiftleft(CAST(1 AS BIGINT), size(arr)) - 1)"))
+      .select(col("user_id"), col("n_events"),
+        (col("num").cast(DoubleType) / col("den") / 1e2).as("ewma_value"))
+      .orderBy("user_id")
+  }
+
+  /** q130 — DAU / trailing-28-day MAU / stickiness per day. The scale
+    * shape: events collapse to distinct (user, day) pairs FIRST (one
+    * narrow dedup shuffle), then the tiny day spine is broadcast and
+    * each pair expands into at most 28 trailing days — the expensive
+    * trailing-distinct never touches raw events, so at 100 TB the
+    * expansion is bounded by 28 × |user-days|, not 28 × |events|. */
+  def q130DauMau(s: SparkSession, dir: String): DataFrame = {
+    val ud = Tables.events(s, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+      .distinct()
+    val days = ud.select(col("d").as("day")).distinct()
+    val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
+    val mau = ud.join(broadcast(days),
+        col("d") >= date_sub(col("day"), 27) && col("d") <= col("day"))
+      .groupBy("day").agg(countDistinct(col("user_id")).as("mau"))
+    dau.join(mau, "day")
+      .select(col("day"), col("dau"), col("mau"),
+        (col("dau").cast(DoubleType) / col("mau")).as("stickiness"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q125_outliers" -> (q125Outliers _),
+    "q129_ewma" -> (q129Ewma _),
+    "q130_dau_mau" -> (q130DauMau _),
     "q126_funnel" -> (q126Funnel _),
     "q127_retention" -> (q127Retention _),
     "q128_transitions" -> (q128Transitions _),
@@ -333,6 +386,35 @@ object EventOps {
         |  ON e.user_id = c.user_id AND c.ts <= e.ts
         |ORDER BY e.event_id""".stripMargin,
     // identical semantics through the custom sorted-merge exec
+    "q129_ewma" ->
+      """WITH e AS (SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+        |             CAST(floor(value * 1e2) AS BIGINT) AS fv
+        |           FROM events WHERE value IS NOT NULL),
+        |w AS (SELECT user_id,
+        |        list(fv) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                       ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS arr,
+        |        row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |        count(*) OVER (PARTITION BY user_id) AS n_events
+        |      FROM e)
+        |SELECT user_id, n_events,
+        |  CAST(list_sum(list_transform(arr, (x, p) ->
+        |      x * (CAST(1 AS BIGINT) << (16 + p - 1 - len(arr))))) AS DOUBLE)
+        |    / ((CAST(1 AS BIGINT) << (16 - len(arr)))
+        |       * ((CAST(1 AS BIGINT) << len(arr)) - 1))
+        |    / 1e2 AS ewma_value
+        |FROM w WHERE rn = n_events ORDER BY user_id""".stripMargin,
+    "q130_dau_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id,
+        |              CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS d
+        |            FROM events),
+        |days AS (SELECT DISTINCT d AS day FROM ud),
+        |dau AS (SELECT d AS day, count(*) AS dau FROM ud GROUP BY 1),
+        |mau AS (SELECT days.day AS day, count(DISTINCT ud.user_id) AS mau
+        |        FROM ud JOIN days ON ud.d BETWEEN days.day - 27 AND days.day
+        |        GROUP BY 1)
+        |SELECT dau.day AS day, dau.dau AS dau, mau.mau AS mau,
+        |  CAST(dau.dau AS DOUBLE) / mau.mau AS stickiness
+        |FROM dau JOIN mau ON dau.day = mau.day ORDER BY day""".stripMargin,
     "q126_funnel" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |s AS (SELECT *, min(CASE WHEN event_type = 'signup' THEN ts END)
