@@ -214,10 +214,14 @@ object EventOps {
     * four conditional-min windows over ONE user_id partition — one
     * shuffle, one sort, no self-joins; at 100 TB the cost is a single
     * keyed exchange regardless of funnel depth. */
-  def q126Funnel(s: SparkSession, dir: String): DataFrame = {
+  def q126Funnel(s: SparkSession, dir: String): DataFrame =
+    funnelStages(Tables.events(s, dir))
+
+  /** Core of [[q126Funnel]], on any frame with (user_id, event_type, ts). */
+  def funnelStages(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id")
     val lim = col("s0") + expr("INTERVAL 1 DAY")
-    val staged = Tables.events(s, dir)
+    val staged = events
       .select(col("user_id"), col("event_type"), col("ts"))
       .withColumn("s0", min(when(col("event_type") === "signup", col("ts"))).over(w))
       .withColumn("v0", min(when(col("event_type") === "view" &&
@@ -283,10 +287,14 @@ object EventOps {
     * smoothing operator that is usually "approximately equal" across
     * engines becomes bit-exact. One keyed shuffle; the frame walk is
     * partition-local. */
-  def q129Ewma(s: SparkSession, dir: String): DataFrame = {
+  def q129Ewma(s: SparkSession, dir: String): DataFrame =
+    ewmaLatest(Tables.events(s, dir))
+
+  /** Core of [[q129Ewma]], on any frame with (user_id, event_id, ts, value). */
+  def ewmaLatest(events: DataFrame): DataFrame = {
     val order = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     val frame = order.rowsBetween(-15, Window.currentRow)
-    Tables.events(s, dir)
+    events
       .filter(col("value").isNotNull)
       .select(col("user_id"), col("event_id"), col("ts"),
         floor(col("value") * 100).cast("long").as("fv"))

@@ -1,0 +1,80 @@
+package graft.queries
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+
+/** Semantic unit tests for the event-analytics operators on synthetic
+  * frames (value-level correctness against real data is covered by the
+  * DuckDB oracle gate; these pin the ORDERING semantics the oracle's
+  * aggregated output cannot distinguish). */
+class EventOpsSpec extends SparkTestBase {
+
+  private def events(rows: Seq[(Long, Long, String, String)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "user_id", "event_type", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s")).cast("timestamp_ntz"))
+      .drop("ts_s")
+  }
+
+  test("funnel stages require IN-ORDER progression within the window") {
+    // u1: full ordered funnel inside one day          -> stage 4
+    // u2: purchase BEFORE click (out of order)        -> stage 3, not 4
+    // u3: view only after the 1-day window            -> stage 1
+    // u4: no signup at all                            -> stage 0
+    val df = events(Seq(
+      (1L, 1L, "signup", "2024-01-01 00:00:00"),
+      (2L, 1L, "view", "2024-01-01 01:00:00"),
+      (3L, 1L, "click", "2024-01-01 02:00:00"),
+      (4L, 1L, "purchase", "2024-01-01 03:00:00"),
+      (5L, 2L, "signup", "2024-01-01 00:00:00"),
+      (6L, 2L, "view", "2024-01-01 01:00:00"),
+      (7L, 2L, "purchase", "2024-01-01 02:00:00"),
+      (8L, 2L, "click", "2024-01-01 03:00:00"),
+      (9L, 3L, "signup", "2024-01-01 00:00:00"),
+      (10L, 3L, "view", "2024-01-02 00:00:01"),
+      (11L, 4L, "view", "2024-01-01 00:00:00")))
+    val got = EventOps.funnelStages(df)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === Map(0 -> 1L, 1 -> 1L, 3 -> 1L, 4 -> 1L))
+    // u2's purchase at 02:00 precedes its first post-view click
+    // (03:00), so stage 4 must not count — but the click itself is a
+    // valid stage-3 progression.
+  }
+
+  test("funnel purchase after a valid click counts even at equal ts") {
+    val df = events(Seq(
+      (1L, 1L, "signup", "2024-01-01 00:00:00"),
+      (2L, 1L, "view", "2024-01-01 01:00:00"),
+      (3L, 1L, "click", "2024-01-01 02:00:00"),
+      (4L, 1L, "purchase", "2024-01-01 02:00:00"))) // ts >= c0 inclusive
+    val got = EventOps.funnelStages(df)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got === Map(4 -> 1L))
+  }
+
+  test("ewma halving weights are exact on a hand-computed frame") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, 1L, "2024-01-01 00:00:00", 1.00),
+      (2L, 1L, "2024-01-01 00:01:00", 2.00))
+      .toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")).cast("timestamp_ntz"))
+      .drop("ts_s")
+    val row = EventOps.ewmaLatest(df).collect().head
+    // L=2: weights 2^14, 2^15; (100*16384 + 200*32768) / (16384*3) / 100
+    assert(row.getLong(1) === 2L)
+    assert(row.getDouble(2) === 8192000.0 / 49152.0 / 100.0)
+  }
+
+  test("ewma frame is capped at 16 events (older values fall out)") {
+    import spark.implicits._
+    // 17 events: first value 1000.0 must NOT contribute; the rest are 2.0
+    val rows = (1 to 17).map(i =>
+      (i.toLong, 1L, f"2024-01-01 00:${i}%02d:00", if (i == 1) 1000.0 else 2.0))
+    val df = rows.toDF("event_id", "user_id", "ts_s", "value")
+      .withColumn("ts", to_timestamp(col("ts_s")).cast("timestamp_ntz"))
+      .drop("ts_s")
+    val row = EventOps.ewmaLatest(df).collect().head
+    assert(row.getDouble(2) === 2.0) // all 16 in-frame values are 2.0
+  }
+}
