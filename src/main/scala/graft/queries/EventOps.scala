@@ -315,18 +315,26 @@ object EventOps {
 
   /** q130 — DAU / trailing-28-day MAU / stickiness per day. The scale
     * shape: events collapse to distinct (user, day) pairs FIRST (one
-    * narrow dedup shuffle), then the tiny day spine is broadcast and
-    * each pair expands into at most 28 trailing days — the expensive
-    * trailing-distinct never touches raw events, so at 100 TB the
-    * expansion is bounded by 28 × |user-days|, not 28 × |events|. */
+    * narrow dedup shuffle shared by BOTH branches — identical subtrees
+    * so ReuseExchange scans events once), then each pair EXPLODES into
+    * the ≤28 trailing days it keeps a user "monthly-active" for. The
+    * expansion is bounded by 28 × |user-days| regardless of spine
+    * length — a spine × user-days range join would grow with the
+    * calendar instead. Days past the observed range fall out via the
+    * final inner join with the DAU spine. */
   def q130DauMau(s: SparkSession, dir: String): DataFrame = {
     val ud = Tables.events(s, dir)
       .select(col("user_id"), date_trunc("day", col("ts")).cast("date").as("d"))
+      // d is never null, but the DAU join pushes an isnotnull(day)
+      // filter into ONLY its branch; stating it here keeps both
+      // branches' dedup subtrees canonically identical so AQE reuses
+      // the shuffle stage (one events scan, not two).
+      .filter(col("d").isNotNull)
       .distinct()
-    val days = ud.select(col("d").as("day")).distinct()
     val dau = ud.groupBy(col("d").as("day")).agg(count(lit(1)).as("dau"))
-    val mau = ud.join(broadcast(days),
-        col("d") >= date_sub(col("day"), 27) && col("d") <= col("day"))
+    val mau = ud
+      .select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 27))).as("day"))
       .groupBy("day").agg(countDistinct(col("user_id")).as("mau"))
     dau.join(mau, "day")
       .select(col("day"), col("dau"), col("mau"),
