@@ -8,6 +8,18 @@ import org.apache.spark.sql.Row
 /** Explicit per-user state for [[EventStream.statefulUserTotals]]. */
 case class UserTotal(user_id: Long, n_events: Long, total_value: Double)
 
+/** One funnel-relevant event buffered ahead of the watermark (micros
+  * since epoch; kind 0..3 = signup/view/click/purchase). */
+case class FunnelBuf(ts_us: Long, kind: Int)
+
+/** Per-user funnel state for [[EventStream.streamingFunnel]]: events
+  * not yet finalized by the watermark, plus the folded first-qualifying
+  * stage timestamps (-1 = not reached). */
+case class FunnelState(buf: Seq[FunnelBuf], s0: Long, v0: Long, c0: Long, p0: Long)
+
+/** Update-mode output of [[EventStream.streamingFunnel]]. */
+case class UserStage(user_id: Long, stage: Int)
+
 /** Structured Streaming over the `events` shape (event_id, ts, user_id,
   * event_type, value, props). The transforms are shared with the batch
   * twins in [[graft.queries.EventOps]] — the oracle-verified batch
@@ -117,6 +129,76 @@ object EventStream {
             Iterator.single(next)
           }
       }(enc, enc).toDF()
+  }
+
+  /** Incremental conversion funnel — the streaming twin of
+    * [[graft.queries.EventOps.q126Funnel]]'s core, whose batch results
+    * the DuckDB oracle verifies. Unlike a running total, the funnel is
+    * ORDER-SENSITIVE (each stage's first-qualifying timestamp depends
+    * on the previous stage's), so out-of-order arrivals cannot be
+    * folded on sight. The state machine therefore keeps a per-user
+    * sort buffer of funnel events still ahead of the watermark and, on
+    * every batch, drains exactly the prefix the watermark has
+    * finalized — folding it in event-time order with the SAME
+    * inclusive-≥ chain rules as the batch operator. Late rows beyond
+    * the watermark are dropped by Spark before reaching the function,
+    * so a drained prefix is never reopened; state stays bounded (the
+    * buffer shrinks as the watermark advances, and idle users are
+    * evicted by event-time timeout two days after their last event —
+    * past s0+1day no event can change a user's stage). */
+  def streamingFunnel(stream: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    import org.apache.spark.sql.Encoders
+    val outEnc = Encoders.product[UserStage]
+    val stEnc = Encoders.product[FunnelState]
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(stream.schema)
+    val DayUs = 86400L * 1000000L
+    val kinds = Map("signup" -> 0, "view" -> 1, "click" -> 2, "purchase" -> 3)
+    stream.withWatermark("ts", "10 minutes")
+      .groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelState, UserStage](
+        OM.Update(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[Row], state: GroupState[FunnelState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            val prev = state.getOption.getOrElse(FunnelState(Nil, -1L, -1L, -1L, -1L))
+            val incoming = rows.flatMap { r =>
+              val t = r.getAs[java.sql.Timestamp]("ts")
+              val us = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+              kinds.get(r.getAs[String]("event_type")).map(FunnelBuf(us, _))
+            }.toSeq
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val all = prev.buf ++ incoming
+            // the watermark guarantees nothing older than wmUs will
+            // ever arrive: that prefix is final and safe to fold
+            val (ripe, pending) = all.partition(_.ts_us <= wmUs)
+            var s0 = prev.s0; var v0 = prev.v0; var c0 = prev.c0; var p0 = prev.p0
+            // equal-ts tiebreak by stage order = the batch operator's
+            // inclusive >= comparisons
+            ripe.sortBy(e => (e.ts_us, e.kind)).foreach { e =>
+              e.kind match {
+                case 0 => if (s0 < 0) s0 = e.ts_us
+                case 1 => if (v0 < 0 && s0 >= 0 && e.ts_us >= s0 &&
+                  e.ts_us <= s0 + DayUs) v0 = e.ts_us
+                case 2 => if (c0 < 0 && v0 >= 0 && e.ts_us >= v0 &&
+                  e.ts_us <= s0 + DayUs) c0 = e.ts_us
+                case _ => if (p0 < 0 && c0 >= 0 && e.ts_us >= c0 &&
+                  e.ts_us <= s0 + DayUs) p0 = e.ts_us
+              }
+            }
+            state.update(FunnelState(pending, s0, v0, c0, p0))
+            val lastUs = all.foldLeft(0L)((m, e) => math.max(m, e.ts_us))
+            state.setTimeoutTimestamp(
+              math.max(lastUs / 1000L, state.getCurrentWatermarkMs()) + 2L * 86400000L)
+            val stage =
+              if (p0 >= 0) 4 else if (c0 >= 0) 3
+              else if (v0 >= 0) 2 else if (s0 >= 0) 1 else 0
+            Iterator.single(UserStage(uid, stage))
+          }
+      }(stEnc, outEnc).toDF()
   }
 
   /** Spark-4 arbitrary-stateful v2 (`transformWithState`): the typed

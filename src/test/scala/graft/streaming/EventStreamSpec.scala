@@ -227,4 +227,52 @@ class EventStreamSpec extends SparkTestBase {
       assert(sessions == Seq(1L, 2L), s"got $sessions")
     } finally q.stop()
   }
+
+  test("streaming funnel folds out-of-order arrivals like the batch core") {
+    import spark.implicits._
+    val mem = MemoryStream[Ev](spark)
+    val q = EventStream.streamingFunnel(mem.toDF())
+      .writeStream.format("memory").queryName("funnel_test")
+      .outputMode(OutputMode.Update()).start()
+    // All of a user's events sit inside one 10-minute span, so
+    // cross-batch reordering stays within the watermark slack and
+    // nothing is dropped as late.
+    val u1 = Seq( // in-order funnel -> stage 4
+      Ev(1, ts("2024-01-01 00:00:00"), 1L, "signup", 0, "{}"),
+      Ev(2, ts("2024-01-01 00:03:00"), 1L, "view", 0, "{}"),
+      Ev(3, ts("2024-01-01 00:06:00"), 1L, "click", 0, "{}"),
+      Ev(4, ts("2024-01-01 00:09:00"), 1L, "purchase", 0, "{}"))
+    val u2 = Seq( // purchase precedes the first post-view click -> stage 3
+      Ev(5, ts("2024-01-01 00:00:00"), 2L, "signup", 0, "{}"),
+      Ev(6, ts("2024-01-01 00:02:00"), 2L, "view", 0, "{}"),
+      Ev(7, ts("2024-01-01 00:04:00"), 2L, "purchase", 0, "{}"),
+      Ev(8, ts("2024-01-01 00:06:00"), 2L, "click", 0, "{}"))
+    try {
+      // deliver SHUFFLED: later stages arrive before earlier ones
+      mem.addData(u1(1), u1(3), u2(2))
+      q.processAllAvailable()
+      mem.addData(u1(0), u1(2), u2(3), u2(0), u2(1))
+      q.processAllAvailable()
+      // push the watermark past 00:09 via a third user...
+      mem.addData(Ev(90, ts("2024-01-01 01:00:00"), 99L, "signup", 0, "{}"))
+      q.processAllAvailable()
+      // ...then poke each user with a funnel-neutral event so the
+      // now-finalized buffer prefix is drained and the stage emitted
+      mem.addData(Ev(91, ts("2024-01-01 01:01:00"), 1L, "error", 0, "{}"),
+        Ev(92, ts("2024-01-01 01:01:00"), 2L, "error", 0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_test").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) => u -> rows.map(_.getAs[Int]("stage")).max }
+      // the batch core (oracle-verified via q126) on the same events
+      val batch = graft.queries.EventOps
+        .funnelStages((u1 ++ u2).toDF().withColumn(
+          "ts", org.apache.spark.sql.functions.col("ts").cast("timestamp_ntz")))
+        .collect() // (stage, n_users) — u1 -> 4, u2 -> 3
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(batch === Map(4 -> 1L, 3 -> 1L))
+      assert(got(1L) === 4, s"user 1 stage: $got")
+      assert(got(2L) === 3, s"user 2 stage: $got")
+    } finally q.stop()
+  }
 }
