@@ -273,9 +273,59 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ------------------------------------------------------------ q131 BM25
+
+  /** q131 — BM25 relevance scoring (k1 = 1.2, b = 0.75) of every
+    * document against a fixed 3-term query — the retrieval primitive a
+    * corpus-curation stack uses for search-based filtering. The
+    * Robertson idf ln() is floor-quantized to an exact BIGINT (q107's
+    * discipline) and per-term contributions are floor-quantized before
+    * the per-doc sum, so the cross-engine compare is bit-exact despite
+    * the transcendental. b = 0.75 and the ½ offsets are binary-exact
+    * constants; dl/avgdl is computed as dl·N/Σdl so every operand
+    * stays an exactly-converted integer.
+    *
+    * Shape at scale: the explode filters to the query's terms BEFORE
+    * any aggregate (the IN-list prunes at the scan of the token
+    * stream), df and the corpus stats are term-count-sized broadcasts,
+    * and the only big shuffles are the (doc, term in query) tf
+    * aggregate and the doc-length join — both keyed on doc_id. */
+  def q131Bm25(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(norm(col("text")), " ").as("t"))
+    val dl = docs.select(col("doc_id"), size(col("t")).as("dl"))
+    val td = docs.select(col("doc_id"), explode(col("t")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+    val tf = td.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfr = td.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    tf.join(broadcast(dfr), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_fp", floor(log(
+        (col("n_docs").cast(DoubleType) - col("df") + lit(0.5)) /
+          (col("df").cast(DoubleType) + lit(0.5)) + lit(1.0)) * 1e6)
+        .cast(LongType))
+      .withColumn("tfn",
+        (col("tf").cast(DoubleType) * lit(2.2)) /
+          (col("tf").cast(DoubleType) + lit(1.2) *
+            (lit(0.25) + lit(0.75) * col("dl").cast(DoubleType) *
+              col("n_docs").cast(DoubleType) / col("sum_dl").cast(DoubleType))))
+      .withColumn("contrib_fp",
+        floor(col("idf_fp").cast(DoubleType) * col("tfn")).cast(LongType))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_fp")).as("score_fp"))
+      .select(col("doc_id"), col("n_terms"), col("score_fp"),
+        (col("score_fp").cast(DoubleType) / 1e6).as("bm25"))
+      .orderBy("doc_id")
+  }
+
+  private val Bm25Terms = Seq("data", "join", "scan")
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q131_bm25" -> (q131Bm25 _),
     "q100_shard_assign" -> (q100ShardAssign _),
     "q101_pii_redact" -> (q101PiiRedact _),
     "q102_token_entropy" -> (q102TokenEntropy _),
@@ -289,6 +339,30 @@ object CorpusOps {
   private val ip = IpPat
 
   val oracles: Map[String, String] = Map(
+    "q131_bm25" -> s"""
+      |WITH docs AS (SELECT doc_id, string_split(${normSql()}, ' ') AS t
+      |              FROM documents),
+      |dl AS (SELECT doc_id, len(t) AS dl FROM docs),
+      |tdq AS (SELECT doc_id, term FROM (SELECT doc_id, unnest(t) AS term FROM docs)
+      |        WHERE term IN ('data', 'join', 'scan')),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM tdq GROUP BY 1, 2),
+      |dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM tdq GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+      |          FROM dl),
+      |sc AS (SELECT tf.doc_id,
+      |  CAST(floor(ln((CAST(n_docs AS DOUBLE) - df + 5e-1)
+      |               / (CAST(df AS DOUBLE) + 5e-1) + 1e0) * 1e6) AS BIGINT)
+      |    AS idf_fp,
+      |  (CAST(tf AS DOUBLE) * 22e-1)
+      |    / (CAST(tf AS DOUBLE) + 12e-1 * (25e-2 + 75e-2 * CAST(dl AS DOUBLE)
+      |       * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))) AS tfn
+      |  FROM tf JOIN dfr USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+      |  CROSS JOIN stats)
+      |SELECT doc_id, count(*) AS n_terms,
+      |  CAST(sum(CAST(floor(idf_fp * tfn) AS BIGINT)) AS BIGINT) AS score_fp,
+      |  CAST(CAST(sum(CAST(floor(idf_fp * tfn) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |    / 1e6 AS bm25
+      |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q100_shard_assign" -> s"""
       |SELECT shard, count(*) AS n_docs,
       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
