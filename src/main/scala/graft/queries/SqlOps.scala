@@ -26,6 +26,7 @@ object SqlOps {
     Tables.orders(s, dir).createOrReplaceTempView("orders")
     Tables.customer(s, dir).createOrReplaceTempView("customer")
     Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.events(s, dir).createOrReplaceTempView("events")
     s
   }
 
@@ -378,7 +379,80 @@ object SqlOps {
   def q113RecursiveSpine(s: SparkSession, dir: String): DataFrame =
     withViews(s, dir).sql(RecursiveSpineSql)
 
+  /** q132 — winsorization: clamp each event's value to its type's
+    * [p05, p95] and report clamp counts + the winsorized mean — the
+    * outlier-robust preprocessing a feature pipeline runs before
+    * normalization. percentile_disc picks ACTUAL data values (q112's
+    * discipline), so the clamped column contains only original
+    * doubles and the fixed-point mean is bit-exact cross-engine. ONE
+    * SQL text through both engines. Shape: a 5-row percentile frame
+    * joined back (broadcast), then one aggregate — two passes over
+    * the narrow (type, value) projection. */
+  val WinsorizeSql: String =
+    """WITH f AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
+      |p AS (SELECT event_type,
+      |        percentile_disc(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+      |        percentile_disc(0.95) WITHIN GROUP (ORDER BY value) AS p95
+      |      FROM f GROUP BY event_type),
+      |w AS (SELECT f.event_type,
+      |        CASE WHEN value < p05 THEN p05
+      |             WHEN value > p95 THEN p95 ELSE value END AS wv,
+      |        CASE WHEN value < p05 THEN 1 ELSE 0 END AS lo,
+      |        CASE WHEN value > p95 THEN 1 ELSE 0 END AS hi
+      |      FROM f JOIN p ON f.event_type = p.event_type)
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(lo) AS BIGINT) AS n_lo, CAST(sum(hi) AS BIGINT) AS n_hi,
+      |  CAST(sum(CAST(floor(wv * 1e6) AS BIGINT)) AS BIGINT) AS wsum_fp,
+      |  CAST(CAST(sum(CAST(floor(wv * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE)
+      |    / 1e6 / count(*) AS w_mean
+      |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  def q132Winsorize(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir).sql(WinsorizeSql)
+
+  /** q133 — χ² independence test between event type and 6-hour
+    * time-of-day bucket (the drift/association check a data-quality
+    * stack runs between a feature and a label). Observed counts are
+    * exact BIGINTs; each cell's (O−E)²/E term is evaluated in an
+    * identical double expression tree and floor-quantized BEFORE the
+    * sum, so the statistic is order-independent and bit-exact. ONE
+    * SQL text through both engines; the contingency table is
+    * cells-sized (20 rows) from one narrow aggregate. */
+  val ChiSquareSql: String =
+    """WITH f AS (SELECT event_type,
+      |             CAST(floor(extract(hour FROM CAST(ts AS TIMESTAMP)) / 6)
+      |               AS INTEGER) AS hb
+      |           FROM events),
+      |o AS (SELECT event_type, hb, count(*) AS obs FROM f GROUP BY event_type, hb),
+      |t AS (SELECT event_type, hb, obs,
+      |        sum(obs) OVER (PARTITION BY event_type) AS rt,
+      |        sum(obs) OVER (PARTITION BY hb) AS ct,
+      |        sum(obs) OVER () AS n
+      |      FROM o)
+      |SELECT count(*) AS n_cells,
+      |  CAST(sum(CAST(floor(
+      |    (CAST(obs AS DOUBLE)
+      |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * (CAST(obs AS DOUBLE)
+      |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * 1e6) AS BIGINT)) AS BIGINT) AS chi2_fp,
+      |  CAST(CAST(sum(CAST(floor(
+      |    (CAST(obs AS DOUBLE)
+      |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * (CAST(obs AS DOUBLE)
+      |       - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+      |    * 1e6) AS BIGINT)) AS BIGINT) AS DOUBLE) / 1e6 AS chi2,
+      |  (count(DISTINCT event_type) - 1) * (count(DISTINCT hb) - 1) AS dof
+      |FROM t""".stripMargin
+
+  def q133ChiSquare(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir).sql(ChiSquareSql)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q132_winsorize" -> (q132Winsorize _),
+    "q133_chi_square" -> (q133ChiSquare _),
     "q89_correlated_scalar" -> (q89CorrelatedScalar _),
     "q90_exists" -> (q90Exists _),
     "q91_window_values" -> (q91WindowValues _),
@@ -397,6 +471,8 @@ object SqlOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q132_winsorize" -> WinsorizeSql,
+    "q133_chi_square" -> ChiSquareSql,
     // q89/q90/q92: the SAME SQL text Spark executed
     "q89_correlated_scalar" -> CorrelatedScalarSql,
     "q90_exists" -> ExistsSql,
