@@ -322,10 +322,49 @@ object CorpusOps {
 
   private val Bm25Terms = Seq("data", "join", "scan")
 
+  // ------------------------------------------- q134 stopword pruning
+
+  /** q134 — corpus-adaptive stopword pruning (the boilerplate-removal
+    * shape of C4/CCNet line filtering, at token granularity since the
+    * synthetic corpus has no line structure): tokens present in ≥ 79%
+    * of documents are dropped and each document is REASSEMBLED in
+    * original token order. The integer threshold compare (df·100 vs
+    * n·79) avoids float thresholds entirely, and reassembly sorts the
+    * collected (pos, token) structs — collect_list's arrival order
+    * never matters. Docs pruned to nothing survive via the left join.
+    *
+    * Shape at scale: one posexplode → a vocabulary-sized df aggregate
+    * (broadcast back) → one doc_id-keyed regroup. The rewrite stays
+    * two shuffles however large the corpus; only the vocabulary frame
+    * is ever broadcast. */
+  def q134StopwordPrune(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), split(norm(col("text")), " ").as("t"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(col("t")).as(Seq("pos", "w")))
+    val dfreq = toks.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val pruned = toks.join(broadcast(dfreq), "w")
+      .crossJoin(broadcast(n))
+      .filter(col("df") * 100 < col("n_docs") * 79)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("w")))),
+          x => x.getField("w"))).as("text_pruned"))
+    docs.select(col("doc_id"), size(col("t")).as("n_tokens"))
+      .join(pruned, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_pruned"), lit("")).as("text_pruned"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_bm25" -> (q131Bm25 _),
+    "q134_stopword_prune" -> (q134StopwordPrune _),
     "q100_shard_assign" -> (q100ShardAssign _),
     "q101_pii_redact" -> (q101PiiRedact _),
     "q102_token_entropy" -> (q102TokenEntropy _),
@@ -339,6 +378,25 @@ object CorpusOps {
   private val ip = IpPat
 
   val oracles: Map[String, String] = Map(
+    "q134_stopword_prune" -> s"""
+      |WITH docs AS (SELECT doc_id, string_split(${normSql()}, ' ') AS t
+      |              FROM documents),
+      |toks AS (SELECT doc_id, u.pos AS pos, u.w AS w
+      |         FROM (SELECT doc_id,
+      |                 unnest(list_transform(t, (w, i) -> {'pos': i, 'w': w})) AS u
+      |               FROM docs)),
+      |dfreq AS (SELECT w, count(DISTINCT doc_id) AS df FROM toks GROUP BY w),
+      |n AS (SELECT count(*) AS n_docs FROM docs),
+      |pruned AS (SELECT doc_id, count(*) AS n_kept,
+      |             string_agg(w, ' ' ORDER BY pos) AS text_pruned
+      |           FROM toks JOIN dfreq USING (w) CROSS JOIN n
+      |           WHERE df * 100 < n_docs * 79
+      |           GROUP BY doc_id)
+      |SELECT d.doc_id, CAST(len(d.t) AS INTEGER) AS n_tokens,
+      |  coalesce(p.n_kept, 0) AS n_kept,
+      |  coalesce(p.text_pruned, '') AS text_pruned
+      |FROM docs d LEFT JOIN pruned p ON d.doc_id = p.doc_id
+      |ORDER BY d.doc_id""".stripMargin,
     "q131_bm25" -> s"""
       |WITH docs AS (SELECT doc_id, string_split(${normSql()}, ' ') AS t
       |              FROM documents),
