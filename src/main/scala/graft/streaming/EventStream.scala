@@ -20,6 +20,9 @@ case class FunnelState(buf: Seq[FunnelBuf], s0: Long, v0: Long, c0: Long, p0: Lo
 /** Update-mode output of [[EventStream.streamingFunnel]]. */
 case class UserStage(user_id: Long, stage: Int)
 
+/** Folded stage marks for the v2 funnel processor (-1 = not reached). */
+case class FunnelMarks(s0: Long, v0: Long, c0: Long, p0: Long)
+
 /** Structured Streaming over the `events` shape (event_id, ts, user_id,
   * event_type, value, props). The transforms are shared with the batch
   * twins in [[graft.queries.EventOps]] — the oracle-verified batch
@@ -252,6 +255,99 @@ object EventStream {
       timerState.clear()
       Iterator.empty
     }
+  }
+
+  /** [[streamingFunnel]] on the transformWithState API — the
+    * order-sensitive migration case: the v1 version keeps the sort
+    * buffer inside one monolithic state value, here it maps naturally
+    * onto a named ListState cell (cheap per-element appends in
+    * RocksDB) beside a ValueState for the folded stage marks. Drain
+    * logic and chain rules are byte-for-byte the v1 semantics; the
+    * spec asserts both APIs land identical stages on the same
+    * out-of-order input. */
+  private class FunnelProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Row, UserStage] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, ListState, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    private val DayUs = 86400L * 1000000L
+    private val kinds = Map("signup" -> 0, "view" -> 1, "click" -> 2, "purchase" -> 3)
+    @transient private var buf: ListState[FunnelBuf] = _
+    @transient private var marks: ValueState[FunnelMarks] = _
+    @transient private var timerState: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      buf = getHandle.getListState[FunnelBuf]("buffer",
+        Encoders.product[FunnelBuf], TTLConfig.NONE)
+      marks = getHandle.getValueState[FunnelMarks]("marks",
+        Encoders.product[FunnelMarks], TTLConfig.NONE)
+      timerState = getHandle.getValueState[Long]("evict_at",
+        Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Row],
+        timerValues: TimerValues): Iterator[UserStage] = {
+      val prev = if (marks.exists()) marks.get()
+        else FunnelMarks(-1L, -1L, -1L, -1L)
+      val incoming = rows.flatMap { r =>
+        val t = r.getAs[java.sql.Timestamp]("ts")
+        val us = t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+        kinds.get(r.getAs[String]("event_type")).map(FunnelBuf(us, _))
+      }.toSeq
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val all = {
+        val it = buf.get(); val b = Seq.newBuilder[FunnelBuf]
+        while (it.hasNext) b += it.next()
+        b.result() ++ incoming
+      }
+      val (ripe, pending) = all.partition(_.ts_us <= wmUs)
+      var s0 = prev.s0; var v0 = prev.v0; var c0 = prev.c0; var p0 = prev.p0
+      ripe.sortBy(e => (e.ts_us, e.kind)).foreach { e =>
+        e.kind match {
+          case 0 => if (s0 < 0) s0 = e.ts_us
+          case 1 => if (v0 < 0 && s0 >= 0 && e.ts_us >= s0 &&
+            e.ts_us <= s0 + DayUs) v0 = e.ts_us
+          case 2 => if (c0 < 0 && v0 >= 0 && e.ts_us >= v0 &&
+            e.ts_us <= s0 + DayUs) c0 = e.ts_us
+          case _ => if (p0 < 0 && c0 >= 0 && e.ts_us >= c0 &&
+            e.ts_us <= s0 + DayUs) p0 = e.ts_us
+        }
+      }
+      marks.update(FunnelMarks(s0, v0, c0, p0))
+      buf.clear()
+      if (pending.nonEmpty) buf.put(pending.toArray)
+      if (timerState.exists()) getHandle.deleteTimer(timerState.get())
+      val lastUs = all.foldLeft(0L)((m, e) => math.max(m, e.ts_us))
+      val evictAt = math.max(lastUs / 1000L,
+        timerValues.getCurrentWatermarkInMs()) + 2L * 86400000L
+      getHandle.registerTimer(evictAt)
+      timerState.update(evictAt)
+      val stage =
+        if (p0 >= 0) 4 else if (c0 >= 0) 3
+        else if (v0 >= 0) 2 else if (s0 >= 0) 1 else 0
+      Iterator.single(UserStage(key, stage))
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[UserStage] = {
+      buf.clear(); marks.clear(); timerState.clear()
+      Iterator.empty
+    }
+  }
+
+  /** [[streamingFunnel]] on the transformWithState API. */
+  def streamingFunnelV2(stream: DataFrame): DataFrame = {
+    import org.apache.spark.sql.streaming.TimeMode
+    import org.apache.spark.sql.Encoders
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(stream.schema)
+    implicit val outEnc: org.apache.spark.sql.Encoder[UserStage] =
+      Encoders.product[UserStage]
+    stream.withWatermark("ts", "10 minutes")
+      .groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .transformWithState(new FunnelProcessor, TimeMode.EventTime(),
+        OutputMode.Update())
+      .toDF()
   }
 
   /** [[statefulUserTotals]] on the transformWithState API. */

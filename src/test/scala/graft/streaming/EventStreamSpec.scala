@@ -275,4 +275,43 @@ class EventStreamSpec extends SparkTestBase {
       assert(got(2L) === 3, s"user 2 stage: $got")
     } finally q.stop()
   }
+
+  test("v2 funnel (transformWithState) matches the v1 stages") {
+    import spark.implicits._
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Ev](spark)
+    val q = EventStream.streamingFunnelV2(mem.toDF())
+      .writeStream.format("memory").queryName("funnel_v2_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      // the same out-of-order delivery as the v1 test
+      mem.addData(
+        Ev(2, ts("2024-01-01 00:03:00"), 1L, "view", 0, "{}"),
+        Ev(4, ts("2024-01-01 00:09:00"), 1L, "purchase", 0, "{}"),
+        Ev(7, ts("2024-01-01 00:04:00"), 2L, "purchase", 0, "{}"))
+      q.processAllAvailable()
+      mem.addData(
+        Ev(1, ts("2024-01-01 00:00:00"), 1L, "signup", 0, "{}"),
+        Ev(3, ts("2024-01-01 00:06:00"), 1L, "click", 0, "{}"),
+        Ev(8, ts("2024-01-01 00:06:00"), 2L, "click", 0, "{}"),
+        Ev(5, ts("2024-01-01 00:00:00"), 2L, "signup", 0, "{}"),
+        Ev(6, ts("2024-01-01 00:02:00"), 2L, "view", 0, "{}"))
+      q.processAllAvailable()
+      mem.addData(Ev(90, ts("2024-01-01 01:00:00"), 99L, "signup", 0, "{}"))
+      q.processAllAvailable()
+      mem.addData(Ev(91, ts("2024-01-01 01:01:00"), 1L, "error", 0, "{}"),
+        Ev(92, ts("2024-01-01 01:01:00"), 2L, "error", 0, "{}"))
+      q.processAllAvailable()
+      val got = spark.table("funnel_v2_test").collect()
+        .groupBy(_.getAs[Long]("user_id"))
+        .map { case (u, rows) => u -> rows.map(_.getAs[Int]("stage")).max }
+      assert(got(1L) === 4, s"user 1 stage: $got")
+      assert(got(2L) === 3, s"user 2 stage: $got")
+    } finally {
+      q.stop()
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+    }
+  }
 }
