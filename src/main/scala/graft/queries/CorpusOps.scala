@@ -293,9 +293,17 @@ object CorpusOps {
   def q131Bm25(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), split(norm(col("text")), " ").as("t"))
+    // both derived frames are tiny relative to the corpus (dl is two
+    // columns, td only the query's terms) and each has 2 consumers
+    // whose aggregate shapes differ (no exchange reuse possible) —
+    // checkpointing cuts 4 corpus scans+explodes to 2. q134 makes the
+    // OPPOSITE call: its token stream is corpus-sized, so re-scanning
+    // columnar parquet beats materializing it.
     val dl = docs.select(col("doc_id"), size(col("t")).as("dl"))
+      .localCheckpoint()
     val td = docs.select(col("doc_id"), explode(col("t")).as("term"))
       .filter(col("term").isin(Bm25Terms: _*))
+      .localCheckpoint()
     val tf = td.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfr = td.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
