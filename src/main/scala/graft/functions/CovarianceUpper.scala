@@ -34,6 +34,10 @@ case class CovarianceUpper(d: Int, means: Array[Double])
   override def zero: Array[Long] = Array.ofDim[Long](size)
 
   override def reduce(b: Array[Long], x: Array[Float]): Array[Long] = {
+    // null embeddings contribute nothing (they are likewise absent
+    // from the mean pass: posexplode skips null arrays) — a real
+    // corpus always contains failed extractions
+    if (x == null) return b
     require(x.length == d, s"vector has ${x.length} dims, want $d")
     var k = 0
     var i = 0

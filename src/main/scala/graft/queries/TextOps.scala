@@ -85,8 +85,13 @@ object TextOps {
       .select(col("doc_id"),
         nTok.as("n_tokens"),
         stopCnt.as("n_stop"),
-        (stopCnt.cast(DoubleType) / nTok).as("stop_ratio"),
-        (punctCnt.cast(DoubleType) / length(col("text"))).as("punct_ratio"),
+        // nullif: empty or null text yields NULL ratios instead of an
+        // ANSI divide-by-zero (found by the NullRowSpec sweep; the
+        // oracle corpus has no empty texts, so verified rows are
+        // unchanged)
+        (stopCnt.cast(DoubleType) / nullif(nTok, lit(0))).as("stop_ratio"),
+        (punctCnt.cast(DoubleType) / nullif(length(col("text")), lit(0)))
+          .as("punct_ratio"),
         when(col("n_chars") < 200, "short")
           .when(col("n_chars") < 400, "medium")
           .otherwise("long").as("len_band"))
