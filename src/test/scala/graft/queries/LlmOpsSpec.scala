@@ -266,6 +266,66 @@ class LlmOpsSpec extends SparkTestBase {
     assert(e1 == e2)
   }
 
+  test("byte-walk kernels match their twins on multibyte unicode") {
+    // CJK (3-byte UTF-8), emoji (4-byte, surrogate pair in UTF-16),
+    // combining marks, and mixed-width runs — a byte-indexed window
+    // that is not codepoint-aware diverges from substr() on all of
+    // these
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val texts = Seq(
+      (0L, "中文处理中文处理完整测试"),
+      (1L, "héllo wörld héllo"),
+      (2L, "mixed 中en文 text 🎉🎊 done"),
+      (3L, "🎉🎊🎈🎉🎊🎈🎉"),
+      (4L, "ééé combining"),
+      (5L, "中 文 with spaces 中 文"))
+    val df = texts.toDF("doc_id", "text")
+
+    val sg = df.select(col("doc_id"),
+        call_function("sorted_gram_hashes", col("text"), lit(4)).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val sgChain = df.select(col("doc_id"), sort_array(array_distinct(transform(
+        transform(sequence(lit(0), greatest(length(col("text")) - 4, lit(0))),
+          i => substr(col("text"), i + 1, lit(4))),
+        g => xxhash64(g)))).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sg == sgChain, "sorted_gram_hashes diverges on unicode")
+
+    val mh = df.select(col("doc_id"),
+        call_function("minhash_sigs", col("text"), lit(4), lit(4)).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val mhAgg = df.select(col("doc_id"), explode(transform(
+        sequence(lit(0), greatest(length(col("text")) - 4, lit(0))),
+        i => substr(col("text"), i + 1, lit(4)))).as("sh"))
+      .groupBy("doc_id")
+      .agg(min(xxhash64(lit(0), col("sh"))).as("m0"),
+        min(xxhash64(lit(1), col("sh"))).as("m1"),
+        min(xxhash64(lit(2), col("sh"))).as("m2"),
+        min(xxhash64(lit(3), col("sh"))).as("m3"))
+      .select(col("doc_id"),
+        array(col("m0"), col("m1"), col("m2"), col("m3")).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(mh == mhAgg, "minhash_sigs diverges on unicode")
+
+    val voteCols = (0 until 64).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L)
+        .otherwise(-1L)).as(s"v$b"))
+    val sigCol = (0 until 64)
+      .map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce((x, y) => x.bitwiseOR(y))
+    val sh = df.select(col("doc_id"),
+        call_function("simhash64", col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shAgg = df
+      .select(col("doc_id"), explode(split(col("text"), "\\s+")).as("t"))
+      .select(col("doc_id"), xxhash64(col("t")).as("h"))
+      .groupBy("doc_id").agg(voteCols.head, voteCols.tail: _*)
+      .select(col("doc_id"), sigCol.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh == shAgg, "simhash64 diverges on unicode")
+  }
+
   test("native cosine expression is bit-identical to the declarative form") {
     val emb = graft.Tables.embeddings(spark, Sf).limit(50)
     val a = emb.select(col("vec_id").as("ida"), col("embedding").as("ea"))
