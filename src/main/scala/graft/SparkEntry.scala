@@ -24,7 +24,8 @@ object SparkEntry {
     Relational.queries ++ EventOps.queries ++ TextOps.queries ++
       VectorOps.queries ++ MultimodalOps.queries ++ IotParity.queries ++
       ExtendedOps.queries ++ SqlOps.queries ++ CorpusOps.queries ++
-      WarehouseOps.queries ++ graft.pipelines.CurationPipeline.queries
+      WarehouseOps.queries ++ MlOps.queries ++
+      graft.pipelines.CurationPipeline.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops
@@ -34,5 +35,6 @@ object SparkEntry {
     Relational.oracles ++ EventOps.oracles ++ TextOps.oracles ++
       VectorOps.oracles ++ MultimodalOps.oracles ++ IotParity.oracles ++
       ExtendedOps.oracles ++ SqlOps.oracles ++ CorpusOps.oracles ++
-      WarehouseOps.oracles ++ graft.pipelines.CurationPipeline.oracles
+      WarehouseOps.oracles ++ MlOps.oracles ++
+      graft.pipelines.CurationPipeline.oracles
 }

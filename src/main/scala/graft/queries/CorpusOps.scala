@@ -368,11 +368,101 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // ----------------------------------------------------- q136 span dedup
+
+  /** q136 — substring-level duplication audit: the fixed-width-window
+    * flavor of suffix-array substring dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * window form is what distributes): every 8-token window of every
+    * normalized document, grouped; windows occurring in ≥ 2 distinct
+    * documents are emitted with document/occurrence counts. Sits
+    * between q30's document-level and q134's token-level dedup —
+    * span-level boilerplate detection. One explode (~1 window per
+    * token) + one shuffle on the span key; at 100 TB the span would be
+    * xxhash64-compressed pre-shuffle and the report written
+    * partitioned — md5 here keeps the oracle engine-neutral. */
+  def q136SpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val W = 8
+    Tables.documents(s, dir)
+      .select(col("doc_id"), split(norm(col("text")), " ").as("toks"))
+      .filter(size(col("toks")) >= W)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")) - (W - 1))).as("i"))
+      .select(col("doc_id"),
+        concat_ws(" ", slice(col("toks"), col("i"), lit(W))).as("span"))
+      .groupBy("span")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"), min(col("doc_id")).as("min_doc"))
+      .filter(col("n_docs") >= 2)
+      .select(md5(col("span")).as("span_md5"), col("n_docs"),
+        col("n_occ"), col("min_doc"))
+      .orderBy("span_md5")
+  }
+
+  // ---------------------------------------------------- q137 k-anonymity
+
+  /** q137 — k-anonymity audit over the (nation, market-segment)
+    * quasi-identifier pair, k = 5: per-combination group size, risk
+    * flag, and the dataset-wide k-anonymity (min group size) — the
+    * privacy gate a user-derived training corpus passes before
+    * release. One 2-key aggregate; the global min is a scalar window
+    * over the (tiny) group report, not the data. */
+  def q137KAnonymity(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("grp_n"))
+      .withColumn("is_risky", (col("grp_n") < 5).cast(IntegerType))
+      .withColumn("k_anonymity",
+        min(col("grp_n")).over(Window.partitionBy()))
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  // ------------------------------------------------- q138 mixture sample
+
+  /** q138 — temperature-flattened language mixture (the multilingual
+    * rebalancing rule from the mBERT/XLM-R lineage: sample language l
+    * with probability ∝ p_l^α, here α = 1/2): per-language keep-rates
+    * derived from corpus shares, applied as the deterministic
+    * content-hash Bernoulli q105 uses. Exactness: α = 1/2 makes the
+    * weight `sqrt(share)` — sqrt is IEEE-correctly-rounded in BOTH
+    * engines (a pow(x, 0.7) would risk 1-ulp libm drift); the weight
+    * is floor-quantized to an exact BIGINT before the (order-
+    * dependent) cross-language sum, so rates and the ppm cutoff are
+    * bit-identical. Per-doc work is one hash + one broadcast-joined
+    * comparison — embarrassingly parallel at any scale. */
+  def q138MixtureSample(s: SparkSession, dir: String): DataFrame = {
+    val all = Window.partitionBy()
+    val d = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("lang"), col("doc_id"),
+        (md5Hash32(concat(lit("mix:"), col("doc_id").cast("string")))
+          % lit(1000000L)).as("h"))
+    val st = d.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("share", col("n_docs").cast(DoubleType)
+        / sum(col("n_docs")).over(all).cast(DoubleType))
+      .withColumn("w_fp",
+        floor(sqrt(col("share")) * lit(1e9)).cast(LongType))
+      .withColumn("rate", least(lit(1.0),
+        (col("w_fp").cast(DoubleType)
+          / sum(col("w_fp")).over(all).cast(DoubleType)) / col("share")))
+      .withColumn("rate_ppm", floor(col("rate") * lit(1e6)).cast(LongType))
+      .select("lang", "n_docs", "rate_ppm")
+    val kept = d.join(broadcast(st), Seq("lang"))
+      .filter(col("h") < col("rate_ppm"))
+      .groupBy("lang").agg(count(lit(1)).as("n_kept"))
+    st.join(kept, Seq("lang"), "left")
+      .select(col("lang"), col("n_docs"), col("rate_ppm"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q131_bm25" -> (q131Bm25 _),
     "q134_stopword_prune" -> (q134StopwordPrune _),
+    "q136_span_dedup" -> (q136SpanDedup _),
+    "q137_k_anonymity" -> (q137KAnonymity _),
+    "q138_mixture_sample" -> (q138MixtureSample _),
     "q100_shard_assign" -> (q100ShardAssign _),
     "q101_pii_redact" -> (q101PiiRedact _),
     "q102_token_entropy" -> (q102TokenEntropy _),
@@ -559,5 +649,54 @@ object CorpusOps {
       |SELECT doc_id, lang, count(*) AS n_bigrams,
       |  CAST(sum(q) AS BIGINT) AS xent_scaled,
       |  CAST(sum(q) AS BIGINT) / (1e6 * count(*)) AS xent
-      |FROM q GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin)
+      |FROM q GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+
+    "q136_span_dedup" -> s"""
+      |WITH t AS (
+      |  SELECT doc_id, string_split(${normSql()}, ' ') AS toks
+      |  FROM documents
+      |  WHERE text IS NOT NULL
+      |    AND len(string_split(${normSql()}, ' ')) >= 8),
+      |sp0 AS (
+      |  SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS i FROM t),
+      |sp AS (
+      |  SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS span FROM sp0)
+      |SELECT md5(span) AS span_md5, n_docs, n_occ, min_doc FROM (
+      |  SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+      |    min(doc_id) AS min_doc
+      |  FROM sp GROUP BY span)
+      |WHERE n_docs >= 2 ORDER BY span_md5""".stripMargin,
+
+    "q137_k_anonymity" -> """
+      |SELECT c_nationkey, c_mktsegment, count(*) AS grp_n,
+      |  CAST(count(*) < 5 AS INTEGER) AS is_risky,
+      |  min(count(*)) OVER () AS k_anonymity
+      |FROM customer GROUP BY c_nationkey, c_mktsegment
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin,
+
+    "q138_mixture_sample" -> s"""
+      |WITH d AS (
+      |  SELECT lang, doc_id,
+      |    ${hexPoly("md5('mix:' || CAST(doc_id AS VARCHAR))")} % 1000000
+      |      AS h
+      |  FROM documents WHERE text IS NOT NULL),
+      |st0 AS (SELECT lang, count(*) AS n_docs FROM d GROUP BY lang),
+      |st1 AS (SELECT lang, n_docs,
+      |    CAST(n_docs AS DOUBLE) / CAST(sum(n_docs) OVER () AS DOUBLE)
+      |      AS share,
+      |    CAST(floor(sqrt(CAST(n_docs AS DOUBLE)
+      |        / CAST(sum(n_docs) OVER () AS DOUBLE)) * 1000000000e0)
+      |      AS BIGINT) AS w_fp
+      |  FROM st0),
+      |st AS (SELECT lang, n_docs,
+      |    CAST(floor(least(1e0,
+      |        (CAST(w_fp AS DOUBLE) / CAST(sum(w_fp) OVER () AS DOUBLE))
+      |          / share) * 1000000e0) AS BIGINT) AS rate_ppm
+      |  FROM st1),
+      |kept AS (SELECT d.lang AS lang, count(*) AS n_kept
+      |  FROM d JOIN st USING (lang) WHERE d.h < st.rate_ppm
+      |  GROUP BY d.lang)
+      |SELECT st.lang AS lang, st.n_docs AS n_docs,
+      |  st.rate_ppm AS rate_ppm, COALESCE(kept.n_kept, 0) AS n_kept
+      |FROM st LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin)
 }

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Distributed unsupervised learning over the embedding corpus —
+  * k-means (Lloyd's algorithm), the workhorse behind IVF index
+  * training (q51's coarse quantizer), semantic dedup bucketing, and
+  * corpus clustering reports.
+  *
+  * Reference scope: the reference's analytics surface stops at
+  * aggregates (SURVEY §2.4); clustering is part of the
+  * LLM-training-data extension the brief mandates. The design is
+  * Spark-idiomatic model-parameter iteration: the MODEL (k×d centroid
+  * matrix) lives on the driver and is re-broadcast each round inside a
+  * codegen'd kernel; the DATA never leaves executors and each round is
+  * one narrow map (assignment) plus one 512-key aggregate (update) —
+  * the same shape `spark.ml`'s KMeans uses, minus its RDD legacy.
+  *
+  * Exactness discipline (what makes an ITERATIVE float algorithm
+  * oracle-checkable bit-for-bit):
+  *   - embeddings are quantized ONCE to integer microunits
+  *     (`floor(x·1e6)` per component, the q103/q108 idiom);
+  *   - every distance is then exact BIGINT arithmetic
+  *     ([[graft.functions.NearestCentroidQ]]);
+  *   - the centroid update `floor(sum/n)` re-lands on the integer
+  *     grid, so NO float error ever accumulates across rounds: both
+  *     engines walk the identical centroid trajectory;
+  *   - ties break on smallest cid in both engines.
+  *
+  * Scale posture (100 TB): assignment is a narrow codegen'd map over
+  * the corpus — no shuffle; the update aggregates to k·d = 512 cells
+  * with map-side partial aggregation, so the shuffle moves one 512-row
+  * partial per task regardless of corpus size. The per-round driver
+  * collect is k·d longs (model parameters, not data — q108's means
+  * collect is the precedent). Rounds are O(iters) sequential scans;
+  * the quantized projection is checkpointed once so parquet decode +
+  * quantization is paid once, not per round.
+  */
+object MlOps {
+
+  private val K = 8
+  private val Rounds = 3 // assignment rounds; updates after rounds 1..2
+  private val Dims = 64
+
+  /** Integer-microunit quantization: `floor(double(x) · 1e6)` — exact
+    * float→double promotion then one correctly-rounded multiply, so
+    * Spark and DuckDB agree bit-for-bit (q103's idiom). */
+  private def quantize(c: Column): Column =
+    transform(c, x => floor(x.cast(DoubleType) * lit(1e6)).cast(LongType))
+
+  private def nearest(e: Column, cids: Array[Int],
+      cents: Array[Array[Long]]): Column =
+    Bridge.column(graft.functions.NearestCentroidQ(
+      Bridge.expr(e), cids, cents))
+
+  private val OutSchema = StructType(Seq(
+    StructField("cluster_id", IntegerType),
+    StructField("n_vecs", LongType),
+    StructField("inertia", LongType),
+    StructField("min_vec_id", LongType),
+    StructField("centroid_l1", LongType)))
+
+  /** q135 — k-means over the embedding corpus: K=8, three assignment
+    * rounds, deterministic seeding (the K smallest `vec_id`s), exact
+    * integer trajectory (see object doc). Output is the per-cluster
+    * report: size, inertia (Σ squared quantized distance), smallest
+    * member id, and the final centroid's L1 norm — every column an
+    * exact integer, hash-matched against a DuckDB oracle that unrolls
+    * the three rounds as CTEs. */
+  def q135Kmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+    // deterministic seeding: K smallest vec_ids (K rows of model state,
+    // not a data collect)
+    val initRows = emb.orderBy("vec_id").limit(K).select("q").collect()
+    if (initRows.isEmpty) // empty corpus: nothing to cluster, no seeds
+      return s.createDataFrame(
+        s.sparkContext.emptyRDD[Row], OutSchema)
+    var cids: Array[Int] = initRows.indices.toArray
+    var cents: Array[Array[Long]] =
+      initRows.map(_.getSeq[Long](0).toArray)
+    // quantized corpus feeds every round (Rounds assignment passes +
+    // Rounds-1 update aggregates): checkpoint so parquet decode +
+    // quantization is paid once — at 100 TB, persist(DISK_ONLY)
+    val q = emb.localCheckpoint()
+    for (_ <- 1 until Rounds) {
+      val asg = q.select(nearest(col("q"), cids, cents).as("nc"), col("q"))
+      // k·d-key aggregate, map-side combined: one 512-row partial per
+      // task however large the corpus
+      val upd = asg
+        .select(col("nc.cid").as("cid"), posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy("cid", "i")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      // floor(sum/n) re-lands on the integer grid (both engines: exact
+      // BIGINT sum → double divide → floor); empty clusters drop out
+      val next = upd.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+        case (cid, rows) =>
+          val arr = new Array[Long](Dims)
+          rows.foreach { r =>
+            arr(r.getInt(1)) =
+              math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+          }
+          (cid, arr)
+      }
+      cids = next.map(_._1).toArray
+      cents = next.map(_._2).toArray
+    }
+    val l1 = cids.zip(cents).map { case (c, arr) =>
+      (c, arr.map(math.abs).sum)
+    }.toSeq
+    val l1df = s.createDataFrame(l1).toDF("cluster_id", "centroid_l1")
+    q.select(col("vec_id"), nearest(col("q"), cids, cents).as("nc"))
+      .select(col("vec_id"), col("nc.cid").as("cluster_id"),
+        col("nc.dist").as("dist"))
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia"),
+        min(col("vec_id")).as("min_vec_id"))
+      .join(broadcast(l1df), Seq("cluster_id"))
+      .select(col("cluster_id"), col("n_vecs"), col("inertia"),
+        col("min_vec_id"), col("centroid_l1"))
+      .orderBy("cluster_id")
+  }
+
+  /** Re-runnable core for the spec: returns (cids, cents, assignment
+    * DataFrame) after `rounds` assignment rounds, for convergence and
+    * argmin cross-checks. Mirrors [[q135Kmeans]] exactly. */
+  private[graft] def kmeansState(s: SparkSession, dir: String,
+      rounds: Int): (Array[Int], Array[Array[Long]], DataFrame) = {
+    val emb = Tables.embeddings(s, dir)
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), quantize(col("embedding")).as("q"))
+    val initRows = emb.orderBy("vec_id").limit(K).select("q").collect()
+    var cids: Array[Int] = initRows.indices.toArray
+    var cents: Array[Array[Long]] = initRows.map(_.getSeq[Long](0).toArray)
+    val q = emb.localCheckpoint()
+    for (_ <- 1 until rounds) {
+      val asg = q.select(nearest(col("q"), cids, cents).as("nc"), col("q"))
+      val upd = asg
+        .select(col("nc.cid").as("cid"), posexplode(col("q")).as(Seq("i", "x")))
+        .groupBy("cid", "i")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      val next = upd.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map {
+        case (cid, rows) =>
+          val arr = new Array[Long](Dims)
+          rows.foreach { r =>
+            arr(r.getInt(1)) =
+              math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+          }
+          (cid, arr)
+      }
+      cids = next.map(_._1).toArray
+      cents = next.map(_._2).toArray
+    }
+    (cids, cents,
+      q.select(col("vec_id"), col("q"),
+        nearest(col("q"), cids, cents).as("nc")))
+  }
+
+  /** DuckDB oracle for q135: the identical integer trajectory, three
+    * rounds unrolled as CTE pairs (assign aᵢ / update cᵢ). */
+  private def kmeansOracle: String = {
+    val dist = s"list_sum(list_transform(range(1, ${Dims + 1}), " +
+      "i -> (e.q[i]-c.q[i])*(e.q[i]-c.q[i])))"
+    def assign(a: String, cIn: String) = s"""
+      |$a AS (
+      |  SELECT e.vec_id AS vec_id,
+      |    arg_min(c.cid, $dist * $K + c.cid) AS cid,
+      |    CAST(min($dist) AS BIGINT) AS dist
+      |  FROM e CROSS JOIN $cIn c GROUP BY e.vec_id)""".stripMargin
+    def update(cOut: String, aIn: String) = s"""
+      |$cOut AS (
+      |  SELECT cid, list(v ORDER BY i) AS q FROM (
+      |    SELECT a.cid AS cid, g.i AS i,
+      |      CAST(floor(CAST(sum(e.q[g.i]) AS DOUBLE) / count(*)) AS BIGINT) AS v
+      |    FROM $aIn a JOIN e USING (vec_id)
+      |    CROSS JOIN (SELECT unnest(range(1, ${Dims + 1})) AS i) g
+      |    GROUP BY a.cid, g.i) GROUP BY cid)""".stripMargin
+    s"""
+      |WITH e AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000e0) AS BIGINT)) AS q
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS cid, q
+      |  FROM (SELECT vec_id, q FROM e ORDER BY vec_id LIMIT $K)),
+      |${assign("a1", "c0")},
+      |${update("c1", "a1")},
+      |${assign("a2", "c1")},
+      |${update("c2", "a2")},
+      |${assign("a3", "c2")}
+      |SELECT a3.cid AS cluster_id, count(*) AS n_vecs,
+      |  CAST(sum(a3.dist) AS BIGINT) AS inertia,
+      |  min(a3.vec_id) AS min_vec_id, l1.centroid_l1
+      |FROM a3 JOIN (
+      |  SELECT cid, CAST(list_sum(list_transform(q, x -> abs(x))) AS BIGINT)
+      |    AS centroid_l1 FROM c2) l1 ON a3.cid = l1.cid
+      |GROUP BY a3.cid, l1.centroid_l1
+      |ORDER BY cluster_id""".stripMargin
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q135_kmeans" -> (q135Kmeans _))
+
+  val oracles: Map[String, String] = Map(
+    "q135_kmeans" -> kmeansOracle)
+}

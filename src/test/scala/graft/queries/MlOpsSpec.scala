@@ -1,0 +1,105 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** k-means (q135) and the round-6 curation additions (q136–q138) on
+  * sf0.001. */
+class MlOpsSpec extends SparkTestBase {
+
+  test("q135 kmeans: clusters partition the corpus") {
+    val nVecs = graft.Tables.embeddings(spark, Sf)
+      .filter(col("embedding").isNotNull).count()
+    val rows = MlOps.q135Kmeans(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 8)
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nVecs)
+    assert(rows.forall(_.getAs[Long]("inertia") >= 0))
+  }
+
+  test("q135 kmeans: bit-deterministic across runs") {
+    val a = MlOps.q135Kmeans(spark, Sf).collect().toSeq
+    val b = MlOps.q135Kmeans(spark, Sf).collect().toSeq
+    assert(a == b)
+  }
+
+  test("q135 kmeans: Lloyd iterations do not increase inertia") {
+    // floor-quantized centroids re-land on the integer grid, so each
+    // update minimizes within one quantization step of the true mean —
+    // allow that slack, require the big-picture decrease
+    def inertia(rounds: Int): Long = {
+      val (_, _, asg) = MlOps.kmeansState(spark, Sf, rounds)
+      asg.agg(sum(col("nc.dist"))).collect()(0).getLong(0)
+    }
+    val (i1, i2, i3) = (inertia(1), inertia(2), inertia(3))
+    assert(i2 <= (i1 * 1.001).toLong, s"round 2 inertia rose: $i1 -> $i2")
+    assert(i3 <= (i2 * 1.001).toLong, s"round 3 inertia rose: $i2 -> $i3")
+  }
+
+  test("q135 kmeans: kernel assignment equals brute-force argmin") {
+    val (cids, cents, asg) = MlOps.kmeansState(spark, Sf, 3)
+    val rows = asg.select(col("q"), col("nc.cid"), col("nc.dist")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getSeq[Long](0).toArray
+      val got = (r.getInt(1), r.getLong(2))
+      val want = cids.zip(cents).map { case (cid, c) =>
+        var s = 0L
+        var i = 0
+        while (i < math.min(q.length, c.length)) {
+          val t = q(i) - c(i); s += t * t; i += 1
+        }
+        (s, cid)
+      }.min
+      assert(got == ((want._2, want._1)),
+        s"kernel ${got} != brute-force ${(want._2, want._1)}")
+    }
+  }
+
+  test("q136 span dedup: planted 8-token duplicate span is found") {
+    import java.nio.file.Files
+    val dir = Files.createTempDirectory("graft_span").toString
+    val base = graft.Tables.documents(spark, Sf)
+    val span = "alpha beta gamma delta epsilon zeta eta theta"
+    val planted = spark.createDataFrame(Seq(
+      (9000001L, s"prefix one $span suffix one", "en", "test", 1L),
+      (9000002L, s"other lead-in $span and more text", "en", "test", 1L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    base.unionByName(planted).write.parquet(s"$dir/documents.parquet")
+    val rows = CorpusOps.q136SpanDedup(spark, dir).collect()
+    val md5Span = java.security.MessageDigest.getInstance("MD5")
+      .digest(span.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hit = rows.filter(_.getAs[String]("span_md5") == md5Span)
+    assert(hit.length == 1, "planted span not reported")
+    assert(hit(0).getAs[Long]("n_docs") == 2)
+    assert(hit(0).getAs[Long]("min_doc") == 9000001L)
+  }
+
+  test("q137 k-anonymity: flags exactly the groups below k") {
+    val rows = CorpusOps.q137KAnonymity(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val kAnon = rows.map(_.getAs[Long]("grp_n")).min
+    rows.foreach { r =>
+      assert(r.getAs[Long]("k_anonymity") == kAnon)
+      assert((r.getAs[Int]("is_risky") == 1) == (r.getAs[Long]("grp_n") < 5))
+    }
+  }
+
+  test("q138 mixture: rates flatten the language distribution") {
+    val rows = CorpusOps.q138MixtureSample(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.map(r => r.getAs[String]("lang") ->
+      (r.getAs[Long]("n_docs"), r.getAs[Long]("rate_ppm"),
+        r.getAs[Long]("n_kept"))).toMap
+    byLang.values.foreach { case (n, ppm, kept) =>
+      assert(ppm >= 0 && ppm <= 1000000L)
+      assert(kept <= n)
+    }
+    // temperature < 1 keeps a LARGER fraction of smaller languages
+    val sorted = byLang.values.toSeq.sortBy(_._1)
+    val (nSmall, ppmSmall, _) = sorted.head
+    val (nBig, ppmBig, _) = sorted.last
+    if (nSmall < nBig) assert(ppmSmall >= ppmBig,
+      s"small lang rate $ppmSmall < big lang rate $ppmBig")
+  }
+}
