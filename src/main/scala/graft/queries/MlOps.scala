@@ -137,6 +137,14 @@ object MlOps {
       .filter(col("embedding").isNotNull)
       .select(col("vec_id"), quantize(col("embedding")).as("q"))
     val initRows = emb.orderBy("vec_id").limit(K).select("q").collect()
+    if (initRows.isEmpty) // empty corpus: no seeds, empty assignment
+      return (Array.empty[Int], Array.empty[Array[Long]],
+        s.createDataFrame(s.sparkContext.emptyRDD[Row], StructType(Seq(
+          StructField("vec_id", LongType),
+          StructField("q", ArrayType(LongType)),
+          StructField("nc", StructType(Seq(
+            StructField("cid", IntegerType, nullable = false),
+            StructField("dist", LongType, nullable = false))))))))
     var cids: Array[Int] = initRows.indices.toArray
     var cents: Array[Array[Long]] = initRows.map(_.getSeq[Long](0).toArray)
     val q = emb.localCheckpoint()
@@ -163,6 +171,72 @@ object MlOps {
       q.select(col("vec_id"), col("q"),
         nearest(col("q"), cids, cents).as("nc")))
   }
+
+  /** IVF ANN over k-means-TRAINED centroids — q51's index structure
+    * with its coarse quantizer replaced by the q135 model (production
+    * IVF: train k-means on a corpus sample, partition the corpus into
+    * K inverted lists, probe the nprobe nearest). Trained centroids
+    * track the data distribution, so list sizes are balanced and the
+    * probed fraction carries more of the true neighbors than q51's
+    * deterministic-sample quantizer at the same nprobe. With
+    * nprobe ≥ K every list is probed and the result is EXACTLY the
+    * brute-force top-k (asserted in MlOpsSpec). Scale path is q51's:
+    * lists written partitioned by `cent_id`, queries touch nprobe
+    * partitions. */
+  def annIvfTrained(s: SparkSession, dir: String, nprobe: Int,
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cids, cents, _) = kmeansState(s, dir, Rounds)
+    if (cids.isEmpty) // empty corpus: no index, no results
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("rk", IntegerType),
+          StructField("cand_id", LongType),
+          StructField("sim", DoubleType))))
+    // centroids back to float space: microunits / 1e6 (model params)
+    val centroids = s.createDataFrame(
+      cids.zip(cents).map { case (c, arr) =>
+        (c, arr.map(x => (x.toDouble / 1e6).toFloat))
+      }.toSeq).toDF("cent_id", "cent_vec")
+    def cos(a: Column, b: Column) = VectorOps.cosineNative(s, a, b)
+    val emb = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+    // argmax-by-aggregation assignment (q51's shape): map-side combine,
+    // one surviving row per vector — never a window over n×K rows
+    val lists = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("cand_id"), col("c_emb"), col("cent_id"),
+        cos(col("c_emb"), col("cent_vec")).as("csim"))
+      .groupBy("cand_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), col("cent_id") * -1)).as("cent_id"),
+        first(col("c_emb")).as("c_emb"))
+    val probed = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("q_emb"), col("cent_id"),
+        cos(col("q_emb"), col("cent_vec")).as("csim"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("cent_id"))))
+      .filter(col("crk") <= nprobe)
+      .drop("csim", "crk")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    lists.join(broadcast(probed), Seq("cent_id"))
+      .select(col("query_id"), col("cand_id"),
+        cos(col("q_emb"), col("c_emb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "cand_id", "sim")
+      .orderBy("query_id", "rk")
+  }
+
+  /** q139 — trained-IVF ANN as registered: nprobe=2 of the K=8
+    * k-means lists, top-10. Rows-only (quantizer is engine-specific);
+    * exactness at nprobe ≥ K and recall gated in MlOpsSpec. */
+  def q139AnnIvfTrained(s: SparkSession, dir: String): DataFrame =
+    annIvfTrained(s, dir, nprobe = 2, k = 10)
 
   /** DuckDB oracle for q135: the identical integer trajectory, three
     * rounds unrolled as CTE pairs (assign aᵢ / update cᵢ). */
@@ -207,7 +281,8 @@ object MlOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q135_kmeans" -> (q135Kmeans _))
+    "q135_kmeans" -> (q135Kmeans _),
+    "q139_ann_ivf_trained" -> (q139AnnIvfTrained _))
 
   val oracles: Map[String, String] = Map(
     "q135_kmeans" -> kmeansOracle)

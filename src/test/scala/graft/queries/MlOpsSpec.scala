@@ -56,6 +56,28 @@ class MlOpsSpec extends SparkTestBase {
     }
   }
 
+  private def recallAt10(df: org.apache.spark.sql.DataFrame): Double = {
+    val exact = VectorOps.q40CosineTopK(spark, Sf).collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    val got = df.collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .view.mapValues(_.map(_.getAs[Long]("cand_id")).toSet).toMap
+    assert(exact.nonEmpty && exact.values.forall(_.size == 10))
+    exact.map { case (q, truth) =>
+      truth.intersect(got.getOrElse(q, Set.empty)).size.toDouble / truth.size
+    }.sum / exact.size
+  }
+
+  test("q139 trained IVF: probing every list IS the exact top-k") {
+    assert(recallAt10(MlOps.annIvfTrained(spark, Sf, nprobe = 8, k = 10)) == 1.0)
+  }
+
+  test("q139 trained IVF clears the recall gate at nprobe=2") {
+    val r = recallAt10(MlOps.q139AnnIvfTrained(spark, Sf))
+    assert(r >= 0.4, s"recall@10 = $r < 0.4")
+  }
+
   test("q136 span dedup: planted 8-token duplicate span is found") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_span").toString
