@@ -378,9 +378,12 @@ object CorpusOps {
     * documents are emitted with document/occurrence counts. Sits
     * between q30's document-level and q134's token-level dedup —
     * span-level boilerplate detection. One explode (~1 window per
-    * token) + one shuffle on the span key; at 100 TB the span would be
+    * token), then the two-stage distinct aggregate: a partial
+    * (span, doc_id) aggregate collapses within-document repeats
+    * MAP-SIDE before either shuffle, so the wire carries one row per
+    * (span, doc) — at 100 TB the span would additionally be
     * xxhash64-compressed pre-shuffle and the report written
-    * partitioned — md5 here keeps the oracle engine-neutral. */
+    * partitioned; md5 here keeps the oracle engine-neutral. */
   def q136SpanDedup(s: SparkSession, dir: String): DataFrame = {
     val W = 8
     Tables.documents(s, dir)
