@@ -458,6 +458,47 @@ object CorpusOps {
       .orderBy("lang")
   }
 
+  // -------------------------------------------------- q140 corpus diff
+
+  /** q140 — corpus snapshot diff: the audit a versioned training-data
+    * build runs between two corpus generations (what q100's diffable
+    * content-addressed sharding exists FOR): full-outer join on doc_id
+    * comparing content fingerprints, classifying every document as
+    * added / removed / modified / unchanged, reported per language.
+    * The v2 snapshot is derived deterministically in BOTH engines from
+    * the same table (5% dropped, 10% of survivors edited, 4% cloned as
+    * new ids via the md5-hash Bernoulli), so the diff itself — not the
+    * fixture — is what the oracle checks. At 100 TB both sides hash
+    * down to (doc_id, fp) before the one co-partitioned shuffle join;
+    * text never moves. */
+  def q140CorpusDiff(s: SparkSession, dir: String): DataFrame = {
+    def h(tag: String) =
+      md5Hash32(concat(lit(tag), col("doc_id").cast("string")))
+    val v1 = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"), col("text"))
+    val kept = v1.filter(h("v2drop:") % 20 =!= 0)
+    val v2base = kept.withColumn("text",
+      when(h("v2mod:") % 10 === 0, concat(col("text"), lit(" [edited]")))
+        .otherwise(col("text")))
+    val added = v1.filter(h("v2add:") % 25 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"),
+        col("lang"), col("text"))
+    val v2 = v2base.unionByName(added)
+    val a = v1.select(col("doc_id"), col("lang").as("lang_a"),
+      md5(col("text")).as("fp_a"))
+    val b = v2.select(col("doc_id"), col("lang").as("lang_b"),
+      md5(col("text")).as("fp_b"))
+    a.join(b, Seq("doc_id"), "full_outer")
+      .select(coalesce(col("lang_a"), col("lang_b")).as("lang"),
+        when(col("fp_a").isNull, "added")
+          .when(col("fp_b").isNull, "removed")
+          .when(col("fp_a") =!= col("fp_b"), "modified")
+          .otherwise("unchanged").as("status"))
+      .groupBy("lang", "status")
+      .agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang", "status")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -466,6 +507,7 @@ object CorpusOps {
     "q136_span_dedup" -> (q136SpanDedup _),
     "q137_k_anonymity" -> (q137KAnonymity _),
     "q138_mixture_sample" -> (q138MixtureSample _),
+    "q140_corpus_diff" -> (q140CorpusDiff _),
     "q100_shard_assign" -> (q100ShardAssign _),
     "q101_pii_redact" -> (q101PiiRedact _),
     "q102_token_entropy" -> (q102TokenEntropy _),
@@ -701,5 +743,34 @@ object CorpusOps {
       |  GROUP BY d.lang)
       |SELECT st.lang AS lang, st.n_docs AS n_docs,
       |  st.rate_ppm AS rate_ppm, COALESCE(kept.n_kept, 0) AS n_kept
-      |FROM st LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin)
+      |FROM st LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
+
+    "q140_corpus_diff" -> s"""
+      |WITH v1 AS (
+      |  SELECT doc_id, lang, text FROM documents WHERE text IS NOT NULL),
+      |kept AS (
+      |  SELECT * FROM v1
+      |  WHERE ${hexPoly("md5('v2drop:' || CAST(doc_id AS VARCHAR))")} % 20
+      |    <> 0),
+      |v2base AS (
+      |  SELECT doc_id, lang,
+      |    CASE WHEN ${hexPoly("md5('v2mod:' || CAST(doc_id AS VARCHAR))")}
+      |        % 10 = 0
+      |      THEN text || ' [edited]' ELSE text END AS text
+      |  FROM kept),
+      |added AS (
+      |  SELECT doc_id + 10000000 AS doc_id, lang, text FROM v1
+      |  WHERE ${hexPoly("md5('v2add:' || CAST(doc_id AS VARCHAR))")} % 25
+      |    = 0),
+      |v2 AS (SELECT * FROM v2base UNION ALL SELECT * FROM added),
+      |a AS (SELECT doc_id, lang AS lang_a, md5(text) AS fp_a FROM v1),
+      |b AS (SELECT doc_id, lang AS lang_b, md5(text) AS fp_b FROM v2)
+      |SELECT COALESCE(lang_a, lang_b) AS lang,
+      |  CASE WHEN fp_a IS NULL THEN 'added'
+      |       WHEN fp_b IS NULL THEN 'removed'
+      |       WHEN fp_a <> fp_b THEN 'modified'
+      |       ELSE 'unchanged' END AS status,
+      |  count(*) AS n_docs
+      |FROM a FULL OUTER JOIN b USING (doc_id)
+      |GROUP BY 1, 2 ORDER BY lang, status""".stripMargin)
 }

@@ -44,7 +44,7 @@ class NullRowSpec extends SparkTestBase {
     val num = name.drop(1).takeWhile(_.isDigit).toInt
     (num >= 30 && num <= 53) || (num >= 61 && num <= 74) ||
       (num >= 80 && num <= 88) || (num >= 100 && num <= 110) ||
-      num == 131 || num == 134 || (num >= 135 && num <= 138)
+      num == 131 || num == 134 || (num >= 135 && num <= 140)
   }
 
   test("text/vector/corpus queries execute with null and empty rows") {

@@ -105,6 +105,22 @@ class CorpusOpsSpec extends SparkTestBase {
       s"min-xent doc $lo has higher TTR than max-xent doc $hi")
   }
 
+  test("q140 corpus diff accounts for every v1 and v2 document") {
+    val rows = CorpusOps.q140CorpusDiff(spark, Sf).collect()
+    val byStatus = rows.groupBy(_.getAs[String]("status"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(byStatus.keySet.subsetOf(
+      Set("added", "removed", "modified", "unchanged")))
+    val nV1 = graft.Tables.documents(spark, Sf)
+      .filter(col("text").isNotNull).count()
+    // v1 = removed + modified + unchanged (added rows are v2-only)
+    assert(byStatus.getOrElse("removed", 0L)
+      + byStatus.getOrElse("modified", 0L)
+      + byStatus.getOrElse("unchanged", 0L) == nV1)
+    assert(byStatus.getOrElse("added", 0L) > 0)
+    assert(byStatus.getOrElse("modified", 0L) > 0)
+  }
+
   test("q105 weighting favors longer documents") {
     // Efraimidis–Spirakis with w = n_chars: the selected docs' mean
     // length should exceed the corpus mean (a weak but deterministic

@@ -39,7 +39,7 @@ class RelationalSpec extends SparkTestBase {
     val moduleSizes = Seq(Relational.queries, EventOps.queries,
       TextOps.queries, VectorOps.queries, MultimodalOps.queries,
       IotParity.queries, ExtendedOps.queries, SqlOps.queries,
-      CorpusOps.queries, WarehouseOps.queries,
+      CorpusOps.queries, WarehouseOps.queries, MlOps.queries,
       graft.pipelines.CurationPipeline.queries).map(_.size).sum
     assert(graft.SparkEntry.queries.size == moduleSizes,
       "duplicate query keys across modules")
