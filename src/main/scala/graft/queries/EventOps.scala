@@ -342,7 +342,36 @@ object EventOps {
       .orderBy("day")
   }
 
+  /** q142 — peak concurrency via the sweep line: per-(user, day)
+    * activity intervals [first event, last event] become ±1 boundary
+    * events, a running sum ordered by (time, +1-before-−1) counts how
+    * many intervals overlap each instant, and the per-day max is the
+    * peak concurrent-user load — the capacity-planning query interval
+    * trees answer point-wise, done set-at-a-time. Determinism under
+    * ties: rows with equal (t, delta) may process in any order, but
+    * within such a group the running sum moves monotonically (all
+    * deltas share a sign), so the per-day MAX — the only exposed
+    * value — is order-invariant, and +1 sorting before −1 makes
+    * touching intervals count as concurrent in both engines. Cost: one
+    * shuffle to build intervals, one window sort per day partition —
+    * boundary rows are 2×users×days regardless of event volume. */
+  def q142ConcurrentSessions(s: SparkSession, dir: String): DataFrame = {
+    val iv = Tables.events(s, dir)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+    val bounds = iv.select(col("day"), col("st").as("t"), lit(1).as("delta"))
+      .unionAll(iv.select(col("day"), col("en").as("t"), lit(-1).as("delta")))
+    val w = Window.partitionBy("day").orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bounds.select(col("day"), sum(col("delta")).over(w).as("running"))
+      .groupBy("day")
+      .agg((count(lit(1)) / lit(2)).cast("long").as("n_sessions"),
+        max(col("running")).as("max_concurrent"))
+      .orderBy("day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q142_concurrent_sessions" -> (q142ConcurrentSessions _),
     "q125_outliers" -> (q125Outliers _),
     "q129_ewma" -> (q129Ewma _),
     "q130_dau_mau" -> (q130DauMau _),
@@ -360,6 +389,23 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q142_concurrent_sessions" ->
+      """WITH iv AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    min(CAST(ts AS TIMESTAMP)) AS st, max(CAST(ts AS TIMESTAMP)) AS en
+        |  FROM events GROUP BY 1, 2),
+        |b AS (
+        |  SELECT day, st AS t, 1 AS delta FROM iv
+        |  UNION ALL
+        |  SELECT day, en AS t, -1 AS delta FROM iv),
+        |r AS (
+        |  SELECT day, sum(delta) OVER (
+        |    PARTITION BY day ORDER BY t, delta DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |  FROM b)
+        |SELECT day, CAST(count(*) / 2 AS BIGINT) AS n_sessions,
+        |  CAST(max(running) AS BIGINT) AS max_concurrent
+        |FROM r GROUP BY day ORDER BY day""".stripMargin,
     "q24_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k,

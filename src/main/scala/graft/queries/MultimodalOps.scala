@@ -17,10 +17,15 @@ import graft.Tables
   *     arithmetic) — width/height/sample-rate/duration come from the
   *     actual bytes, and the construct→parse roundtrip is
   *     DuckDB-oracle-checked against the closed-form parameters.
-  *   - q43 remains the clearly-marked deterministic STUB for payload
-  *     formats whose codecs don't exist in this environment (JPEG/
-  *     H.264/…): hash-derived pseudo-metadata behind the same plan
-  *     shape a real vectorized decoder would use.
+  *   - q43 is a REAL big-endian PNG decode: a genuine signature + IHDR
+  *     chunk (with its actual CRC-32, computed over the real bytes by
+  *     the engine's `crc32`, the same CRC-32/ISO-HDLC polynomial PNG
+  *     specifies) + IEND is built per document, parsed back by an
+  *     independent substr/hex/conv program, and validated by
+  *     javax.imageio in MultimodalSpec. Full pixel decode (IDAT
+  *     inflate) needs a codec this environment lacks — header-level
+  *     decode is the honest boundary, and the frame-sample plumbing
+  *     runs over the same real bytes.
   */
 object MultimodalOps {
 
@@ -36,29 +41,37 @@ object MultimodalOps {
         sha2(col("payload"), 256).as("digest_sha256"))
       .orderBy("doc_id")
 
-  /** q43 — STUBBED media decode: width/height/duration are derived from
-    * a hash of the payload (NOT a real codec — deterministic fake so
-    * the pipeline shape is testable). "Frame sampling" keeps every
-    * k-th 16-byte window of the blob. Rows-only check (no oracle: the
-    * stub is engine-specific by construction). */
-  def q43DecodeStub(s: SparkSession, dir: String): DataFrame = {
-    val payload = col("text").cast("binary")
-    val h = xxhash64(payload)
-    Tables.documents(s, dir)
-      .select(col("doc_id"), payload.as("payload"))
+  /** q43 — REAL PNG header decode, oracle-checked: parses the signature,
+    * IHDR length/type, big-endian dimensions, depth and color type out
+    * of the raw bytes of [[mediaBlobs]]' PNG column with an expression
+    * program independent of the construction, and re-verifies the IHDR
+    * chunk's CRC-32 over the actual type+data bytes (`crc32` — the
+    * CRC-32/ISO-HDLC polynomial PNG specifies). `png_ok` folds every
+    * check, so an offset/endianness/CRC bug in EITHER construct or
+    * parse breaks the hash match against the closed-form oracle.
+    * "Frame sampling" keeps every 4th 16-byte window of the same real
+    * bytes, surfaced as a count + digest. One narrow codegen'd
+    * projection — no shuffle, scales linearly. */
+  def q43PngDecode(s: SparkSession, dir: String): DataFrame = {
+    val png = col("png")
+    val sigOk = hex(png.substr(lit(1), lit(8))) === "89504E470D0A1A0A"
+    val ihdrOk = (beVal(png, 9, 4) === 13L) &&
+      (png.substr(lit(13), lit(4)).cast("string") === "IHDR") &&
+      (png.substr(lit(38), lit(4)).cast("string") === "IEND")
+    // stored CRC (bytes 30-33) must equal a fresh CRC-32 of the 17
+    // type+data bytes — parse-side recomputation, not a byte copy
+    val crcOk = beVal(png, 30, 4) === crc32(png.substr(lit(13), lit(17)))
+    mediaBlobs(s, dir)
       .select(col("doc_id"),
-        octet_length(col("payload")).as("n_bytes"),
-        // STUB: hash-derived fake dimensions, stands in for codec output
-        pmod(xxhash64(col("payload")), lit(1280)).cast(IntegerType).plus(1).as("width"),
-        pmod(xxhash64(col("payload"), lit(1)), lit(720)).cast(IntegerType).plus(1).as("height"),
-        (pmod(xxhash64(col("payload"), lit(2)), lit(30000)).cast(IntegerType) / lit(1000.0)).as("duration_s"),
-        // STUB frame sample: every 4th 16-byte window of the payload.
-        // Surfaced as a count + order-sensitive digest (not the raw
-        // array-of-binary) so downstream tooling — including the
-        // driver's pandas-side rows check — sees only sortable scalars.
-        frameSamples(col("payload")).as("frames"))
-      .select(col("doc_id"), col("n_bytes"), col("width"), col("height"),
-        col("duration_s"),
+        (sigOk && ihdrOk && crcOk).as("png_ok"),
+        beVal(png, 17, 4).cast(IntegerType).as("width"),
+        beVal(png, 21, 4).cast(IntegerType).as("height"),
+        beVal(png, 25, 1).cast(IntegerType).as("bit_depth"),
+        beVal(png, 26, 1).cast(IntegerType).as("color_type"),
+        octet_length(png).as("n_bytes"),
+        frameSamples(png).as("frames"))
+      .select(col("doc_id"), col("png_ok"), col("width"), col("height"),
+        col("bit_depth"), col("color_type"), col("n_bytes"),
         size(col("frames")).as("n_frames"),
         md5(array_join(transform(col("frames"), f => hex(f)), "")
           .cast("binary")).as("frames_md5"))
@@ -89,17 +102,40 @@ object MultimodalOps {
       conv(hex(bin.substr(lit(pos + i), lit(1))), 16, 10).cast("long")
         * lit(1L << (8 * i))).reduce(_ + _)
 
+  /** Big-endian (network-order) hex of `v`'s low `n` bytes — PNG's
+    * multi-byte integers are big-endian, unlike BMP/WAV's. */
+  private def beHex(v: Column, n: Int): Column =
+    concat((n - 1 to 0 by -1).map(i =>
+      lpad(hex(shiftright(v, 8 * i).bitwiseAND(255)), 2, "0")): _*)
+
+  /** Big-endian unsigned integer read from `n` bytes of `bin` at
+    * 1-based byte offset `pos` — the parse-side inverse of [[beHex]]. */
+  private def beVal(bin: Column, pos: Int, n: Int): Column =
+    (0 until n).map(i =>
+      conv(hex(bin.substr(lit(pos + i), lit(1))), 16, 10).cast("long")
+        * lit(1L << (8 * (n - 1 - i)))).reduce(_ + _)
+
   /** Zero-fill hex pool: 9408 bytes covers the largest pixel buffer
-    * (64-wide rows padded to 196 bytes × 48 rows) and the largest WAV
-    * data chunk (4000 bytes). */
+    * (64-wide rows padded to 196 bytes × 48 rows). */
   private val ZeroHex = "00" * 9408
 
-  /** (doc_id, bmp, wav): genuine media blobs built BYTEWISE from
+  /** PCM sample pool for the WAV data chunk: 16-bit LE samples
+    * alternating +1000 / −1000 (`E8 03`, `18 FC`) — real non-silent
+    * audio content so feature extraction (q141) has actual samples to
+    * read, with closed-form peak/sum/energy for the oracle. 4000 bytes
+    * covers the largest data chunk. */
+  private val PcmHex = "E80318FC" * 1000
+
+  /** (doc_id, bmp, wav, png): genuine media blobs built BYTEWISE from
     * closed-form per-document parameters — a valid 24bpp
-    * BITMAPINFOHEADER BMP (54-byte header + padded pixel rows) and a
-    * valid PCM WAV (RIFF/fmt/data, 44-byte header + sample data).
-    * Every multi-byte field goes through [[leHex]], so file-format
-    * endianness is real, not simulated. One codegen'd projection. */
+    * BITMAPINFOHEADER BMP (54-byte header + padded pixel rows), a
+    * valid PCM WAV (RIFF/fmt/data, 44-byte header + sample data), and
+    * a valid PNG prefix (8-byte signature + IHDR chunk with its REAL
+    * CRC-32 computed over the chunk bytes + IEND — enough for any
+    * header-level reader, javax.imageio included, to identify the
+    * format and dimensions). Multi-byte fields go through [[leHex]] /
+    * [[beHex]], so each format's endianness is real, not simulated.
+    * One codegen'd projection. */
   private[graft] def mediaBlobs(s: SparkSession, dir: String): DataFrame = {
     val d = col("doc_id")
     // BMP: width 1-64, height 1-48, rows padded to 4-byte boundaries
@@ -142,9 +178,29 @@ object MultimodalOps {
       leHex(lit(16), 2),          // bits per sample
       lit("64617461"),            // 'data'
       leHex(dataLen, 4),
-      lit(ZeroHex).substr(lit(1), dataLen * 2))
+      lit(PcmHex).substr(lit(1), dataLen * 2))
+    // PNG: width 1-1024, height 1-768, 8-bit truecolor, no interlace.
+    // IHDR CRC is the real CRC-32/ISO-HDLC of the 17 type+data bytes
+    // (crc32 implements exactly the polynomial PNG specifies).
+    val pw = pmod(d, lit(1024)) + 1
+    val ph = pmod(d, lit(768)) + 1
+    val ihdrTypeData = concat(
+      lit("49484452"),            // 'IHDR'
+      beHex(pw, 4), beHex(ph, 4), // width, height (BE u32)
+      lit("08"),                  // bit depth
+      lit("02"),                  // color type = truecolor
+      lit("000000"))              // compression, filter, interlace
+    val pngHex = concat(
+      lit("89504E470D0A1A0A"),    // PNG signature
+      lit("0000000D"),            // IHDR data length = 13
+      ihdrTypeData,
+      beHex(crc32(unhex(ihdrTypeData)), 4),
+      lit("00000000"),            // IEND data length = 0
+      lit("49454E44"),            // 'IEND'
+      lit("AE426082"))            // IEND CRC (constant: crc of 'IEND')
     Tables.documents(s, dir)
-      .select(d, unhex(bmpHex).as("bmp"), unhex(wavHex).as("wav"))
+      .select(d, unhex(bmpHex).as("bmp"), unhex(wavHex).as("wav"),
+        unhex(pngHex).as("png"))
   }
 
   /** q88 — REAL media header decode, oracle-checked: parses the BMP and
@@ -182,6 +238,37 @@ object MultimodalOps {
         dataLen.as("wav_data_len"),
         ((dataLen * 1000).cast("double") / leVal(wav, 29, 4))
           .as("wav_duration_ms"))
+      .orderBy("doc_id")
+  }
+
+  /** q141 — audio feature extraction over REAL PCM bytes: reads every
+    * 16-bit little-endian SIGNED sample out of the WAV data chunk of
+    * [[mediaBlobs]] (2 bytes at offset 45 + 2i, sign reconstructed
+    * from the unsigned read), then aggregates peak amplitude, DC sum
+    * and total energy as exact BIGINTs — the decode→feature-extract
+    * stage of a multimodal pipeline, on actual bytes rather than
+    * metadata. The oracle knows the alternating ±1000 sample pattern
+    * closed-form, so a sign/offset/stride bug in the byte read breaks
+    * the hash match. Per-row work is a codegen'd higher-order fold
+    * over ≤ 2000 samples — narrow projection, no shuffle, scales
+    * linearly. */
+  def q141AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    val wav = col("wav")
+    val nS = ((octet_length(wav) - 44) / 2).cast(IntegerType)
+    val samples = transform(sequence(lit(0), nS - lit(1)), i => {
+      val u = conv(hex(wav.substr(lit(45) + i * 2, lit(1))), 16, 10)
+        .cast("long") +
+        conv(hex(wav.substr(lit(46) + i * 2, lit(1))), 16, 10)
+          .cast("long") * 256L
+      when(u >= 32768L, u - 65536L).otherwise(u)
+    })
+    mediaBlobs(s, dir)
+      .select(col("doc_id"), samples.as("smp"))
+      .select(col("doc_id"),
+        size(col("smp")).as("n_samples"),
+        array_max(transform(col("smp"), x => abs(x))).as("peak"),
+        aggregate(col("smp"), lit(0L), (a, x) => a + x).as("dc_sum"),
+        aggregate(col("smp"), lit(0L), (a, x) => a + x * x).as("energy"))
       .orderBy("doc_id")
   }
 
@@ -223,8 +310,9 @@ object MultimodalOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q42_binary_meta" -> (q42BinaryMeta _),
-    "q43_decode_stub" -> (q43DecodeStub _),
+    "q43_png_decode" -> (q43PngDecode _),
     "q88_media_headers" -> (q88MediaHeaders _),
+    "q141_audio_features" -> (q141AudioFeatures _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -234,6 +322,35 @@ object MultimodalOps {
         |  md5(text) AS digest_md5,
         |  sha256(text) AS digest_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // every field recomputed CLOSED-FORM from doc_id — the Spark side
+    // must roundtrip construct→bytes→parse (including the CRC
+    // recomputation folded into png_ok) to the same values, so the
+    // oracle catches offset/endianness/CRC bugs in either direction.
+    // The single 16-byte frame is the constant PNG prefix
+    // (signature + IHDR length + type), hence the literal digest.
+    "q43_png_decode" ->
+      """SELECT doc_id,
+        |  TRUE AS png_ok,
+        |  CAST(doc_id%1024+1 AS INTEGER) AS width,
+        |  CAST(doc_id%768+1 AS INTEGER) AS height,
+        |  CAST(8 AS INTEGER) AS bit_depth,
+        |  CAST(2 AS INTEGER) AS color_type,
+        |  CAST(45 AS INTEGER) AS n_bytes,
+        |  CAST(1 AS INTEGER) AS n_frames,
+        |  md5('89504E470D0A1A0A0000000D49484452') AS frames_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the data chunk holds S = ns*ch samples alternating +1000/−1000
+    // (odd S ends on +1000) — peak/DC/energy follow closed-form, while
+    // the Spark side must READ the signed LE samples out of the bytes
+    "q141_audio_features" ->
+      """SELECT doc_id,
+        |  CAST(s AS INTEGER) AS n_samples,
+        |  CAST(1000 AS BIGINT) AS peak,
+        |  CAST(CASE WHEN s % 2 = 0 THEN 0 ELSE 1000 END AS BIGINT) AS dc_sum,
+        |  CAST(s * 1000000 AS BIGINT) AS energy
+        |FROM (SELECT doc_id, (doc_id%1000+1) * (doc_id%2+1) AS s
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     // every field recomputed CLOSED-FORM from doc_id — the Spark side
     // must roundtrip construct→bytes→parse to the same values, so the
     // oracle catches offset/endianness bugs in either direction

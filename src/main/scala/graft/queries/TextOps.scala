@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.Tables
 
@@ -206,12 +206,15 @@ object TextOps {
       // signature-agreement estimate so it is computed once per pair
       .dropDuplicates("id_a", "id_b")
       .select("id_a", "id_b")
-    // signature re-join: the per-doc signature table is ~n·136 bytes —
-    // broadcastable far beyond this corpus; at extreme n swap for a
-    // shuffle join on the id
+    // signature re-join: NO forced broadcast — the per-doc signature
+    // table grows with the corpus (~n·136 bytes), so a hard broadcast()
+    // is a driver/executor memory ceiling at 100× scale. AQE converts
+    // the shuffle join to broadcast at runtime whenever the side is
+    // actually small (it is at test SFs), same discipline as q87's
+    // re-attach in simhashNearPairs.
     pairIds
-      .join(broadcast(docs.select(col("doc_id").as("id_a"), col("sig").as("sig_a"))), Seq("id_a"))
-      .join(broadcast(docs.select(col("doc_id").as("id_b"), col("sig").as("sig_b"))), Seq("id_b"))
+      .join(docs.select(col("doc_id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         (aggregate(zip_with(col("sig_a"), col("sig_b"),
           (x, y) => when(x === y, 1).otherwise(0)), lit(0), (acc, m) => acc + m)
@@ -328,19 +331,79 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
-  /** q58 — stratified sampling: per-language fractions via `sampleBy`
-    * (seeded Bernoulli per stratum) — how a curation pipeline
-    * rebalances a language-skewed corpus. Deterministic for a fixed
-    * seed WITHIN Spark but not reproducible cross-engine → rows-only;
-    * the test asserts per-stratum proportions instead. */
+  /** q58 — stratified sampling: per-language keep fractions applied as
+    * a deterministic content-hash Bernoulli (the q105/q138 discipline:
+    * uniform = first 8 md5 hex chars of a salted doc_id as a BIGINT,
+    * rate quantized to ppm) — how a curation pipeline rebalances a
+    * language-skewed corpus. Chosen over `sampleBy`'s seeded RNG
+    * because the hash keep-set is a pure function of the data: the
+    * same documents survive on any cluster, any partitioning, any
+    * engine — which is both what a reproducible data build needs and
+    * what lets DuckDB verify the exact per-stratum counts (was
+    * rows-only under the RNG form). Per-doc work is one md5 + one
+    * comparison — embarrassingly parallel at any scale. Strata not in
+    * the fraction map drop (rate 0), matching `sampleBy`. */
   def q58StratifiedSample(s: SparkSession, dir: String): DataFrame = {
-    val fractions = Map("en" -> 0.5, "es" -> 0.2, "de" -> 0.2,
-      "fr" -> 0.2, "zh" -> 0.2)
+    val ratePpm = typedLit(Map("en" -> 500000L, "es" -> 200000L,
+      "de" -> 200000L, "fr" -> 200000L, "zh" -> 200000L))
     Tables.documents(s, dir)
-      .stat.sampleBy("lang", fractions, seed = 42L)
+      .select(col("lang"),
+        (conv(substring(md5(concat(lit("strat:"),
+          col("doc_id").cast("string"))), 1, 8), 16, 10).cast(LongType)
+          % 1000000L).as("h"),
+        coalesce(element_at(ratePpm, col("lang")), lit(0L)).as("rate_ppm"))
+      .filter(col("h") < col("rate_ppm"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_sampled"))
       .orderBy("lang")
+  }
+
+  /** q143 — sorted-neighborhood dedup (Hernández–Stolfo): sort the
+    * corpus by a fuzzy blocking key (the first 24 chars of the
+    * normalized text), compare each document ONLY with its w−1 = 2
+    * predecessors in sort order, verify candidates with exact 3-gram
+    * Jaccard. The window-over-sorted-data member of the dedup family:
+    * where q45 blocks by equality buckets and q37/q87 by signature
+    * bands, this catches near-dups whose shared PREFIX sorts them
+    * adjacent — linear candidate count (≤ 2 per doc) by construction.
+    * Scale shape: the sort window is PARTITIONED by an 8-char prefix
+    * block (no global single-partition sort); neighbor gram arrays
+    * ride the window as lag() payloads, so no pair re-join. Pairs
+    * across block borders are missed — the documented trade-off of
+    * every sorted-neighborhood pass (production runs multi-pass with
+    * rotated keys). Grams are 64-bit hashes (Jaccard is
+    * hash-invariant; the DuckDB twin uses the string sets). */
+  def q143SortedNeighborhood(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), normText(col("text")).as("norm"))
+      .filter(length(col("norm")) >= 3)
+      // anti-CollapseProject barrier: norm feeds 3 consumers below
+      .repartition(col("doc_id"))
+      .select(col("doc_id"),
+        substring(col("norm"), 1, 8).as("block"),
+        substring(col("norm"), 1, 24).as("skey"),
+        call_function("sorted_gram_hashes", col("norm"), lit(3)).as("g"))
+    val w = Window.partitionBy("block").orderBy(col("skey"), col("doc_id"))
+    val nb = docs
+      .withColumn("sz", size(col("g")))
+      .withColumn("p1_id", lag(col("doc_id"), 1).over(w))
+      .withColumn("p1_g", lag(col("g"), 1).over(w))
+      .withColumn("p2_id", lag(col("doc_id"), 2).over(w))
+      .withColumn("p2_g", lag(col("g"), 2).over(w))
+    def pairs(idCol: Column, gCol: Column): DataFrame = {
+      val inter = call_function("sorted_intersect_count", col("g"), gCol)
+      nb.filter(idCol.isNotNull)
+        .select(least(col("doc_id"), idCol).as("id_a"),
+          greatest(col("doc_id"), idCol).as("id_b"),
+          (inter.cast(DoubleType) / (size(gCol) + col("sz") - inter))
+            .as("jaccard"))
+    }
+    pairs(col("p1_id"), col("p1_g"))
+      .unionAll(pairs(col("p2_id"), col("p2_g")))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("id_a", "id_b")
   }
 
   /** q44 — array/higher-order scalar functions over token arrays:
@@ -622,6 +685,7 @@ object TextOps {
     "q52_chunking" -> (q52Chunking _),
     "q53_text_clean" -> (q53TextClean _),
     "q58_stratified_sample" -> (q58StratifiedSample _),
+    "q143_sorted_neighborhood" -> (q143SortedNeighborhood _),
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_dedup_stats" -> (q31DedupStats _),
     "q32_text_stats" -> (q32TextStats _),
@@ -655,7 +719,54 @@ object TextOps {
       |              FROM documents)) b
       |    ON a.lang = b.lang AND a.szbucket = b.szbucket AND a.doc_id < b.doc_id""".stripMargin
 
+  /** DuckDB spelling of the md5-hex→BIGINT hash (first 8 hex chars as
+    * an unrolled base-16 polynomial — DuckDB has no `conv`); mirrors
+    * CorpusOps.hexPoly so q58 shares the q105/q138 hash discipline. */
+  private def hexPoly(h: String): String =
+    "(" + (0 until 8).map(i =>
+      s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1))-1)" +
+        s"*${math.pow(16, 7 - i).toLong}").mkString(" + ") + ")"
+
   val oracles: Map[String, String] = Map(
+    "q143_sorted_neighborhood" ->
+      """WITH d AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, substring(n, 1, 8) AS block,
+        |    substring(n, 1, 24) AS skey,
+        |    list_distinct(list_transform(range(1, length(n) - 1),
+        |      i -> substring(n, i, 3))) AS g
+        |  FROM d WHERE length(n) >= 3),
+        |nb AS (
+        |  SELECT doc_id, g, len(g) AS sz,
+        |    lag(doc_id, 1) OVER w AS p1_id, lag(g, 1) OVER w AS p1_g,
+        |    lag(doc_id, 2) OVER w AS p2_id, lag(g, 2) OVER w AS p2_g
+        |  FROM g WINDOW w AS (PARTITION BY block ORDER BY skey, doc_id)),
+        |p AS (
+        |  SELECT least(doc_id, p1_id) AS id_a, greatest(doc_id, p1_id) AS id_b,
+        |    CAST(len(list_intersect(g, p1_g)) AS DOUBLE)
+        |      / (len(p1_g) + sz - len(list_intersect(g, p1_g))) AS jaccard
+        |  FROM nb WHERE p1_id IS NOT NULL
+        |  UNION ALL
+        |  SELECT least(doc_id, p2_id), greatest(doc_id, p2_id),
+        |    CAST(len(list_intersect(g, p2_g)) AS DOUBLE)
+        |      / (len(p2_g) + sz - len(list_intersect(g, p2_g)))
+        |  FROM nb WHERE p2_id IS NOT NULL)
+        |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q58_stratified_sample" -> s"""
+      |SELECT lang, count(*) AS n_sampled
+      |FROM (
+      |  SELECT lang,
+      |    ${hexPoly("md5('strat:' || CAST(doc_id AS VARCHAR))")} % 1000000
+      |      AS h,
+      |    CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 200000
+      |      WHEN 'de' THEN 200000 WHEN 'fr' THEN 200000
+      |      WHEN 'zh' THEN 200000 ELSE 0 END AS rate_ppm
+      |  FROM documents)
+      |WHERE h < rate_ppm
+      |GROUP BY lang ORDER BY lang""".stripMargin,
     "q72_sequence_packing" ->
       """SELECT lang, doc_id, tok, CAST(cum AS BIGINT) AS cum,
         |  CAST(floor(CAST(cum - tok AS DOUBLE) / 512) AS BIGINT) AS pack_id

@@ -172,10 +172,18 @@ object WarehouseOps {
   /** q116 — time-series gap-fill: a per-user daily spine (generated
     * from each user's own [min, max] day range) LEFT JOINed to the
     * daily aggregate, then LOCF (last-observation-carried-forward) via
-    * `last(…, ignoreNulls)` over a running frame. Daily totals are
+    * the gaps-and-islands form: `grp` = running count of non-null
+    * observations (so every gap row shares the group of the last
+    * observation before it), then `max(v_fp)` per (user_id, grp) —
+    * within a group only the first row is non-null, so max IS the
+    * carried value, and leading gaps (grp = 0, all-null group) stay
+    * NULL. Chosen over `last(…, IGNORE NULLS)` deliberately: both
+    * engines agree on plain count/max window semantics across every
+    * version, whereas IGNORE-NULLS window handling is the one
+    * construct DuckDB releases have shifted on. Daily totals are
     * fixed-point BIGINTs (exact, order-independent). The spine is
     * `sequence()`-exploded per user — rows scale as users × days, and
-    * the LOCF window shuffles once on user_id; no driver-side loops.
+    * both windows shuffle once on user_id; no driver-side loops.
     * The DuckDB oracle builds the global day spine with a recursive
     * CTE (its `range()` cannot take subquery bounds) and clips it to
     * each user's range — same rows, same fill. */
@@ -189,12 +197,16 @@ object WarehouseOps {
       .select(col("user_id"),
         explode(sequence(col("lo"), col("hi"), expr("INTERVAL '1' DAY")))
           .as("day"))
-    val w = Window.partitionBy("user_id").orderBy("day")
+    val wRun = Window.partitionBy("user_id").orderBy("day")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     spine.join(daily, Seq("user_id", "day"), "left_outer")
-      .select(col("user_id"), col("day"),
-        last(col("v_fp"), ignoreNulls = true).over(w).as("v_filled"),
+      .select(col("user_id"), col("day"), col("v_fp"),
+        count(col("v_fp")).over(wRun).as("grp"),
         col("v_fp").isNull.as("is_gap"))
+      .select(col("user_id"), col("day"),
+        max(col("v_fp")).over(Window.partitionBy("user_id", "grp"))
+          .as("v_filled"),
+        col("is_gap"))
       .orderBy("user_id", "day")
   }
 
@@ -212,15 +224,20 @@ object WarehouseOps {
       |  UNION ALL
       |  SELECT day + INTERVAL '1' DAY, ghi FROM days WHERE day < ghi),
       |spine AS (SELECT b.user_id, d.day FROM bounds b
-      |          JOIN days d ON d.day BETWEEN b.lo AND b.hi)
-      |SELECT s.user_id, s.day,
-      |  last_value(dd.v_fp IGNORE NULLS) OVER (
-      |    PARTITION BY s.user_id ORDER BY s.day
-      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled,
-      |  dd.v_fp IS NULL AS is_gap
-      |FROM spine s LEFT JOIN daily dd
-      |  ON s.user_id = dd.user_id AND s.day = dd.day
-      |ORDER BY s.user_id, s.day""".stripMargin
+      |          JOIN days d ON d.day BETWEEN b.lo AND b.hi),
+      |grouped AS (
+      |  SELECT s.user_id, s.day, dd.v_fp,
+      |    count(dd.v_fp) OVER (
+      |      PARTITION BY s.user_id ORDER BY s.day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp,
+      |    dd.v_fp IS NULL AS is_gap
+      |  FROM spine s LEFT JOIN daily dd
+      |    ON s.user_id = dd.user_id AND s.day = dd.day)
+      |SELECT user_id, day,
+      |  max(v_fp) OVER (PARTITION BY user_id, grp) AS v_filled,
+      |  is_gap
+      |FROM grouped
+      |ORDER BY user_id, day""".stripMargin
 
   // ---------------------------------------------------------------- q117
 

@@ -21,19 +21,48 @@ import graft.iot.{IotPipeline, IotSchema, Transforms}
   */
 object IotStream {
 
+  /** Pluggable connector head — the same (format, options) seam as
+    * [[EventStream.readEventsStreamAs]]: file formats get the enforced
+    * 22-column schema (csv additionally the reference's exact reader
+    * options: header skip, `-`⇒NULL, recursive lookup); any other
+    * format (kafka, mqtt-via-connector, socket) returns the
+    * connector's native envelope for a parse stage. A message-bus
+    * deployment is `readConnStreamAs(spark, "kafka", Map("kafka
+    * .bootstrap.servers" -> …, "subscribe" -> "conn_log"))` — a config
+    * change, not a rewrite; no broker/connector jar exists in this
+    * offline sandbox, so only the file heads are exercisable here. */
+  def readConnStreamAs(spark: SparkSession, format: String,
+      options: Map[String, String] = Map.empty,
+      path: Option[String] = None): DataFrame = {
+    def dir = path.orElse(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(s"file source '$format' needs a path"))
+    format match {
+      case "csv" =>
+        spark.readStream.format("csv")
+          .schema(IotSchema.raw)
+          .option("header", true)
+          .option("sep", ",")
+          .option("nullValue", "-")
+          .option("recursiveFileLookup", true)
+          .options(options)
+          .load(dir)
+      case "parquet" | "json" | "orc" =>
+        spark.readStream.format(format).options(options)
+          .schema(IotSchema.raw).load(dir)
+      case other =>
+        spark.readStream.format(other).options(options).load()
+    }
+  }
+
   /** File-watch ingest with the batch reader's exact CSV options
     * (enforced schema, `-`⇒NULL, recursive lookup —
-    * `IotPipeline.readCsv` mirrors `process_iot_data.py:245-253`). */
+    * `IotPipeline.readCsv` mirrors `process_iot_data.py:245-253`) —
+    * the default instantiation of [[readConnStreamAs]]. */
   def readCsvStream(spark: SparkSession, inputDir: String,
       maxFilesPerTrigger: Int = 32): DataFrame =
-    spark.readStream
-      .schema(IotSchema.raw)
-      .option("header", true)
-      .option("sep", ",")
-      .option("nullValue", "-")
-      .option("recursiveFileLookup", true)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .csv(inputDir)
+    readConnStreamAs(spark, "csv",
+      Map("maxFilesPerTrigger" -> maxFilesPerTrigger.toString),
+      Some(inputDir))
 
   /** Full incremental pipeline: watched CSV dir → reference transform →
     * Parquet append. `Trigger.AvailableNow` drains the backlog and

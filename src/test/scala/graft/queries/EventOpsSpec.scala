@@ -77,4 +77,61 @@ class EventOpsSpec extends SparkTestBase {
     val row = EventOps.ewmaLatest(df).collect().head
     assert(row.getDouble(2) === 2.0) // all 16 in-frame values are 2.0
   }
+
+  test("q142 sweep line: concurrency bounded by sessions, exact on a fixture") {
+    val rows = EventOps.q142ConcurrentSessions(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_sessions")
+      val m = r.getAs[Long]("max_concurrent")
+      assert(m >= 1 && m <= n, s"day ${r.get(0)}: max $m not in [1, $n]")
+    }
+    // fixture: 3 users on one day — A [00:00,02:00], B [01:00,03:00],
+    // C [02:30,02:40] → peak 2 (A∩B at 01:00-02:00, B∩C at 02:30-02:40)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val fx = Seq(
+      (1L, 1L, "2024-01-01 00:00:00"), (2L, 1L, "2024-01-01 02:00:00"),
+      (3L, 2L, "2024-01-01 01:00:00"), (4L, 2L, "2024-01-01 03:00:00"),
+      (5L, 3L, "2024-01-01 02:30:00"), (6L, 3L, "2024-01-01 02:40:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    fx.createOrReplaceTempView("q142_fixture")
+    val iv = fx.groupBy(col("user_id"),
+      org.apache.spark.sql.functions.date_trunc("day", col("ts")).as("day"))
+      .agg(org.apache.spark.sql.functions.min("ts").as("st"),
+        org.apache.spark.sql.functions.max("ts").as("en"))
+    val b = iv.select(col("day"), col("st").as("t"),
+      org.apache.spark.sql.functions.lit(1).as("delta"))
+      .unionAll(iv.select(col("day"), col("en").as("t"),
+        org.apache.spark.sql.functions.lit(-1).as("delta")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("day")
+      .orderBy(col("t"), col("delta").desc)
+      .rowsBetween(Long.MinValue, 0)
+    val peak = b.select(org.apache.spark.sql.functions.sum(col("delta"))
+      .over(w).as("r")).agg(org.apache.spark.sql.functions.max("r"))
+      .collect().head.getLong(0)
+    assert(peak == 2L, s"fixture peak concurrency $peak != 2")
+  }
+
+  test("q142 touching intervals count as concurrent (tie rule)") {
+    // A ends exactly when B starts: +1 sorts before -1 at the tie, so
+    // the instant 01:00 sees both — peak 2, matching the oracle's rule
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val fx = Seq(
+      (1L, 1L, "2024-01-01 00:00:00"), (2L, 1L, "2024-01-01 01:00:00"),
+      (3L, 2L, "2024-01-01 01:00:00"), (4L, 2L, "2024-01-01 02:00:00"))
+      .toDF("event_id", "user_id", "ts_s")
+      .withColumn("ts", to_timestamp(col("ts_s"))).drop("ts_s")
+    val iv = fx.groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(min("ts").as("st"), max("ts").as("en"))
+    val b = iv.select(col("day"), col("st").as("t"), lit(1).as("delta"))
+      .unionAll(iv.select(col("day"), col("en").as("t"), lit(-1).as("delta")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("day")
+      .orderBy(col("t"), col("delta").desc).rowsBetween(Long.MinValue, 0)
+    val peak = b.select(sum(col("delta")).over(w).as("r"))
+      .agg(max("r")).collect().head.getLong(0)
+    assert(peak == 2L, s"touching intervals must overlap at the boundary: $peak")
+  }
 }

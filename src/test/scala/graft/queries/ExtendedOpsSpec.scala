@@ -124,4 +124,35 @@ class ExtendedOpsSpec extends SparkTestBase {
       .collect().head.getLong(0)
     assert(rows("ALL") == direct, "sketch union diverged from direct sketch")
   }
+
+  test("q84 GK sketch percentiles stay within the eps*n rank bound of exact") {
+    // GK guarantee at accuracy a: the returned value is an actual input
+    // element whose rank is within n/a of the target rank. q50 is the
+    // exact twin; this quantifies the last un-gated rows-only sketch.
+    val eps = 1.0 / 1000 // accuracy literal in q84
+    val approx = ExtendedOps.q84ApproxPercentiles(spark, Sf).collect()
+      .map(r => r.getString(0) ->
+        (Seq(0.25 -> r.getDouble(1), 0.5 -> r.getDouble(2),
+          0.75 -> r.getDouble(3)), r.getLong(4))).toMap
+    val vals = graft.Tables.orders(spark, Sf)
+      .select("o_orderstatus", "o_totalprice").collect()
+      .groupBy(_.getString(0))
+      .map { case (k, rs) => k -> rs.map(_.getDouble(1)).sorted }
+    approx.foreach { case (st, (ps, n)) =>
+      val v = vals(st)
+      assert(v.length == n)
+      ps.foreach { case (q, a) =>
+        // rank interval of the returned value in the exact sorted data
+        val lo = v.count(_ < a) + 1
+        val hi = v.count(_ <= a)
+        assert(hi >= lo, s"$st p$q: approx value $a is not an input element")
+        // the sketch targets integer rank ceil(q*n) with an integer
+        // error budget ceil(eps*n) (the summary quantizes both)
+        val target = math.ceil(q * n)
+        val err = math.ceil(eps * n)
+        assert(lo - err <= target && target <= hi + err,
+          s"$st p$q: value $a rank [$lo,$hi] vs target $target (n=$n)")
+      }
+    }
+  }
 }

@@ -59,6 +59,34 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q37 has no forced broadcast on either re-attach side (AQE decides)") {
+    // a hard broadcast() on the full signature frame is a memory
+    // ceiling at 100x corpus — only the SHUFFLE_HASH pair-stage hint
+    // is allowed to survive in the plan
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    val plan = TextOps.q37MinhashPairs(spark, Sf).queryExecution.analyzed
+    val forced = plan.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+    }
+    assert(forced.isEmpty, s"forced broadcast hints in q37 plan: $forced")
+  }
+
+  test("q143 sorted-neighborhood: ordered pairs, jaccard in [0.5, 1], shared prefix") {
+    val rows = TextOps.q143SortedNeighborhood(spark, Sf).collect()
+    assert(rows.nonEmpty, "corpus has planted near-dups; window must catch some")
+    val norms = graft.Tables.documents(spark, Sf)
+      .selectExpr("doc_id", "trim(regexp_replace(lower(text), '\\\\s+', ' ')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      val j = r.getAs[Double]("jaccard")
+      assert(a < b && j >= 0.5 && j <= 1.0)
+      // candidates can only arise inside one 8-char-prefix sort block
+      assert(norms(a).take(8) == norms(b).take(8),
+        s"pair ($a,$b) crosses sort blocks")
+    }
+  }
+
   test("q38 simhash: bands decompose the signature") {
     val rows = TextOps.q38Simhash(spark, Sf).collect()
     assert(rows.length == nDocs)
@@ -493,14 +521,36 @@ class LlmOpsSpec extends SparkTestBase {
     assert(meta.getAs[Int]("n_bytes") == txt.getBytes("UTF-8").length)
   }
 
-  test("q43 decode stub emits deterministic pseudo-metadata") {
-    val a = MultimodalOps.q43DecodeStub(spark, Sf).collect()
-    val b = MultimodalOps.q43DecodeStub(spark, Sf).collect()
-    assert(a.map(_.getAs[Int]("width")).toSeq ==
-      b.map(_.getAs[Int]("width")).toSeq)
-    a.foreach { r =>
-      assert(r.getAs[Int]("width") >= 1 && r.getAs[Int]("width") <= 1280)
-      assert(r.getAs[Int]("height") >= 1 && r.getAs[Int]("height") <= 720)
+  test("q43 PNG decode roundtrips real headers, CRC verified") {
+    val rows = MultimodalOps.q43PngDecode(spark, Sf).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Boolean]("png_ok"), s"doc $id: png checks failed")
+      assert(r.getAs[Int]("width") == (id % 1024 + 1).toInt)
+      assert(r.getAs[Int]("height") == (id % 768 + 1).toInt)
+      assert(r.getAs[Int]("bit_depth") == 8 && r.getAs[Int]("color_type") == 2)
+    }
+  }
+
+  test("q43 PNG blobs are readable by javax.imageio (header-level)") {
+    // an INDEPENDENT third parser: the JDK's PNG ImageReader identifies
+    // the format and reads dimensions from the IHDR bytes alone
+    val blobs = MultimodalOps.mediaBlobs(spark, Sf)
+      .select("doc_id", "png").limit(8).collect()
+    assert(blobs.nonEmpty)
+    blobs.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val bytes = r.getAs[Array[Byte]]("png")
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      assert(readers.hasNext, s"doc $id: imageio does not recognize PNG")
+      val reader = readers.next()
+      reader.setInput(iis)
+      assert(reader.getFormatName.toLowerCase.contains("png"))
+      assert(reader.getWidth(0) == (id % 1024 + 1).toInt)
+      assert(reader.getHeight(0) == (id % 768 + 1).toInt)
+      reader.dispose(); iis.close()
     }
   }
 

@@ -54,6 +54,40 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("q141 audio features read real signed PCM samples") {
+    val rows = MultimodalOps.q141AudioFeatures(spark, Sf).collect()
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val s = ((id % 1000 + 1) * (id % 2 + 1)).toInt
+      assert(r.getAs[Int]("n_samples") == s)
+      // alternating +1000/-1000: peak exact, DC cancels pairwise,
+      // energy = S * 1000^2 — a sign bug (unsigned read) would blow
+      // dc_sum and peak far past these
+      assert(r.getAs[Long]("peak") == 1000L)
+      assert(r.getAs[Long]("dc_sum") == (if (s % 2 == 0) 0L else 1000L))
+      assert(r.getAs[Long]("energy") == s.toLong * 1000000L)
+    }
+  }
+
+  test("q141 sample parse agrees with a JVM ByteBuffer decode") {
+    // independent third parser for the audio path, mirroring the BMP
+    // imageio check: little-endian ShortBuffer over the data chunk
+    val blobs = MultimodalOps.mediaBlobs(spark, Sf)
+      .select("doc_id", "wav").limit(10).collect()
+    blobs.foreach { r =>
+      val bytes = r.getAs[Array[Byte]]("wav")
+      val bb = java.nio.ByteBuffer.wrap(bytes, 44, bytes.length - 44)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var peak = 0L; var dc = 0L; var energy = 0L; var n = 0
+      while (bb.remaining() >= 2) {
+        val v = bb.getShort.toLong
+        peak = math.max(peak, math.abs(v)); dc += v; energy += v * v; n += 1
+      }
+      assert(peak == 1000L && energy == n.toLong * 1000000L)
+      assert(dc == (if (n % 2 == 0) 0L else 1000L))
+    }
+  }
+
   test("constructed blobs decode with the JDK's own image reader") {
     // javax.imageio is a PUBLIC JDK API and reads BMP: the strongest
     // possible validity check for the constructed bytes — a third,

@@ -209,6 +209,54 @@ class EventStreamSpec extends SparkTestBase {
     }
   }
 
+  test("kafka-shaped JSON payloads parse into the events schema (source seam)") {
+    import spark.implicits._
+    // a MemoryStream[String] yields exactly the message-bus envelope
+    // shape (a `value` column) — parseEventsJson is the stage a kafka
+    // head plugs in front of every downstream transform
+    val mem = MemoryStream[String](spark)
+    val parsed = EventStream.parseEventsJson(mem.toDF())
+    assert(parsed.schema.fieldNames.toSeq ==
+      Seq("event_id", "ts", "user_id", "event_type", "value", "props"))
+    val q = EventStream.tumblingHourly(parsed)
+      .writeStream.format("memory").queryName("seam_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      def j(id: Long, t: String, typ: String) = {
+        val ns = ts(t).getTime * 1000000L
+        s"""{"event_id":$id,"ts":$ns,"user_id":1,""" +
+          s""""event_type":"$typ","value":1.0,"props":"{}"}"""
+      }
+      mem.addData(j(1, "2024-01-01 10:05:00", "click"),
+        j(2, "2024-01-01 10:20:00", "view"))
+      q.processAllAvailable()
+      val out = spark.table("seam_test").collect()
+        .map(_.getAs[Long]("n_events")).sum
+      assert(out == 2L, s"parsed-stream aggregate saw $out events")
+    } finally q.stop()
+  }
+
+  test("config-driven source head reads the parquet file source") {
+    val src = java.nio.file.Files.createTempDirectory("graft_cfg_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$Sf/events.parquet"),
+      src.resolve("events.parquet"))
+    // the YAML a kafka deployment would change: source.format + options
+    val cfg = Map("source.format" -> "parquet",
+      "source.path" -> src.toString,
+      "source.option.maxFilesPerTrigger" -> "8")
+    val q = EventStream.tumblingHourly(
+      EventStream.readEventsStreamConfigured(spark, cfg))
+      .writeStream.format("memory").queryName("cfgsrc_test")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      q.processAllAvailable()
+      val total = spark.table("cfgsrc_test").collect()
+        .map(_.getAs[Long]("n_events")).sum
+      assert(total == graft.Tables.events(spark, Sf).count())
+    } finally q.stop()
+  }
+
   test("session windows group by 30-minute gaps") {
     import spark.implicits._
     val mem = MemoryStream[Ev](spark)
@@ -313,5 +361,82 @@ class EventStreamSpec extends SparkTestBase {
       q.stop()
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
     }
+  }
+
+  test("v2 funnel replays the last batch idempotently from the RocksDB checkpoint") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.lit
+    import spark.implicits._
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = java.nio.file.Files.createTempDirectory("graft_fv2_src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_fv2_out").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_fv2_ck").toString
+    val schema = Seq.empty[Ev].toDF().schema
+    // three appends → three files → three batches (maxFilesPerTrigger=1):
+    // buffer the funnel, advance the watermark, drain on the poke — the
+    // drain batch is the one the restart will replay, so it must find
+    // the buffered events + marks in the RECOVERED RocksDB state
+    Seq(Ev(2, ts("2024-01-01 00:03:00"), 1L, "view", 0, "{}"),
+      Ev(4, ts("2024-01-01 00:09:00"), 1L, "purchase", 0, "{}"),
+      Ev(1, ts("2024-01-01 00:00:00"), 1L, "signup", 0, "{}"),
+      Ev(3, ts("2024-01-01 00:06:00"), 1L, "click", 0, "{}"))
+      .toDF().repartition(1).write.mode("append").parquet(src)
+    Seq(Ev(90, ts("2024-01-01 01:00:00"), 99L, "signup", 0, "{}"))
+      .toDF().repartition(1).write.mode("append").parquet(src)
+    Seq(Ev(91, ts("2024-01-01 01:01:00"), 1L, "error", 0, "{}"))
+      .toDF().repartition(1).write.mode("append").parquet(src)
+    def startQ() = EventStream.streamingFunnelV2(
+      spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(src))
+      .writeStream
+      .foreachBatch { (df: DataFrame, id: Long) =>
+        df.withColumn("_batch_id", lit(id))
+          .write.mode("append").parquet(out)
+      }
+      .option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Update())
+      .start()
+    val q1 = startQ()
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+    def rowsByBatch() = spark.read.parquet(out).collect()
+      .groupBy(_.getAs[Long]("_batch_id"))
+      .map { case (b, rs) =>
+        b -> rs.map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("stage")))
+          .toSeq.sorted
+      }
+    val before = rowsByBatch()
+    val lastBatch = before.keys.max
+    assert(before(lastBatch).contains((1L, 4)),
+      s"drain batch must emit stage 4 for user 1: $before")
+    // rewind the checkpoint to just before the drain batch: drop its
+    // commit marker AND any later offsets/commits (stateful queries run
+    // a trailing no-data batch to advance the watermark; recovery only
+    // replays the single latest offsets entry, so the logs must be
+    // truncated to make the drain batch that entry)
+    def truncate(log: String, keepBelow: Long): Unit =
+      new java.io.File(s"$ckpt/$log").listFiles()
+        .filter(_.getName.matches("\\d+"))
+        .filter(_.getName.toLong >= keepBelow)
+        .foreach { f =>
+          new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+          f.delete()
+        }
+    truncate("commits", lastBatch)
+    truncate("offsets", lastBatch + 1)
+    val q2 = startQ()
+    try q2.processAllAvailable() finally {
+      q2.stop(); q2.awaitTermination()
+      spark.conf.set("spark.sql.streaming.stateStore.providerClass", saved)
+    }
+    val after = rowsByBatch()
+    // the replayed batch re-emits the IDENTICAL rows (appended twice in
+    // the non-transactional parquet sink): same (user, stage) set —
+    // state recovery, not recomputation from empty state
+    assert(after(lastBatch).distinct == before(lastBatch).distinct,
+      s"replayed batch diverged: ${after(lastBatch)} vs ${before(lastBatch)}")
+    assert(after(lastBatch).count(_ == ((1L, 4))) == 2,
+      "drain batch was not actually replayed")
   }
 }
