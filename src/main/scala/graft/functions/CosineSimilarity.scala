@@ -468,7 +468,9 @@ object GraftFunctions {
     ("simhash64", classOf[SimHash64].getName,
       children => SimHash64(children(0))),
     ("zorder2", classOf[ZOrder2].getName,
-      children => ZOrder2(children(0), children(1))))
+      children => ZOrder2(children(0), children(1))),
+    ("pcm16_stats", classOf[PcmStats].getName,
+      children => PcmStats(children(0))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, cls, builder) =>

@@ -176,6 +176,44 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** q144 — NEAREST as-of join, completing the direction family (q27
+    * backward, q119 forward): for every `error`, the closest `click`
+    * by the same user in EITHER direction — `merge_asof(direction=
+    * 'nearest')`. Same scalable shape as q27: union + ONE keyed sort
+    * window computing both the carried `max(click ts ≤ t)` and the
+    * carried-from-the-right `min(click ts ≥ t)`, then an arithmetic
+    * pick of the smaller |gap| (ties prefer the preceding click, and
+    * an equal-ts click is distance 0 via the backward frame). One
+    * shuffle on user_id, no range self-join. The oracle is the DuckDB
+    * LATERAL top-1-by-|distance| form — an independent
+    * implementation, not an echo. */
+  def q144AsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "click", 0).otherwise(1).as("tag"))
+    val order = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("tag"), col("event_id"))
+    val wB = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wF = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    ev
+      .withColumn("prev_ts", max(when(col("tag") === 0, col("ts"))).over(wB))
+      .withColumn("next_ts", min(when(col("tag") === 0, col("ts"))).over(wF))
+      .filter(col("tag") === 1)
+      .withColumn("nearest_click_ts",
+        when(col("prev_ts").isNull, col("next_ts"))
+          .when(col("next_ts").isNull, col("prev_ts"))
+          .when(us(col("next_ts")) - us(col("ts")) <
+            us(col("ts")) - us(col("prev_ts")), col("next_ts"))
+          .otherwise(col("prev_ts")))
+      .filter(col("nearest_click_ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("nearest_click_ts"),
+        ((us(col("nearest_click_ts")) - us(col("ts"))) / lit(1e6))
+          .as("gap_seconds"))
+      .orderBy("event_id")
+  }
+
   /** q125 — z-score anomaly detection over sensor values: per-type
     * mean/std from EXACT integer sufficient statistics (the q97
     * discipline — fixed-point sums are order-independent, the
@@ -372,6 +410,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_concurrent_sessions" -> (q142ConcurrentSessions _),
+    "q144_asof_nearest" -> (q144AsofNearest _),
     "q125_outliers" -> (q125Outliers _),
     "q129_ewma" -> (q129Ewma _),
     "q130_dau_mau" -> (q130DauMau _),
@@ -553,6 +592,20 @@ object EventOps {
         |    AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
         |  ORDER BY e.ts LIMIT 1) n ON TRUE
         |ORDER BY c.event_id""".stripMargin,
+    "q144_asof_nearest" ->
+      """SELECT e.event_id, e.user_id,
+        |  CAST(n.ts AS TIMESTAMP) AS nearest_click_ts,
+        |  (epoch_us(CAST(n.ts AS TIMESTAMP)) - epoch_us(CAST(e.ts AS TIMESTAMP)))
+        |    / 1e6 AS gap_seconds
+        |FROM (SELECT * FROM events WHERE event_type = 'error') e,
+        |LATERAL (
+        |  SELECT c.ts FROM events c
+        |  WHERE c.event_type = 'click' AND c.user_id = e.user_id
+        |  ORDER BY abs(epoch_us(CAST(c.ts AS TIMESTAMP))
+        |      - epoch_us(CAST(e.ts AS TIMESTAMP))),
+        |    CASE WHEN c.ts <= e.ts THEN 0 ELSE 1 END
+        |  LIMIT 1) n
+        |ORDER BY e.event_id""".stripMargin,
     "q106_asof_exec" ->
       """SELECT e.event_id, e.user_id,
         |  CAST(c.ts AS TIMESTAMP) AS last_click_ts,

@@ -253,6 +253,27 @@ object MultimodalOps {
     * over ≤ 2000 samples — narrow projection, no shuffle, scales
     * linearly. */
   def q141AudioFeatures(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // native one-pass byte walk (functions/PcmStats): the declarative
+    // per-sample substr/hex/conv twin below interprets its lambda per
+    // sample — measured ~106 s at sf0.1 vs ~1 s for the kernel
+    // (bit-equality asserted in MultimodalSpec)
+    mediaBlobs(s, dir)
+      .select(col("doc_id"),
+        call_function("pcm16_stats", col("wav")).as("st"))
+      .select(col("doc_id"),
+        element_at(col("st"), 1).cast(IntegerType).as("n_samples"),
+        element_at(col("st"), 2).as("peak"),
+        element_at(col("st"), 3).as("dc_sum"),
+        element_at(col("st"), 4).as("energy"))
+      .orderBy("doc_id")
+  }
+
+  /** The declarative twin of the q141 kernel — a per-sample signed LE
+    * read via substr/hex/conv lambdas. Semantically identical, ~100×
+    * slower (interpreted lambda per sample); kept as the spec's
+    * reference implementation. */
+  private[graft] def audioFeaturesTwin(s: SparkSession, dir: String): DataFrame = {
     val wav = col("wav")
     val nS = ((octet_length(wav) - 44) / 2).cast(IntegerType)
     val samples = transform(sequence(lit(0), nS - lit(1)), i => {

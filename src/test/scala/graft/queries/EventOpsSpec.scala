@@ -114,6 +114,21 @@ class EventOpsSpec extends SparkTestBase {
     assert(peak == 2L, s"fixture peak concurrency $peak != 2")
   }
 
+  test("q144 nearest as-of is never farther than the backward match") {
+    // q27 (backward) is oracle-verified; nearest must dominate it:
+    // same join key, |nearest gap| <= backward gap for every error
+    val nearest = EventOps.q144AsofNearest(spark, Sf).collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        math.abs(r.getAs[Double]("gap_seconds"))).toMap
+    val backward = EventOps.q27AsofJoin(spark, Sf).collect()
+      .map(r => r.getAs[Long]("event_id") -> r.getAs[Double]("gap_seconds"))
+    assert(backward.nonEmpty)
+    backward.foreach { case (id, gb) =>
+      val gn = nearest(id) // every backward-matched error has a nearest
+      assert(gn <= gb + 1e-9, s"event $id: nearest $gn > backward $gb")
+    }
+  }
+
   test("q142 touching intervals count as concurrent (tie rule)") {
     // A ends exactly when B starts: +1 sorts before -1 at the tie, so
     // the instant 01:00 sees both — peak 2, matching the oracle's rule

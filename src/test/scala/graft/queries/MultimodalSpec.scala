@@ -69,6 +69,16 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("q141 kernel is bit-equal to the declarative substr/hex/conv twin") {
+    val kernel = MultimodalOps.q141AudioFeatures(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val twin = MultimodalOps.audioFeaturesTwin(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(kernel == twin)
+  }
+
   test("q141 sample parse agrees with a JVM ByteBuffer decode") {
     // independent third parser for the audio path, mirroring the BMP
     // imageio check: little-endian ShortBuffer over the data chunk
