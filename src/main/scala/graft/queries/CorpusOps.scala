@@ -499,6 +499,82 @@ object CorpusOps {
       .orderBy("lang", "status")
   }
 
+  // --------------------------------------------------- q145 drift PSI
+
+  /** q145 — population stability index between corpus snapshots: the
+    * drift alarm a production data build runs per release. v2 is
+    * q140's deterministic derivation (5% dropped, 10% edited — the
+    * edit suffix shifts document LENGTH, which is exactly the
+    * monitored feature); lengths bin into 8 fixed 256-char buckets,
+    * shares use add-one smoothing so empty bins stay finite, and
+    * PSI = Σ (p−q)·ln(p/q). Exactness: ln(p/q) decomposes into ln of
+    * two INTEGER products ((a+1)(B+8) vs (b+1)(A+8)), each
+    * floor-quantized per the object-doc discipline, so `term_scaled`
+    * and `psi_scaled` are exact BIGINTs. Two count-aggregate scans +
+    * an 8-row join — nothing data-sized moves at any corpus scale. */
+  def q145DriftPsi(s: SparkSession, dir: String): DataFrame = {
+    def h(tag: String) =
+      md5Hash32(concat(lit(tag), col("doc_id").cast("string")))
+    val v1 = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val kept = v1.filter(h("v2drop:") % 20 =!= 0)
+    val v2base = kept.withColumn("text",
+      when(h("v2mod:") % 10 === 0, concat(col("text"), lit(" [edited]")))
+        .otherwise(col("text")))
+    val added = v1.filter(h("v2add:") % 25 === 0)
+      .select((col("doc_id") + lit(10000000L)).as("doc_id"), col("text"))
+    val v2 = v2base.unionByName(added)
+    def binned(df: DataFrame, cnt: String): DataFrame =
+      df.select(least(floor(length(col("text")) / 256), lit(7))
+        .cast("int").as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as(cnt))
+    val all = Window.partitionBy()
+    val lnQ = (c: Column) =>
+      floor(log(c.cast(DoubleType)) * 1e6).cast(LongType)
+    s.range(0, 8).select(col("id").cast("int").as("bin"))
+      .join(binned(v1, "n_v1"), Seq("bin"), "left")
+      .join(binned(v2, "n_v2"), Seq("bin"), "left")
+      .select(col("bin"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+      .withColumn("tot1", sum(col("n_v1")).over(all))
+      .withColumn("tot2", sum(col("n_v2")).over(all))
+      .withColumn("term_scaled", floor(
+        ((col("n_v1") + 1).cast(DoubleType) / (col("tot1") + 8).cast(DoubleType)
+          - (col("n_v2") + 1).cast(DoubleType) / (col("tot2") + 8).cast(DoubleType))
+          * (lnQ((col("n_v1") + 1) * (col("tot2") + 8))
+            - lnQ((col("n_v2") + 1) * (col("tot1") + 8))).cast(DoubleType))
+        .cast(LongType))
+      .withColumn("psi_scaled", sum(col("term_scaled")).over(all))
+      .select(col("bin"), col("n_v1"), col("n_v2"), col("term_scaled"),
+        col("psi_scaled"),
+        (col("psi_scaled").cast(DoubleType) / lit(1e6)).as("psi"))
+      .orderBy("bin")
+  }
+
+  // -------------------------------------------------- q146 train split
+
+  /** q146 — leakage-safe train/val/test split: the split key is the
+    * CONTENT fingerprint (md5 of normalized text), not the doc id, so
+    * exact duplicates always land in the same split — the discipline
+    * that keeps eval sets uncontaminated (an id-keyed split leaks a
+    * training dup's twin into test; with this keying it cannot, by
+    * construction). 80/10/10 via the salted md5-Bernoulli the
+    * q100/q105/q58 family uses; per-doc work is two hashes + one
+    * keyed aggregate — embarrassingly parallel. */
+  def q146TrainSplit(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(norm(col("text")))
+    val h = md5Hash32(concat(lit("split:"), fp)) % 100L
+    Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("lang"), fp.as("fp"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test")
+          .as("split"))
+      .groupBy("lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("fp")).as("n_fps"))
+      .orderBy("lang", "split")
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -507,6 +583,8 @@ object CorpusOps {
     "q136_span_dedup" -> (q136SpanDedup _),
     "q137_k_anonymity" -> (q137KAnonymity _),
     "q138_mixture_sample" -> (q138MixtureSample _),
+    "q145_drift_psi" -> (q145DriftPsi _),
+    "q146_train_split" -> (q146TrainSplit _),
     "q140_corpus_diff" -> (q140CorpusDiff _),
     "q100_shard_assign" -> (q100ShardAssign _),
     "q101_pii_redact" -> (q101PiiRedact _),
@@ -744,6 +822,58 @@ object CorpusOps {
       |SELECT st.lang AS lang, st.n_docs AS n_docs,
       |  st.rate_ppm AS rate_ppm, COALESCE(kept.n_kept, 0) AS n_kept
       |FROM st LEFT JOIN kept USING (lang) ORDER BY lang""".stripMargin,
+
+    "q145_drift_psi" -> s"""
+      |WITH v1 AS (
+      |  SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+      |kept AS (
+      |  SELECT * FROM v1
+      |  WHERE ${hexPoly("md5('v2drop:' || CAST(doc_id AS VARCHAR))")} % 20
+      |    <> 0),
+      |v2base AS (
+      |  SELECT doc_id,
+      |    CASE WHEN ${hexPoly("md5('v2mod:' || CAST(doc_id AS VARCHAR))")}
+      |        % 10 = 0
+      |      THEN text || ' [edited]' ELSE text END AS text
+      |  FROM kept),
+      |added AS (
+      |  SELECT doc_id + 10000000 AS doc_id, text FROM v1
+      |  WHERE ${hexPoly("md5('v2add:' || CAST(doc_id AS VARCHAR))")} % 25
+      |    = 0),
+      |v2 AS (SELECT * FROM v2base UNION ALL SELECT * FROM added),
+      |a AS (SELECT least(CAST(floor(length(text) / 256) AS INTEGER), 7)
+      |        AS bin, count(*) AS n_v1 FROM v1 GROUP BY 1),
+      |b AS (SELECT least(CAST(floor(length(text) / 256) AS INTEGER), 7)
+      |        AS bin, count(*) AS n_v2 FROM v2 GROUP BY 1),
+      |bins AS (SELECT CAST(unnest(range(0, 8)) AS INTEGER) AS bin),
+      |j AS (SELECT bin, COALESCE(n_v1, 0) AS n_v1, COALESCE(n_v2, 0) AS n_v2
+      |      FROM bins LEFT JOIN a USING (bin) LEFT JOIN b USING (bin)),
+      |t AS (SELECT bin, n_v1, n_v2,
+      |        sum(n_v1) OVER () AS tot1, sum(n_v2) OVER () AS tot2 FROM j),
+      |u AS (SELECT bin, n_v1, n_v2,
+      |  CAST(floor(
+      |    (CAST(n_v1 + 1 AS DOUBLE) / CAST(tot1 + 8 AS DOUBLE)
+      |      - CAST(n_v2 + 1 AS DOUBLE) / CAST(tot2 + 8 AS DOUBLE))
+      |    * CAST(CAST(floor(ln(CAST((n_v1 + 1) * (tot2 + 8) AS DOUBLE)) * 1e6)
+      |          AS BIGINT)
+      |        - CAST(floor(ln(CAST((n_v2 + 1) * (tot1 + 8) AS DOUBLE)) * 1e6)
+      |          AS BIGINT) AS DOUBLE)) AS BIGINT) AS term_scaled
+      |  FROM t)
+      |SELECT bin, n_v1, n_v2, term_scaled,
+      |  sum(term_scaled) OVER () AS psi_scaled,
+      |  CAST(sum(term_scaled) OVER () AS DOUBLE) / 1e6 AS psi
+      |FROM u ORDER BY bin""".stripMargin,
+
+    "q146_train_split" -> s"""
+      |SELECT lang,
+      |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'val'
+      |    ELSE 'test' END AS split,
+      |  count(*) AS n_docs, count(DISTINCT fp) AS n_fps
+      |FROM (
+      |  SELECT lang, md5(${normSql()}) AS fp,
+      |    ${hexPoly("md5('split:' || md5(" + normSql() + "))")} % 100 AS h
+      |  FROM documents WHERE text IS NOT NULL)
+      |GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
 
     "q140_corpus_diff" -> s"""
       |WITH v1 AS (

@@ -121,6 +121,44 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(byStatus.getOrElse("modified", 0L) > 0)
   }
 
+  test("q145 PSI detects the planted drift and covers all bins") {
+    val rows = CorpusOps.q145DriftPsi(spark, Sf).collect()
+    assert(rows.length == 8, "one row per length bin")
+    val psi = rows.head.getAs[Long]("psi_scaled")
+    assert(rows.forall(_.getAs[Long]("psi_scaled") == psi),
+      "psi_scaled must be the same window total on every row")
+    // v2 drops 5% and pads 10% of texts — the length distribution DID
+    // shift, so the index must be strictly positive
+    assert(psi > 0L, s"planted drift not detected: psi_scaled=$psi")
+    val n1 = rows.map(_.getAs[Long]("n_v1")).sum
+    val nDocs = graft.Tables.documents(spark, Sf)
+      .filter(col("text").isNotNull).count()
+    assert(n1 == nDocs, "v1 bins must partition the corpus")
+  }
+
+  test("q146 split is leakage-safe: every content fingerprint maps to ONE split") {
+    import org.apache.spark.sql.functions.{countDistinct, md5}
+    val docs = graft.Tables.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .select(md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+        .as("fp"))
+    // replicate the split rule per doc, then demand one split per fp
+    val withSplit = docs.withColumn("h",
+      expr("conv(substring(md5(concat('split:', fp)), 1, 8), 16, 10)")
+        .cast("long") % 100)
+      .withColumn("split",
+        when(col("h") < 80, "train").when(col("h") < 90, "val")
+          .otherwise("test"))
+    val maxSplits = withSplit.groupBy("fp")
+      .agg(countDistinct(col("split")).as("k"))
+      .agg(max(col("k"))).first().getLong(0)
+    assert(maxSplits == 1L, "a fingerprint straddles splits — leakage")
+    // and the aggregate's totals cover every doc exactly once
+    val total = CorpusOps.q146TrainSplit(spark, Sf)
+      .agg(sum(col("n_docs"))).first().getLong(0)
+    assert(total == docs.count())
+  }
+
   test("q105 weighting favors longer documents") {
     // Efraimidis–Spirakis with w = n_chars: the selected docs' mean
     // length should exceed the corpus mean (a weak but deterministic
