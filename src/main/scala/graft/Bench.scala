@@ -15,10 +15,24 @@ object Bench {
     // aren't charged for JVM session start-up
     locally {
       import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
       li.groupBy("l_returnflag").count()
         .join(broadcast(li.select("l_returnflag").distinct()), "l_returnflag")
         .orderBy("l_returnflag")
+        .write.format("noop").mode("overwrite").save()
+      // also JIT the window, generator and higher-order/regex paths the
+      // first timed queries would otherwise pay for
+      val w = Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+      li.select(col("l_returnflag"), col("l_orderkey"),
+        row_number().over(w).as("rn"),
+        sum(col("l_quantity")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("rs"))
+        .write.format("noop").mode("overwrite").save()
+      li.select(explode(split(regexp_replace(col("l_comment"), "\\s+", " "), " ")).as("t"))
+        .groupBy("t").count()
+        .select(col("t"), col("count"),
+          aggregate(sequence(lit(1), lit(4)), lit(0L), (a, x) => a + x).as("s"))
         .write.format("noop").mode("overwrite").save()
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]

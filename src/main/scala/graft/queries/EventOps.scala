@@ -214,6 +214,43 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** q147 — time-series autocorrelation: Pearson correlation of each
+    * event type's DAILY value total with itself at lag 1 and lag 7 —
+    * the day-over-day persistence and weekly-seasonality signals a
+    * monitoring pipeline derives before fitting anything fancier.
+    * Exactness is the q97/q60 discipline: daily totals are fixed-point
+    * BIGINTs, the six sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²)
+    * aggregate as exact integers (order-independent), and the final
+    * double formula is the IDENTICAL expression tree in both engines —
+    * bit-identical output. Shape: one shuffle to daily grain (rows =
+    * types × days regardless of event volume), one window per type,
+    * two 5-row aggregates. */
+  def q147Autocorr(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val lagged = daily
+      .withColumn("l1", lag(col("v"), 1).over(w))
+      .withColumn("l7", lag(col("v"), 7).over(w))
+    def corrAt(lagCol: Column, k: Int): DataFrame =
+      lagged.filter(lagCol.isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
+          sum(lagCol).as("sy"), sum(col("v") * lagCol).as("sxy"),
+          sum(col("v") * col("v")).as("sxx"),
+          sum(lagCol * lagCol).as("syy"))
+        .select(col("event_type"), lit(k).as("lag_k"),
+          col("n").as("n_pairs"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+            / sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType))
+            / sqrt((col("n") * col("syy") - col("sy") * col("sy"))
+              .cast(DoubleType))).as("autocorr"))
+    corrAt(col("l1"), 1).unionAll(corrAt(col("l7"), 7))
+      .orderBy("event_type", "lag_k")
+  }
+
   /** q125 — z-score anomaly detection over sensor values: per-type
     * mean/std from EXACT integer sufficient statistics (the q97
     * discipline — fixed-point sums are order-independent, the
@@ -411,6 +448,7 @@ object EventOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q142_concurrent_sessions" -> (q142ConcurrentSessions _),
     "q144_asof_nearest" -> (q144AsofNearest _),
+    "q147_autocorr" -> (q147Autocorr _),
     "q125_outliers" -> (q125Outliers _),
     "q129_ewma" -> (q129Ewma _),
     "q130_dau_mau" -> (q130DauMau _),
@@ -592,6 +630,35 @@ object EventOps {
         |    AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
         |  ORDER BY e.ts LIMIT 1) n ON TRUE
         |ORDER BY c.event_id""".stripMargin,
+    "q147_autocorr" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+        |    sum(CAST(floor("value" * 1e2) AS BIGINT)) AS v
+        |  FROM events GROUP BY 1, 2),
+        |lagged AS (
+        |  SELECT event_type, v,
+        |    lag(v, 1) OVER w AS l1, lag(v, 7) OVER w AS l7
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |c1 AS (
+        |  SELECT event_type, 1 AS lag_k, n AS n_pairs,
+        |    CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |      / sqrt(CAST(n*syy - sy*sy AS DOUBLE)) AS autocorr
+        |  FROM (SELECT event_type, count(*) AS n, sum(v) AS sx,
+        |          sum(l1) AS sy, sum(v*l1) AS sxy, sum(v*v) AS sxx,
+        |          sum(l1*l1) AS syy
+        |        FROM lagged WHERE l1 IS NOT NULL GROUP BY event_type)),
+        |c7 AS (
+        |  SELECT event_type, 7 AS lag_k, n AS n_pairs,
+        |    CAST(n*sxy - sx*sy AS DOUBLE)
+        |      / sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |      / sqrt(CAST(n*syy - sy*sy AS DOUBLE)) AS autocorr
+        |  FROM (SELECT event_type, count(*) AS n, sum(v) AS sx,
+        |          sum(l7) AS sy, sum(v*l7) AS sxy, sum(v*v) AS sxx,
+        |          sum(l7*l7) AS syy
+        |        FROM lagged WHERE l7 IS NOT NULL GROUP BY event_type))
+        |SELECT * FROM c1 UNION ALL SELECT * FROM c7
+        |ORDER BY event_type, lag_k""".stripMargin,
     "q144_asof_nearest" ->
       """SELECT e.event_id, e.user_id,
         |  CAST(n.ts AS TIMESTAMP) AS nearest_click_ts,

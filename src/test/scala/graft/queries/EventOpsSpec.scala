@@ -114,6 +114,29 @@ class EventOpsSpec extends SparkTestBase {
     assert(peak == 2L, s"fixture peak concurrency $peak != 2")
   }
 
+  test("q147 autocorrelation agrees with the built-in corr") {
+    import org.apache.spark.sql.functions._
+    val ours = EventOps.q147Autocorr(spark, Sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(3)).toMap
+    val daily = graft.Tables.events(spark, Sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val lagged = daily
+      .withColumn("l1", lag(col("v"), 1).over(w))
+      .withColumn("l7", lag(col("v"), 7).over(w))
+    Seq(("l1", 1), ("l7", 7)).foreach { case (c, k) =>
+      val builtin = lagged.filter(col(c).isNotNull)
+        .groupBy("event_type").agg(corr(col("v"), col(c)).as("r"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      builtin.foreach { case (t, r) =>
+        assert(math.abs(ours((t, k)) - r) < 1e-9,
+          s"$t lag $k: ${ours((t, k))} vs builtin $r")
+      }
+    }
+  }
+
   test("q144 nearest as-of is never farther than the backward match") {
     // q27 (backward) is oracle-verified; nearest must dominate it:
     // same join key, |nearest gap| <= backward gap for every error
