@@ -29,7 +29,9 @@ object Bench {
         sum(col("l_quantity")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("rs"))
         .write.format("noop").mode("overwrite").save()
-      li.select(explode(split(regexp_replace(col("l_comment"), "\\s+", " "), " ")).as("t"))
+      li.select(explode(split(regexp_replace(
+        concat_ws(" ", col("l_returnflag"), col("l_orderkey").cast("string")),
+        "\\s+", " "), " ")).as("t"))
         .groupBy("t").count()
         .select(col("t"), col("count"),
           aggregate(sequence(lit(1), lit(4)), lit(0L), (a, x) => a + x).as("s"))
