@@ -433,6 +433,23 @@ class LlmOpsSpec extends SparkTestBase {
     }.sum / exactTop10.size
   }
 
+  test("q148 sign-quantized Hamming top-k enriches for true neighbors") {
+    val got = VectorOps.q148HammingTopK(spark, Sf).collect()
+    val perQ = got.groupBy(_.getAs[Long]("query_id"))
+    assert(perQ.size == 5)
+    perQ.values.foreach { qs =>
+      assert(qs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to 10))
+      // hamming is non-decreasing in rank (the sort key)
+      val byRk = qs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Int]("hamming"))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a <= b })
+      assert(byRk.forall(h => h >= 0 && h <= 64))
+    }
+    // 1-bit quantization is lossy but must carry SIGNAL: recall@10 vs
+    // exact cosine far above the ~0.5% random-pick floor
+    val r = recallAt10(VectorOps.q148HammingTopK(spark, Sf))
+    assert(r >= 0.1, s"sign-bit recall@10 = $r — indistinguishable from random")
+  }
+
   test("LSH ANN: exhaustive multi-probe (maxHamming = bits) IS exact") {
     val ann = VectorOps.annLsh(spark, Sf, bits = 4, maxHamming = 4, k = 10)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
