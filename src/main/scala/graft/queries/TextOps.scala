@@ -406,6 +406,62 @@ object TextOps {
       .orderBy("id_a", "id_b")
   }
 
+  /** q149 — BPE merge training, 3 unrolled rounds: the tokenizer-
+    * training core of an LLM data pipeline. Word-level vocabulary with
+    * corpus counts → symbols start as characters (joined by the 0x1f
+    * unit separator) → each round counts adjacent symbol pairs
+    * weighted by word frequency, picks the argmax (count desc, then
+    * pair bytes asc — a total order both engines share), and merges it
+    * everywhere via `replace`, whose left-to-right non-overlapping
+    * scan IS the standard BPE greedy merge ("aaa" + (a,a) → ["aa","a"]).
+    * The merged symbol participates in the NEXT round's pairs —
+    * real multi-round dynamics, not three independent counts. Scale
+    * shape: pair counting runs on the DISTINCT-word vocabulary (corpus
+    * token explode happens once, then everything is vocab-sized), the
+    * 1-row argmax broadcasts back — per round one vocab-keyed
+    * aggregate, nothing corpus-sized after the first groupBy. */
+  def q149BpeMerges(s: SparkSession, dir: String): DataFrame = {
+    val sep = "\u001f"
+    val vocab0 = Tables.documents(s, dir)
+      .select(explode(split(normText(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+      // "abc" -> "a<sep>b<sep>c": separator after every char, trailing
+      // one trimmed — avoids split("")'s trailing-empty-symbol edge
+      .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + sep), sep)
+        .as("syms"), col("cnt"))
+    def bestPair(vocab: DataFrame): DataFrame = {
+      val syms = split(col("syms"), sep)
+      vocab
+        // single-symbol words have no pairs — and MUST be filtered
+        // before the transform: Spark's sequence(1, 0) DESCENDS
+        .filter(size(syms) >= 2)
+        .select(col("cnt"), explode(transform(
+          sequence(lit(1), size(syms) - 1),
+          i => concat(element_at(syms, i), lit(sep),
+            element_at(syms, i + 1)))).as("pair"))
+        .groupBy("pair").agg(sum(col("cnt")).as("pair_cnt"))
+        .orderBy(col("pair_cnt").desc, col("pair"))
+        .limit(1)
+    }
+    def merged(vocab: DataFrame, best: DataFrame): DataFrame =
+      vocab.crossJoin(broadcast(best))
+        .select(expr("replace(syms, pair, replace(pair, chr(31), ''))")
+          .as("syms"), col("cnt"))
+    val b1 = bestPair(vocab0).localCheckpoint()
+    val v1 = merged(vocab0, b1)
+    val b2 = bestPair(v1).localCheckpoint()
+    val v2 = merged(v1, b2)
+    val b3 = bestPair(v2).localCheckpoint()
+    def row(r: Int, b: DataFrame): DataFrame =
+      b.select(lit(r).as("round"),
+        element_at(split(col("pair"), sep), 1).as("s1"),
+        element_at(split(col("pair"), sep), 2).as("s2"),
+        col("pair_cnt"))
+    row(1, b1).unionAll(row(2, b2)).unionAll(row(3, b3))
+      .orderBy("round")
+  }
+
   /** q44 — array/higher-order scalar functions over token arrays:
     * element access, min, membership, sort+slice+join, distinct count.
     * Scalar outputs only, so the oracle compare stays list-free. */
@@ -686,6 +742,7 @@ object TextOps {
     "q53_text_clean" -> (q53TextClean _),
     "q58_stratified_sample" -> (q58StratifiedSample _),
     "q143_sorted_neighborhood" -> (q143SortedNeighborhood _),
+    "q149_bpe_merges" -> (q149BpeMerges _),
     "q30_exact_dedup" -> (q30ExactDedup _),
     "q31_dedup_stats" -> (q31DedupStats _),
     "q32_text_stats" -> (q32TextStats _),
@@ -727,7 +784,45 @@ object TextOps {
       s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1))-1)" +
         s"*${math.pow(16, 7 - i).toLong}").mkString(" + ") + ")"
 
+  /** One BPE round in DuckDB: pair counting over `$v`, argmax, merge —
+    * the recursion is unrolled exactly like the Spark side. */
+  private def bpeRoundSql(v: String, b: String, vNext: String): String =
+    s"""$b AS (
+       |  SELECT pair, sum(cnt) AS pair_cnt FROM (
+       |    SELECT unnest(list_transform(range(1, len(l)), i ->
+       |        l[i] || chr(31) || l[i + 1])) AS pair, cnt
+       |    FROM (SELECT string_split(syms, chr(31)) AS l, cnt FROM $v))
+       |  GROUP BY pair
+       |  ORDER BY pair_cnt DESC, pair LIMIT 1),
+       |$vNext AS (
+       |  SELECT replace(syms, $b.pair, replace($b.pair, chr(31), ''))
+       |    AS syms, cnt
+       |  FROM $v, $b)""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q149_bpe_merges" -> s"""
+      |WITH v0 AS (
+      |  SELECT rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
+      |      chr(31)) AS syms,
+      |    count(*) AS cnt
+      |  FROM (
+      |    SELECT unnest(string_split(
+      |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      |    FROM documents)
+      |  WHERE w <> '' GROUP BY 1),
+      |${bpeRoundSql("v0", "b1", "v1")},
+      |${bpeRoundSql("v1", "b2", "v2")},
+      |${bpeRoundSql("v2", "b3", "v3")}
+      |SELECT round, s1, s2, pair_cnt FROM (
+      |  SELECT 1 AS round, string_split(pair, chr(31))[1] AS s1,
+      |    string_split(pair, chr(31))[2] AS s2, pair_cnt FROM b1
+      |  UNION ALL
+      |  SELECT 2, string_split(pair, chr(31))[1],
+      |    string_split(pair, chr(31))[2], pair_cnt FROM b2
+      |  UNION ALL
+      |  SELECT 3, string_split(pair, chr(31))[1],
+      |    string_split(pair, chr(31))[2], pair_cnt FROM b3)
+      |ORDER BY round""".stripMargin,
     "q143_sorted_neighborhood" ->
       """WITH d AS (
         |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n

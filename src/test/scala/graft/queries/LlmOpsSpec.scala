@@ -87,6 +87,23 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q149 BPE: greedy left-to-right merge, merged symbol feeds next round") {
+    import spark.implicits._
+    // corpus "aaa"x2 + "bb": round 1 must pick (a,a) with count 4 — the
+    // overlapping "aaa" contributes TWO occurrences per word (greedy
+    // left-to-right replace then merges only the first: ["aa","a"]) —
+    // round 2 must pair the MERGED symbol (aa,a), round 3 falls to (b,b)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Seq((0L, "en", "fixture", "aaa bb aaa", 10))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q149BpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(rows == Seq((1, "a", "a", 4L), (2, "aa", "a", 2L), (3, "b", "b", 1L)),
+      s"got $rows")
+  }
+
   test("q38 simhash: bands decompose the signature") {
     val rows = TextOps.q38Simhash(spark, Sf).collect()
     assert(rows.length == nDocs)
