@@ -467,6 +467,23 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r >= 0.1, s"sign-bit recall@10 = $r — indistinguishable from random")
   }
 
+  test("q150 PQ ADC: ranked per query, monotone distance, enriches for true neighbors") {
+    val got = VectorOps.q150PqAnn(spark, Sf).collect()
+    val perQ = got.groupBy(_.getAs[Long]("query_id"))
+    assert(perQ.size == 5)
+    perQ.values.foreach { qs =>
+      assert(qs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to 10))
+      val byRk = qs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("adc_dist"))
+      assert(byRk.zip(byRk.tail).forall { case (a, b) => a <= b })
+      assert(byRk.forall(_ >= 0L))
+    }
+    // 8-byte codes are lossy but must beat the ~0.5% random-pick floor
+    // (full hash-exact semantics — encode argmin, ADC table, top-k —
+    // are verified by the independent DuckDB oracle)
+    val r = recallAt10(VectorOps.q150PqAnn(spark, Sf))
+    assert(r >= 0.1, s"PQ ADC recall@10 = $r — indistinguishable from random")
+  }
+
   test("LSH ANN: exhaustive multi-probe (maxHamming = bits) IS exact") {
     val ann = VectorOps.annLsh(spark, Sf, bits = 4, maxHamming = 4, k = 10)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
