@@ -26,9 +26,40 @@ object SqlOps {
     Tables.orders(s, dir).createOrReplaceTempView("orders")
     Tables.customer(s, dir).createOrReplaceTempView("customer")
     Tables.part(s, dir).createOrReplaceTempView("part")
+    Tables.supplier(s, dir).createOrReplaceTempView("supplier")
     Tables.events(s, dir).createOrReplaceTempView("events")
     s
   }
+
+  /** q151 — double correlated EXISTS / NOT EXISTS self-joins (the
+    * TPC-H Q21 "waiting supplier" shape, on this schema: suppliers who
+    * were the ONLY supplier with a returned item in a finished
+    * multi-supplier order). The optimizer stress: BOTH subqueries
+    * correlate to the outer lineitem on the SAME key with inequality
+    * side-conditions — Catalyst must decorrelate each into a
+    * co-partitioned semi/anti join on l_orderkey (three lineitem scans
+    * sharing one shuffle key, never a per-row re-execution), exactly
+    * how the operator survives a 100 TB fact table. One SQL text
+    * through both engines. */
+  val MultiExistsSql: String =
+    """SELECT s.s_name, count(*) AS numwait
+      |FROM supplier s, lineitem l1, orders o
+      |WHERE s.s_suppkey = l1.l_suppkey
+      |  AND o.o_orderkey = l1.l_orderkey
+      |  AND o.o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
+  def q151MultiExists(s: SparkSession, dir: String): DataFrame =
+    withViews(s, dir).sql(MultiExistsSql)
 
   /** q89 — correlated SCALAR subquery (TPC-H Q17 shape): lineitems
     * below half their part's average quantity, revenue per brand.
@@ -455,6 +486,7 @@ object SqlOps {
     "q133_chi_square" -> (q133ChiSquare _),
     "q89_correlated_scalar" -> (q89CorrelatedScalar _),
     "q90_exists" -> (q90Exists _),
+    "q151_multi_exists" -> (q151MultiExists _),
     "q91_window_values" -> (q91WindowValues _),
     "q92_lateral_topk" -> (q92LateralTopk _),
     "q93_bool_bit_agg" -> (q93BoolBitAgg _),
@@ -476,6 +508,7 @@ object SqlOps {
     // q89/q90/q92: the SAME SQL text Spark executed
     "q89_correlated_scalar" -> CorrelatedScalarSql,
     "q90_exists" -> ExistsSql,
+    "q151_multi_exists" -> MultiExistsSql,
     "q92_lateral_topk" -> LateralSql,
     "q95_having_scalar" -> HavingScalarSql,
     "q96_not_in" -> NotInSql,

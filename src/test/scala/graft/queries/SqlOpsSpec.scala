@@ -252,4 +252,15 @@ class SqlOpsSpec extends SparkTestBase {
     assert(rows.map(_.getAs[Long]("n_orders")).sum ==
       graft.Tables.orders(spark, Sf).count())
   }
+
+  test("q151 decorrelates both EXISTS into semi/anti joins (no per-row subquery)") {
+    val plan = SqlOps.q151MultiExists(spark, Sf)
+      .queryExecution.executedPlan.toString
+    // the EXISTS must become a LeftSemi and the NOT EXISTS a LeftAnti,
+    // both co-partitioned joins on l_orderkey — never a re-executed
+    // per-row subquery or a cartesian fallback
+    assert(plan.contains("LeftSemi"), s"no semi join in plan:\n${plan.take(800)}")
+    assert(plan.contains("LeftAnti"), s"no anti join in plan:\n${plan.take(800)}")
+    assert(!plan.contains("CartesianProduct"), "cartesian fallback in q151 plan")
+  }
 }
