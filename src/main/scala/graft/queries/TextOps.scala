@@ -430,6 +430,9 @@ object TextOps {
       // one trimmed — avoids split("")'s trailing-empty-symbol edge
       .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + sep), sep)
         .as("syms"), col("cnt"))
+      // materialize ONCE: the corpus-scale token explode feeds all
+      // three rounds (b1, v1->b2, v2->b3 would each recompute it)
+      .localCheckpoint()
     def bestPair(vocab: DataFrame): DataFrame = {
       val syms = split(col("syms"), sep)
       vocab
