@@ -54,6 +54,22 @@ object IotStream {
     }
   }
 
+  /** Message-bus payload parse for the conn.log shape: a binary/string
+    * JSON `value` column (the kafka/MQTT-bridge envelope) → the raw
+    * 22-column schema, ready for [[graft.iot.Transforms.transform]].
+    * Zeek's own JSON log format uses the DOTTED field names
+    * (`id.orig_h`) that the schema declares, so `from_json` with
+    * [[IotSchema.raw]] maps them directly; Zeek emits `-` only in TSV
+    * mode, so no extra null marker handling is needed here. Pure
+    * expressions — testable offline by feeding any frame with a
+    * `value` column (the IotStreamSpec MemoryStream does exactly
+    * that). */
+  def parseConnJson(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, from_json}
+    raw.select(from_json(col("value").cast("string"), IotSchema.raw).as("r"))
+      .select(IotSchema.raw.fields.map(f => col("r.`" + f.name + "`")): _*)
+  }
+
   /** File-watch ingest with the batch reader's exact CSV options
     * (enforced schema, `-`⇒NULL, recursive lookup —
     * `IotPipeline.readCsv` mirrors `process_iot_data.py:245-253`) —

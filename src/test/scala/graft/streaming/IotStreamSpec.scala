@@ -36,4 +36,34 @@ class IotStreamSpec extends SparkTestBase {
       .where("uid = 'C4d5e6'").select("duration_sec").head()
     assert(row.getDouble(0) == 3.139211f.toDouble)
   }
+
+  test("kafka-envelope JSON conn records parse into the raw schema (source seam)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    val mem = MemoryStream[String](spark)
+    val parsed = IotStream.parseConnJson(mem.toDF())
+    // the parse stage restores the EXACT raw 22-column schema, so the
+    // reference transform program runs unchanged on bus-delivered rows
+    assert(parsed.schema == IotSchema.raw)
+    val q = graft.iot.Transforms.transform(parsed)
+      .writeStream.format("memory").queryName("connjson_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(
+        """{"uid":"CJ1","id.orig_h":"192.168.1.10","id.orig_p":1234,""" +
+          """"proto":"tcp","service":"","duration":"0 days 00:00:03.139211",""" +
+          """"local_orig":"T"}""")
+      q.processAllAvailable()
+      val row = spark.table("connjson_test").head()
+      assert(row.getAs[String]("uid") == "CJ1")
+      assert(row.getAs[String]("id_orig_h") == "192.168.1.10")
+      // timedelta-form parse: float32 components summed in double
+      // (3.0f + 139211.0f/1e6), unlike the plain-numeric branch's
+      // whole-value float32 cast — reference-faithful either way
+      assert(row.getAs[Double]("duration_sec") == 3.0 + 139211.0 / 1e6)
+      assert(row.getAs[Boolean]("local_orig_bool"))
+      assert(row.isNullAt(row.fieldIndex("service"))) // "" => NULL
+    } finally q.stop()
+  }
 }
