@@ -239,6 +239,45 @@ object WarehouseOps {
       |FROM grouped
       |ORDER BY user_id, day""".stripMargin
 
+  // ---------------------------------------------------------------- q152
+
+  /** q152 — frequent-itemset mining (association rules, size-2): part
+    * pairs co-purchased in the same order, with support and LIFT
+    * (supp(ab)·n / (supp(a)·supp(b)) — how much more often the pair
+    * occurs than independence predicts), top-20 by support. The
+    * recommender/market-basket operator; same scale shape as q114's
+    * edge build: baskets collapse to sorted distinct part sets in ONE
+    * l_orderkey shuffle, pairs explode map-side from each basket
+    * (bounded by Σ basket²/2, never a self-join), and the two support
+    * frames broadcast back. Lift's integer products are exact BIGINTs;
+    * the double division is the same IEEE op in both engines. */
+  def q152Itemsets(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val sets = li.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+    val n = sets.agg(count(lit(1)).as("n_orders"))
+    val pairs = sets.select(explode(expr(
+      """flatten(transform(ps, (x, i) ->
+        |  transform(slice(ps, i + 2, size(ps)),
+        |    y -> struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val supp = li.groupBy(col("l_partkey").as("pk"))
+      .agg(count(lit(1)).as("supp"))
+    pairs.groupBy("a", "b").agg(count(lit(1)).as("supp_ab"))
+      .join(broadcast(supp.select(col("pk").as("a"),
+        col("supp").as("supp_a"))), Seq("a"))
+      .join(broadcast(supp.select(col("pk").as("b"),
+        col("supp").as("supp_b"))), Seq("b"))
+      .crossJoin(broadcast(n))
+      .select(col("a"), col("b"), col("supp_ab"), col("supp_a"),
+        col("supp_b"),
+        ((col("supp_ab") * col("n_orders")).cast("double")
+          / (col("supp_a") * col("supp_b"))).as("lift"))
+      .orderBy(col("supp_ab").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   // ---------------------------------------------------------------- q117
 
   /** q117 — Z-order clustering key: the [[graft.functions.ZOrder2]]
@@ -323,6 +362,7 @@ object WarehouseOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_pagerank" -> (q114PageRank _),
+    "q152_itemsets" -> (q152Itemsets _),
     "q122_triangles" -> (q122Triangles _),
     "q115_scd2" -> (q115Scd2 _),
     "q116_gap_fill" -> (q116GapFill _),
@@ -331,6 +371,23 @@ object WarehouseOps {
 
   val oracles: Map[String, String] = Map(
     "q114_pagerank" -> PageRankSql,
+    "q152_itemsets" -> """
+      |WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |sets AS (SELECT l_orderkey, list_sort(list(l_partkey)) AS ps
+      |         FROM li GROUP BY 1),
+      |n AS (SELECT count(*) AS n_orders FROM sets),
+      |pairs AS (
+      |  SELECT (p).a AS a, (p).b AS b FROM (
+      |    SELECT unnest(flatten(list_transform(ps, (x, i) ->
+      |      list_transform(ps[i+1:], y -> {'a': x, 'b': y})))) AS p
+      |    FROM sets)),
+      |supp AS (SELECT l_partkey AS pk, count(*) AS supp FROM li GROUP BY 1),
+      |ab AS (SELECT a, b, count(*) AS supp_ab FROM pairs GROUP BY 1, 2)
+      |SELECT ab.a, ab.b, supp_ab, sa.supp AS supp_a, sb.supp AS supp_b,
+      |  CAST(supp_ab * n.n_orders AS DOUBLE) / (sa.supp * sb.supp) AS lift
+      |FROM ab JOIN supp sa ON sa.pk = ab.a
+      |  JOIN supp sb ON sb.pk = ab.b, n
+      |ORDER BY supp_ab DESC, a, b LIMIT 20""".stripMargin,
     "q122_triangles" -> TrianglesSql,
     "q115_scd2" -> Scd2Sql,
     "q116_gap_fill" -> GapFillSql,

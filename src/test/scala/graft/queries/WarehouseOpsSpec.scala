@@ -176,4 +176,25 @@ class WarehouseOpsSpec extends SparkTestBase {
     // the table width the single-column sort leaves on y
     assert(zx <= 16 && zy <= 16, s"z spans ($zx, $zy) exceed tile size")
   }
+
+  test("q152 itemsets: support bounds, ordered pairs, lift consistency") {
+    import org.apache.spark.sql.functions.col
+    val rows = WarehouseOps.q152Itemsets(spark, Sf).collect()
+    assert(rows.length == 20)
+    val n = graft.Tables.lineitem(spark, Sf)
+      .select("l_orderkey").distinct().count()
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("a"), r.getAs[Long]("b"))
+      val (sab, sa, sb) = (r.getAs[Long]("supp_ab"),
+        r.getAs[Long]("supp_a"), r.getAs[Long]("supp_b"))
+      assert(a < b, "pairs must be ordered")
+      // pair support can never exceed either item's support
+      assert(sab >= 1 && sab <= math.min(sa, sb))
+      // lift is exactly the declared ratio
+      assert(r.getAs[Double]("lift") == sab.toDouble * n / (sa * sb))
+    }
+    // descending support with deterministic tie-break
+    val supports = rows.map(_.getAs[Long]("supp_ab"))
+    assert(supports.zip(supports.tail).forall { case (x, y) => x >= y })
+  }
 }
