@@ -1,0 +1,74 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Streaming materialized-view maintenance: the delta-log fold must
+  * equal the one-shot batch aggregate, and a replayed batch must
+  * overwrite its own delta rather than double-count. */
+class AggMaintenanceSpec extends SparkTestBase {
+
+  test("maintained view equals the one-shot batch aggregate over all batches") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_mv_store").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_ck").toString
+    def ev(id: Long, t: String, typ: String, v: Double) =
+      Ev(id, Timestamp.valueOf(t), 1L, typ, v, "{}")
+    val b1 = Seq(ev(1, "2024-01-01 10:05:00", "click", 1.25),
+      ev(2, "2024-01-01 10:20:00", "view", 2.5),
+      ev(3, "2024-01-01 11:30:00", "click", 0.75))
+    val b2 = Seq(ev(4, "2024-01-01 10:40:00", "click", 3.0),
+      ev(5, "2024-01-01 12:10:00", "view", 1.0))
+    val mem = MemoryStream[Ev](spark)
+    val q = AggMaintenance.maintain(mem.toDF(), store, ckpt).start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val got = AggMaintenance.view(spark, store).collect()
+      .map(r => (r.getAs[Timestamp]("hour_start").toString,
+        r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_fp"))).toMap
+    // the one-shot batch aggregate over ALL events — additivity means
+    // the incremental fold must land on exactly these numbers
+    val expected = (b1 ++ b2).toDF()
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6).cast("long")).as("s"))
+      .collect()
+      .map(r => (r.getAs[Timestamp]("hour_start").toString,
+        r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
+    assert(got == expected, s"view $got != batch $expected")
+  }
+
+  test("a replayed batch overwrites its own delta (no double count)") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_mv_src").toString
+    val store = java.nio.file.Files.createTempDirectory("graft_mv_store2").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_ck2").toString
+    Seq(Ev(1, Timestamp.valueOf("2024-01-01 10:05:00"), 1L, "click", 2.0, "{}"),
+      Ev(2, Timestamp.valueOf("2024-01-01 10:20:00"), 1L, "view", 3.0, "{}"))
+      .toDF().write.mode("overwrite").parquet(src)
+    def stream = spark.readStream
+      .schema(Seq.empty[Ev].toDF().schema).parquet(src)
+    val q1 = AggMaintenance.maintain(stream, store, ckpt).start()
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+    val before = AggMaintenance.view(spark, store).collect().map(_.toString).sorted.toSeq
+    // wipe the last commit marker so restart REPLAYS the batch
+    val commits = new java.io.File(s"$ckpt/commits").listFiles()
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toLong)
+    val last = commits.last
+    new java.io.File(last.getParentFile, s".${last.getName}.crc").delete()
+    last.delete()
+    val q2 = AggMaintenance.maintain(stream, store, ckpt).start()
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+    val after = AggMaintenance.view(spark, store).collect().map(_.toString).sorted.toSeq
+    assert(after == before, s"replay double-counted: $after vs $before")
+  }
+}
