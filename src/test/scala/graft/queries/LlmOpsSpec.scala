@@ -484,6 +484,37 @@ class LlmOpsSpec extends SparkTestBase {
     assert(r >= 0.1, s"PQ ADC recall@10 = $r — indistinguishable from random")
   }
 
+  test("q153 quantile norm: per-dim ranks form a permutation") {
+    val rows = VectorOps.q153QuantileNorm(spark, Sf).collect()
+    val n = rows.length.toLong
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_rank") >= 0)
+      assert(r.getAs[Long]("max_rank") <= n - 1)
+      val mq = r.getAs[Double]("mean_quantile")
+      assert(mq >= 0.0 && mq <= 1.0)
+    }
+    // each of the 64 dims assigns ranks 0..n-1 exactly once, so the
+    // grand total of sum_rank is 64 * n(n-1)/2 — any duplicate or
+    // dropped rank breaks this
+    val grand = rows.map(_.getAs[Long]("sum_rank")).sum
+    assert(grand == 64L * n * (n - 1) / 2, s"rank mass $grand")
+  }
+
+  test("q154 calibration: bins partition the corpus into deciles") {
+    val rows = VectorOps.q154Calibration(spark, Sf).collect()
+    assert(rows.map(_.getAs[Int]("bin")).sorted.toSeq == (0 to 9))
+    val n = rows.map(_.getAs[Long]("n")).sum
+    assert(n == graft.Tables.embeddings(spark, Sf).count())
+    rows.foreach { r =>
+      // exact decile boundaries: each bin holds ~n/10 (float ties only)
+      assert(math.abs(r.getAs[Long]("n") - n / 10.0) <= 2,
+        s"bin ${r.getAs[Int]("bin")} holds ${r.getAs[Long]("n")} of $n")
+      val rate = r.getAs[Double]("pos_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n"))
+    }
+  }
+
   test("LSH ANN: exhaustive multi-probe (maxHamming = bits) IS exact") {
     val ann = VectorOps.annLsh(spark, Sf, bits = 4, maxHamming = 4, k = 10)
       .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("rk"),
