@@ -273,6 +273,53 @@ object CorpusOps {
       .orderBy("doc_id")
   }
 
+  // -------------------------------------------------- q156 collocations
+
+  /** Pairs with lift below this are noise; the support floor is the
+    * standard collocation-mining discipline (rare pairs have huge
+    * unstable lift). Part of the query definition, shared with the
+    * oracle. */
+  private val CollocMinSupport = 5L
+
+  /** q156 — collocation mining: adjacent-token pairs ranked by LIFT
+    * (c₁₂·N / (c₁·c₂) — the e^PMI of the pair under the bigram
+    * contingency table, kept as a RATIO so every input to the single
+    * double division is an exact integer; ln() of it would re-order
+    * nothing). This is the phrase-detection pass a tokenizer/corpus
+    * pipeline runs before merging multiword units. Marginals are
+    * position-specific (c₁ = count as left word, c₂ = count as right
+    * word) — the standard 2×2 contingency marginals. Scale shape:
+    * identical to q107's bigram build (one explode, pair/marginal
+    * counts are vocabulary-sized keyed aggregates, map-side combined);
+    * the two marginal joins are vocabulary-sized (AQE broadcasts at
+    * this SF, shuffles co-keyed beyond), and the support floor prunes
+    * the pair frame BEFORE any join. Products stay < 2⁵³ (pair and
+    * marginal counts are ≤ corpus token count), so the lift doubles
+    * are bit-identical cross-engine; ties break on (w1, w2). */
+  def q156Collocations(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .select(split(norm(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    val bi = docs.select(explode(zip_with(
+        slice(col("t"), lit(1), size(col("t")) - 1),
+        slice(col("t"), lit(2), size(col("t")) - 1),
+        (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .localCheckpoint() // 4 consumers: N + pair counts + both marginals
+    val n = bi.agg(count(lit(1)).as("n_pairs"))
+    val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .filter(col("c12") >= CollocMinSupport)
+    val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = bi.groupBy("w2").agg(count(lit(1)).as("c2"))
+    c12.join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(n))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        ((col("c12") * col("n_pairs")).cast(DoubleType)
+          / (col("c1") * col("c2"))).as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(50)
+  }
+
   // ------------------------------------------------------------ q131 BM25
 
   /** q131 — BM25 relevance scoring (k1 = 1.2, b = 0.75) of every
@@ -592,7 +639,8 @@ object CorpusOps {
     "q103_embed_quant" -> (q103EmbedQuant _),
     "q104_zipf_fit" -> (q104ZipfFit _),
     "q105_weighted_sample" -> (q105WeightedSample _),
-    "q107_bigram_lm" -> (q107BigramLm _))
+    "q107_bigram_lm" -> (q107BigramLm _),
+    "q156_collocations" -> (q156Collocations _))
 
   private val email = EmailPat
   private val phone = PhonePat
@@ -773,6 +821,24 @@ object CorpusOps {
       |  CAST(sum(q) AS BIGINT) AS xent_scaled,
       |  CAST(sum(q) AS BIGINT) / (1e6 * count(*)) AS xent
       |FROM q GROUP BY doc_id, lang ORDER BY doc_id""".stripMargin,
+
+    "q156_collocations" -> s"""
+      |WITH d AS (
+      |  SELECT string_split(${normSql()}, ' ') AS toks
+      |  FROM documents
+      |  WHERE len(string_split(${normSql()}, ' ')) >= 2),
+      |bg0 AS (SELECT unnest(list_zip(toks, toks[2:])) AS p FROM d),
+      |bg AS (SELECT p[1] AS w1, p[2] AS w2 FROM bg0
+      |       WHERE p[2] IS NOT NULL),
+      |n AS (SELECT count(*) AS n_pairs FROM bg),
+      |c12 AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2
+      |        HAVING count(*) >= $CollocMinSupport),
+      |c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      |c2 AS (SELECT w2, count(*) AS c2 FROM bg GROUP BY w2)
+      |SELECT w1, w2, c12, c1, c2,
+      |  CAST(c12 * n.n_pairs AS DOUBLE) / (c1 * c2) AS lift
+      |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
+      |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
 
     "q136_span_dedup" -> s"""
       |WITH t AS (

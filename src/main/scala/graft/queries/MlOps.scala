@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
@@ -280,10 +281,68 @@ object MlOps {
       |ORDER BY cluster_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q155
+
+  /** q155 — per-fold ROC-AUC (the Mann-Whitney U form): vectors score
+    * by feature dim 0, outcome = label ≥ 5 (the q154 calibration
+    * setup), folds = vec_id mod 5 — the cross-validated
+    * ranking-quality table an eval pipeline emits next to the
+    * reliability diagram. AUC = (Σ ranks of positives − n⁺(n⁺+1)/2) /
+    * (n⁺·n⁻), with TIE-AVERAGED ranks so the value is independent of
+    * how either engine breaks equal scores: avg-rank of a tied group
+    * starting at rank r with c members is r+(c−1)/2, so 2·avgrank =
+    * 2·rank()+count(same score)−1 stays an exact BIGINT; the one
+    * double division happens on integer totals. Scale shape: rank
+    * windows are PARTITIONED per fold (each window sorts 1/5 of the
+    * data — at cluster scale, per-fold range-partitioned sorts, never
+    * one global window), then one 5-row aggregate. */
+  def q155RocAuc(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.embeddings(s, dir)
+      .select((col("vec_id") % 5).cast("int").as("fold"),
+        element_at(col("embedding"), 1).cast(DoubleType).as("x"),
+        (col("label").cast("int") >= 5).cast("long").as("y"))
+    val wRank = Window.partitionBy("fold").orderBy("x")
+    val wTies = Window.partitionBy("fold", "x")
+    scored
+      .select(col("fold"), col("y"),
+        (lit(2L) * rank().over(wRank)
+          + count(lit(1)).over(wTies) - 1).as("ar2"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(when(col("y") === 1, col("ar2")).otherwise(0L)).as("sum2_pos"))
+      .select(col("fold"), col("n"), col("n_pos"), col("sum2_pos"),
+        ((col("sum2_pos") - col("n_pos") * (col("n_pos") + 1))
+          .cast(DoubleType)
+          / (lit(2.0) * col("n_pos") * (col("n") - col("n_pos"))))
+          .as("auc"))
+      .orderBy("fold")
+  }
+
+  private val RocAucSql: String =
+    """WITH scored AS (
+      |  SELECT CAST(vec_id % 5 AS INTEGER) AS fold,
+      |    CAST(embedding[1] AS DOUBLE) AS x,
+      |    CASE WHEN CAST(label AS INTEGER) >= 5 THEN 1 ELSE 0 END AS y
+      |  FROM embeddings),
+      |r AS (
+      |  SELECT fold, y,
+      |    2 * rank() OVER (PARTITION BY fold ORDER BY x)
+      |      + count(*) OVER (PARTITION BY fold, x) - 1 AS ar2
+      |  FROM scored)
+      |SELECT fold, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+      |  CAST(sum(CASE WHEN y = 1 THEN ar2 ELSE 0 END) AS BIGINT)
+      |    AS sum2_pos,
+      |  CAST(sum(CASE WHEN y = 1 THEN ar2 ELSE 0 END)
+      |      - sum(y) * (sum(y) + 1) AS DOUBLE)
+      |    / (2e0 * sum(y) * (count(*) - sum(y))) AS auc
+      |FROM r GROUP BY fold ORDER BY fold""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_kmeans" -> (q135Kmeans _),
-    "q139_ann_ivf_trained" -> (q139AnnIvfTrained _))
+    "q139_ann_ivf_trained" -> (q139AnnIvfTrained _),
+    "q155_roc_auc" -> (q155RocAuc _))
 
   val oracles: Map[String, String] = Map(
-    "q135_kmeans" -> kmeansOracle)
+    "q135_kmeans" -> kmeansOracle,
+    "q155_roc_auc" -> RocAucSql)
 }

@@ -170,4 +170,32 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(sampleMean > corpusMean * 0.9,
       s"sample mean $sampleMean vs corpus mean $corpusMean")
   }
+
+  test("q156 collocations: lift identity holds against recounted marginals") {
+    val rows = CorpusOps.q156Collocations(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    // recount the bigram universe independently (same normalization)
+    val toks = graft.Tables.documents(spark, Sf)
+      .select(split(trim(regexp_replace(lower(col("text")), "\\s+", " ")),
+        " ").as("t"))
+      .filter(size(col("t")) >= 2)
+      .collect().map(_.getSeq[String](0))
+    val pairs = toks.flatMap(t => t.sliding(2).map(p => (p(0), p(1))))
+    val n = pairs.length.toLong
+    val c12 = pairs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val c1 = pairs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val c2 = pairs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    rows.foreach { r =>
+      val (w1, w2) = (r.getAs[String]("w1"), r.getAs[String]("w2"))
+      assert(r.getAs[Long]("c12") == c12((w1, w2)))
+      assert(r.getAs[Long]("c1") == c1(w1))
+      assert(r.getAs[Long]("c2") == c2(w2))
+      assert(r.getAs[Long]("c12") >= 5L)
+      val lift = r.getAs[Double]("lift")
+      assert(lift == c12((w1, w2)).toDouble * n / (c1(w1) * c2(w2)))
+    }
+    // descending lift with (w1, w2) tiebreak — the contract order
+    val lifts = rows.map(_.getAs[Double]("lift")).toSeq
+    assert(lifts == lifts.sorted(Ordering[Double].reverse))
+  }
 }

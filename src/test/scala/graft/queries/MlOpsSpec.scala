@@ -124,4 +124,32 @@ class MlOpsSpec extends SparkTestBase {
     if (nSmall < nBig) assert(ppmSmall >= ppmBig,
       s"small lang rate $ppmSmall < big lang rate $ppmBig")
   }
+
+  test("q155 AUC: matches the brute-force pair count per fold") {
+    val rows = MlOps.q155RocAuc(spark, Sf).collect()
+    assert(rows.map(_.getAs[Int]("fold")).sorted.toSeq == (0 to 4))
+    // ground truth: AUC = P(score_pos > score_neg) + 0.5 P(tie),
+    // counted over every (pos, neg) pair — O(n²) is fine at sf0.001
+    val data = graft.Tables.embeddings(spark, Sf)
+      .select((col("vec_id") % 5).cast("int").as("fold"),
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        (col("label").cast("int") >= 5).as("y"))
+      .collect()
+      .map(r => (r.getAs[Int]("fold"), r.getAs[Double]("x"),
+        r.getAs[Boolean]("y")))
+    assert(rows.map(_.getAs[Long]("n")).sum == data.length)
+    rows.foreach { r =>
+      val fold = r.getAs[Int]("fold")
+      val pos = data.collect { case (f, x, true) if f == fold => x }
+      val neg = data.collect { case (f, x, false) if f == fold => x }
+      assert(r.getAs[Long]("n_pos") == pos.length)
+      // exact: wins + half-ties over the pos×neg grid, doubled to int
+      val wins2 = (for (p <- pos; q <- neg) yield
+        if (p > q) 2L else if (p == q) 1L else 0L).sum
+      val auc = r.getAs[Double]("auc")
+      val brute = wins2.toDouble / (2.0 * pos.length * neg.length)
+      assert(math.abs(auc - brute) < 1e-12, s"fold $fold: $auc vs $brute")
+      assert(auc >= 0.0 && auc <= 1.0)
+    }
+  }
 }
