@@ -37,12 +37,12 @@ object CorpusOps {
 
   /** First 8 md5 hex chars of the column as a non-negative BIGINT in
     * [0, 2^32) — the deterministic "random" source shared by q100/q105. */
-  private def md5Hash32(c: Column): Column =
+  private[queries] def md5Hash32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
 
   /** DuckDB spelling of [[md5Hash32]]: unrolled hex polynomial (DuckDB
     * has no `conv`). `h` is a SQL expression yielding the md5 hex string. */
-  private def hexPoly(h: String): String =
+  private[queries] def hexPoly(h: String): String =
     "(" + (0 until 8).map(i =>
       s"(strpos('0123456789abcdef', substr($h, ${i + 1}, 1))-1)" +
         s"*${math.pow(16, 7 - i).toLong}").mkString(" + ") + ")"

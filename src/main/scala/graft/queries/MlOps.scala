@@ -337,12 +337,74 @@ object MlOps {
       |    / (2e0 * sum(y) * (count(*) - sum(y))) AS auc
       |FROM r GROUP BY fold ORDER BY fold""".stripMargin
 
+  // ---------------------------------------------------------------- q158
+
+  /** q158 — leakage-safe smoothed target encoding: replace the
+    * categorical `p_brand` with its return rate (outcome =
+    * l_returnflag = 'R'), estimated ONLY on the 80% train split and
+    * shrunk toward the global rate with α=10 pseudo-counts —
+    * enc = (n⁺ + α·rate_global) / (n + α) — the standard
+    * high-cardinality feature encoding, computed the only
+    * train-leakage-free way (encode on train, apply everywhere). The
+    * split is q146's content-hash discipline keyed on l_orderkey
+    * (deterministic cross-engine, no RNG). Scale shape: one
+    * lineitem⋈part projection join (part side broadcast-able), one
+    * brand-keyed aggregate (map-side combined), global totals re-used
+    * from the SAME aggregate via a second 25-row pass — never a
+    * per-row window. Counts are integers; the two divisions run on
+    * integer totals in the same association both engines. */
+  def q158TargetEncode(s: SparkSession, dir: String): DataFrame = {
+    val isTrain = CorpusOps.md5Hash32(
+      concat(lit("tenc:"), col("l_orderkey").cast("string"))) % 100L < 80L
+    val train = Tables.lineitem(s, dir)
+      .filter(isTrain)
+      .join(Tables.part(s, dir)
+        .select(col("p_partkey").as("l_partkey"), col("p_brand")),
+        Seq("l_partkey"))
+      .select(col("p_brand"),
+        (col("l_returnflag") === "R").cast("long").as("y"))
+    val brand = train.groupBy("p_brand")
+      .agg(count(lit(1)).as("n_train"), sum(col("y")).as("n_pos"))
+    val glob = brand.agg(sum(col("n_train")).as("n_tot"),
+      sum(col("n_pos")).as("y_tot"))
+    brand.crossJoin(broadcast(glob))
+      .select(col("p_brand"), col("n_train"), col("n_pos"),
+        ((col("n_pos").cast(DoubleType)
+          + lit(10.0) * (col("y_tot").cast(DoubleType) / col("n_tot")))
+          / (col("n_train") + lit(10.0))).as("enc"))
+      .orderBy("p_brand")
+  }
+
+  private val TargetEncodeSql: String = {
+    val h = CorpusOps.hexPoly(
+      "md5('tenc:' || CAST(l_orderkey AS VARCHAR))")
+    s"""WITH train AS (
+       |  SELECT p.p_brand,
+       |    CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+       |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+       |  WHERE $h % 100 < 80),
+       |brand AS (
+       |  SELECT p_brand, count(*) AS n_train,
+       |    CAST(sum(y) AS BIGINT) AS n_pos
+       |  FROM train GROUP BY p_brand),
+       |tot AS (
+       |  SELECT CAST(sum(n_train) AS BIGINT) AS n_tot,
+       |    CAST(sum(n_pos) AS BIGINT) AS y_tot FROM brand)
+       |SELECT p_brand, n_train, n_pos,
+       |  (CAST(n_pos AS DOUBLE)
+       |     + 10e0 * (CAST(y_tot AS DOUBLE) / n_tot))
+       |    / (n_train + 10e0) AS enc
+       |FROM brand, tot ORDER BY p_brand""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_kmeans" -> (q135Kmeans _),
     "q139_ann_ivf_trained" -> (q139AnnIvfTrained _),
+    "q158_target_encode" -> (q158TargetEncode _),
     "q155_roc_auc" -> (q155RocAuc _))
 
   val oracles: Map[String, String] = Map(
     "q135_kmeans" -> kmeansOracle,
+    "q158_target_encode" -> TargetEncodeSql,
     "q155_roc_auc" -> RocAucSql)
 }

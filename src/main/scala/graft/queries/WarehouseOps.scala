@@ -323,17 +323,27 @@ object WarehouseOps {
     * sampling predicate (`l_partkey % 10 = 0`) is part of the query's
     * definition, shared with the oracle. Everything is integer →
     * bit-exact cross-engine. */
-  def q122Triangles(s: SparkSession, dir: String): DataFrame = {
+  /** Oriented (src < dst, one row per undirected edge) co-purchase
+    * graph on the every-10th-part subgraph — the shared input of the
+    * q122/q157 graph operators. Built map-side from per-order part
+    * sets (q114's edge-build shape) and `localCheckpoint`ed for its
+    * multiple consumers. */
+  private def sampledCoPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .filter(col("l_partkey") % 10 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+    li.groupBy("ok").agg(collect_set(col("pk")).as("ps"))
       .select(explode(col("ps")).as("src"), col("ps"))
       .select(col("src"), explode(col("ps")).as("dst"))
       .filter(col("src") < col("dst")) // oriented: one row per edge
       .select("src", "dst")
       .distinct()
-      .localCheckpoint() // 3 consumers: both 2-path sides + the closer
+      .localCheckpoint()
+  }
+
+  def q122Triangles(s: SparkSession, dir: String): DataFrame = {
+    // 3 checkpoint consumers: both 2-path sides + the closer
+    val edges = sampledCoPurchaseEdges(s, dir)
     val paths = edges.select(col("src").as("a"), col("dst").as("b"))
       .join(edges.select(col("src").as("b"), col("dst").as("c")), "b")
     val tris = paths.join(edges.select(col("src").as("a"),
@@ -360,9 +370,64 @@ object WarehouseOps {
       |GROUP BY part_id
       |ORDER BY n_triangles DESC, part_id LIMIT 50""".stripMargin
 
+  // ---------------------------------------------------------------- q157
+
+  private val CoreK = 8
+  private val CoreRounds = 3
+
+  /** q157 — k-core peeling (K=8, 3 synchronized rounds) on the q122
+    * subgraph: each round recomputes degrees and drops every node with
+    * fewer than K surviving neighbors — the graph-curation pass that
+    * strips low-engagement periphery (spam/outlier pruning in web and
+    * interaction graphs) before expensive downstream analytics. A
+    * FIXED round count is the distributed form (each round is one
+    * degree aggregate + two semi joins against a node-sized keep set —
+    * AQE broadcasts it; a fixpoint loop would run a driver-controlled
+    * unbounded number of such jobs); rows report each survivor's
+    * degree within the 3-round survivor subgraph, which equals its
+    * k-core degree once peeling has converged. All integer →
+    * bit-exact; the oracle unrolls the same 3 rounds as CTEs. */
+  def q157KcorePeel(s: SparkSession, dir: String): DataFrame = {
+    // CoreRounds+1 checkpoint consumers: each round's degree aggregate
+    var edges = sampledCoPurchaseEdges(s, dir)
+    for (_ <- 1 to CoreRounds) {
+      val deg = edges.select(col("src").as("n"))
+        .unionAll(edges.select(col("dst").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= CoreK).select("n")
+      edges = edges
+        .join(keep.withColumnRenamed("n", "src"), Seq("src"), "left_semi")
+        .join(keep.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi")
+    }
+    edges.select(col("src").as("part_id"))
+      .unionAll(edges.select(col("dst").as("part_id")))
+      .groupBy("part_id").agg(count(lit(1)).as("deg"))
+      .orderBy(col("deg").desc, col("part_id"))
+  }
+
+  private val KcorePeelSql: String = {
+    def round(k: Int) =
+      s"""d$k AS (SELECT n, count(*) AS deg FROM (
+         |  SELECT src AS n FROM e${k - 1} UNION ALL SELECT dst FROM e${k - 1})
+         |  GROUP BY n),
+         |e$k AS (SELECT src, dst FROM e${k - 1}
+         |  WHERE src IN (SELECT n FROM d$k WHERE deg >= $CoreK)
+         |    AND dst IN (SELECT n FROM d$k WHERE deg >= $CoreK))""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |            WHERE l_partkey % 10 = 0),
+       |e0 AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |       FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |${(1 to CoreRounds).map(round).mkString(",\n")}
+       |SELECT part_id, count(*) AS deg FROM (
+       |  SELECT src AS part_id FROM e$CoreRounds
+       |  UNION ALL SELECT dst FROM e$CoreRounds)
+       |GROUP BY part_id ORDER BY deg DESC, part_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_pagerank" -> (q114PageRank _),
     "q152_itemsets" -> (q152Itemsets _),
+    "q157_kcore_peel" -> (q157KcorePeel _),
     "q122_triangles" -> (q122Triangles _),
     "q115_scd2" -> (q115Scd2 _),
     "q116_gap_fill" -> (q116GapFill _),
@@ -388,6 +453,7 @@ object WarehouseOps {
       |FROM ab JOIN supp sa ON sa.pk = ab.a
       |  JOIN supp sb ON sb.pk = ab.b, n
       |ORDER BY supp_ab DESC, a, b LIMIT 20""".stripMargin,
+    "q157_kcore_peel" -> KcorePeelSql,
     "q122_triangles" -> TrianglesSql,
     "q115_scd2" -> Scd2Sql,
     "q116_gap_fill" -> GapFillSql,

@@ -152,4 +152,39 @@ class MlOpsSpec extends SparkTestBase {
       assert(auc >= 0.0 && auc <= 1.0)
     }
   }
+
+  test("q158 target encoding matches a brute-force replica of the split") {
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val brandOf = graft.Tables.part(spark, Sf)
+      .select("p_partkey", "p_brand").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val train = graft.Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_partkey", "l_returnflag").collect()
+      .filter { r =>
+        val h = java.lang.Long.parseLong(
+          md5hex("tenc:" + r.getLong(0)).take(8), 16)
+        h % 100 < 80
+      }
+      .map(r => (brandOf(r.getLong(1)), if (r.getString(2) == "R") 1L else 0L))
+    val nTot = train.length.toLong
+    val yTot = train.map(_._2).sum
+    val byBrand = train.groupBy(_._1)
+    val rows = MlOps.q158TargetEncode(spark, Sf).collect()
+    assert(rows.length == byBrand.size)
+    rows.foreach { r =>
+      val b = r.getAs[String]("p_brand")
+      val g = byBrand(b)
+      val (n, np) = (g.length.toLong, g.map(_._2).sum)
+      assert(r.getAs[Long]("n_train") == n)
+      assert(r.getAs[Long]("n_pos") == np)
+      val enc = (np.toDouble + 10.0 * (yTot.toDouble / nTot)) / (n + 10.0)
+      assert(r.getAs[Double]("enc") == enc, s"brand $b")
+      // shrinkage: encoding sits between the brand rate and global rate
+      val lo = math.min(np.toDouble / n, yTot.toDouble / nTot)
+      val hi = math.max(np.toDouble / n, yTot.toDouble / nTot)
+      assert(enc >= lo - 1e-12 && enc <= hi + 1e-12)
+    }
+  }
 }

@@ -197,4 +197,27 @@ class WarehouseOpsSpec extends SparkTestBase {
     val supports = rows.map(_.getAs[Long]("supp_ab"))
     assert(supports.zip(supports.tail).forall { case (x, y) => x >= y })
   }
+
+  test("q157 k-core peel matches an in-memory replica of the 3 rounds") {
+    val got = WarehouseOps.q157KcorePeel(spark, Sf).collect()
+      .map(r => r.getAs[Long]("part_id") -> r.getAs[Long]("deg")).toMap
+    // replicate: same subgraph, 3 rounds of deg>=8 pruning, in Scala
+    val li = graft.Tables.lineitem(spark, Sf)
+      .filter(col("l_partkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var edges = li.groupBy(_._1).values.flatMap { g =>
+      val ps = g.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.toSet
+    for (_ <- 1 to 3) {
+      val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map { case (n, v) => n -> v.size }
+      val keep = deg.filter(_._2 >= 8).keySet
+      edges = edges.filter(e => keep(e._1) && keep(e._2))
+    }
+    val want = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, v) => n -> v.size.toLong }
+    assert(got == want, s"${got.size} survivors vs ${want.size} expected")
+  }
 }
