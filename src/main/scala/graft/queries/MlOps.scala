@@ -397,14 +397,83 @@ object MlOps {
        |FROM brand, tot ORDER BY p_brand""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q159
+
+  /** q159 — per-class precision/recall/F1 at the exact median
+    * threshold: the confusion-matrix report that closes the eval
+    * family (q154 calibration, q155 AUC). Same setup as both: score =
+    * feature dim 0, outcome = label ≥ 5; the classifier predicts
+    * positive above the corpus median (the q50 sort-based
+    * `percentile`, hash-proven ≡ DuckDB `quantile_cont`). One
+    * distributed pass folds all four confusion cells (map-side
+    * combined conditional aggregates — never one pass per cell); the
+    * two class rows are projections of that single row (class 0's
+    * tp/fp/fn are class 1's tn/fn/fp). Cells are exact integers; the
+    * three ratios per row are spelled identically in both engines. */
+  def q159ClassMetrics(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.embeddings(s, dir)
+      .select(element_at(col("embedding"), 1).cast(DoubleType).as("x"),
+        (col("label").cast("int") >= 5).cast("int").as("y"))
+    val thr = scored.agg(expr("percentile(x, 0.5)").as("thr"))
+    val cells = scored.crossJoin(broadcast(thr))
+      .select(col("y"), (col("x") > col("thr")).cast("int").as("p"))
+      .agg(
+        sum(when(col("y") === 1 && col("p") === 1, 1L).otherwise(0L)).as("tp1"),
+        sum(when(col("y") === 0 && col("p") === 1, 1L).otherwise(0L)).as("fp1"),
+        sum(when(col("y") === 1 && col("p") === 0, 1L).otherwise(0L)).as("fn1"),
+        sum(when(col("y") === 0 && col("p") === 0, 1L).otherwise(0L)).as("tn1"))
+    val pos = cells.select(lit(1).as("cls"), col("tp1").as("tp"),
+      col("fp1").as("fp"), col("fn1").as("fn"))
+    val neg = cells.select(lit(0).as("cls"), col("tn1").as("tp"),
+      col("fn1").as("fp"), col("fp1").as("fn"))
+    val d = (c: Column) => c.cast(DoubleType)
+    pos.unionAll(neg)
+      .select(col("cls"), col("tp"), col("fp"), col("fn"),
+        (d(col("tp")) / (col("tp") + col("fp"))).as("precision"),
+        (d(col("tp")) / (col("tp") + col("fn"))).as("recall"),
+        (lit(2.0) * (d(col("tp")) / (col("tp") + col("fp")))
+          * (d(col("tp")) / (col("tp") + col("fn")))
+          / ((d(col("tp")) / (col("tp") + col("fp")))
+            + (d(col("tp")) / (col("tp") + col("fn"))))).as("f1"))
+      .orderBy("cls")
+  }
+
+  private val ClassMetricsSql: String =
+    """WITH scored AS (
+      |  SELECT CAST(embedding[1] AS DOUBLE) AS x,
+      |    CASE WHEN CAST(label AS INTEGER) >= 5 THEN 1 ELSE 0 END AS y
+      |  FROM embeddings),
+      |t AS (SELECT quantile_cont(x, 0.5) AS thr FROM scored),
+      |cells AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN y = 1 AND x > thr THEN 1 ELSE 0 END) AS BIGINT) AS tp1,
+      |    CAST(sum(CASE WHEN y = 0 AND x > thr THEN 1 ELSE 0 END) AS BIGINT) AS fp1,
+      |    CAST(sum(CASE WHEN y = 1 AND x <= thr THEN 1 ELSE 0 END) AS BIGINT) AS fn1,
+      |    CAST(sum(CASE WHEN y = 0 AND x <= thr THEN 1 ELSE 0 END) AS BIGINT) AS tn1
+      |  FROM scored, t),
+      |cm AS (
+      |  SELECT 1 AS cls, tp1 AS tp, fp1 AS fp, fn1 AS fn FROM cells
+      |  UNION ALL
+      |  SELECT 0, tn1, fn1, fp1 FROM cells)
+      |SELECT cls, tp, fp, fn,
+      |  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+      |  CAST(tp AS DOUBLE) / (tp + fn) AS recall,
+      |  2e0 * (CAST(tp AS DOUBLE) / (tp + fp))
+      |    * (CAST(tp AS DOUBLE) / (tp + fn))
+      |    / ((CAST(tp AS DOUBLE) / (tp + fp))
+      |      + (CAST(tp AS DOUBLE) / (tp + fn))) AS f1
+      |FROM cm ORDER BY cls""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_kmeans" -> (q135Kmeans _),
     "q139_ann_ivf_trained" -> (q139AnnIvfTrained _),
     "q158_target_encode" -> (q158TargetEncode _),
+    "q159_class_metrics" -> (q159ClassMetrics _),
     "q155_roc_auc" -> (q155RocAuc _))
 
   val oracles: Map[String, String] = Map(
     "q135_kmeans" -> kmeansOracle,
     "q158_target_encode" -> TargetEncodeSql,
+    "q159_class_metrics" -> ClassMetricsSql,
     "q155_roc_auc" -> RocAucSql)
 }

@@ -187,4 +187,35 @@ class MlOpsSpec extends SparkTestBase {
       assert(enc >= lo - 1e-12 && enc <= hi + 1e-12)
     }
   }
+
+  test("q159 class metrics match a brute-force confusion matrix") {
+    val data = graft.Tables.embeddings(spark, Sf)
+      .select(element_at(col("embedding"), 1).cast("double").as("x"),
+        (col("label").cast("int") >= 5).as("y"))
+      .collect().map(r => (r.getDouble(0), r.getBoolean(1)))
+    // interpolated median, the `percentile(x, 0.5)` definition
+    val sorted = data.map(_._1).sorted
+    val idx = 0.5 * (sorted.length - 1)
+    val l = idx.toInt
+    val thr = sorted(l) + (idx - l) * (sorted(math.min(l + 1,
+      sorted.length - 1)) - sorted(l))
+    val tp1 = data.count { case (x, y) => y && x > thr }.toLong
+    val fp1 = data.count { case (x, y) => !y && x > thr }.toLong
+    val fn1 = data.count { case (x, y) => y && x <= thr }.toLong
+    val tn1 = data.count { case (x, y) => !y && x <= thr }.toLong
+    val rows = MlOps.q159ClassMetrics(spark, Sf).collect()
+      .map(r => r.getAs[Int]("cls") ->
+        (r.getAs[Long]("tp"), r.getAs[Long]("fp"), r.getAs[Long]("fn"),
+          r.getAs[Double]("precision"), r.getAs[Double]("recall"),
+          r.getAs[Double]("f1"))).toMap
+    assert(rows(1)._1 == tp1 && rows(1)._2 == fp1 && rows(1)._3 == fn1)
+    assert(rows(0)._1 == tn1 && rows(0)._2 == fn1 && rows(0)._3 == fp1)
+    rows.values.foreach { case (tp, fp, fn, p, r, f1) =>
+      assert(p == tp.toDouble / (tp + fp))
+      assert(r == tp.toDouble / (tp + fn))
+      val want = 2.0 * (tp.toDouble / (tp + fp)) * (tp.toDouble / (tp + fn)) /
+        ((tp.toDouble / (tp + fp)) + (tp.toDouble / (tp + fn)))
+      assert(f1 == want && f1 >= 0.0 && f1 <= 1.0)
+    }
+  }
 }
