@@ -445,7 +445,45 @@ object EventOps {
       .orderBy("day")
   }
 
+  // ---------------------------------------------------------------- q160
+
+  /** q160 — robust (MAD) outlier report per event type: median and
+    * median-absolute-deviation replace q125's mean/stddev, flagging
+    * values beyond 3·1.4826·MAD — the robust z-score that a heavy-tail
+    * metric stream needs (a single spike inflates a stddev fence and
+    * hides later spikes; the median fence doesn't move). Values
+    * quantize to integer cents first (q125's idiom); both medians are
+    * the sort-based exact `percentile` (hash-proven ≡ DuckDB
+    * `quantile_cont`), and the fence constant is spelled as the same
+    * 3·1.4826 product in both engines so the comparison sees identical
+    * bits. Shape: two per-type percentile aggregates with the
+    * group-sized result broadcast back between them — never a global
+    * sort; the deviation frame re-derives from one checkpointed scan. */
+  def q160RobustOutliers(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("fv"))
+      .localCheckpoint() // consumers: median agg + two deviation passes
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(fv, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("fv").cast(DoubleType) - col("med")).as("dev"))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count_if(col("dev") > lit(3.0) * lit(1.4826) * col("mad"))
+          .as("n_outliers"),
+        (min(col("med")) / 1e2).as("median_value"),
+        (min(col("mad")) / 1e2).as("mad_value"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q160_robust_outliers" -> (q160RobustOutliers _),
     "q142_concurrent_sessions" -> (q142ConcurrentSessions _),
     "q144_asof_nearest" -> (q144AsofNearest _),
     "q147_autocorr" -> (q147Autocorr _),
@@ -466,6 +504,24 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q160_robust_outliers" ->
+      """WITH ev AS (SELECT event_type,
+        |              CAST(floor(value * 100) AS BIGINT) AS fv
+        |            FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT event_type, quantile_cont(fv, 0.5) AS med
+        |        FROM ev GROUP BY event_type),
+        |dev AS (SELECT ev.event_type, med,
+        |          abs(CAST(fv AS DOUBLE) - med) AS dev
+        |        FROM ev JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |        FROM dev GROUP BY event_type)
+        |SELECT dev.event_type, count(*) AS n,
+        |  CAST(sum(CASE WHEN dev > 3e0 * 1.4826e0 * mad
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |  min(med) / 1e2 AS median_value,
+        |  min(mad) / 1e2 AS mad_value
+        |FROM dev JOIN mad USING (event_type)
+        |GROUP BY dev.event_type ORDER BY event_type""".stripMargin,
     "q142_concurrent_sessions" ->
       """WITH iv AS (
         |  SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,

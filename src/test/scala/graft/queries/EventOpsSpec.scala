@@ -172,4 +172,34 @@ class EventOpsSpec extends SparkTestBase {
       .agg(max("r")).collect().head.getLong(0)
     assert(peak == 2L, s"touching intervals must overlap at the boundary: $peak")
   }
+
+  test("q160 robust outliers match a brute-force MAD replica") {
+    // interpolated percentile(v, 0.5), the engines' shared definition
+    def median(v: Seq[Double]): Double = {
+      val s = v.sorted
+      val idx = 0.5 * (s.length - 1)
+      val l = idx.toInt
+      s(l) + (idx - l) * (s(math.min(l + 1, s.length - 1)) - s(l))
+    }
+    val data = graft.Tables.events(spark, Sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("fv"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rows = EventOps.q160RobustOutliers(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getAs[Long]("n")).sum == data.length)
+    rows.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val fv = data.collect { case (et, v) if et == t => v.toDouble }.toSeq
+      val med = median(fv)
+      val dev = fv.map(v => math.abs(v - med))
+      val mad = median(dev)
+      assert(r.getAs[Long]("n") == fv.length)
+      assert(r.getAs[Double]("median_value") == med / 1e2)
+      assert(r.getAs[Double]("mad_value") == mad / 1e2)
+      assert(r.getAs[Long]("n_outliers") ==
+        dev.count(_ > 3.0 * 1.4826 * mad))
+    }
+  }
 }
