@@ -320,6 +320,38 @@ object CorpusOps {
       .limit(50)
   }
 
+  // ------------------------------------------------------------- q161
+
+  /** q161 — per-language Gini concentration of document lengths: the
+    * Lorenz-curve inequality of `n_chars` within each language,
+    * gini = (2·Σᵢ rankᵢ·xᵢ − (n+1)·Σxᵢ) / (n·Σxᵢ) with ranks 1..n
+    * ascending — the corpus-balance audit that tells a curation
+    * pipeline whether a language's token budget is concentrated in a
+    * few giant documents (gini→1) or spread evenly (gini→0). Ranks
+    * tie-break on doc_id, but tied lengths contribute the same Σr·x
+    * under any tie order, so the value is tie-order-independent.
+    * Scale shape: per-language rank windows (range-partitioned sorts
+    * per group — never a global sort) into one group-sized aggregate;
+    * every sum is an exact BIGINT (Σ rank·x overflows only past
+    * ~10¹⁸ — beyond any per-language corpus at 100 TB with chunked
+    * docs), and the one double division runs on integer totals. */
+  def q161GiniLengths(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("lang").orderBy("x", "doc_id")
+    Tables.documents(s, dir)
+      .select(col("lang"), col("doc_id"),
+        col("n_chars").cast(LongType).as("x"))
+      .select(col("lang"), col("x"),
+        row_number().over(w).cast(LongType).as("rk"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("total_chars"),
+        sum(col("rk") * col("x")).as("srx"))
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        ((lit(2L) * col("srx")
+          - (col("n_docs") + 1L) * col("total_chars")).cast(DoubleType)
+          / (col("n_docs") * col("total_chars"))).as("gini"))
+      .orderBy("lang")
+  }
+
   // ------------------------------------------------------------ q131 BM25
 
   /** q131 — BM25 relevance scoring (k1 = 1.2, b = 0.75) of every
@@ -640,7 +672,8 @@ object CorpusOps {
     "q104_zipf_fit" -> (q104ZipfFit _),
     "q105_weighted_sample" -> (q105WeightedSample _),
     "q107_bigram_lm" -> (q107BigramLm _),
-    "q156_collocations" -> (q156Collocations _))
+    "q156_collocations" -> (q156Collocations _),
+    "q161_gini_lengths" -> (q161GiniLengths _))
 
   private val email = EmailPat
   private val phone = PhonePat
@@ -839,6 +872,18 @@ object CorpusOps {
       |  CAST(c12 * n.n_pairs AS DOUBLE) / (c1 * c2) AS lift
       |FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n
       |ORDER BY lift DESC, w1, w2 LIMIT 50""".stripMargin,
+
+    "q161_gini_lengths" -> """
+      |WITH r AS (
+      |  SELECT lang, CAST(n_chars AS BIGINT) AS x,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |      ORDER BY CAST(n_chars AS BIGINT), doc_id) AS BIGINT) AS rk
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(x) AS BIGINT) AS total_chars,
+      |  CAST(2 * sum(rk * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+      |    / (count(*) * sum(x)) AS gini
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     "q136_span_dedup" -> s"""
       |WITH t AS (

@@ -198,4 +198,25 @@ class CorpusOpsSpec extends SparkTestBase {
     val lifts = rows.map(_.getAs[Double]("lift")).toSeq
     assert(lifts == lifts.sorted(Ordering[Double].reverse))
   }
+
+  test("q161 Gini matches a brute-force replica and stays in [0, 1)") {
+    val data = graft.Tables.documents(spark, Sf)
+      .select("lang", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Number](2).longValue))
+    val rows = CorpusOps.q161GiniLengths(spark, Sf).collect()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == data.length)
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val xs = data.filter(_._1 == lang).sortBy(t => (t._3, t._2)).map(_._3)
+      val n = xs.length.toLong
+      val tot = xs.sum
+      val srx = xs.zipWithIndex.map { case (x, i) => (i + 1) * x }.sum
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("total_chars") == tot)
+      val gini = (2.0 * srx - (n + 1) * tot) / (n.toDouble * tot)
+      val got = r.getAs[Double]("gini")
+      assert(math.abs(got - gini) < 1e-12, s"$lang: $got vs $gini")
+      assert(got >= 0.0 && got < 1.0)
+    }
+  }
 }
