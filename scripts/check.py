@@ -34,7 +34,20 @@ def main():
             continue
         try:
             sp = con.sql(f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
-            du = con.sql(oracle[name]).df()
+            rel = con.sql(oracle[name])
+            # permanent type lint: DuckDB promotes sum(BIGINT) to HUGEINT,
+            # and the driver's hash is type-tagged — an INT128 column can
+            # never hash-match Spark's int64 even with identical values
+            # (the sole cause of 3 rounds of phantom red rows, r5-r7).
+            # Fail loudly here so an uncasted aggregate can't ship.
+            bad_types = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                         if str(t).upper() in ("HUGEINT", "INT128", "UHUGEINT")]
+            if bad_types:
+                print(f"FAIL {name}: oracle emits HUGEINT column(s) "
+                      f"{bad_types} — wrap in CAST(... AS BIGINT)")
+                n_fail += 1
+                continue
+            du = rel.df()
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1

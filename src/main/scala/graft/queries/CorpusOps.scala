@@ -971,7 +971,7 @@ object CorpusOps {
       |          AS BIGINT) AS DOUBLE)) AS BIGINT) AS term_scaled
       |  FROM t)
       |SELECT bin, n_v1, n_v2, term_scaled,
-      |  sum(term_scaled) OVER () AS psi_scaled,
+      |  CAST(sum(term_scaled) OVER () AS BIGINT) AS psi_scaled,
       |  CAST(sum(term_scaled) OVER () AS DOUBLE) / 1e6 AS psi
       |FROM u ORDER BY bin""".stripMargin,
 

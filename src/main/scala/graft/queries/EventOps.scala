@@ -224,7 +224,16 @@ object EventOps {
     * double formula is the IDENTICAL expression tree in both engines —
     * bit-identical output. Shape: one shuffle to daily grain (rows =
     * types × days regardless of event volume), one window per type,
-    * two 5-row aggregates. */
+    * two 5-row aggregates.
+    *
+    * Overflow bound: the int64 sufficient statistics require
+    * n·max(v)² < 2^63, i.e. daily fixed-point totals |v| ≲ 3e9·/√days
+    * (at 365 days, |v| < 1.6e8 ⇒ daily raw totals < 1.6e6 at the ×100
+    * quantization). At a corpus where daily totals exceed that, drop
+    * the quantization to ×1 (or pre-scale v by its type-level
+    * magnitude) before fitting — DuckDB promotes to HUGEINT silently
+    * while non-ANSI Spark wraps, so the bound is the cross-engine
+    * contract, not a Spark-only concern. */
   def q147Autocorr(s: SparkSession, dir: String): DataFrame = {
     val daily = Tables.events(s, dir)
       .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))

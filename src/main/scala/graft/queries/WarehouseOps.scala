@@ -234,7 +234,8 @@ object WarehouseOps {
       |  FROM spine s LEFT JOIN daily dd
       |    ON s.user_id = dd.user_id AND s.day = dd.day)
       |SELECT user_id, day,
-      |  max(v_fp) OVER (PARTITION BY user_id, grp) AS v_filled,
+      |  CAST(max(v_fp) OVER (PARTITION BY user_id, grp) AS BIGINT)
+      |    AS v_filled,
       |  is_gap
       |FROM grouped
       |ORDER BY user_id, day""".stripMargin
@@ -264,11 +265,16 @@ object WarehouseOps {
       .select(col("p.a").as("a"), col("p.b").as("b"))
     val supp = li.groupBy(col("l_partkey").as("pk"))
       .agg(count(lit(1)).as("supp"))
+    // NO forced broadcast on the support frames: supp has one row per
+    // distinct part, which grows with the catalog — at 100× a forced
+    // broadcast is a driver/executor memory ceiling (the q37/q87
+    // lesson from r6). AQE still picks broadcast at test SFs because
+    // the frame is tiny; at scale it degrades gracefully to shuffle.
     pairs.groupBy("a", "b").agg(count(lit(1)).as("supp_ab"))
-      .join(broadcast(supp.select(col("pk").as("a"),
-        col("supp").as("supp_a"))), Seq("a"))
-      .join(broadcast(supp.select(col("pk").as("b"),
-        col("supp").as("supp_b"))), Seq("b"))
+      .join(supp.select(col("pk").as("a"), col("supp").as("supp_a")),
+        Seq("a"))
+      .join(supp.select(col("pk").as("b"), col("supp").as("supp_b")),
+        Seq("b"))
       .crossJoin(broadcast(n))
       .select(col("a"), col("b"), col("supp_ab"), col("supp_a"),
         col("supp_b"),

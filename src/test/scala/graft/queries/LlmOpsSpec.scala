@@ -104,6 +104,41 @@ class LlmOpsSpec extends SparkTestBase {
       s"got $rows")
   }
 
+  test("q149 BPE: merge is symbol-boundary-safe (no gluing across a prior merge)") {
+    import spark.implicits._
+    // vocab th:4, the:1, he:2 — round 1 merges (t,h) cnt 5, so "the"
+    // becomes [th, e]. Round 2 picks (h,e) cnt 2 (from "he"); a string
+    // replace of "h<sep>e" would ALSO match inside "th<sep>e", gluing
+    // [th,e] into [the] even though its adjacency is (th,e) not (h,e).
+    // The fold must leave it alone, so round 3 still finds (th,e).
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe2").toString
+    Seq((0L, "en", "fixture", "th th th th the he he", 21))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q149BpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    assert(rows == Seq((1, "t", "h", 5L), (2, "h", "e", 2L),
+      (3, "th", "e", 1L)), s"got $rows")
+  }
+
+  test("q149 BPE: runs of identical symbols merge non-overlapping pairwise") {
+    import spark.implicits._
+    // "aaaa" + (a,a) must become [aa, aa] (textbook greedy) — a
+    // separator-padded replace consumes the shared separator and
+    // yields [aa, a, a], which would flip round 2 to (aa,a)/(a,a)
+    // instead of the correct (aa,aa).
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe3").toString
+    Seq((0L, "en", "fixture", "aaaa", 4))
+      .toDF("doc_id", "lang", "source", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = TextOps.q149BpeMerges(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+    // round 3 has no pairs left ("aaaa" is one symbol) — only 2 rows
+    assert(rows == Seq((1, "a", "a", 3L), (2, "aa", "aa", 1L)), s"got $rows")
+  }
+
   test("q38 simhash: bands decompose the signature") {
     val rows = TextOps.q38Simhash(spark, Sf).collect()
     assert(rows.length == nDocs)
