@@ -491,7 +491,33 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** q163 — batch twin of [[graft.streaming.AggMaintenance]], the
+    * incremental-materialized-view fold: the event log is split into
+    * four deterministic "micro-batches" (event_id mod 4 — standing in
+    * for arrival order), each batch is reduced by the streaming
+    * pipeline's OWN `partial` (count + exact fixed-point sum per
+    * (hour, type)), and the deltas are folded by the streaming view's
+    * OWN `fold`. Because both statistics are additive, the result must
+    * equal the one-shot aggregate — which is exactly what the DuckDB
+    * oracle computes through the same two-level grouping. This gives
+    * the one streaming component without an oracle-checkable twin a
+    * hash-exact check: same code path as the running view, driven by a
+    * batch source. Scale shape: partials are window-count-sized per
+    * batch (never event-sized); the fold is a map-side-combined sum
+    * over (hour, type) keys. */
+  def q163MvMaintenance(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val deltas = (0 until 4).map { b =>
+      graft.streaming.AggMaintenance.partial(
+        ev.filter(pmod(col("event_id"), lit(4)) === b))
+    }.reduce(_ unionAll _)
+    graft.streaming.AggMaintenance.fold(deltas)
+      .select(col("hour_start"), col("event_type"), col("n_events"),
+        col("sum_fp"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q163_mv_maintenance" -> (q163MvMaintenance _),
     "q160_robust_outliers" -> (q160RobustOutliers _),
     "q142_concurrent_sessions" -> (q142ConcurrentSessions _),
     "q144_asof_nearest" -> (q144AsofNearest _),
@@ -513,6 +539,20 @@ object EventOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q163_mv_maintenance" ->
+      """WITH deltas AS (
+        |  SELECT event_id % 4 AS b,
+        |    CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+        |      AS hour_start,
+        |    event_type, count(*) AS n_events,
+        |    CAST(sum(CAST(floor("value" * 1e6) AS BIGINT)) AS BIGINT)
+        |      AS sum_fp
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT hour_start, event_type,
+        |  CAST(sum(n_events) AS BIGINT) AS n_events,
+        |  CAST(sum(sum_fp) AS BIGINT) AS sum_fp
+        |FROM deltas GROUP BY 1, 2
+        |ORDER BY hour_start, event_type""".stripMargin,
     "q160_robust_outliers" ->
       """WITH ev AS (SELECT event_type,
         |              CAST(floor(value * 100) AS BIGINT) AS fv

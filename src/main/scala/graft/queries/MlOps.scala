@@ -239,6 +239,122 @@ object MlOps {
   def q139AnnIvfTrained(s: SparkSession, dir: String): DataFrame =
     annIvfTrained(s, dir, nprobe = 2, k = 10)
 
+  /** IVF→PQ-ADC→exact-re-rank — the composed ANN layout a
+    * trillion-token embedding store actually runs (FAISS's IVFPQ +
+    * refine stage, as three relational steps):
+    *
+    *   1. COARSE: the q135-trained k-means centroids partition the
+    *      corpus into K inverted lists; each query probes its `nprobe`
+    *      nearest lists. Everything downstream sees only the probed
+    *      fraction (n·nprobe/K candidates).
+    *   2. ADC SCAN: candidates are PQ-encoded (q150's 16-code sampled
+    *      codebook, 8 subspaces × 8 dims, 8 bytes per vector) and
+    *      scored against the query's precomputed distance table —
+    *      integer adds, no float vector math, memory ∝ codes not
+    *      vectors. The best `shortlist` per query survive.
+    *   3. REFINE: the shortlist (queries × shortlist rows — tiny)
+    *      joins back to the raw vectors for an exact cosine top-k.
+    *
+    * Scale shape: centroids/codebook/distance tables are model-sized
+    * broadcasts; the corpus is touched by exactly two narrow passes
+    * (coarse assign + PQ encode — in production both are the one-time
+    * index build, written partitioned by `cent_id`); the per-query
+    * scored volume is bounded by the probed fraction, and the exact
+    * re-rank touches `shortlist` vectors per query, never the corpus.
+    * Rows-only in CORRECTNESS (the trained quantizer is
+    * engine-specific); recall@10-gated vs the q40 ground truth in
+    * MlOpsSpec, with the nprobe=K + full-shortlist configuration
+    * asserted EXACTLY equal to brute force. */
+  def ivfPqAnn(s: SparkSession, dir: String, nprobe: Int,
+      shortlist: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (cids, cents, _) = kmeansState(s, dir, Rounds)
+    if (cids.isEmpty) // empty corpus: no index, no results
+      return s.createDataFrame(s.sparkContext.emptyRDD[Row],
+        StructType(Seq(StructField("query_id", LongType),
+          StructField("rk", IntegerType),
+          StructField("cand_id", LongType),
+          StructField("sim", DoubleType))))
+    val centroids = s.createDataFrame(
+      cids.zip(cents).map { case (c, arr) =>
+        (c, arr.map(x => (x.toDouble / 1e6).toFloat))
+      }.toSeq).toDF("cent_id", "cent_vec")
+    def cos(a: Column, b: Column) = VectorOps.cosineNative(s, a, b)
+    val emb = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+    // 1. coarse lists: argmax-by-aggregation assignment (q139's shape)
+    val lists = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("cand_id"), col("c_emb"), col("cent_id"),
+        cos(col("c_emb"), col("cent_vec")).as("csim"))
+      .groupBy("cand_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), col("cent_id") * -1)).as("cent_id"),
+        first(col("c_emb")).as("c_emb"))
+    // 2a. PQ-encode the listed candidates; cent_id rides the explode so
+    // the probe join needs no corpus-sized re-join. min_by aggregation
+    // (map-side combined), not a window — 16 codes collapse per key.
+    val bySub = VectorOps.pqBySub(
+      lists.select(col("cand_id").as("vec_id"),
+        col("c_emb").as("embedding"), col("cent_id")), Seq("cent_id"))
+    val codebook = VectorOps.pqCodebook(bySub)
+    val codes = bySub
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("vec_id").as("cand_id"), col("cent_id"), col("m"),
+        col("k"), VectorOps.pqSqDist.as("d"))
+      .groupBy("cand_id", "cent_id", "m")
+      .agg(min_by(col("k"), struct(col("d"), col("k"))).as("k"))
+    // 2b. probe: each query's nprobe nearest lists
+    val queriesF = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probed = queriesF.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("cent_id"),
+        cos(col("q_emb"), col("cent_vec")).as("csim"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("cent_id"))))
+      .filter(col("crk") <= nprobe)
+      .select("query_id", "cent_id")
+    // 2c. ADC distance table: query × 8 subspaces × 16 codes — exact
+    // integer query-to-code distances, model-sized, broadcast
+    val dtable = VectorOps.pqBySub(
+      queriesF.select(col("query_id").as("vec_id"),
+        col("q_emb").as("embedding")))
+      .join(broadcast(codebook), Seq("m"))
+      .select(col("vec_id").as("query_id"), col("m"), col("k"),
+        VectorOps.pqSqDist.as("d"))
+    // 2d. probe filter FIRST, then ADC: only candidates in probed
+    // lists are ever scored — the plan's corpus-sized side ends here
+    val short = codes
+      .join(broadcast(probed), Seq("cent_id"))
+      .join(broadcast(dtable), Seq("query_id", "m", "k"))
+      .groupBy("query_id", "cand_id")
+      .agg(sum(col("d")).as("adc_dist"))
+      .withColumn("srk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("adc_dist"), col("cand_id"))))
+      .filter(col("srk") <= shortlist)
+      .select("query_id", "cand_id")
+    // 3. exact re-rank of the (queries × shortlist)-sized survivors
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    lists.select("cand_id", "c_emb")
+      .join(broadcast(short), Seq("cand_id"))
+      .join(broadcast(queriesF), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cos(col("q_emb"), col("c_emb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "rk", "cand_id", "sim")
+      .orderBy("query_id", "rk")
+  }
+
+  /** q162 — IVF→PQ→re-rank as registered: nprobe=2 of the K=8 trained
+    * lists, 40-candidate ADC shortlist, exact top-10. Rows-only;
+    * recall-gated in MlOpsSpec at ≥ the q139 gate. */
+  def q162IvfPqAnn(s: SparkSession, dir: String): DataFrame =
+    ivfPqAnn(s, dir, nprobe = 2, shortlist = 40, k = 10)
+
   /** DuckDB oracle for q135: the identical integer trajectory, three
     * rounds unrolled as CTE pairs (assign aᵢ / update cᵢ). */
   private def kmeansOracle: String = {
@@ -467,6 +583,7 @@ object MlOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q135_kmeans" -> (q135Kmeans _),
     "q139_ann_ivf_trained" -> (q139AnnIvfTrained _),
+    "q162_ivf_pq_ann" -> (q162IvfPqAnn _),
     "q158_target_encode" -> (q158TargetEncode _),
     "q159_class_metrics" -> (q159ClassMetrics _),
     "q155_roc_auc" -> (q155RocAuc _))

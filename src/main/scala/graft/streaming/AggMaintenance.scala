@@ -25,8 +25,10 @@ import org.apache.spark.sql.streaming.DataStreamWriter
 object AggMaintenance {
 
   /** Per-batch partial aggregate of the events shape: one row per
-    * (hour_start, event_type) with count + exact fixed-point sum. */
-  private def partial(batch: DataFrame): DataFrame =
+    * (hour_start, event_type) with count + exact fixed-point sum.
+    * Exposed inside the library so the oracle-paired batch twin
+    * (`EventOps.q163MvMaintenance`) runs the IDENTICAL partial. */
+  private[graft] def partial(batch: DataFrame): DataFrame =
     batch.groupBy(date_trunc("hour", col("ts")).as("hour_start"),
       col("event_type"))
       .agg(count(lit(1)).as("n_events"),
@@ -46,12 +48,16 @@ object AggMaintenance {
       }
       .option("checkpointLocation", checkpointDir)
 
-  /** The maintained view: fold the delta log. Identical schema and
-    * values to the one-shot batch aggregate over the same events. */
-  def view(s: SparkSession, storeDir: String): DataFrame =
-    s.read.parquet(storeDir)
-      .groupBy("hour_start", "event_type")
+  /** The fold-on-read over a delta-log frame — factored out so the
+    * batch twin (q163) aggregates through the same code path. */
+  private[graft] def fold(deltas: DataFrame): DataFrame =
+    deltas.groupBy("hour_start", "event_type")
       .agg(sum(col("n_events")).as("n_events"),
         sum(col("sum_fp")).as("sum_fp"))
       .orderBy("hour_start", "event_type")
+
+  /** The maintained view: fold the delta log. Identical schema and
+    * values to the one-shot batch aggregate over the same events. */
+  def view(s: SparkSession, storeDir: String): DataFrame =
+    fold(s.read.parquet(storeDir))
 }

@@ -202,4 +202,19 @@ class EventOpsSpec extends SparkTestBase {
         dev.count(_ > 3.0 * 1.4826 * mad))
     }
   }
+
+  test("q163 delta-log fold equals the one-shot aggregate (additivity)") {
+    // the batch twin splits events into 4 synthetic micro-batches,
+    // runs AggMaintenance's own partial per batch and fold over the
+    // deltas — additivity of count and fixed-point sum means the
+    // result must be EXACTLY the unsplit aggregate
+    val got = EventOps.q163MvMaintenance(spark, Sf).collect()
+      .map(r => (r.get(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val oneShot = graft.streaming.AggMaintenance.partial(
+      graft.Tables.events(spark, Sf)).collect()
+      .map(r => (r.get(0).toString, r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty && got == oneShot)
+  }
 }

@@ -78,6 +78,38 @@ class MlOpsSpec extends SparkTestBase {
     assert(r >= 0.4, s"recall@10 = $r < 0.4")
   }
 
+  test("q162 IVF→PQ→re-rank: probe-all + full shortlist IS the exact top-k") {
+    // with every list probed and a shortlist bigger than the corpus,
+    // the PQ stage filters nothing it shouldn't and the exact re-rank
+    // must reproduce brute force bit-for-bit (same sim ordering)
+    val n = graft.Tables.embeddings(spark, Sf).count().toInt
+    val r = recallAt10(MlOps.ivfPqAnn(spark, Sf, nprobe = 8,
+      shortlist = n, k = 10))
+    assert(r == 1.0, s"exact configuration lost recall: $r")
+  }
+
+  test("q162 IVF→PQ→re-rank clears the recall gate as registered") {
+    // the composed pipeline adds PQ lossiness ON TOP of the q139
+    // coarse filter, but the exact re-rank recovers ordering inside
+    // the shortlist — hold it to the same gate as q139
+    val r = recallAt10(MlOps.q162IvfPqAnn(spark, Sf))
+    assert(r >= 0.4, s"recall@10 = $r < 0.4")
+  }
+
+  test("q162 shortlist bounds candidates per query (ADC prunes)") {
+    // k=10 from a 40-candidate shortlist: no query may return more
+    // than 10 rows, and every returned pair must come from the probed
+    // shortlist — i.e. output is (query × ≤k), never corpus-shaped
+    val rows = MlOps.q162IvfPqAnn(spark, Sf).collect()
+    val perQ = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(perQ.nonEmpty)
+    perQ.foreach { case (q, rs) =>
+      assert(rs.length <= 10, s"query $q returned ${rs.length} rows")
+      val rks = rs.map(_.getAs[Int]("rk")).sorted.toSeq
+      assert(rks == (1 to rs.length), s"query $q ranks not dense: $rks")
+    }
+  }
+
   test("q136 span dedup: planted 8-token duplicate span is found") {
     import java.nio.file.Files
     val dir = Files.createTempDirectory("graft_span").toString

@@ -198,6 +198,23 @@ class WarehouseOpsSpec extends SparkTestBase {
     assert(supports.zip(supports.tail).forall { case (x, y) => x >= y })
   }
 
+  test("q152 has no forced broadcast on the part-keyed support frames") {
+    // supp has one row per distinct part — catalog-sized, so a hard
+    // broadcast() is a memory ceiling at 100×; only the 1-row
+    // n_orders singleton may keep its hint (genuinely constant-size).
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    val plan = WarehouseOps.q152Itemsets(spark, Sf).queryExecution.analyzed
+    val forced = plan.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h
+    }
+    val partKeyed = forced.filter(
+      _.output.exists(a => Set("supp_a", "supp_b", "supp").contains(a.name)))
+    assert(partKeyed.isEmpty,
+      s"forced broadcast of a part-keyed frame in q152: $partKeyed")
+    assert(forced.forall(_.output.exists(_.name == "n_orders")),
+      s"unexpected forced broadcast in q152: $forced")
+  }
+
   test("q157 k-core peel matches an in-memory replica of the 3 rounds") {
     val got = WarehouseOps.q157KcorePeel(spark, Sf).collect()
       .map(r => r.getAs[Long]("part_id") -> r.getAs[Long]("deg")).toMap
