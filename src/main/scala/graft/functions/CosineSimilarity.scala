@@ -470,7 +470,9 @@ object GraftFunctions {
     ("zorder2", classOf[ZOrder2].getName,
       children => ZOrder2(children(0), children(1))),
     ("pcm16_stats", classOf[PcmStats].getName,
-      children => PcmStats(children(0))))
+      children => PcmStats(children(0))),
+    ("jaro_winkler", classOf[JaroWinkler].getName,
+      children => JaroWinkler(children(0), children(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, cls, builder) =>

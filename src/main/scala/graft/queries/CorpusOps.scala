@@ -654,9 +654,77 @@ object CorpusOps {
       .orderBy("lang", "split")
   }
 
+  /** q164 — DSIR importance weighting (Data Selection via Importance
+    * Resampling, Xie et al. 2023 — the published method modern
+    * pretraining curation uses to up-sample target-domain-like data):
+    * documents are featurized as HASHED BIGRAM counts (256 buckets via
+    * the md5Hash32 discipline), two add-one-smoothed bucket LMs are
+    * fit — the TARGET domain (here: `lang='en'`, the stand-in for
+    * "high-quality domain sample") and the RAW corpus — and each doc
+    * scores Σ_b n_b·(ln p̂_target[b] − ln p̂_raw[b]), the
+    * log-likelihood ratio under the two LMs. Top-50 by weight is the
+    * selected batch.
+    *
+    * Exactness: the only transcendental is ln over INTEGER-valued
+    * doubles (counts + smoothing), floor-quantized to 1e6 microunits —
+    * the q145/q131 idiom both engines agree on bit-for-bit — so every
+    * per-doc weight is an exact BIGINT dot product. Scale shape: ONE
+    * corpus-sized shuffle (doc × bucket partial counts, map-side
+    * combined, ≤256 rows per doc); both LMs are 256-row aggregates OF
+    * that frame (model-sized, broadcast back); scoring is a broadcast
+    * join + keyed sum; top-50 is TakeOrdered. At 100 TB the per-doc
+    * count frame is the only big intermediate and it shuffles once. */
+  def q164DsirWeights(s: SparkSession, dir: String): DataFrame = {
+    val B = 256
+    val toks = split(norm(col("text")), " ")
+    val perDoc = Tables.documents(s, dir)
+      .filter(col("text").isNotNull && size(toks) >= 2)
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(1), size(toks) - 1),
+          i => concat(element_at(toks, i), lit(" "),
+            element_at(toks, i + 1)))).as("bg"))
+      .select(col("doc_id"), col("lang"),
+        pmod(md5Hash32(concat(lit("dsir:"), col("bg"))), lit(B.toLong))
+          .as("b"))
+      .groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("n"))
+      // 3 consumers (target LM, raw LM, scoring join): pay the
+      // corpus-sized explode+shuffle once; the frame is ≤256 rows/doc
+      .localCheckpoint()
+    // bucket LMs: 256-key aggregates of the per-doc frame (never a
+    // second corpus scan); missing buckets smooth to ln(1)
+    val buckets = s.range(B).select(col("id").as("b"))
+    def lm(cnts: DataFrame, tag: String): DataFrame = {
+      val tot = cnts.agg(sum(col("nb")).as("tot"))
+      buckets.join(cnts, Seq("b"), "left")
+        .select(col("b"), coalesce(col("nb"), lit(0L)).as("nb"))
+        .crossJoin(broadcast(tot))
+        .select(col("b"),
+          (floor(log(coalesce(col("nb"), lit(0L)).cast(DoubleType) + 1.0)
+            * 1e6).cast(LongType)
+            - floor(log((coalesce(col("tot"), lit(0L)) + B)
+              .cast(DoubleType)) * 1e6).cast(LongType)).as(s"l_$tag"))
+    }
+    val lt = lm(perDoc.filter(col("lang") === "en")
+      .groupBy("b").agg(sum(col("n")).as("nb")), "t")
+    val lr = lm(perDoc.groupBy("b").agg(sum(col("n")).as("nb")), "r")
+    perDoc
+      .join(broadcast(lt), Seq("b"))
+      .join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(first(col("lang")).as("lang"),
+        sum(col("n")).as("n_bigrams"),
+        sum(col("n") * (col("l_t") - col("l_r"))).as("weight_scaled"))
+      .orderBy(col("weight_scaled").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("lang"), col("n_bigrams"),
+        col("weight_scaled"))
+  }
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q164_dsir_weights" -> (q164DsirWeights _),
     "q131_bm25" -> (q131Bm25 _),
     "q134_stopword_prune" -> (q134StopwordPrune _),
     "q136_span_dedup" -> (q136SpanDedup _),
@@ -680,6 +748,49 @@ object CorpusOps {
   private val ip = IpPat
 
   val oracles: Map[String, String] = Map(
+    "q164_dsir_weights" -> s"""
+      |WITH toks AS (
+      |  SELECT doc_id, lang, string_split(${normSql()}, ' ') AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |per_doc AS (
+      |  SELECT doc_id, lang,
+      |    ${hexPoly("md5('dsir:' || bg)")} % 256 AS b,
+      |    count(*) AS n
+      |  FROM (
+      |    SELECT doc_id, lang,
+      |      unnest(list_transform(range(1, len(t)),
+      |        i -> t[i] || ' ' || t[i + 1])) AS bg
+      |    FROM toks WHERE len(t) >= 2)
+      |  GROUP BY 1, 2, 3),
+      |buckets AS (SELECT unnest(range(0, 256)) AS b),
+      |lt AS (
+      |  SELECT buckets.b,
+      |    CAST(floor(ln(CAST(COALESCE(c.nb, 0) + 1 AS DOUBLE)) * 1e6)
+      |      AS BIGINT)
+      |    - CAST(floor(ln(CAST(t.tot + 256 AS DOUBLE)) * 1e6) AS BIGINT)
+      |      AS l_t
+      |  FROM buckets
+      |  LEFT JOIN (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM per_doc
+      |             WHERE lang = 'en' GROUP BY b) c ON buckets.b = c.b
+      |  CROSS JOIN (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS tot
+      |              FROM per_doc WHERE lang = 'en') t),
+      |lr AS (
+      |  SELECT buckets.b,
+      |    CAST(floor(ln(CAST(COALESCE(c.nb, 0) + 1 AS DOUBLE)) * 1e6)
+      |      AS BIGINT)
+      |    - CAST(floor(ln(CAST(t.tot + 256 AS DOUBLE)) * 1e6) AS BIGINT)
+      |      AS l_r
+      |  FROM buckets
+      |  LEFT JOIN (SELECT b, CAST(sum(n) AS BIGINT) AS nb FROM per_doc
+      |             GROUP BY b) c ON buckets.b = c.b
+      |  CROSS JOIN (SELECT CAST(COALESCE(sum(n), 0) AS BIGINT) AS tot
+      |              FROM per_doc) t)
+      |SELECT doc_id, min(lang) AS lang,
+      |  CAST(sum(n) AS BIGINT) AS n_bigrams,
+      |  CAST(sum(n * (l_t - l_r)) AS BIGINT) AS weight_scaled
+      |FROM per_doc JOIN lt USING (b) JOIN lr USING (b)
+      |GROUP BY doc_id
+      |ORDER BY weight_scaled DESC, doc_id LIMIT 50""".stripMargin,
     "q134_stopword_prune" -> s"""
       |WITH docs AS (SELECT doc_id, string_split(${normSql()}, ' ') AS t
       |              FROM documents),

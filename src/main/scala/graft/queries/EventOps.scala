@@ -516,7 +516,58 @@ object EventOps {
         col("sum_fp"))
   }
 
+  /** q166 — OHLC bar resampling: each (event_type, 15-minute bucket)
+    * collapses to open/high/low/close/volume — the downsampling shape
+    * every time-series store runs (financial bars, sensor rollups,
+    * sparkline pre-aggregation). open/close pick the first/last VALUE
+    * by the total (ts, event_id) order via min_by/max_by — picked, not
+    * computed, so the doubles are bit-exact cross-engine with zero
+    * quantization. ONE map-side-combined aggregate to (type × bucket)
+    * grain; no window, no second pass — the 100 TB form. */
+  def q166OhlcBars(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).filter(col("value").isNotNull)
+      .groupBy(col("event_type"),
+        window(col("ts"), "15 minutes").as("w"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("close"),
+        count(lit(1)).as("volume"))
+      .select(col("event_type"), col("w.start").as("bar_start"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("volume"))
+      .orderBy("event_type", "bar_start")
+  }
+
+  /** q167 — CDC latest-wins merge (the MERGE INTO / Debezium-compact
+    * semantic): the event log is read as a change stream keyed by
+    * user_id — every event upserts (event_type, value), 'error'
+    * events act as DELETE tombstones — and the query emits the
+    * compacted CURRENT snapshot: per key, the payload of the
+    * latest-by-(ts, event_id) op, with tombstoned keys absent. ONE
+    * max_by aggregate per key (map-side combined, never a window over
+    * the log), then the tombstone filter — the scalable compaction
+    * shape; q115's SCD2 keeps history, this keeps heads. Values are
+    * picked, not computed → bit-exact. */
+  def q167CdcMerge(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ops"),
+        max_by(struct(col("event_type"), col("value"), col("ts")),
+          struct(col("ts"), col("event_id"))).as("last"))
+      .filter(col("last.event_type") =!= "error")
+      .select(col("user_id"), col("n_ops"),
+        col("last.event_type").as("last_type"),
+        col("last.value").as("last_value"),
+        col("last.ts").as("last_ts"))
+      .orderBy("user_id")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q166_ohlc_bars" -> (q166OhlcBars _),
+    "q167_cdc_merge" -> (q167CdcMerge _),
     "q163_mv_maintenance" -> (q163MvMaintenance _),
     "q160_robust_outliers" -> (q160RobustOutliers _),
     "q142_concurrent_sessions" -> (q142ConcurrentSessions _),
@@ -538,7 +589,36 @@ object EventOps {
     "q46_map_fns" -> (q46MapFns _),
   )
 
+  /** DuckDB arg_min/arg_max (1.0) reject struct ORDER keys, so the
+    * (ts, event_id) total order is encoded as a zero-padded
+    * `epoch_us || event_id` varchar whose lexicographic order equals
+    * the numeric pair order — Spark's max_by(struct(...)) picks the
+    * identical row. */
+  private val ArgKeySql: String =
+    "lpad(CAST(epoch_us(CAST(ts AS TIMESTAMP)) AS VARCHAR), 20, '0')" +
+      " || lpad(CAST(event_id AS VARCHAR), 12, '0')"
+
   val oracles: Map[String, String] = Map(
+    "q166_ohlc_bars" -> s"""
+      |SELECT event_type,
+      |  time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+      |    AS bar_start,
+      |  arg_min("value", $ArgKeySql) AS open,
+      |  max("value") AS high, min("value") AS low,
+      |  arg_max("value", $ArgKeySql) AS close,
+      |  count(*) AS volume
+      |FROM events WHERE "value" IS NOT NULL
+      |GROUP BY 1, 2 ORDER BY event_type, bar_start""".stripMargin,
+    "q167_cdc_merge" -> s"""
+      |WITH heads AS (
+      |  SELECT user_id, count(*) AS n_ops,
+      |    arg_max(struct_pack(t := event_type, v := "value",
+      |                        lts := CAST(ts AS TIMESTAMP)), $ArgKeySql)
+      |      AS l
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, n_ops, l.t AS last_type, l.v AS last_value,
+      |  l.lts AS last_ts
+      |FROM heads WHERE l.t <> 'error' ORDER BY user_id""".stripMargin,
     "q163_mv_maintenance" ->
       """WITH deltas AS (
         |  SELECT event_id % 4 AS b,

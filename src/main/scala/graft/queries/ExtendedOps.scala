@@ -474,7 +474,38 @@ object ExtendedOps {
       .orderBy("grp")
   }
 
+  /** q165 — Jaro-Winkler fuzzy matching via the native
+    * [[graft.functions.JaroWinkler]] kernel: the probabilistic
+    * entity-resolution scorer (q63's levenshtein is edit-COUNT; JW is
+    * the prefix-weighted similarity record-linkage systems actually
+    * rank by — Winkler 1990). Part names within a (brand, size) block
+    * score pairwise; pairs at ≥ 0.88 survive. Blocked, never
+    * all-pairs: candidates exist only inside a block (the q63/q143
+    * posture), and the kernel's arithmetic mirrors DuckDB's
+    * `jaro_winkler_similarity` bit-for-bit (same match-window, greedy
+    * marking, floor-halved transpositions, 0.7 boost threshold — all
+    * probed; see the kernel's scaladoc), so the DOUBLE similarity
+    * itself is hash-verified, not just the pair set. */
+  def q165JaroWinkler(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val p = Tables.part(s, dir)
+      .select(col("p_brand"), col("p_size"), col("p_partkey"),
+        col("p_name"))
+    val a = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("p_brand", "p_size"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("p_brand"), col("p_size"), col("id_a"), col("id_b"),
+        call_function("jaro_winkler", col("name_a"), col("name_b"))
+          .as("jw"))
+      .filter(col("jw") >= 0.88)
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q165_jaro_winkler" -> (q165JaroWinkler _),
     "q124_hll_sketch" -> (q124HllSketch _),
     "q59_grouping_sets" -> (q59GroupingSets _),
     "q60_stats_agg" -> (q60StatsAgg _),
@@ -545,6 +576,15 @@ object ExtendedOps {
         |FROM tf JOIN dfreq USING (term) CROSS JOIN n
         |WHERE dfreq.df >= 25 AND tf.doc_id < 25
         |ORDER BY doc_id, term""".stripMargin,
+    "q165_jaro_winkler" ->
+      """SELECT a.p_brand, a.p_size, a.p_partkey AS id_a,
+        |  b.p_partkey AS id_b,
+        |  jaro_winkler_similarity(a.p_name, b.p_name) AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |  AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88
+        |ORDER BY id_a, id_b""".stripMargin,
     "q63_fuzzy_match" ->
       """SELECT a.c_nationkey, a.c_custkey AS id_a, b.c_custkey AS id_b,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_dist

@@ -219,4 +219,25 @@ class CorpusOpsSpec extends SparkTestBase {
       assert(got >= 0.0 && got < 1.0)
     }
   }
+
+  test("q164 DSIR: target-domain docs dominate the selected batch") {
+    // the importance weight is the log-likelihood ratio between the
+    // target ('en') bucket LM and the raw-corpus LM — so docs whose
+    // hashed-bigram profile matches the target must rank above the
+    // rest. Sanity: the top-50 skews 'en' beyond the corpus base rate,
+    // weights are monotone non-increasing, and n_bigrams is positive.
+    val rows = CorpusOps.q164DsirWeights(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val ws = rows.map(_.getAs[Long]("weight_scaled"))
+    assert(ws.zip(ws.tail).forall { case (a, b) => a >= b }, "not sorted")
+    assert(rows.forall(_.getAs[Long]("n_bigrams") > 0))
+    val docs = graft.Tables.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+    val baseRate = docs.filter(col("lang") === "en").count().toDouble /
+      docs.count()
+    val selRate = rows.count(_.getAs[String]("lang") == "en").toDouble /
+      rows.length
+    assert(selRate > baseRate,
+      s"DSIR must up-select the target domain: $selRate <= $baseRate")
+  }
 }

@@ -217,4 +217,46 @@ class EventOpsSpec extends SparkTestBase {
         (r.getLong(2), r.getLong(3))).toMap
     assert(got.nonEmpty && got == oneShot)
   }
+
+  test("q166 OHLC bars: low <= open,close <= high; volume accounts for every row") {
+    val rows = EventOps.q166OhlcBars(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h, s"OHLC violated: $r")
+      // bar boundaries sit on the 15-minute grid (ts is NTZ ->
+      // LocalDateTime on collect)
+      val b = r.getAs[java.time.LocalDateTime]("bar_start")
+      assert(b.getMinute % 15 == 0 && b.getSecond == 0 && b.getNano == 0)
+    }
+    val n = graft.Tables.events(spark, Sf)
+      .filter(col("value").isNotNull).count()
+    assert(rows.map(_.getAs[Long]("volume")).sum == n)
+  }
+
+  test("q167 CDC merge: tombstoned keys absent, heads are the true latest op") {
+    val rows = EventOps.q167CdcMerge(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    // brute-force replica: latest op per user by (ts, event_id)
+    val latest = graft.Tables.events(spark, Sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .groupBy(_.getAs[Long]("user_id"))
+      .view.mapValues(_.maxBy { r =>
+        val t = r.getAs[java.time.LocalDateTime]("ts")
+        (t.toEpochSecond(java.time.ZoneOffset.UTC), t.getNano,
+          r.getAs[Long]("event_id"))
+      }).toMap
+    val emitted = rows.map(_.getAs[Long]("user_id")).toSet
+    latest.foreach { case (u, r) =>
+      val isTomb = r.getAs[String]("event_type") == "error"
+      assert(emitted.contains(u) != isTomb,
+        s"user $u tombstone=$isTomb emitted=${emitted.contains(u)}")
+    }
+    rows.foreach { r =>
+      val u = r.getAs[Long]("user_id")
+      assert(r.getAs[String]("last_type") ==
+        latest(u).getAs[String]("event_type"))
+    }
+  }
 }

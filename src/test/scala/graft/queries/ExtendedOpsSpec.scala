@@ -155,4 +155,34 @@ class ExtendedOpsSpec extends SparkTestBase {
       }
     }
   }
+
+  test("jaro_winkler kernel matches the published reference values") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val k = graft.functions.JaroWinkler(null, null)
+    def jw(a: String, b: String): Double =
+      k.compute(UTF8String.fromString(a), UTF8String.fromString(b))
+    // classic literature pairs — exact doubles DuckDB also returns
+    assert(jw("MARTHA", "MARHTA") == 0.9611111111111111)
+    assert(jw("DWAYNE", "DUANE") == 0.8400000000000001)
+    assert(jw("DIXON", "DICKSONX") == 0.8133333333333332)
+    // boost threshold: jaro == 2/3 <= 0.7, prefix 3 must NOT boost
+    assert(jw("abcdef", "abcxyz") == 0.6666666666666666)
+    // odd transposition count floors (t = 3/2 -> 1), prefix 0
+    assert(jw("abcdef", "bcadef") == 0.9444444444444445)
+    // DuckDB edge semantics: empty strings are 0-similar, even to
+    // each other; identical strings are 1
+    assert(jw("", "") == 0.0 && jw("", "abc") == 0.0)
+    assert(jw("abc", "abc") == 1.0 && jw("a", "b") == 0.0)
+    // symmetry
+    assert(jw("DIXON", "DICKSONX") == jw("DICKSONX", "DIXON"))
+  }
+
+  test("q165 JW pairs: blocked, ordered, threshold respected") {
+    val rows = ExtendedOps.q165JaroWinkler(spark, Sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      val jw = r.getAs[Double]("jw")
+      assert(jw >= 0.88 && jw <= 1.0)
+    }
+  }
 }
