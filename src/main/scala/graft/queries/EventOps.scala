@@ -565,7 +565,50 @@ object EventOps {
         col("last.ts").as("last_ts"))
       .orderBy("user_id")
 
+  /** q168 — per-series OLS trend detection: each event type's daily
+    * fixed-point total regressed on the day index (x = datediff from
+    * the series' own first day), emitting slope, intercept and R² —
+    * the "is this metric drifting" primitive a monitoring stack runs
+    * over every series every night. The q147 exactness discipline:
+    * x and y are exact BIGINTs, all five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²,​ Σy²) aggregate as exact integers
+    * (order-independent), and slope/intercept/R² are the IDENTICAL
+    * double expression trees in both engines — bit-exact. Shape: one
+    * shuffle to daily grain (types × days rows), one 5-row aggregate;
+    * nothing event-sized past the first groupBy. */
+  def q168TrendOls(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+    val x = datediff(col("day"),
+      min(col("day")).over(Window.partitionBy("event_type")))
+      .cast("long")
+    daily.select(col("event_type"), x.as("x"), col("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("event_type"), col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+          / (col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType)).as("slope"),
+        ((col("sy").cast(DoubleType)
+          - (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+            / (col("n") * col("sxx") - col("sx") * col("sx"))
+              .cast(DoubleType)
+            * col("sx").cast(DoubleType)) / col("n").cast(DoubleType))
+          .as("intercept"),
+        (((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+          * (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType))
+          / ((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+            * (col("n") * col("syy") - col("sy") * col("sy"))
+              .cast(DoubleType))).as("r2"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q168_trend_ols" -> (q168TrendOls _),
     "q166_ohlc_bars" -> (q166OhlcBars _),
     "q167_cdc_merge" -> (q167CdcMerge _),
     "q163_mv_maintenance" -> (q163MvMaintenance _),
@@ -599,6 +642,35 @@ object EventOps {
       " || lpad(CAST(event_id AS VARCHAR), 12, '0')"
 
   val oracles: Map[String, String] = Map(
+    "q168_trend_ols" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |xy AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', min(day) OVER (PARTITION BY event_type),
+        |      day) AS BIGINT) AS x, y
+        |  FROM daily),
+        |st AS (
+        |  SELECT event_type, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM xy GROUP BY event_type)
+        |SELECT event_type, n,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS slope,
+        |  (CAST(sy AS DOUBLE)
+        |    - CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |    / CAST(n AS DOUBLE) AS intercept,
+        |  (CAST(n * sxy - sx * sy AS DOUBLE)
+        |    * CAST(n * sxy - sx * sy AS DOUBLE))
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+        |FROM st ORDER BY event_type""".stripMargin,
     "q166_ohlc_bars" -> s"""
       |SELECT event_type,
       |  time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))

@@ -218,6 +218,32 @@ class EventOpsSpec extends SparkTestBase {
     assert(got.nonEmpty && got == oneShot)
   }
 
+  test("q168 OLS trend agrees with Spark's built-in regr_* aggregates") {
+    val daily = graft.Tables.events(spark, Sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+    val x = datediff(col("day"), min(col("day")).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("event_type")))
+    val ref = daily.select(col("event_type"), x.cast("double").as("x"),
+        col("y").cast("double").as("y"))
+      .groupBy("event_type")
+      .agg(expr("regr_slope(y, x)").as("s"),
+        expr("regr_intercept(y, x)").as("i"),
+        expr("regr_r2(y, x)").as("r"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val rows = EventOps.q168TrendOls(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, i, r2) = ref(r.getString(0))
+      assert(math.abs(r.getAs[Double]("slope") - s) <= 1e-9 * math.abs(s))
+      assert(math.abs(r.getAs[Double]("intercept") - i) <=
+        1e-9 * math.abs(i))
+      assert(math.abs(r.getAs[Double]("r2") - r2) <= 1e-9)
+      assert(r2 >= 0.0 && r2 <= 1.0)
+    }
+  }
+
   test("q166 OHLC bars: low <= open,close <= high; volume accounts for every row") {
     val rows = EventOps.q166OhlcBars(spark, Sf).collect()
     assert(rows.nonEmpty)
