@@ -472,7 +472,9 @@ object GraftFunctions {
     ("pcm16_stats", classOf[PcmStats].getName,
       children => PcmStats(children(0))),
     ("jaro_winkler", classOf[JaroWinkler].getName,
-      children => JaroWinkler(children(0), children(1))))
+      children => JaroWinkler(children(0), children(1))),
+    ("bmp_stats", classOf[BmpStats].getName,
+      children => BmpStats(children(0))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, cls, builder) =>

@@ -721,9 +721,126 @@ object CorpusOps {
         col("weight_scaled"))
   }
 
+  // ---------------------------------------------------------------- q175
+
+  private val CompactTarget = 4000L
+
+  /** q175 — compaction planning (the lakehouse OPTIMIZE primitive):
+    * assign each document ("small file") within its source partition
+    * to a target output file so every file lands near the target size.
+    * The distributed form is next-fit over a size-desc order: one
+    * window sort per source partition, running byte total, bin =
+    * `cum_before div target` — each partition plans independently
+    * (exactly how table-format compaction jobs parallelize; a global
+    * optimal bin-pack is NP-hard AND serial, the running-sum form is
+    * the standard approximation that bounds every bin by
+    * target + max_item). All integers → bit-exact; the second window
+    * reports per-bin fill so the spec can assert the bound. Scale:
+    * two windows over source partitions, no shuffle wider than the
+    * source key — at 100 TB this is per-partition metadata work on
+    * file MANIFESTS, never data. */
+  def q175CompactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val order = Window.partitionBy("source")
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    val cumBefore = coalesce(
+      sum(col("n_chars")).over(
+        order.rowsBetween(Window.unboundedPreceding, -1)),
+      lit(0L))
+    val withBin = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .withColumn("cum", cumBefore)
+      .withColumn("bin_id", expr(s"cum div $CompactTarget"))
+    withBin
+      .withColumn("bin_bytes",
+        sum(col("n_chars")).over(Window.partitionBy("source", "bin_id")))
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        col("bin_id"), col("bin_bytes"))
+      .orderBy("source", "bin_id", "doc_id")
+  }
+
+  private val CompactionPlanSql: String =
+    s"""WITH cumed AS (
+       |  SELECT doc_id, source, n_chars,
+       |    CAST(coalesce(sum(n_chars) OVER (
+       |      PARTITION BY source ORDER BY n_chars DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |      AS BIGINT) AS cum
+       |  FROM documents),
+       |binned AS (
+       |  SELECT doc_id, source, n_chars, cum // $CompactTarget AS bin_id
+       |  FROM cumed)
+       |SELECT doc_id, source, n_chars, bin_id,
+       |  CAST(sum(n_chars) OVER (PARTITION BY source, bin_id) AS BIGINT)
+       |    AS bin_bytes
+       |FROM binned
+       |ORDER BY source, bin_id, doc_id""".stripMargin
+
+  // ---------------------------------------------------------------- q176
+
+  private val AllocSlots = 1000L
+
+  /** q176 — exact stratified allocation by the largest-remainder
+    * method: distribute a fixed budget of sample slots across language
+    * strata proportional to document counts, floors first, then the
+    * leftover slots to the largest remainders (lang as the
+    * deterministic tie-break). This is the EXACT-count complement to
+    * q58's Bernoulli stratified sampling — when the downstream
+    * contract is "exactly N rows, proportionally", hash sampling can't
+    * promise it. Every quantity is integer (`slots·cᵢ` floor-divided
+    * by the corpus total) and the remainder ranking is a window over
+    * the strata-sized frame, so the allocation is bit-exact and sums
+    * to the budget by construction (asserted in spec). Scale: one
+    * count aggregate over the corpus, then windows over a
+    * langs-sized frame — nothing corpus-sized past the first shuffle. */
+  def q176StratifiedAlloc(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+    val total = Window.partitionBy(lit(1))
+    val byRem = Window.partitionBy(lit(1))
+      .orderBy(col("rem").desc, col("lang"))
+    counts
+      .withColumn("c_total", sum(col("n_docs")).over(total))
+      .withColumn("floor_alloc",
+        expr(s"($AllocSlots * n_docs) div c_total"))
+      .withColumn("rem", expr(s"($AllocSlots * n_docs) % c_total"))
+      .withColumn("leftover",
+        lit(AllocSlots) - sum(col("floor_alloc")).over(total))
+      .withColumn("rk", row_number().over(byRem))
+      .select(col("lang"), col("n_docs"),
+        (col("floor_alloc")
+          + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("lang")
+  }
+
+  private val StratifiedAllocSql: String =
+    s"""WITH counts AS (
+       |  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang),
+       |based AS (
+       |  SELECT lang, n_docs,
+       |    CAST(sum(n_docs) OVER () AS BIGINT) AS c_total
+       |  FROM counts),
+       |floored AS (
+       |  SELECT lang, n_docs,
+       |    ($AllocSlots * n_docs) // c_total AS floor_alloc,
+       |    ($AllocSlots * n_docs) % c_total AS rem
+       |  FROM based),
+       |ranked AS (
+       |  SELECT lang, n_docs, floor_alloc,
+       |    $AllocSlots - CAST(sum(floor_alloc) OVER () AS BIGINT)
+       |      AS leftover,
+       |    row_number() OVER (ORDER BY rem DESC, lang) AS rk
+       |  FROM floored)
+       |SELECT lang, n_docs,
+       |  CAST(floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+       |    AS BIGINT) AS alloc
+       |FROM ranked ORDER BY lang""".stripMargin
+
   // ------------------------------------------------------------ registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q175_compaction_plan" -> (q175CompactionPlan _),
+    "q176_stratified_alloc" -> (q176StratifiedAlloc _),
     "q164_dsir_weights" -> (q164DsirWeights _),
     "q131_bm25" -> (q131Bm25 _),
     "q134_stopword_prune" -> (q134StopwordPrune _),
@@ -748,6 +865,8 @@ object CorpusOps {
   private val ip = IpPat
 
   val oracles: Map[String, String] = Map(
+    "q175_compaction_plan" -> CompactionPlanSql,
+    "q176_stratified_alloc" -> StratifiedAllocSql,
     "q164_dsir_weights" -> s"""
       |WITH toks AS (
       |  SELECT doc_id, lang, string_split(${normSql()}, ' ') AS t

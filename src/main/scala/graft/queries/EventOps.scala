@@ -607,7 +607,123 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** q170 — survivorship profile assembly (golden record): one pass
+    * over the event log builds each user's consolidated profile —
+    * lifetime span, latest purchase/view values, last error time,
+    * signup flag — with every "latest" picked by `max_by` over the
+    * total order (ts, event_id) and every per-source attribute scoped
+    * by an aggregate FILTER clause. This is the entity-consolidation
+    * operator of a CDP/feature store: sparse signals from one stream
+    * fold into a dense profile row, nulls arising naturally where a
+    * user never emitted that signal. ONE shuffle on user_id with
+    * map-side partial aggregation (FILTER'd aggregates all combine in
+    * the same hash slot) — no self-joins, nothing event-sized past the
+    * aggregate; the picked doubles/timestamps are row passthroughs, so
+    * the oracle hash-matches bit-exact. */
+  def q170Survivorship(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(
+        expr("count(*)").as("n_events"),
+        expr("min(ts)").as("first_seen"),
+        expr("max(ts)").as("last_seen"),
+        expr("count(*) FILTER (WHERE event_type = 'purchase')")
+          .as("n_purchases"),
+        expr("max_by(value, struct(ts, event_id))" +
+          " FILTER (WHERE event_type = 'purchase')").as("last_purchase_value"),
+        expr("max_by(value, struct(ts, event_id))" +
+          " FILTER (WHERE event_type = 'view')").as("last_view_value"),
+        expr("max(ts) FILTER (WHERE event_type = 'error')").as("last_error_ts"),
+        expr("bool_or(event_type = 'signup')").as("has_signup"))
+      .orderBy("user_id")
+
+  /** q171 — seasonality-adjusted anomaly detection: daily fixed-point
+    * totals per event type, baselined against that type's SAME
+    * day-of-week distribution (retail/traffic data is weekly-periodic;
+    * a plain global z-score would flag every weekend). The flag
+    * predicate is PURE INTEGER — `(n·y − s1)² > 4·(n·s2 − s1²)` is
+    * |z| > 2 cleared of divisions — so which days alert is exactly
+    * reproducible at any parallelism, and the reported z is one
+    * IEEE sqrt+divide over those same integers (bit-exact
+    * cross-engine). Integer bound: |n·y| must stay under ~3e9 for the
+    * square to fit BIGINT — holds through ~sf10 daily totals (ANSI
+    * overflow would fail loudly, not corrupt); rescale the 1e2
+    * fixed-point factor beyond that, as in q147. Shape: one shuffle to
+    * daily grain, then windows over the (type × dow)-keyed frame —
+    * nothing event-sized past the first groupBy. */
+  def q171SeasonalAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+      // Spark weekday() is 0=Monday; +1 matches DuckDB's isodow
+      .withColumn("dow", expr("weekday(day) + 1").cast("long"))
+    val w = Window.partitionBy("event_type", "dow")
+    val n = count(lit(1)).over(w)
+    val s1 = sum(col("y")).over(w)
+    val s2 = sum(col("y") * col("y")).over(w)
+    val num = n * col("y") - s1   // n·(y − mean), integer
+    val den = n * s2 - s1 * s1    // n²·var, integer
+    daily.select(col("event_type"), col("day"), col("dow"), col("y"),
+        num.as("num"), den.as("den"))
+      .filter(col("den") > 0 && col("num") * col("num") > lit(4) * col("den"))
+      .select(col("event_type"), col("day"), col("dow"), col("y"),
+        (col("num").cast(DoubleType)
+          / sqrt(col("den").cast(DoubleType))).as("z"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q172 — behavioral path mining: the most frequent length-3 event
+    * sequences (trigrams) across all users, each user's stream ordered
+    * by the total order (ts, event_id). The funnel-discovery
+    * primitive: q126 checks a GIVEN funnel, this surfaces which paths
+    * exist. One shuffle to user partitions (the window sort), trigrams
+    * emitted map-side by two `lead`s, then a count aggregate over the
+    * trigram-keyed frame — the same shape at any scale, no self-joins.
+    * Top-25 with the full trigram as tie-break → deterministic. */
+  def q172PathTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, dir)
+      .select(col("user_id"), col("event_type").as("t1"),
+        lead(col("event_type"), 1).over(w).as("t2"),
+        lead(col("event_type"), 2).over(w).as("t3"))
+      .filter(col("t3").isNotNull)
+      .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("t1"), col("t2"), col("t3"))
+      .limit(25)
+  }
+
+  /** q174 — salted two-phase aggregation: exact per-event-type totals
+    * computed through an EXPLICIT salt stage — groupBy (type, salt=
+    * event_id%16) partials first, then combine per type. event_type
+    * has 5 values, so at 100 TB a single-phase shuffle hashes the
+    * entire table into 5 reducer keys (the canonical hot-partition
+    * failure); the salt spreads each hot key over 16 reducers and the
+    * second shuffle moves only 5×16 partial rows. Spark's own map-side
+    * partial aggregation usually hides this for algebraic aggregates —
+    * the explicit form is the discipline for when it can't (high
+    *-cardinality side columns defeating hash-map partials, exact
+    * per-key structures, or any `collect_*`-style agg). All partials
+    * are integers → recombination is order-independent and the result
+    * equals the plain GROUP BY bit-exactly, which is precisely what
+    * the oracle (an UNSALTED direct aggregate) proves. The spec
+    * asserts the two-exchange plan shape. */
+  def q174SaltedAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), pmod(col("event_id"), lit(16)).as("salt"))
+      .agg(count(lit(1)).as("c"),
+        sum(floor(col("value") * 100).cast("long")).as("v"),
+        max(col("value")).as("mx"))
+      .groupBy("event_type")
+      .agg(sum(col("c")).as("n_events"),
+        (sum(col("v")).cast(DoubleType) / 100).as("sum_value"),
+        max(col("mx")).as("max_value"))
+      .orderBy("event_type")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q174_salted_agg" -> (q174SaltedAgg _),
+    "q170_survivorship" -> (q170Survivorship _),
+    "q171_seasonal_anomaly" -> (q171SeasonalAnomaly _),
+    "q172_path_trigrams" -> (q172PathTrigrams _),
     "q168_trend_ols" -> (q168TrendOls _),
     "q166_ohlc_bars" -> (q166OhlcBars _),
     "q167_cdc_merge" -> (q167CdcMerge _),
@@ -642,6 +758,58 @@ object EventOps {
       " || lpad(CAST(event_id AS VARCHAR), 12, '0')"
 
   val oracles: Map[String, String] = Map(
+    // deliberately UNSALTED: the oracle proving the salted two-phase
+    // plan is semantics-preserving is the point of q174
+    "q174_salted_agg" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(floor("value" * 1e2) AS BIGINT)) AS DOUBLE) / 1e2
+        |    AS sum_value,
+        |  max("value") AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q170_survivorship" -> s"""
+      |SELECT user_id, count(*) AS n_events,
+      |  min(CAST(ts AS TIMESTAMP)) AS first_seen,
+      |  max(CAST(ts AS TIMESTAMP)) AS last_seen,
+      |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+      |  arg_max("value", $ArgKeySql)
+      |    FILTER (WHERE event_type = 'purchase') AS last_purchase_value,
+      |  arg_max("value", $ArgKeySql)
+      |    FILTER (WHERE event_type = 'view') AS last_view_value,
+      |  max(CAST(ts AS TIMESTAMP))
+      |    FILTER (WHERE event_type = 'error') AS last_error_ts,
+      |  bool_or(event_type = 'signup') AS has_signup
+      |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q171_seasonal_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    isodow(date_trunc('day', CAST(ts AS TIMESTAMP))) AS dow,
+        |    CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2, 3),
+        |st AS (
+        |  SELECT event_type, day, dow, y,
+        |    count(*) OVER w AS n,
+        |    CAST(sum(y) OVER w AS BIGINT) AS s1,
+        |    CAST(sum(y * y) OVER w AS BIGINT) AS s2
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type, dow))
+        |SELECT event_type, day, dow, y,
+        |  CAST(n * y - s1 AS DOUBLE) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+        |    AS z
+        |FROM st
+        |WHERE n * s2 - s1 * s1 > 0
+        |  AND (n * y - s1) * (n * y - s1) > 4 * (n * s2 - s1 * s1)
+        |ORDER BY event_type, day""".stripMargin,
+    "q172_path_trigrams" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS t1,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT t1, t2, t3, count(*) AS cnt
+        |FROM seq WHERE t3 IS NOT NULL
+        |GROUP BY t1, t2, t3
+        |ORDER BY cnt DESC, t1, t2, t3 LIMIT 25""".stripMargin,
     "q168_trend_ols" ->
       """WITH daily AS (
         |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,

@@ -115,9 +115,15 @@ object MultimodalOps {
       conv(hex(bin.substr(lit(pos + i), lit(1))), 16, 10).cast("long")
         * lit(1L << (8 * (n - 1 - i)))).reduce(_ + _)
 
-  /** Zero-fill hex pool: 9408 bytes covers the largest pixel buffer
-    * (64-wide rows padded to 196 bytes × 48 rows). */
-  private val ZeroHex = "00" * 9408
+  /** Pixel-byte pool for BMP rows: bytes alternate 0x01/0x37 with the
+    * pattern RESTARTING at each row start, and row padding is 0xFF —
+    * real non-constant image content whose per-channel sums have a
+    * closed form for the q173 oracle (with ⌈w/2⌉ even and ⌊w/2⌋ odd
+    * row-local offsets per channel), while the 0xFF padding makes any
+    * stride/pad bug in a pixel walk corrupt the sums loudly instead of
+    * silently. 192 bytes covers the widest row (64 px × 3). */
+  private val PixHex = "0137" * 96
+  private val PadHex = "FFFFFF"
 
   /** PCM sample pool for the WAV data chunk: 16-bit LE samples
     * alternating +1000 / −1000 (`E8 03`, `18 FC`) — real non-silent
@@ -156,7 +162,10 @@ object MultimodalOps {
       leHex(imgSize, 4),          // image size
       leHex(lit(2835), 4), leHex(lit(2835), 4), // 72 DPI in px/metre
       leHex(lit(0), 4), leHex(lit(0), 4),       // palette counts
-      lit(ZeroHex).substr(lit(1), imgSize * 2)) // pixel rows
+      array_join(transform(sequence(lit(1), h.cast(IntegerType)),
+        _ => concat(lit(PixHex).substr(lit(1), w * 6),
+          lit(PadHex).substr(lit(1), (rowBytes - w * 3) * 2))),
+        ""))                      // pixel rows: patterned + 0xFF pad
     // WAV: PCM, doc-derived rate/channels/sample count, 16-bit samples
     val rate = element_at(
       array(lit(8000L), lit(16000L), lit(44100L), lit(48000L)),
@@ -293,6 +302,64 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** q173 — image feature extraction over REAL pixel bytes: decodes
+    * every 24bpp pixel of the [[mediaBlobs]] BMPs (offset/width/height
+    * read from the header, rows walked at the 4-byte-aligned stride,
+    * 0xFF padding skipped) and aggregates per-channel byte sums + the
+    * mean pixel byte — actual image decoding, possible without codecs
+    * because BMP stores raw samples. The pixel pattern restarts each
+    * row, so the oracle knows every sum closed-form from doc_id: a
+    * sign/stride/pad bug in the walk breaks the hash match, and
+    * MultimodalSpec cross-checks pixel values against the JDK's own
+    * ImageIO reader. Per-row work is the codegen'd [[graft.functions.BmpStats]]
+    * byte loop (the declarative lambda twin below is the spec's
+    * reference); a pure narrow projection — no shuffle, linear scale. */
+  def q173ImageStats(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val st = col("st")
+    mediaBlobs(s, dir)
+      .select(col("doc_id"), call_function("bmp_stats", col("bmp")).as("st"))
+      .select(col("doc_id"),
+        element_at(st, 1).as("n_pixels"),
+        element_at(st, 2).as("sum_b"),
+        element_at(st, 3).as("sum_g"),
+        element_at(st, 4).as("sum_r"),
+        ((element_at(st, 2) + element_at(st, 3) + element_at(st, 4))
+          .cast("double")
+          / (element_at(st, 1) * 3).cast("double")).as("mean_byte"))
+      .orderBy("doc_id")
+  }
+
+  /** Declarative per-pixel twin of [[graft.functions.BmpStats]] — the
+    * same walk as substr/hex/conv lambdas over a pixel-index sequence.
+    * Spec-only reference implementation (interpreted lambda per pixel,
+    * orders of magnitude slower than the kernel). */
+  private[graft] def imageStatsTwin(s: SparkSession, dir: String): DataFrame = {
+    val bmp = col("bmp")
+    val off = leVal(bmp, 11, 4)
+    val w = leVal(bmp, 19, 4)
+    val h = leVal(bmp, 23, 4)
+    val stride = (w * 3 + 3) - pmod(w * 3 + 3, lit(4))
+    def byteAt(p: Column): Column =
+      conv(hex(bmp.substr((p + 1).cast(IntegerType), lit(1))), 16, 10)
+        .cast("long")
+    def chanSum(c: Int): Column =
+      aggregate(sequence(lit(0L), w * h - 1), lit(0L), (acc, i) => {
+        // Column./ is double division — recover the exact integer
+        // row index from the remainder instead
+        val x = pmod(i, w)
+        val y = ((i - x) / w).cast("long")
+        acc + byteAt(off + y * stride + x * 3 + c)
+      })
+    mediaBlobs(s, dir)
+      .select(col("doc_id"),
+        (w * h).as("n_pixels"),
+        chanSum(0).as("sum_b"),
+        chanSum(1).as("sum_g"),
+        chanSum(2).as("sum_r"))
+      .orderBy("doc_id")
+  }
+
   /** One decoded media record from [[decodePartitions]]. */
   case class DecodedMeta(doc_id: Long, n_bytes: Int, width: Int,
       height: Int, bpp: Int)
@@ -334,6 +401,7 @@ object MultimodalOps {
     "q43_png_decode" -> (q43PngDecode _),
     "q88_media_headers" -> (q88MediaHeaders _),
     "q141_audio_features" -> (q141AudioFeatures _),
+    "q173_image_stats" -> (q173ImageStats _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -363,6 +431,21 @@ object MultimodalOps {
     // the data chunk holds S = ns*ch samples alternating +1000/−1000
     // (odd S ends on +1000) — peak/DC/energy follow closed-form, while
     // the Spark side must READ the signed LE samples out of the bytes
+    // closed form: rows restart the 01/37 pattern; per row the B and R
+    // channels hit ⌈w/2⌉ even offsets (0x01) + ⌊w/2⌋ odd (0x37), the
+    // G channel the reverse; h rows scale the sums.
+    "q173_image_stats" ->
+      """SELECT doc_id,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST((a + 55 * b) * h AS BIGINT) AS sum_b,
+        |  CAST((55 * a + b) * h AS BIGINT) AS sum_g,
+        |  CAST((a + 55 * b) * h AS BIGINT) AS sum_r,
+        |  CAST((2 * (a + 55 * b) + (55 * a + b)) * h AS DOUBLE)
+        |    / CAST(w * h * 3 AS DOUBLE) AS mean_byte
+        |FROM (SELECT doc_id, doc_id % 64 + 1 AS w, doc_id % 48 + 1 AS h,
+        |        (doc_id % 64 + 2) // 2 AS a, (doc_id % 64 + 1) // 2 AS b
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q141_audio_features" ->
       """SELECT doc_id,
         |  CAST(s AS INTEGER) AS n_samples,

@@ -284,6 +284,67 @@ object WarehouseOps {
       .limit(20)
   }
 
+  // ---------------------------------------------------------------- q169
+
+  /** q169 — explicit Bloom-filter semi-join reduction: monthly revenue
+    * of URGENT orders, with the lineitem (fact) side pruned by a Bloom
+    * sketch of the urgent order keys BEFORE the shuffle join. The
+    * build is Spark's own distributed `stat.bloomFilter` treeAggregate
+    * over the filtered dim side; the probe is the native
+    * [[graft.functions.BloomMightContain]] kernel (codegen'd, two
+    * xxhash64 probes per row). At 100 TB this is the semi-join
+    * reduction that ships a megabyte-scale sketch to every scan task
+    * instead of shuffling the full fact table: only the ~20%·(1+fpp)
+    * of lineitem that can join ever leaves the scan stage, and the
+    * sketch size is bounded by the FILTERED dim cardinality (same
+    * class as a broadcast-join build) with fpp an explicit knob. The
+    * false positives the sketch admits are removed by the exact join
+    * downstream, so the composed result is exact and the oracle is the
+    * plain join+agg SQL — a correctness proof that the reduction is
+    * semantics-preserving. WarehouseOpsSpec asserts the probe filter
+    * sits below the join in the physical plan and actually prunes. */
+  def q169BloomJoin(s: SparkSession, dir: String): DataFrame = {
+    val urgent = Tables.orders(s, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_orderkey"), col("o_orderdate"))
+    // driver-side state is the SKETCH, not the data: count + filter
+    // build are both distributed aggregates over the dim side; the
+    // resulting bitset (~1.2 MB per 1M keys at 1% fpp) is the same
+    // driver footprint class as a collected k-means model (q135).
+    val nKeys = urgent.count()
+    // empty build side ⇒ empty join: prune everything without building
+    // a sketch (Spark's bloomFilter NPEs on zero rows)
+    val probe =
+      if (nKeys == 0) lit(false)
+      else {
+        val bf = urgent.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+        val bos = new java.io.ByteArrayOutputStream()
+        bf.writeTo(bos)
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.functions.BloomMightContain(
+            org.apache.spark.sql.graft.Bridge.expr(col("l_orderkey")),
+            bos.toByteArray))
+      }
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      .filter(probe)
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(Relational.dsum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("month")
+  }
+
+  private val BloomJoinSql: String =
+    """SELECT date_trunc('month', o_orderdate) AS month,
+      |  CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 1e2)
+      |    AS BIGINT)) AS DOUBLE) / 1e2 AS revenue,
+      |  count(*) AS n_items
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ---------------------------------------------------------------- q117
 
   /** q117 — Z-order clustering key: the [[graft.functions.ZOrder2]]
@@ -432,6 +493,7 @@ object WarehouseOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_pagerank" -> (q114PageRank _),
+    "q169_bloom_join" -> (q169BloomJoin _),
     "q152_itemsets" -> (q152Itemsets _),
     "q157_kcore_peel" -> (q157KcorePeel _),
     "q122_triangles" -> (q122Triangles _),
@@ -442,6 +504,7 @@ object WarehouseOps {
 
   val oracles: Map[String, String] = Map(
     "q114_pagerank" -> PageRankSql,
+    "q169_bloom_join" -> BloomJoinSql,
     "q152_itemsets" -> """
       |WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
       |sets AS (SELECT l_orderkey, list_sort(list(l_partkey)) AS ps

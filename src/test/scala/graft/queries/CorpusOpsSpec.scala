@@ -240,4 +240,52 @@ class CorpusOpsSpec extends SparkTestBase {
     assert(selRate > baseRate,
       s"DSIR must up-select the target domain: $selRate <= $baseRate")
   }
+
+  test("q175 compaction plan: full coverage, next-fit bin bound holds") {
+    val rows = CorpusOps.q175CompactionPlan(spark, Sf).collect()
+    val nDocs = graft.Tables.documents(spark, Sf).count()
+    assert(rows.length == nDocs, "every document must be assigned once")
+    val byBin = rows.groupBy(r =>
+      (r.getAs[String]("source"), r.getAs[Long]("bin_id")))
+    byBin.foreach { case ((src, bin), g) =>
+      val fill = g.head.getAs[Long]("bin_bytes")
+      assert(fill == g.map(_.getAs[Long]("n_chars")).sum)
+      // next-fit bound: a bin exceeds the target by at most its own
+      // last (smallest, given the desc sort) item
+      val maxItem = g.map(_.getAs[Long]("n_chars")).max
+      assert(fill <= 4000L + maxItem, s"$src bin $bin overfull: $fill")
+    }
+    // bins are contiguous from 0 within each source
+    rows.groupBy(_.getAs[String]("source")).foreach { case (src, g) =>
+      val bins = g.map(_.getAs[Long]("bin_id")).distinct.sorted
+      assert(bins.sameElements(0L until bins.length.toLong),
+        s"$src bins not contiguous: ${bins.mkString(",")}")
+    }
+  }
+
+  test("q176 largest-remainder allocation is exact and proportional") {
+    val rows = CorpusOps.q176StratifiedAlloc(spark, Sf).collect()
+    val total = rows.map(_.getAs[Long]("alloc")).sum
+    assert(total == 1000L, s"allocation must sum to the budget: $total")
+    val cTotal = rows.map(_.getAs[Long]("n_docs")).sum
+    rows.foreach { r =>
+      val fl = 1000L * r.getAs[Long]("n_docs") / cTotal
+      val a = r.getAs[Long]("alloc")
+      assert(a == fl || a == fl + 1,
+        s"${r.getAs[String]("lang")}: alloc $a outside [floor, floor+1]")
+    }
+    // replica: full largest-remainder method in Scala
+    val want = {
+      val base = rows.map(r => (r.getAs[String]("lang"),
+        r.getAs[Long]("n_docs")))
+      val floored = base.map { case (l, n) =>
+        (l, n, 1000L * n / cTotal, 1000L * n % cTotal) }
+      val leftover = 1000L - floored.map(_._3).sum
+      val bump = floored.sortBy(t => (-t._4, t._1)).take(leftover.toInt)
+        .map(_._1).toSet
+      floored.map(t => t._1 -> (t._3 + (if (bump(t._1)) 1L else 0L))).toMap
+    }
+    rows.foreach(r => assert(
+      r.getAs[Long]("alloc") == want(r.getAs[String]("lang"))))
+  }
 }

@@ -244,6 +244,112 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q170 survivorship profile matches a brute-force replica") {
+    // ts is timestamp_ntz → LocalDateTime on collect; compare as epoch
+    def ep(t: java.time.LocalDateTime): Long =
+      t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000
+    val events = graft.Tables.events(spark, Sf)
+      .select("user_id", "event_id", "event_type", "ts", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        ep(r.getAs[java.time.LocalDateTime](3)), r.getDouble(4)))
+    val want = events.groupBy(_._1).map { case (uid, rows) =>
+      def latest(t: String) = {
+        val m = rows.filter(_._3 == t)
+        if (m.isEmpty) None
+        else Some(m.maxBy(r => (r._4, r._2))._5)
+      }
+      uid -> (rows.length.toLong,
+        rows.count(_._3 == "purchase").toLong,
+        latest("purchase"), latest("view"),
+        rows.exists(_._3 == "signup"),
+        rows.exists(_._3 == "error"))
+    }
+    val got = EventOps.q170Survivorship(spark, Sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val uid = r.getAs[Long]("user_id")
+      val (n, nP, lastP, lastV, signup, hasErr) = want(uid)
+      assert(r.getAs[Long]("n_events") == n)
+      assert(r.getAs[Long]("n_purchases") == nP)
+      assert(Option(r.getAs[java.lang.Double]("last_purchase_value"))
+        .map(_.doubleValue) == lastP)
+      assert(Option(r.getAs[java.lang.Double]("last_view_value"))
+        .map(_.doubleValue) == lastV)
+      assert(r.getAs[Boolean]("has_signup") == signup)
+      assert((r.getAs[java.time.LocalDateTime]("last_error_ts") != null)
+        == hasErr)
+    }
+  }
+
+  test("q171 seasonal anomalies: every flagged day clears |z|>2 within its dow group") {
+    val daily = graft.Tables.events(spark, Sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("y"))
+      .withColumn("dow", expr("weekday(day) + 1").cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getAs[java.time.LocalDateTime](1),
+        r.getLong(2), r.getLong(3)))
+    val flagged = EventOps.q171SeasonalAnomaly(spark, Sf).collect()
+    // replica: integer predicate over the same daily frame
+    val want = daily.groupBy(r => (r._1, r._4)).toSeq.flatMap { case (_, g) =>
+      val n = g.length.toLong
+      val s1 = g.map(_._3).sum
+      val s2 = g.map(v => v._3 * v._3).sum
+      g.filter { r =>
+        val num = n * r._3 - s1
+        val den = n * s2 - s1 * s1
+        den > 0 && num * num > 4 * den
+      }
+    }.map(r => (r._1, r._2)).toSet
+    assert(flagged.map(r => (r.getAs[String]("event_type"),
+      r.getAs[java.time.LocalDateTime]("day"))).toSet == want)
+    flagged.foreach(r => assert(math.abs(r.getAs[Double]("z")) > 2.0))
+  }
+
+  test("q172 path trigrams match a brute-force sequence count") {
+    val got = EventOps.q172PathTrigrams(spark, Sf).collect()
+      .map(r => ((r.getString(0), r.getString(1), r.getString(2)),
+        r.getAs[Long]("cnt")))
+    val byUser = graft.Tables.events(spark, Sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0),
+        r.getAs[java.time.LocalDateTime](1)
+          .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+          + r.getAs[java.time.LocalDateTime](1).getNano / 1000,
+        r.getLong(2), r.getString(3)))
+      .groupBy(_._1)
+    val counts = new scala.collection.mutable.HashMap[(String, String, String), Long]()
+      .withDefaultValue(0L)
+    byUser.values.foreach { g =>
+      val seq = g.sortBy(r => (r._2, r._3)).map(_._4)
+      seq.sliding(3).filter(_.length == 3).foreach(t =>
+        counts((t(0), t(1), t(2))) += 1)
+    }
+    val want = counts.toSeq.sortBy { case ((a, b, c), n) => (-n, a, b, c) }
+      .take(25)
+    assert(got.toSeq == want)
+  }
+
+  test("q174 salted two-phase agg equals the direct aggregate, two exchanges") {
+    val got = EventOps.q174SaltedAgg(spark, Sf).collect().map(_.toString)
+    val want = graft.Tables.events(spark, Sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        (sum(floor(col("value") * 100).cast("long")).cast("double") / 100)
+          .as("sum_value"),
+        max(col("value")).as("max_value"))
+      .orderBy("event_type").collect().map(_.toString)
+    assert(got.sameElements(want))
+    // plan shape: the salt stage adds a second aggregate exchange
+    val plan = EventOps.q174SaltedAgg(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert("hashpartitioning".r.findAllIn(plan).size >= 2, plan.take(1500))
+    // the salt expression survives into the first grouping stage
+    // (inlined by the optimizer as a grouping expression)
+    assert(plan.contains("pmod(event_id"), "salt key missing from the plan")
+  }
+
   test("q166 OHLC bars: low <= open,close <= high; volume accounts for every row") {
     val rows = EventOps.q166OhlcBars(spark, Sf).collect()
     assert(rows.nonEmpty)

@@ -98,6 +98,50 @@ class MultimodalSpec extends SparkTestBase {
     }
   }
 
+  test("q173 pixel sums match the closed form and skip the 0xFF padding") {
+    val rows = MultimodalOps.q173ImageStats(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val w = id % 64 + 1
+      val h = id % 48 + 1
+      val a = (w + 1) / 2
+      val b = w / 2
+      assert(r.getAs[Long]("n_pixels") == w * h)
+      // padding is 0xFF: a walk that reads pad bytes inflates sum_b
+      // (the channel nearest the row end) far past this exact value
+      assert(r.getAs[Long]("sum_b") == (a + 55 * b) * h)
+      assert(r.getAs[Long]("sum_g") == (55 * a + b) * h)
+      assert(r.getAs[Long]("sum_r") == (a + 55 * b) * h)
+    }
+  }
+
+  test("q173 kernel is bit-equal to the declarative per-pixel twin") {
+    graft.functions.GraftFunctions.register(spark)
+    val ids = org.apache.spark.sql.functions.col("doc_id") < 40
+    val kernel = MultimodalOps.q173ImageStats(spark, Sf).filter(ids)
+      .select("doc_id", "n_pixels", "sum_b", "sum_g", "sum_r").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val twin = MultimodalOps.imageStatsTwin(spark, Sf).filter(ids).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(kernel.nonEmpty && kernel == twin)
+  }
+
+  test("bmp_stats rejects non-BMP and truncated input instead of guessing") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val junk = Seq(
+      "not an image at all".getBytes("UTF-8"),
+      Array.fill[Byte](10)(0x42),
+      "BM".getBytes("UTF-8") ++ Array.fill[Byte](40)(0)) // truncated header
+    val out = junk.toDF("b")
+      .select(org.apache.spark.sql.functions
+        .call_function("bmp_stats", $"b").as("st")).collect()
+    assert(out.forall(_.isNullAt(0)))
+  }
+
   test("constructed blobs decode with the JDK's own image reader") {
     // javax.imageio is a PUBLIC JDK API and reads BMP: the strongest
     // possible validity check for the constructed bytes — a third,
@@ -112,6 +156,14 @@ class MultimodalSpec extends SparkTestBase {
       assert(img != null, s"ImageIO rejected doc $id's BMP")
       assert(img.getWidth == (id % 64 + 1).toInt)
       assert(img.getHeight == (id % 48 + 1).toInt)
+      // pixel pattern (restarts per row, so every row is identical):
+      // x even → BGR 01,37,01; x odd → 37,01,37 — the JDK reader must
+      // see exactly what the q173 kernel sums
+      for (x <- 0 until img.getWidth) {
+        val want = if (x % 2 == 0) 0xFF013701 else 0xFF370137
+        assert(img.getRGB(x, 0) == want,
+          f"doc $id pixel $x: ${img.getRGB(x, 0)}%08x != $want%08x")
+      }
     }
   }
 }

@@ -215,6 +215,47 @@ class WarehouseOpsSpec extends SparkTestBase {
       s"unexpected forced broadcast in q152: $forced")
   }
 
+  test("q169 bloom reduction is semantics-preserving and actually prunes") {
+    val got = WarehouseOps.q169BloomJoin(spark, Sf).collect().map(_.toString)
+    // the same query with NO bloom prefilter — must be value-identical
+    val urgent = graft.Tables.orders(spark, Sf)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderdate")
+    val want = graft.Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+      .agg((sum(floor(col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * 100)).cast("double") / 100).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("month").collect().map(_.toString)
+    assert(got.sameElements(want))
+    // the probe filter sits in the physical plan (below the join) and
+    // keeps a superset of the true matches but far less than the scan
+    val physical = WarehouseOps.q169BloomJoin(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(physical.contains("bloom_might_contain"),
+      "bloom probe missing from the physical plan")
+    val nKeys = math.max(urgent.count(), 1L)
+    val bf = urgent.stat.bloomFilter("o_orderkey", nKeys, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.BloomMightContain(
+        org.apache.spark.sql.graft.Bridge.expr(col("l_orderkey")),
+        bos.toByteArray))
+    val li = graft.Tables.lineitem(spark, Sf)
+    val total = li.count()
+    val kept = li.filter(probe).count()
+    val trueMatches = li.join(urgent,
+      col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    assert(kept >= trueMatches, "bloom filter dropped a true match")
+    // urgent is ~20% of orders; 1% fpp keeps the pruned side well
+    // under half the scan even with false positives
+    assert(kept < total / 2,
+      s"bloom filter pruned nothing: kept $kept of $total")
+  }
+
   test("q157 k-core peel matches an in-memory replica of the 3 rounds") {
     val got = WarehouseOps.q157KcorePeel(spark, Sf).collect()
       .map(r => r.getAs[Long]("part_id") -> r.getAs[Long]("deg")).toMap
