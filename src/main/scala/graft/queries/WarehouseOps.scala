@@ -491,8 +491,129 @@ object WarehouseOps {
        |GROUP BY part_id ORDER BY deg DESC, part_id""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q177
+
+  private val LpaRounds = 3
+
+  /** q177 — synchronous label propagation (3 fixed rounds) on the q122
+    * degree-bounded co-purchase graph: every node starts in its own
+    * community, and each round adopts the most frequent label among its
+    * neighbors (ties → smallest label — the deterministic tie-break
+    * that makes sync LPA reproducible; vanilla async LPA is
+    * order-dependent and therefore un-oracle-able). The communities
+    * that survive 3 rounds are the densely co-purchased part clusters a
+    * merchandising pipeline feeds into assortment planning.
+    *
+    * Scale shape: per round, one edge-sized join against a node-sized
+    * label frame (AQE broadcasts it while it fits; co-partitioned
+    * shuffle join beyond that), one (node, label) count aggregate with
+    * map-side partials, and one node-partitioned window to argmax —
+    * O(rounds) shuffles of edge-sized data, never all-pairs. Labels are
+    * `localCheckpoint`ed each round so round r+1 re-reads |V| rows
+    * instead of replaying r chained join-window stages (the q114
+    * lineage discipline). All integer → bit-exact; the oracle unrolls
+    * the same 3 rounds as CTEs. */
+  def q177LabelProp(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = sampledCoPurchaseEdges(s, dir)
+    val und = edges.select(col("src").as("n"), col("dst").as("nbr"))
+      .unionAll(edges.select(col("dst").as("n"), col("src").as("nbr")))
+    var labels = und.select(col("n")).distinct()
+      .withColumn("lbl", col("n"))
+      .localCheckpoint()
+    val pick = Window.partitionBy("n")
+      .orderBy(col("c").desc, col("lbl").asc)
+    for (_ <- 1 to LpaRounds) {
+      labels = und
+        .join(labels.withColumnRenamed("n", "nbr"), "nbr")
+        .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(pick))
+        .filter(col("rn") === 1)
+        .select("n", "lbl")
+        .localCheckpoint()
+    }
+    labels.groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"), min(col("n")).as("min_part"))
+      .orderBy(col("n_members").desc, col("community"))
+      .limit(50)
+  }
+
+  private val LabelPropSql: String = {
+    def round(k: Int) =
+      s"""l$k AS (SELECT n, lbl FROM (
+         |  SELECT u.n, l.lbl, count(*) AS c,
+         |    row_number() OVER (PARTITION BY u.n
+         |                       ORDER BY count(*) DESC, l.lbl) AS rn
+         |  FROM und u JOIN l${k - 1} l ON u.nbr = l.n
+         |  GROUP BY u.n, l.lbl) WHERE rn = 1)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |            WHERE l_partkey % 10 = 0),
+       |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |und AS (SELECT src AS n, dst AS nbr FROM e
+       |        UNION ALL SELECT dst, src FROM e),
+       |l0 AS (SELECT DISTINCT n, n AS lbl FROM und),
+       |${(1 to LpaRounds).map(round).mkString(",\n")}
+       |SELECT lbl AS community, count(*) AS n_members,
+       |  min(n) AS min_part
+       |FROM l$LpaRounds GROUP BY lbl
+       |ORDER BY n_members DESC, community LIMIT 50""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q178
+
+  /** q178 — link prediction by common-neighbor count and Jaccard
+    * coefficient: for every NON-adjacent part pair (a < c) sharing at
+    * least one co-purchase neighbor, score cn = |Γ(a) ∩ Γ(c)| and
+    * jac_ppm = ⌊cn·10⁶ / (deg(a)+deg(c)−cn)⌋ — the "customers who
+    * bought these also bought" candidate generator. The 2-path join is
+    * the ONLY pair-producing stage and its volume is Σ_b deg(b)² on the
+    * same degree-bounded subgraph q122 justifies; existing edges are
+    * removed by an anti join (never materializing the complement);
+    * degrees are a node-sized frame AQE broadcasts. Integer cn/deg and
+    * integer-division Jaccard → bit-exact cross-engine. */
+  def q178LinkPredict(s: SparkSession, dir: String): DataFrame = {
+    val edges = sampledCoPurchaseEdges(s, dir)
+    val und = edges.select(col("src").as("n"), col("dst").as("nbr"))
+      .unionAll(edges.select(col("dst").as("n"), col("src").as("nbr")))
+    val deg = und.groupBy("n").agg(count(lit(1)).as("deg"))
+    val cn = und.select(col("n").as("b"), col("nbr").as("a"))
+      .join(und.select(col("n").as("b"), col("nbr").as("c")), "b")
+      .filter(col("a") < col("c"))
+      .groupBy("a", "c").agg(count(lit(1)).as("cn"))
+    cn.join(edges.withColumnsRenamed(Map("src" -> "a", "dst" -> "c")),
+        Seq("a", "c"), "left_anti")
+      .join(deg.select(col("n").as("a"), col("deg").as("deg_a")), "a")
+      .join(deg.select(col("n").as("c"), col("deg").as("deg_c")), "c")
+      .select(col("a"), col("c"), col("cn"), col("deg_a"), col("deg_c"),
+        expr("cn * 1000000L div (deg_a + deg_c - cn)").as("jac_ppm"))
+      .orderBy(col("cn").desc, col("jac_ppm").desc, col("a"), col("c"))
+      .limit(100)
+  }
+
+  private val LinkPredictSql: String =
+    """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+      |            WHERE l_partkey % 10 = 0),
+      |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+      |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+      |und AS (SELECT src AS n, dst AS nbr FROM e
+      |        UNION ALL SELECT dst, src FROM e),
+      |deg AS (SELECT n, count(*) AS deg FROM und GROUP BY n),
+      |cn AS (SELECT p1.nbr AS a, p2.nbr AS c, count(*) AS cn
+      |       FROM und p1 JOIN und p2 ON p1.n = p2.n AND p1.nbr < p2.nbr
+      |       GROUP BY 1, 2),
+      |nonadj AS (SELECT * FROM cn WHERE NOT EXISTS (
+      |  SELECT 1 FROM e WHERE e.src = cn.a AND e.dst = cn.c))
+      |SELECT a, c, cn, da.deg AS deg_a, dc.deg AS deg_c,
+      |  CAST(cn * 1000000 AS BIGINT) // (da.deg + dc.deg - cn) AS jac_ppm
+      |FROM nonadj JOIN deg da ON da.n = nonadj.a
+      |  JOIN deg dc ON dc.n = nonadj.c
+      |ORDER BY cn DESC, jac_ppm DESC, a, c LIMIT 100""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q114_pagerank" -> (q114PageRank _),
+    "q177_label_prop" -> (q177LabelProp _),
+    "q178_link_predict" -> (q178LinkPredict _),
     "q169_bloom_join" -> (q169BloomJoin _),
     "q152_itemsets" -> (q152Itemsets _),
     "q157_kcore_peel" -> (q157KcorePeel _),
@@ -504,6 +625,8 @@ object WarehouseOps {
 
   val oracles: Map[String, String] = Map(
     "q114_pagerank" -> PageRankSql,
+    "q177_label_prop" -> LabelPropSql,
+    "q178_link_predict" -> LinkPredictSql,
     "q169_bloom_join" -> BloomJoinSql,
     "q152_itemsets" -> """
       |WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
