@@ -369,7 +369,19 @@ object CorpusOps {
     * stream), df and the corpus stats are term-count-sized broadcasts,
     * and the only big shuffles are the (doc, term in query) tf
     * aggregate and the doc-length join — both keyed on doc_id. */
-  def q131Bm25(s: SparkSession, dir: String): DataFrame = {
+  def q131Bm25(s: SparkSession, dir: String): DataFrame =
+    bm25PerTerm(s, dir)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_fp")).as("score_fp"))
+      .select(col("doc_id"), col("n_terms"), col("score_fp"),
+        (col("score_fp").cast(DoubleType) / 1e6).as("bm25"))
+      .orderBy("doc_id")
+
+  /** Per-(doc, query-term) BM25 contribution frame — the shared scoring
+    * core of q131 (plain BM25) and q179 (rank fusion). Carries `tf`,
+    * `df`, `n_docs` alongside `contrib_fp` so callers can derive other
+    * lexical scores (q179's tf-idf ranker) without re-scanning. */
+  private def bm25PerTerm(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), split(norm(col("text")), " ").as("t"))
     // both derived frames are tiny relative to the corpus (dl is two
@@ -400,14 +412,91 @@ object CorpusOps {
               col("n_docs").cast(DoubleType) / col("sum_dl").cast(DoubleType))))
       .withColumn("contrib_fp",
         floor(col("idf_fp").cast(DoubleType) * col("tfn")).cast(LongType))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_fp")).as("score_fp"))
-      .select(col("doc_id"), col("n_terms"), col("score_fp"),
-        (col("score_fp").cast(DoubleType) / 1e6).as("bm25"))
-      .orderBy("doc_id")
   }
 
   private val Bm25Terms = Seq("data", "join", "scan")
+
+  // ------------------------------------------------- q179 rank fusion
+
+  private val RrfK = 60L
+  private val RrfDepth = 200
+
+  /** q179 — reciprocal-rank fusion of two lexical retrievers over the
+    * same fixed query (q131's terms): ranker A is BM25, ranker B plain
+    * tf·idf (tf · ⌊ln(N/df)·10⁶⌋ — deliberately NOT length-normalized,
+    * so the two lists genuinely disagree). Each retriever contributes
+    * its top-200 list; fused score = Σ ⌊10⁹/(60+rank)⌋ with a missing
+    * rank contributing 0 — the standard RRF over per-retriever top-K
+    * lists (Cormack et al.), which is exactly how production hybrid
+    * search fuses BM25 with a vector ranker.
+    *
+    * Scale shape: each ranker reduces to its top-K via a distributed
+    * TakeOrderedAndProject (never a global sort of the corpus), and
+    * the only window runs over a K-row frame — single-partition by
+    * construction and K-bounded regardless of corpus size. The fusion
+    * join is K-vs-K. All ranks and contributions are integers → exact
+    * cross-engine; ties break on doc_id inside each ranker. */
+  def q179RankFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perTerm = bm25PerTerm(s, dir).localCheckpoint() // 2 rankers
+    val topA = perTerm.groupBy("doc_id")
+      .agg(sum(col("contrib_fp")).as("score_a"))
+      .orderBy(col("score_a").desc, col("doc_id")).limit(RrfDepth)
+    val topB = perTerm
+      .select(col("doc_id"), (col("tf") *
+        floor(log(col("n_docs").cast(DoubleType) / col("df")) * 1e6)
+          .cast(LongType)).as("c"))
+      .groupBy("doc_id").agg(sum(col("c")).as("score_b"))
+      .orderBy(col("score_b").desc, col("doc_id")).limit(RrfDepth)
+    val ra = topA.select(col("doc_id"), row_number()
+      .over(Window.orderBy(col("score_a").desc, col("doc_id")))
+      .cast(LongType).as("r_bm25"))
+    val rb = topB.select(col("doc_id"), row_number()
+      .over(Window.orderBy(col("score_b").desc, col("doc_id")))
+      .cast(LongType).as("r_tfidf"))
+    ra.join(rb, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_fp",
+        expr(s"coalesce(${1000000000L} div ($RrfK + r_bm25), 0) + " +
+          s"coalesce(${1000000000L} div ($RrfK + r_tfidf), 0)"))
+      .orderBy(col("rrf_fp").desc, col("doc_id"))
+      .limit(50)
+  }
+
+  private val RankFusionSql: String = s"""
+    |WITH docs AS (SELECT doc_id, string_split(${normSql()}, ' ') AS t
+    |              FROM documents),
+    |dl AS (SELECT doc_id, len(t) AS dl FROM docs),
+    |tdq AS (SELECT doc_id, term FROM (SELECT doc_id, unnest(t) AS term FROM docs)
+    |        WHERE term IN ('data', 'join', 'scan')),
+    |tf AS (SELECT doc_id, term, count(*) AS tf FROM tdq GROUP BY 1, 2),
+    |dfr AS (SELECT term, count(DISTINCT doc_id) AS df FROM tdq GROUP BY 1),
+    |stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS sum_dl
+    |          FROM dl),
+    |sc AS (SELECT tf.doc_id, tf, df, n_docs,
+    |  CAST(floor(ln((CAST(n_docs AS DOUBLE) - df + 5e-1)
+    |               / (CAST(df AS DOUBLE) + 5e-1) + 1e0) * 1e6) AS BIGINT)
+    |    AS idf_fp,
+    |  (CAST(tf AS DOUBLE) * 22e-1)
+    |    / (CAST(tf AS DOUBLE) + 12e-1 * (25e-2 + 75e-2 * CAST(dl AS DOUBLE)
+    |       * CAST(n_docs AS DOUBLE) / CAST(sum_dl AS DOUBLE))) AS tfn
+    |  FROM tf JOIN dfr USING (term) JOIN dl ON tf.doc_id = dl.doc_id
+    |  CROSS JOIN stats),
+    |a0 AS (SELECT doc_id,
+    |    CAST(sum(CAST(floor(idf_fp * tfn) AS BIGINT)) AS BIGINT) AS score_a
+    |  FROM sc GROUP BY doc_id ORDER BY score_a DESC, doc_id LIMIT $RrfDepth),
+    |ra AS (SELECT doc_id, CAST(row_number() OVER
+    |    (ORDER BY score_a DESC, doc_id) AS BIGINT) AS r_bm25 FROM a0),
+    |b0 AS (SELECT doc_id, CAST(sum(tf *
+    |      CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1e6) AS BIGINT))
+    |    AS BIGINT) AS score_b
+    |  FROM sc GROUP BY doc_id ORDER BY score_b DESC, doc_id LIMIT $RrfDepth),
+    |rb AS (SELECT doc_id, CAST(row_number() OVER
+    |    (ORDER BY score_b DESC, doc_id) AS BIGINT) AS r_tfidf FROM b0)
+    |SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id, r_bm25, r_tfidf,
+    |  COALESCE(1000000000 // ($RrfK + r_bm25), 0)
+    |    + COALESCE(1000000000 // ($RrfK + r_tfidf), 0) AS rrf_fp
+    |FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+    |ORDER BY rrf_fp DESC, doc_id LIMIT 50""".stripMargin
 
   // ------------------------------------------- q134 stopword pruning
 
@@ -843,6 +932,7 @@ object CorpusOps {
     "q176_stratified_alloc" -> (q176StratifiedAlloc _),
     "q164_dsir_weights" -> (q164DsirWeights _),
     "q131_bm25" -> (q131Bm25 _),
+    "q179_rank_fusion" -> (q179RankFusion _),
     "q134_stopword_prune" -> (q134StopwordPrune _),
     "q136_span_dedup" -> (q136SpanDedup _),
     "q137_k_anonymity" -> (q137KAnonymity _),
@@ -867,6 +957,7 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "q175_compaction_plan" -> CompactionPlanSql,
     "q176_stratified_alloc" -> StratifiedAllocSql,
+    "q179_rank_fusion" -> RankFusionSql,
     "q164_dsir_weights" -> s"""
       |WITH toks AS (
       |  SELECT doc_id, lang, string_split(${normSql()}, ' ') AS t

@@ -288,4 +288,30 @@ class CorpusOpsSpec extends SparkTestBase {
     rows.foreach(r => assert(
       r.getAs[Long]("alloc") == want(r.getAs[String]("lang"))))
   }
+
+  // ---------------------------------------------------------------- q179
+
+  test("q179 rank fusion: bm25 ranks agree with q131, fused score exact") {
+    val bm = CorpusOps.q131Bm25(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_fp")))
+    val rankA = bm.sortBy { case (id, sc) => (-sc, id) }.take(200)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val out = CorpusOps.q179RankFusion(spark, Sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ra = Option(r.getAs[java.lang.Long]("r_bm25")).map(_.toLong)
+      // a doc carries a bm25 rank iff it made ranker A's top-K, and the
+      // rank must equal its position in q131's (score desc, id) order
+      assert(ra == rankA.get(id))
+      val rb = Option(r.getAs[java.lang.Long]("r_tfidf")).map(_.toLong)
+      assert(ra.isDefined || rb.isDefined)
+      val want = ra.map(x => 1000000000L / (60 + x)).getOrElse(0L) +
+        rb.map(x => 1000000000L / (60 + x)).getOrElse(0L)
+      assert(r.getAs[Long]("rrf_fp") == want)
+    }
+    // fused order is (rrf desc, doc_id) — the contract ordering
+    val sc = out.map(r => (r.getAs[Long]("rrf_fp"), r.getAs[Long]("doc_id")))
+    assert(sc.sameElements(sc.sortBy { case (v, id) => (-v, id) }))
+  }
 }
