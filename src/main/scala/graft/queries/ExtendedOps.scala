@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 
@@ -504,8 +505,121 @@ object ExtendedOps {
       .orderBy("id_a", "id_b")
   }
 
+  // ---------------------------------------------------------------- q180
+
+  /** q180 — per-brand skyline (Pareto frontier) on (price ↓, size ↑):
+    * a part is on its brand's frontier iff no same-brand part is
+    * BOTH cheaper-or-equal and larger, with at least one strict — the
+    * "best tradeoff" query every catalog/recommendation surface runs.
+    * The 2-D skyline needs NO pairwise self-join: sort by price and a
+    * running max of size decides dominance — m1 (max size strictly
+    * cheaper) kills rows a cheaper-larger part dominates, m2 (max size
+    * at ≤ price, peers included) kills rows an equal-price-larger part
+    * dominates. O(n log n) per brand vs the O(n²) nested-loop form,
+    * and the windows are PARTITIONED by brand — range-partitioned
+    * per-group sorts, never a global single-partition window. Prices
+    * quantize to integer cents (q125's idiom) → bit-exact. */
+  def q180Skyline(s: SparkSession, dir: String): DataFrame = {
+    val p = Tables.part(s, dir).select(col("p_brand"), col("p_partkey"),
+      floor(col("p_retailprice") * 100).cast("long").as("price_c"),
+      col("p_size"))
+    val w1 = Window.partitionBy("p_brand").orderBy("price_c")
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val w2 = Window.partitionBy("p_brand").orderBy("price_c")
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    p.withColumn("m1", max(col("p_size")).over(w1))
+      .withColumn("m2", max(col("p_size")).over(w2))
+      .filter((col("m1").isNull || col("m1") < col("p_size")) &&
+        col("m2") === col("p_size"))
+      .select(col("p_brand"), col("p_partkey"), col("price_c"), col("p_size"))
+      .orderBy("p_brand", "price_c", "p_partkey")
+  }
+
+  private val SkylineSql: String =
+    """WITH p AS (SELECT p_brand, p_partkey,
+      |    CAST(floor(p_retailprice * 100) AS BIGINT) AS price_c, p_size
+      |  FROM part),
+      |m AS (SELECT *,
+      |    max(p_size) OVER (PARTITION BY p_brand ORDER BY price_c
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m1,
+      |    max(p_size) OVER (PARTITION BY p_brand ORDER BY price_c
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m2
+      |  FROM p)
+      |SELECT p_brand, p_partkey, price_c, p_size FROM m
+      |WHERE (m1 IS NULL OR m1 < p_size) AND m2 = p_size
+      |ORDER BY p_brand, price_c, p_partkey""".stripMargin
+
+  // ---------------------------------------------------------------- q184
+
+  private val ErThreshold = 0.92
+  private val ErRounds = 3
+
+  /** q184 — end-to-end entity resolution: block part names by
+    * (brand, size) — q165's candidate generator — score candidates
+    * with the native Jaro-Winkler kernel, keep pairs ≥ 0.92, and
+    * cluster the match graph with 3 synchronized rounds of min-label
+    * propagation (each node, via a self-loop, keeps its own label and
+    * adopts the smallest label within one hop). The fixed round count
+    * is the distributed posture (q157/q177's discipline): both engines
+    * run the SAME 3 rounds, so results agree even on components whose
+    * diameter exceeds 3. Emits one row per cluster with its canonical
+    * (minimum) id — the survivorship key a downstream golden-record
+    * pass (q170) consumes. All joins are blocked or node-sized;
+    * labels localCheckpoint per round (q177's lineage discipline). */
+  def q184EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val p = Tables.part(s, dir)
+    val a = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("id_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_size"),
+      col("p_partkey").as("id_b"), col("p_name").as("name_b"))
+    val matches = a.join(b.hint("SHUFFLE_HASH"), Seq("p_brand", "p_size"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(call_function("jaro_winkler", col("name_a"), col("name_b"))
+        >= ErThreshold)
+      .select(col("id_a"), col("id_b"))
+      .localCheckpoint() // und + node seed both read it
+    val und = matches.select(col("id_a").as("n"), col("id_b").as("nbr"))
+      .unionAll(matches.select(col("id_b").as("n"), col("id_a").as("nbr")))
+    val nodes = und.select("n").distinct()
+    // self-loop: each node always sees its own current label
+    val undSelf = und.unionAll(nodes.withColumn("nbr", col("n")))
+    var lbl = nodes.withColumn("lbl", col("n")).localCheckpoint()
+    for (_ <- 1 to ErRounds) {
+      lbl = undSelf.join(lbl.withColumnRenamed("n", "nbr"), "nbr")
+        .groupBy("n").agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    lbl.groupBy(col("lbl").as("cluster_id"))
+      .agg(count(lit(1)).as("n_members"), max(col("n")).as("max_id"))
+      .orderBy("cluster_id")
+  }
+
+  private val EntityResolutionSql: String = {
+    def round(k: Int) =
+      s"""l$k AS (SELECT u.n, min(l.lbl) AS lbl
+         |  FROM undself u JOIN l${k - 1} l ON u.nbr = l.n GROUP BY u.n)"""
+        .stripMargin
+    s"""WITH m AS (SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+       |  FROM part a JOIN part b
+       |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       |    AND a.p_partkey < b.p_partkey
+       |  WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= $ErThreshold),
+       |und AS (SELECT id_a AS n, id_b AS nbr FROM m
+       |        UNION ALL SELECT id_b, id_a FROM m),
+       |nodes AS (SELECT DISTINCT n FROM und),
+       |undself AS (SELECT n, nbr FROM und
+       |            UNION ALL SELECT n, n FROM nodes),
+       |l0 AS (SELECT n, n AS lbl FROM nodes),
+       |${(1 to ErRounds).map(round).mkString(",\n")}
+       |SELECT lbl AS cluster_id, count(*) AS n_members, max(n) AS max_id
+       |FROM l$ErRounds GROUP BY lbl ORDER BY cluster_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q165_jaro_winkler" -> (q165JaroWinkler _),
+    "q180_skyline" -> (q180Skyline _),
+    "q184_entity_resolution" -> (q184EntityResolution _),
     "q124_hll_sketch" -> (q124HllSketch _),
     "q59_grouping_sets" -> (q59GroupingSets _),
     "q60_stats_agg" -> (q60StatsAgg _),
@@ -529,6 +643,8 @@ object ExtendedOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q180_skyline" -> SkylineSql,
+    "q184_entity_resolution" -> EntityResolutionSql,
     "q59_grouping_sets" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
         |  coalesce(l_linestatus, 'ALL') AS linestatus,

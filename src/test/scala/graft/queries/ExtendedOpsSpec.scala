@@ -185,4 +185,48 @@ class ExtendedOpsSpec extends SparkTestBase {
       assert(jw >= 0.88 && jw <= 1.0)
     }
   }
+
+  // ---------------------------------------------------------------- q180
+
+  test("q180 skyline matches the O(n²) dominance definition per brand") {
+    val parts = graft.Tables.part(spark, Sf)
+      .select("p_brand", "p_partkey", "p_retailprice", "p_size").collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Long]("p_partkey"),
+        math.floor(r.getAs[Double]("p_retailprice") * 100).toLong,
+        r.getAs[Int]("p_size")))
+    val want = parts.filter { case (b, k, pc, sz) =>
+      !parts.exists { case (b2, k2, pc2, sz2) =>
+        b2 == b && k2 != k && pc2 <= pc && sz2 >= sz &&
+          (pc2 < pc || sz2 > sz)
+      }
+    }.map(t => (t._1, t._2)).toSet
+    val got = ExtendedOps.q180Skyline(spark, Sf).collect()
+      .map(r => (r.getAs[String]("p_brand"), r.getAs[Long]("p_partkey")))
+    assert(got.toSet == want, s"${got.length} frontier vs ${want.size}")
+    assert(got.length == got.toSet.size) // no duplicate emissions
+  }
+
+  // ---------------------------------------------------------------- q184
+
+  test("q184 clusters match 3 rounds of min-label propagation over q165 matches") {
+    // q165 (oracle-verified) at >= 0.92 IS q184's match graph
+    val m = ExtendedOps.q165JaroWinkler(spark, Sf).collect()
+      .filter(_.getAs[Double]("jw") >= 0.92)
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val und = m.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+    val nodes = und.map(_._1).distinct
+    val nbrs = und.groupBy(_._1).map { case (n, v) => n -> v.map(_._2) }
+    var lbl = nodes.map(n => n -> n).toMap
+    for (_ <- 1 to 3)
+      lbl = nodes.map(n => n -> (nbrs(n).map(lbl) :+ lbl(n)).min).toMap
+    val want = lbl.groupBy(_._2).map { case (c, v) =>
+      (c, v.size.toLong, v.keys.max)
+    }.toSet
+    val got = ExtendedOps.q184EntityResolution(spark, Sf).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("max_id"))).toSet
+    assert(got == want, s"${got.size} clusters vs ${want.size}")
+    // canonical ids: every cluster id is its own minimum member
+    got.foreach { case (c, n, mx) => assert(c <= mx && n >= 1) }
+  }
 }
