@@ -481,7 +481,119 @@ object SqlOps {
   def q133ChiSquare(s: SparkSession, dir: String): DataFrame =
     withViews(s, dir).sql(ChiSquareSql)
 
+  // ---------------------------------------------------------------- q181
+
+  /** Day after the dataset's last order date — the "as of" anchor every
+    * recency metric needs; part of the query definition, shared with
+    * the oracle. */
+  private val RfmAnchor = "2001-08-02"
+
+  /** q181 — RFM segmentation: classic recency / frequency / monetary
+    * quintile scoring of purchasing customers, the workhorse customer-
+    * value segmentation of every CRM warehouse. Scores are ntile(5)
+    * WITHIN the customer's market segment (partitioned windows — never
+    * a global single-partition sort) with the conventional polarity
+    * (5 = most recent / most frequent / highest spend) and custkey
+    * tie-breaks, so the quintiles are deterministic in both engines.
+    * Monetary quantizes to integer cents (q125's idiom); the one join
+    * is customer-dim-sized. */
+  def q181Rfm(s: SparkSession, dir: String): DataFrame = {
+    val per = Tables.orders(s, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("monetary_c"))
+    val seg = Tables.customer(s, dir).select(col("c_custkey"),
+      col("c_mktsegment"))
+    val base = per.join(seg, "c_custkey")
+      .withColumn("recency_days",
+        datediff(to_date(lit(RfmAnchor)), col("last_order")).cast("long"))
+    def score(metric: Column, asc: Boolean) = ntile(5).over {
+      val w = Window.partitionBy("c_mktsegment")
+      if (asc) w.orderBy(metric.asc, col("c_custkey"))
+      else w.orderBy(metric.desc, col("c_custkey"))
+    }
+    base
+      .withColumn("r_score", score(col("recency_days"), asc = false))
+      .withColumn("f_score", score(col("frequency"), asc = true))
+      .withColumn("m_score", score(col("monetary_c"), asc = true))
+      .select(col("c_custkey"), col("c_mktsegment"), col("recency_days"),
+        col("frequency"), col("monetary_c"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+          .as("rfm_code"))
+      .orderBy("c_custkey")
+  }
+
+  private val RfmSql: String = s"""
+    |WITH per AS (
+    |  SELECT o_custkey AS c_custkey, max(o_orderdate) AS last_order,
+    |    count(*) AS frequency,
+    |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    |      AS monetary_c
+    |  FROM orders GROUP BY 1),
+    |base AS (
+    |  SELECT per.*, c.c_mktsegment,
+    |    CAST(date_diff('day', CAST(last_order AS DATE),
+    |      DATE '$RfmAnchor') AS BIGINT) AS recency_days
+    |  FROM per JOIN customer c USING (c_custkey))
+    |SELECT c_custkey, c_mktsegment, recency_days, frequency, monetary_c,
+    |  r_score, f_score, m_score,
+    |  r_score * 100 + f_score * 10 + m_score AS rfm_code
+    |FROM (
+    |  SELECT *,
+    |    CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+    |      ORDER BY recency_days DESC, c_custkey) AS INTEGER) AS r_score,
+    |    CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+    |      ORDER BY frequency, c_custkey) AS INTEGER) AS f_score,
+    |    CAST(ntile(5) OVER (PARTITION BY c_mktsegment
+    |      ORDER BY monetary_c, c_custkey) AS INTEGER) AS m_score
+    |  FROM base)
+    |ORDER BY c_custkey""".stripMargin
+
+  // ---------------------------------------------------------------- q182
+
+  /** q182 — weighted median: per return flag, the smallest quantity at
+    * which cumulative revenue weight reaches half the flag's total —
+    * the revenue-weighted "typical order size" (a plain median treats
+    * a $10 and a $10k line identically). Exact, not sketched: one
+    * (flag, qty)-grain pre-aggregate collapses the fact table, then a
+    * flag-partitioned cumulative window over the ≤ |distinct qty|
+    * frame finds the crossing — the two-phase shape that keeps the
+    * window input tiny at any fact-table size. All integer (cents,
+    * floored quantities) → bit-exact. */
+  def q182WeightedMedian(s: SparkSession, dir: String): DataFrame = {
+    val g = Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag").as("flag"),
+        floor(col("l_quantity")).cast("long").as("q"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("w"))
+    val wc = Window.partitionBy("flag").orderBy("q")
+    val wt = Window.partitionBy("flag")
+    g.withColumn("cw", sum(col("w")).over(wc))
+      .withColumn("tw", sum(col("w")).over(wt))
+      .filter(col("cw") * 2 >= col("tw"))
+      .groupBy("flag")
+      .agg(min(col("q")).as("wmedian_qty"), min(col("tw")).as("total_cents"))
+      .orderBy("flag")
+  }
+
+  private val WeightedMedianSql: String =
+    """WITH g AS (
+      |  SELECT l_returnflag AS flag, CAST(floor(l_quantity) AS BIGINT) AS q,
+      |    CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      |      AS w
+      |  FROM lineitem GROUP BY 1, 2),
+      |c AS (SELECT flag, q, w,
+      |    CAST(sum(w) OVER (PARTITION BY flag ORDER BY q) AS BIGINT) AS cw,
+      |    CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      |  FROM g)
+      |SELECT flag, min(q) AS wmedian_qty, CAST(min(tw) AS BIGINT)
+      |  AS total_cents
+      |FROM c WHERE cw * 2 >= tw GROUP BY flag ORDER BY flag""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q181_rfm" -> (q181Rfm _),
+    "q182_weighted_median" -> (q182WeightedMedian _),
     "q132_winsorize" -> (q132Winsorize _),
     "q133_chi_square" -> (q133ChiSquare _),
     "q89_correlated_scalar" -> (q89CorrelatedScalar _),
@@ -503,6 +615,8 @@ object SqlOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q181_rfm" -> RfmSql,
+    "q182_weighted_median" -> WeightedMedianSql,
     "q132_winsorize" -> WinsorizeSql,
     "q133_chi_square" -> ChiSquareSql,
     // q89/q90/q92: the SAME SQL text Spark executed

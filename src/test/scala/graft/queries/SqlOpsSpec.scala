@@ -263,4 +263,67 @@ class SqlOpsSpec extends SparkTestBase {
     assert(plan.contains("LeftAnti"), s"no anti join in plan:\n${plan.take(800)}")
     assert(!plan.contains("CartesianProduct"), "cartesian fallback in q151 plan")
   }
+
+  // ---------------------------------------------------------------- q181
+
+  test("q181 RFM scores replicate ntile(5) exactly per segment") {
+    val out = SqlOps.q181Rfm(spark, Sf).collect()
+    assert(out.nonEmpty)
+    // exact ntile replica: bucket i (1-based) over n rows in sorted
+    // order has size n/5 + (i <= n%5)
+    def ntile5(sorted: Seq[Long]): Map[Long, Int] = {
+      val n = sorted.length
+      sorted.zipWithIndex.map { case (k, i) =>
+        // rank i (0-based) → bucket via the standard ntile split
+        val big = n % 5; val small = n / 5
+        val b = if (i < big * (small + 1)) i / (small + 1)
+        else big + (i - big * (small + 1)) / small
+        k -> (b + 1)
+      }.toMap
+    }
+    out.groupBy(_.getAs[String]("c_mktsegment")).foreach { case (_, rows) =>
+      val r = ntile5(rows.sortBy(x =>
+        (-x.getAs[Long]("recency_days"), x.getAs[Long]("c_custkey")))
+        .map(_.getAs[Long]("c_custkey")).toSeq)
+      val f = ntile5(rows.sortBy(x =>
+        (x.getAs[Long]("frequency"), x.getAs[Long]("c_custkey")))
+        .map(_.getAs[Long]("c_custkey")).toSeq)
+      val m = ntile5(rows.sortBy(x =>
+        (x.getAs[Long]("monetary_c"), x.getAs[Long]("c_custkey")))
+        .map(_.getAs[Long]("c_custkey")).toSeq)
+      rows.foreach { x =>
+        val k = x.getAs[Long]("c_custkey")
+        assert(x.getAs[Int]("r_score") == r(k))
+        assert(x.getAs[Int]("f_score") == f(k))
+        assert(x.getAs[Int]("m_score") == m(k))
+        assert(x.getAs[Int]("rfm_code") ==
+          r(k) * 100 + f(k) * 10 + m(k))
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- q182
+
+  test("q182 weighted median matches the brute-force crossing point") {
+    val li = graft.Tables.lineitem(spark, Sf)
+      .select("l_returnflag", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getAs[String]("l_returnflag"),
+        math.floor(r.getAs[Double]("l_quantity")).toLong,
+        math.floor(r.getAs[Double]("l_extendedprice") * 100).toLong))
+    val want = li.groupBy(_._1).map { case (flag, rows) =>
+      val byQ = rows.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val total = byQ.map(_._2).sum
+      var cum = 0L
+      val med = byQ.find { case (_, w) => cum += w; cum * 2 >= total }.get._1
+      flag -> ((med, total))
+    }
+    val got = SqlOps.q182WeightedMedian(spark, Sf).collect()
+    assert(got.length == want.size)
+    got.foreach { r =>
+      val (med, total) = want(r.getAs[String]("flag"))
+      assert(r.getAs[Long]("wmedian_qty") == med)
+      assert(r.getAs[Long]("total_cents") == total)
+    }
+  }
 }
