@@ -927,7 +927,51 @@ object CorpusOps {
 
   // ------------------------------------------------------------ registry
 
+  // ---------------------------------------------------- q188 hashing trick
+
+  /** q188 — feature-hashing vectorizer audit (the "hashing trick",
+    * Weinberger et al., ICML 2009): every token maps to one of 64
+    * buckets via the shared md5 discipline, and the report shows each
+    * (lang, bucket)'s token mass and how many DISTINCT terms collided
+    * into it — exactly the collision/occupancy audit run before fixing
+    * a hashed-feature dimensionality for a linear model or a
+    * hashed-embedding table. No vocabulary is ever materialized (the
+    * point of the trick at 100 TB: the feature space is fixed-width
+    * regardless of corpus vocabulary growth).
+    *
+    * Shape: one explode + ONE shuffle on the (lang, bucket, token)
+    * grain (count-distinct expands to Spark's standard two-phase
+    * aggregate with map-side partials); output is langs × 64 rows.
+    * All counts integer → bit-exact cross-engine. */
+  def q188FeatureHash(s: SparkSession, dir: String): DataFrame = {
+    val B = 64
+    Tables.documents(s, dir)
+      .filter(col("text").isNotNull)
+      .select(col("lang"), explode(split(norm(col("text")), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .select(col("lang"), col("tok"),
+        pmod(md5Hash32(concat(lit("fh:"), col("tok"))), lit(B.toLong))
+          .as("b"))
+      .groupBy("lang", "b")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct(col("tok")).as("n_terms"))
+      .orderBy("lang", "b")
+  }
+
+  private val FeatureHashSql: String =
+    s"""WITH toks AS (
+       |  SELECT lang, unnest(string_split(${normSql()}, ' ')) AS tok
+       |  FROM documents WHERE text IS NOT NULL),
+       |h AS (
+       |  SELECT lang, tok,
+       |    ${hexPoly("md5('fh:' || tok)")} % 64 AS b
+       |  FROM toks WHERE tok <> '')
+       |SELECT lang, b, count(*) AS n_tokens,
+       |  CAST(count(DISTINCT tok) AS BIGINT) AS n_terms
+       |FROM h GROUP BY 1, 2 ORDER BY lang, b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q188_feature_hash" -> (q188FeatureHash _),
     "q175_compaction_plan" -> (q175CompactionPlan _),
     "q176_stratified_alloc" -> (q176StratifiedAlloc _),
     "q164_dsir_weights" -> (q164DsirWeights _),
@@ -955,6 +999,7 @@ object CorpusOps {
   private val ip = IpPat
 
   val oracles: Map[String, String] = Map(
+    "q188_feature_hash" -> FeatureHashSql,
     "q175_compaction_plan" -> CompactionPlanSql,
     "q176_stratified_alloc" -> StratifiedAllocSql,
     "q179_rank_fusion" -> RankFusionSql,

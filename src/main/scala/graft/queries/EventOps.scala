@@ -719,7 +719,185 @@ object EventOps {
         max(col("mx")).as("max_value"))
       .orderBy("event_type")
 
+  /** q186 — CUSUM change-point detection over daily fixed-point totals
+    * per event type: the one-sided cumulative-sum statistics
+    * s⁺ᵢ = max(0, s⁺ᵢ₋₁ + dᵢ) and s⁻ᵢ = max(0, s⁻ᵢ₋₁ − dᵢ) that flag a
+    * sustained mean shift long before any single day trips a z-score —
+    * the classic SPC monitor a metrics platform runs per series.
+    *
+    * The recurrence looks inherently sequential, but unrolls exactly:
+    * s⁺ᵢ = Pᵢ − min₀≤ⱼ≤ᵢ Pⱼ where Pᵢ is the prefix sum of dᵢ (and s⁻
+    * symmetrically with a running max), so the whole statistic is TWO
+    * stacked window functions over one day-grain partition — one
+    * shuffle on event_type, no self-joins, no driver loop, and it
+    * parallelizes over series exactly like any windowed aggregate.
+    *
+    * Exactness: deviations are mean-centered WITHOUT division —
+    * dᵢ = n·xᵢ − Σx (everything scaled by the series length n) — so
+    * every value in the pipeline is an exact BIGINT and both engines
+    * agree bit-for-bit. The alarm fires when the accumulated drift
+    * exceeds one mean-day of volume (s⁺ > Σx, i.e. Σ(xⱼ−μ) > μ in
+    * unscaled units). Integer bound: |n·xᵢ| ≤ 31·(daily fp total),
+    * far under 2⁶³ through sf100 (same budget as q171). */
+  def q186Cusum(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val toDay = Window.partitionBy("event_type").orderBy("day")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("x"))
+      .withColumn("n", count(lit(1)).over(byType))
+      .withColumn("sx", sum(col("x")).over(byType))
+      .withColumn("d", col("n") * col("x") - col("sx"))
+      .withColumn("p", sum(col("d")).over(toDay))
+      .withColumn("cusum_pos", col("p") - least(min(col("p")).over(toDay), lit(0L)))
+      .withColumn("cusum_neg", greatest(max(col("p")).over(toDay), lit(0L)) - col("p"))
+      .select(col("event_type"), col("day"), col("x").as("v_fp"),
+        col("cusum_pos"), col("cusum_neg"),
+        (col("cusum_pos") > col("sx")).as("alarm_up"),
+        (col("cusum_neg") > col("sx")).as("alarm_down"))
+      .orderBy("event_type", "day")
+  }
+
+  /** q187 — CUPED experiment readout (Controlled-experiment Using
+    * Pre-Existing Data, Deng et al., WSDM 2013): each user's
+    * post-period spend is variance-adjusted by their own pre-period
+    * spend — ŷ = y − θ(x − x̄), θ = cov(x,y)/var(x) — which shrinks
+    * metric variance by ρ² and is the standard sensitivity lever of
+    * every large experimentation platform. Arms are a deterministic
+    * user_id % 2 split; the pre/post cut is day 16 of the 30-day
+    * window.
+    *
+    * Shape: one user-grain aggregate (conditional sums — the only
+    * event-sized shuffle), then a 6-integer pooled aggregate and a
+    * 2-row per-arm aggregate, joined by a broadcast-trivial cross of
+    * one scalar row. Exactness: x/y are fixed-point BIGINTs and all
+    * sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) aggregate as
+    * exact integers; θ, x̄, ρ² and the adjusted means are IDENTICAL
+    * double expression trees over those integers in both engines —
+    * bit-exact (the q168/q147 discipline). Integer bound: n·Σx² must
+    * stay under 2⁶³ — holds through ~sf10 at the 1e2 quantization;
+    * rescale to 1e1 beyond (q147's documented budget). */
+  def q187Cuped(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val fv = floor(col("value") * 100).cast("long")
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(sum(when(col("ts") < cut, fv).otherwise(0L)).as("x"),
+        sum(when(col("ts") >= cut, fv).otherwise(0L)).as("y"))
+      .withColumn("arm", pmod(col("user_id"), lit(2)))
+    val pooled = perUser.agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"),
+      sum(col("y") * col("y")).as("syy"))
+    val arms = perUser.groupBy("arm")
+      .agg(count(lit(1)).as("n_users"), sum(col("x")).as("sx_a"),
+        sum(col("y")).as("sy_a"))
+    val c = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+    val v = (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+    val vy = (col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType)
+    val theta = c / v
+    val xbar = col("sx").cast(DoubleType) / col("n").cast(DoubleType)
+    val meanY = col("sy_a").cast(DoubleType) / col("n_users").cast(DoubleType)
+    val meanX = col("sx_a").cast(DoubleType) / col("n_users").cast(DoubleType)
+    arms.crossJoin(pooled)
+      .select(col("arm"), col("n_users"),
+        (meanY / 100.0).as("mean_y"),
+        ((meanY - theta * (meanX - xbar)) / 100.0).as("mean_y_cuped"),
+        theta.as("theta"), ((c * c) / (v * vy)).as("rho2"))
+      .orderBy("arm")
+  }
+
+  /** q189 — maximum drawdown per series: over each event type's
+    * cumulative daily fixed-point total, the largest peak-to-trough
+    * decline and the (first) day it bottomed — the risk statistic
+    * finance and SLO dashboards compute over every equity curve /
+    * error-budget burn line. Two stacked windows (running sum, running
+    * max) + one whole-partition max and a filter — one shuffle on
+    * event_type, day-grain data only past the first aggregate; no
+    * self-joins. All integer → bit-exact cross-engine; tie on equal
+    * drawdowns broken by earliest day in both engines. */
+  def q189Drawdown(s: SparkSession, dir: String): DataFrame = {
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val all = Window.partitionBy("event_type")
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+      .withColumn("cum", sum(col("v")).over(byDay))
+      .withColumn("peak", max(col("cum")).over(byDay))
+      .withColumn("dd", col("peak") - col("cum"))
+      .withColumn("max_dd", max(col("dd")).over(all))
+      .filter(col("dd") === col("max_dd"))
+      .groupBy("event_type")
+      .agg(max(col("max_dd")).as("max_drawdown_fp"),
+        min(col("day")).as("trough_day"))
+      .orderBy("event_type")
+  }
+
+  /** q190 — signup→purchase conversion-lag quartiles per signup-week
+    * cohort: per user, the delay from first signup to first subsequent
+    * purchase; converters are quartiled WITHIN their signup week
+    * (ntile over the exact (lag, user) order — deterministic ties),
+    * and each (cohort, quartile) cell reports its population and exact
+    * integer-second boundaries. The time-to-convert distribution
+    * behind activation dashboards and funnel SLAs. Partitioning the
+    * rank by cohort is the scale posture (q181's quintile discipline):
+    * no global sort ever materializes — each week's converters rank
+    * independently, so the window parallelizes across cohorts at any
+    * corpus size. Shape: one user-grain aggregate (conditional min —
+    * the only event-sized shuffle), a purchase-side min-join, then a
+    * cohort-partitioned ntile and a tiny matrix aggregate. All
+    * integer → bit-exact. */
+  def q190ConversionLag(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(min(when(col("event_type") === "signup", col("ts"))).as("s0"))
+    val firstBuy = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .join(perUser.filter(col("s0").isNotNull), "user_id")
+      .filter(col("ts") >= col("s0"))
+      .groupBy("user_id")
+      .agg((unix_timestamp(min(col("ts")))
+        - unix_timestamp(first(col("s0")))).as("lag_s"),
+        date_trunc("week", first(col("s0"))).cast("date").as("cohort_week"))
+    firstBuy
+      .withColumn("quartile", ntile(4).over(Window
+        .partitionBy("cohort_week").orderBy(col("lag_s"), col("user_id"))))
+      .groupBy("cohort_week", "quartile")
+      .agg(count(lit(1)).as("n_users"), min(col("lag_s")).as("min_lag_s"),
+        max(col("lag_s")).as("max_lag_s"), sum(col("lag_s")).as("sum_lag_s"))
+      .orderBy("cohort_week", "quartile")
+  }
+
+  /** q191 — last-touch conversion attribution: each purchase credits
+    * the user's most recent PRIOR non-purchase event (the marketing
+    * "last touch wins" model), and revenue rolls up by crediting touch
+    * type; purchases with no prior touchpoint credit 'none'. One
+    * keyed window (conditional `last(..., ignoreNulls)` over the
+    * (ts, event_id) total order — the same carry-forward shape as
+    * q116's LOCF) + a 5-row aggregate: ONE event-sized shuffle, no
+    * self-joins, parallel across users at any scale. Counts and
+    * fixed-point revenue are integers → bit-exact cross-engine. */
+  def q191Attribution(s: SparkSession, dir: String): DataFrame = {
+    val before = Window.partitionBy("user_id")
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, dir)
+      .withColumn("touch", last(
+        when(col("event_type") =!= "purchase", col("event_type")),
+        ignoreNulls = true).over(before))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(floor(col("value") * 100).cast("long")).as("revenue_fp"))
+      .orderBy("touch_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q191_attribution" -> (q191Attribution _),
+    "q189_drawdown" -> (q189Drawdown _),
+    "q190_conversion_lag" -> (q190ConversionLag _),
+    "q187_cuped" -> (q187Cuped _),
+    "q186_cusum" -> (q186Cusum _),
     "q174_salted_agg" -> (q174SaltedAgg _),
     "q170_survivorship" -> (q170Survivorship _),
     "q171_seasonal_anomaly" -> (q171SeasonalAnomaly _),
@@ -758,6 +936,123 @@ object EventOps {
       " || lpad(CAST(event_id AS VARCHAR), 12, '0')"
 
   val oracles: Map[String, String] = Map(
+    "q191_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, "value",
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS touch
+        |  FROM events)
+        |SELECT COALESCE(touch, 'none') AS touch_type,
+        |  count(*) AS n_conversions,
+        |  CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT)
+        |    AS revenue_fp
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY touch_type""".stripMargin,
+    "q189_drawdown" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, day, CAST(sum(v) OVER w AS BIGINT) AS cum
+        |  FROM daily WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |p AS (
+        |  SELECT event_type, day,
+        |    max(cum) OVER w - cum AS dd
+        |  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |m AS (
+        |  SELECT event_type, day, dd,
+        |    max(dd) OVER (PARTITION BY event_type) AS max_dd
+        |  FROM p)
+        |SELECT event_type, CAST(max(max_dd) AS BIGINT) AS max_drawdown_fp,
+        |  min(day) AS trough_day
+        |FROM m WHERE dd = max_dd
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q190_conversion_lag" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup'
+        |        THEN CAST(ts AS TIMESTAMP) END) AS s0
+        |  FROM events GROUP BY 1),
+        |fb AS (
+        |  SELECT e.user_id,
+        |    CAST(date_diff('second', min(pu.s0),
+        |      min(CAST(e.ts AS TIMESTAMP))) AS BIGINT) AS lag_s,
+        |    CAST(date_trunc('week', min(pu.s0)) AS DATE) AS cohort_week
+        |  FROM events e JOIN pu ON e.user_id = pu.user_id
+        |  WHERE e.event_type = 'purchase' AND pu.s0 IS NOT NULL
+        |    AND CAST(e.ts AS TIMESTAMP) >= pu.s0
+        |  GROUP BY e.user_id),
+        |q AS (
+        |  SELECT cohort_week, user_id, lag_s,
+        |    CAST(ntile(4) OVER (PARTITION BY cohort_week
+        |      ORDER BY lag_s, user_id) AS INTEGER) AS quartile
+        |  FROM fb)
+        |SELECT cohort_week, quartile, count(*) AS n_users,
+        |  min(lag_s) AS min_lag_s, max(lag_s) AS max_lag_s,
+        |  CAST(sum(lag_s) AS BIGINT) AS sum_lag_s
+        |FROM q GROUP BY 1, 2 ORDER BY cohort_week, quartile""".stripMargin,
+    "q187_cuped" ->
+      """WITH pu AS (
+        |  SELECT user_id, user_id % 2 AS arm,
+        |    CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16'
+        |      THEN CAST(floor("value" * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+        |      THEN CAST(floor("value" * 100) AS BIGINT) ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM events GROUP BY 1, 2),
+        |pooled AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM pu),
+        |arms AS (
+        |  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |    CAST(sum(x) AS BIGINT) AS sx_a, CAST(sum(y) AS BIGINT) AS sy_a
+        |  FROM pu GROUP BY arm)
+        |SELECT arm, n_users,
+        |  (CAST(sy_a AS DOUBLE) / CAST(n_users AS DOUBLE)) / 100.0 AS mean_y,
+        |  ((CAST(sy_a AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |    - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |       / CAST(n * sxx - sx * sx AS DOUBLE))
+        |      * (CAST(sx_a AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))) / 100.0
+        |    AS mean_y_cuped,
+        |  CAST(n * sxy - sx * sy AS DOUBLE)
+        |    / CAST(n * sxx - sx * sx AS DOUBLE) AS theta,
+        |  (CAST(n * sxy - sx * sy AS DOUBLE)
+        |    * CAST(n * sxy - sx * sy AS DOUBLE))
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |       * CAST(n * syy - sy * sy AS DOUBLE)) AS rho2
+        |FROM arms CROSS JOIN pooled ORDER BY arm""".stripMargin,
+    "q186_cusum" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (
+        |  SELECT event_type, day, x,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS sx
+        |  FROM daily),
+        |pre AS (
+        |  SELECT event_type, day, x, sx,
+        |    CAST(sum(n * x - sx) OVER w AS BIGINT) AS p
+        |  FROM st WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |cs AS (
+        |  SELECT event_type, day, x, sx, p,
+        |    p - least(CAST(min(p) OVER w AS BIGINT), 0) AS cusum_pos,
+        |    greatest(CAST(max(p) OVER w AS BIGINT), 0) - p AS cusum_neg
+        |  FROM pre WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day, x AS v_fp, cusum_pos, cusum_neg,
+        |  cusum_pos > sx AS alarm_up, cusum_neg > sx AS alarm_down
+        |FROM cs ORDER BY event_type, day""".stripMargin,
     // deliberately UNSALTED: the oracle proving the salted two-phase
     // plan is semantics-preserving is the point of q174
     "q174_salted_agg" ->

@@ -610,7 +610,71 @@ object WarehouseOps {
       |  JOIN deg dc ON dc.n = nonadj.c
       |ORDER BY cn DESC, jac_ppm DESC, a, c LIMIT 100""".stripMargin
 
+  // ---------------------------------------------------------------- q185
+
+  private val BfsRounds = 3
+
+  /** q185 — multi-source BFS hop distance (3 fixed rounds) on the q122
+    * degree-bounded co-purchase graph: seeds are every part whose id is
+    * a multiple of 100 (a deterministic "anchor product" set), and each
+    * round relaxes the frontier one hop — the reachability/proximity
+    * primitive behind "distance to nearest flagship product",
+    * influence-radius analyses, and graph-partition seeding.
+    *
+    * Scale shape: per round, ONE edge-sized join against the node-sized
+    * distance frame (AQE broadcasts it while it fits; co-partitioned
+    * shuffle join beyond that) followed by a min-aggregate on node id —
+    * the classic iterative-relaxation BFS, O(rounds) shuffles of
+    * edge-sized data, no frontier explosion because distances
+    * re-aggregate to one row per node each round. Distances are
+    * `localCheckpoint`ed per round (the q114/q177 lineage discipline).
+    * A FIXED round count is the distributed form: hop-≤3 neighborhoods
+    * answer the product question while keeping the job count bounded
+    * (an exact-fixpoint loop is a driver-controlled unbounded job
+    * sequence). All integer → bit-exact; the oracle unrolls the same
+    * 3 rounds as chained CTEs. */
+  def q185BfsHops(s: SparkSession, dir: String): DataFrame = {
+    val edges = sampledCoPurchaseEdges(s, dir)
+    val und = edges.select(col("src").as("n"), col("dst").as("nbr"))
+      .unionAll(edges.select(col("dst").as("n"), col("src").as("nbr")))
+    var dist = und.select(col("n")).distinct()
+      .filter(col("n") % 100 === 0)
+      .withColumn("hop", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to BfsRounds) {
+      val relaxed = und
+        .join(dist.withColumnRenamed("n", "nbr"), "nbr")
+        .select(col("n"), (col("hop") + 1L).as("hop"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("n").agg(min(col("hop")).as("hop"))
+        .localCheckpoint()
+    }
+    dist.select(col("n").as("part_id"), col("hop"))
+      .orderBy("part_id")
+  }
+
+  private val BfsHopsSql: String = {
+    def round(k: Int) =
+      s"""d$k AS (SELECT n, min(hop) AS hop FROM (
+         |  SELECT n, hop FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT u.n, d.hop + 1 FROM d${k - 1} d JOIN und u ON u.nbr = d.n)
+         |  GROUP BY n)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |            WHERE l_partkey % 10 = 0),
+       |e AS (SELECT DISTINCT a.pk AS src, b.pk AS dst
+       |      FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),
+       |und AS (SELECT src AS n, dst AS nbr FROM e
+       |        UNION ALL SELECT dst, src FROM e),
+       |d0 AS (SELECT DISTINCT n, CAST(0 AS BIGINT) AS hop FROM und
+       |       WHERE n % 100 = 0),
+       |${(1 to BfsRounds).map(round).mkString(",\n")}
+       |SELECT n AS part_id, CAST(hop AS BIGINT) AS hop
+       |FROM d$BfsRounds ORDER BY part_id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q185_bfs_hops" -> (q185BfsHops _),
     "q114_pagerank" -> (q114PageRank _),
     "q177_label_prop" -> (q177LabelProp _),
     "q178_link_predict" -> (q178LinkPredict _),
@@ -624,6 +688,7 @@ object WarehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q185_bfs_hops" -> BfsHopsSql,
     "q114_pagerank" -> PageRankSql,
     "q177_label_prop" -> LabelPropSql,
     "q178_link_predict" -> LinkPredictSql,

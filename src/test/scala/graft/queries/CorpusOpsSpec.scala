@@ -314,4 +314,28 @@ class CorpusOpsSpec extends SparkTestBase {
     val sc = out.map(r => (r.getAs[Long]("rrf_fp"), r.getAs[Long]("doc_id")))
     assert(sc.sameElements(sc.sortBy { case (v, id) => (-v, id) }))
   }
+
+  test("q188 feature hashing conserves token mass and bounds buckets") {
+    val rows = CorpusOps.q188FeatureHash(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("b")
+      assert(b >= 0 && b < 64)
+      // a bucket can't hold more distinct terms than total tokens
+      assert(r.getAs[Long]("n_terms") >= 1 &&
+        r.getAs[Long]("n_terms") <= r.getAs[Long]("n_tokens"))
+    }
+    // mass conservation: bucketed token counts sum to the corpus total
+    val total = graft.Tables.documents(spark, Sf)
+      .filter(col("text").isNotNull)
+      .select(explode(split(trim(regexp_replace(lower(col("text")),
+        "\\s+", " ")), " ")).as("tok"))
+      .filter(col("tok") =!= "").count()
+    val perLang = rows.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.map(_.getAs[Long]("n_tokens")).sum).toMap
+    assert(perLang.values.sum == total)
+    // hashing is deterministic: identical re-run, bit for bit
+    val again = CorpusOps.q188FeatureHash(spark, Sf).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
 }

@@ -391,4 +391,139 @@ class EventOpsSpec extends SparkTestBase {
         latest(u).getAs[String]("event_type"))
     }
   }
+
+  test("q186 CUSUM window form equals the sequential recurrence") {
+    val rows = EventOps.q186Cusum(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val xs = rs.map(_.getAs[Long]("v_fp"))
+      val n = xs.length.toLong
+      val sx = xs.sum
+      // the textbook recurrence s+_i = max(0, s+_{i-1} + d_i), replayed
+      // sequentially — rows come back ordered by (event_type, day)
+      var sp = 0L; var sn = 0L
+      rs.zip(xs).foreach { case (r, x) =>
+        val d = n * x - sx
+        sp = math.max(0L, sp + d)
+        sn = math.max(0L, sn - d)
+        assert(r.getAs[Long]("cusum_pos") == sp)
+        assert(r.getAs[Long]("cusum_neg") == sn)
+        assert(r.getAs[Boolean]("alarm_up") == (sp > sx))
+        assert(r.getAs[Boolean]("alarm_down") == (sn > sx))
+      }
+      // both one-sided statistics are nonnegative by construction
+      assert(rs.forall(r => r.getAs[Long]("cusum_pos") >= 0 &&
+        r.getAs[Long]("cusum_neg") >= 0))
+    }
+  }
+
+  test("q187 CUPED matches a driver-side replica and reduces variance") {
+    val out = EventOps.q187Cuped(spark, Sf).collect()
+    assert(out.length == 2 && out.map(_.getAs[Long]("arm")).toSeq == Seq(0L, 1L))
+    // replica: per-user fixed-point pre/post sums from raw events
+    val cut = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+    val ev = graft.Tables.events(spark, Sf)
+      .select("user_id", "ts", "value").collect()
+    val pu = ev.groupBy(_.getAs[Long]("user_id")).map { case (u, rs) =>
+      def tsOf(r: org.apache.spark.sql.Row) =
+        r.getAs[java.time.LocalDateTime]("ts")
+      val x = rs.filter(tsOf(_).isBefore(cut))
+        .map(r => math.floor(r.getAs[Double]("value") * 100).toLong).sum
+      val y = rs.filter(!tsOf(_).isBefore(cut))
+        .map(r => math.floor(r.getAs[Double]("value") * 100).toLong).sum
+      (u, x, y)
+    }.toSeq
+    val n = pu.size.toLong
+    val sx = pu.map(_._2).sum; val sy = pu.map(_._3).sum
+    val sxx = pu.map(t => t._2 * t._2).sum
+    val sxy = pu.map(t => t._2 * t._3).sum
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val xbar = sx.toDouble / n.toDouble
+    out.foreach { r =>
+      val arm = r.getAs[Long]("arm")
+      val mine = pu.filter(_._1 % 2 == arm)
+      assert(r.getAs[Long]("n_users") == mine.size.toLong)
+      val meanY = mine.map(_._3).sum.toDouble / mine.size
+      assert(math.abs(r.getAs[Double]("mean_y") - meanY / 100.0) < 1e-9)
+      val meanX = mine.map(_._2).sum.toDouble / mine.size
+      val adj = (meanY - theta * (meanX - xbar)) / 100.0
+      assert(math.abs(r.getAs[Double]("mean_y_cuped") - adj) < 1e-9)
+      assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-9)
+      val rho2 = r.getAs[Double]("rho2")
+      assert(rho2 >= 0.0 && rho2 <= 1.0)
+    }
+    // CUPED's point: adjusted per-user metric has no more variance
+    val yAdj = pu.map(t => t._3.toDouble - theta * (t._2.toDouble - xbar))
+    def varOf(v: Seq[Double]) = {
+      val m = v.sum / v.size; v.map(a => (a - m) * (a - m)).sum / v.size
+    }
+    assert(varOf(yAdj) <= varOf(pu.map(_._3.toDouble)) + 1e-9)
+  }
+
+  test("q189 max drawdown matches a sequential replay of the equity curve") {
+    val out = EventOps.q189Drawdown(spark, Sf).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        (r.getAs[Long]("max_drawdown_fp"),
+          r.getAs[java.sql.Timestamp]("trough_day"))).toMap
+    assert(out.nonEmpty)
+    // replay: daily totals in day order, running peak, max gap
+    val daily = graft.Tables.events(spark, Sf)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+      .orderBy("event_type", "day").collect()
+    daily.groupBy(_.getAs[String]("event_type")).foreach { case (t, rs) =>
+      var cum = 0L; var peak = 0L; var mdd = -1L
+      var trough: java.sql.Timestamp = null
+      rs.foreach { r =>
+        cum += r.getAs[Long]("v")
+        peak = math.max(peak, cum)
+        val dd = peak - cum
+        if (dd > mdd) { mdd = dd; trough = r.getAs[java.sql.Timestamp]("day") }
+      }
+      assert(out(t) == ((mdd, trough)), s"type $t")
+    }
+  }
+
+  test("q191 last-touch attribution matches a sequential per-user walk") {
+    val got = EventOps.q191Attribution(spark, Sf).collect()
+      .map(r => r.getAs[String]("touch_type") ->
+        (r.getAs[Long]("n_conversions"), r.getAs[Long]("revenue_fp"))).toMap
+    val ev = graft.Tables.events(spark, Sf)
+      .select("user_id", "ts", "event_id", "event_type", "value").collect()
+    val credit = scala.collection.mutable.Map[String, (Long, Long)]()
+    ev.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      var touch: String = null
+      rs.sortBy(r => (r.getAs[java.time.LocalDateTime]("ts"),
+        r.getAs[Long]("event_id")))(
+        Ordering.Tuple2(Ordering.ordered, Ordering.Long)).foreach { r =>
+        val t = r.getAs[String]("event_type")
+        if (t == "purchase") {
+          val key = Option(touch).getOrElse("none")
+          val (n, v) = credit.getOrElse(key, (0L, 0L))
+          credit(key) = (n + 1,
+            v + math.floor(r.getAs[Double]("value") * 100).toLong)
+        } else touch = t
+      }
+    }
+    assert(got == credit.toMap)
+  }
+
+  test("q190 conversion-lag quartiles are contiguous and account for all converters") {
+    val rows = EventOps.q190ConversionLag(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[java.sql.Date]("cohort_week")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("quartile"))
+      // quartile boundaries are monotone: q_i.max <= q_{i+1}.min
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("max_lag_s") <= b.getAs[Long]("min_lag_s"))
+        case _ =>
+      }
+      // ntile balance: cell sizes differ by at most 1 within a cohort
+      val ns = sorted.map(_.getAs[Long]("n_users"))
+      assert(ns.max - ns.min <= 1)
+      // lags are sane: purchase at/after signup
+      assert(sorted.forall(_.getAs[Long]("min_lag_s") >= 0))
+    }
+  }
 }

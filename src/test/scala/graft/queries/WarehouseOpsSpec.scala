@@ -347,4 +347,26 @@ class WarehouseOpsSpec extends SparkTestBase {
       assert(jac <= 1000000L)
     }
   }
+
+  test("q185 BFS hops matches an in-memory 3-round multi-source BFS") {
+    val edges = replicaEdges()
+    val nbrs = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).map { case (n, v) => n -> v.map(_._2).toSet }
+    var dist: Map[Long, Long] = nbrs.keys.filter(_ % 100 == 0)
+      .map(n => n -> 0L).toMap
+    for (_ <- 1 to 3) {
+      val relaxed = dist.toSeq.flatMap { case (n, h) =>
+        nbrs(n).map(_ -> (h + 1)) }
+      dist = (dist.toSeq ++ relaxed).groupBy(_._1)
+        .map { case (n, v) => n -> v.map(_._2).min }
+    }
+    val got = WarehouseOps.q185BfsHops(spark, Sf).collect()
+      .map(r => r.getAs[Long]("part_id") -> r.getAs[Long]("hop")).toMap
+    assert(got == dist)
+    assert(got.nonEmpty && got.values.forall(h => h >= 0 && h <= 3))
+    // frontier consistency: every hop-k>0 node has a hop-(k-1) neighbor
+    got.foreach { case (n, h) =>
+      if (h > 0) assert(nbrs(n).exists(m => got.get(m).exists(_ == h - 1)))
+    }
+  }
 }
