@@ -765,9 +765,19 @@ object CorpusOps {
     * count frame is the only big intermediate and it shuffles once. */
   def q164DsirWeights(s: SparkSession, dir: String): DataFrame = {
     val B = 256
-    val toks = split(norm(col("text")), " ")
+    // Materialize the token array BEFORE the bigram lambda: expressions
+    // captured inside a higher-order-function body are re-evaluated per
+    // element, so inlining `split(norm(text))` here would re-run the
+    // regex normalization O(tokens) times per doc (O(n²) per row — a
+    // measured 14 s at sf0.1 vs ~1 s with the projection boundary).
+    // CollapseProject keeps the boundary because `toks` is consumed
+    // more than once by a non-cheap producer.
+    val toks = col("toks")
     val perDoc = Tables.documents(s, dir)
-      .filter(col("text").isNotNull && size(toks) >= 2)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), col("lang"),
+        split(norm(col("text")), " ").as("toks"))
+      .filter(size(toks) >= 2)
       .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(1), size(toks) - 1),
           i => concat(element_at(toks, i), lit(" "),
