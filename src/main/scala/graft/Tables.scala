@@ -28,16 +28,27 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = apply(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS) which Spark's schema
-    * converter rejects outright (PARQUET_TYPE_ILLEGAL). Read the raw
-    * int64 nanos (`nanosAsLong`) and floor-divide to micros — the same
-    * truncation DuckDB applies when casting TIMESTAMP_NS → TIMESTAMP, so
-    * oracle comparisons stay bit-exact. NTZ (wall-clock) semantics match
-    * the file's isAdjustedToUTC=false. */
+  /** `events.ts` arrives in either of two generator layouts, and the
+    * loader must accept both (the driver regenerates testdata between
+    * rounds and has switched annotation):
+    *   - parquet TIMESTAMP(NANOS): Spark's schema converter rejects it
+    *     outright (PARQUET_TYPE_ILLEGAL), so read the raw int64 nanos
+    *     (`nanosAsLong`) and floor-divide to micros — the same
+    *     truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP,
+    *     keeping oracle comparisons bit-exact;
+    *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
+    *     it natively as TIMESTAMP_NTZ — pass through.
+    * Either way the column lands as NTZ (wall-clock), matching the
+    * files' isAdjustedToUTC=false. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    apply(s, d, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")).cast(TimestampNTZType))
+    val raw = apply(s, d, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000"))
+      case _ => col("ts")
+    }
+    raw.withColumn("ts", ts.cast(TimestampNTZType))
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

@@ -892,7 +892,135 @@ object EventOps {
       .orderBy("touch_type")
   }
 
+  /** q193 — Kaplan-Meier survival estimator over session durations:
+    * sessions are 30-minute-inactivity-gap user activity runs (the q26
+    * sessionization), a session "dies" when it ends, and sessions
+    * still receiving events in the final 30 minutes of the window are
+    * right-CENSORED (their true duration is only known to exceed the
+    * observation). The KM product-limit table — at each death time t:
+    * the risk set nᵢ, deaths dᵢ, and Ŝ(t) = Π(1 − dⱼ/nⱼ) — is THE
+    * duration-curve estimator that handles censoring correctly (a
+    * naive duration histogram under-counts long sessions cut off by
+    * the window edge).
+    *
+    * Shape: one user-partitioned lag window + one session-grain
+    * aggregate (the only event-sized operations, both parallel by
+    * user), then everything is duration-grain — the KM table has at
+    * most (window ÷ minute) rows regardless of corpus size, so the
+    * global-ordered window runs on a frame that never grows with the
+    * data. Exactness: durations are exact integer minutes, the
+    * survival product is carried as an exact BIGINT cumsum of
+    * floor-quantized ln((n−d)/n) terms (the q107 fixed-point-log
+    * discipline — addition-order-free) and surfaced in LN-SPACE
+    * (`log_surv`, a correctly-rounded division — exp() is not
+    * correctly rounded across libms, so Ŝ(t)=exp(log_surv) is left to
+    * the caller). A time where the whole risk set dies gets a −1e12
+    * sentinel term (Ŝ exp-underflows to exactly 0). */
+  def q193KaplanMeier(s: SparkSession, dir: String): DataFrame = {
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val ev = Tables.events(s, dir).select(col("user_id"), col("ts"))
+    val sessions = ev
+      .withColumn("new_sess",
+        when(us(col("ts")) - us(lag(col("ts"), 1).over(byUser))
+          > 30L * 60 * 1000000, 1L).otherwise(lit(0L)))
+      .withColumn("sess_id", sum(
+        when(lag(col("ts"), 1).over(byUser).isNull, 1L)
+          .otherwise(col("new_sess")))
+        .over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sess_id")
+      .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+    val cutoff = ev.agg(max(col("ts")).as("max_ts"))
+    val lifetimes = sessions.crossJoin(broadcast(cutoff))
+      // floor(double-div) — NOT a bare cast: DuckDB CAST(DOUBLE AS
+      // BIGINT) rounds while Spark's truncates; floor() agrees on both
+      .select(floor((us(col("s_end")) - us(col("s_start")))
+          / lit(60000000L)).cast("long").as("dur"),
+        (us(col("s_end")) > us(col("max_ts")) - 30L * 60 * 1000000)
+          .as("censored"))
+    val total = lifetimes.agg(count(lit(1)).as("n_total"))
+    val byDur = lifetimes.groupBy("dur")
+      .agg(count(when(!col("censored"), 1)).as("n_deaths"),
+        count(when(col("censored"), 1)).as("n_censored"))
+    val ord = Window.orderBy("dur")
+    byDur.crossJoin(broadcast(total))
+      .withColumn("n_risk", col("n_total")
+        - coalesce(sum(col("n_deaths") + col("n_censored"))
+          .over(ord.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("term",
+        when(col("n_deaths") === col("n_risk"), lit(-1000000000000L))
+          .otherwise(floor(log((col("n_risk") - col("n_deaths"))
+              .cast(DoubleType) / col("n_risk").cast(DoubleType)) * 1e9)
+            .cast("long")))
+      .withColumn("surv_scaled", sum(col("term"))
+        .over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("n_deaths") > 0)
+      // ln-space output: Ŝ(t) = exp(log_surv). exp() is NOT correctly
+      // rounded (JVM vs libm diverge in the last ulp — measured 3e-18
+      // at sf0.01), so the boundary emits the exact scaled integer and
+      // its correctly-rounded division; callers exp() it client-side.
+      .select(col("dur").as("duration_min"), col("n_risk"), col("n_deaths"),
+        col("n_censored"), col("surv_scaled"),
+        (col("surv_scaled").cast(DoubleType) / 1e9).as("log_surv"))
+      .orderBy("duration_min")
+  }
+
+  // SPRT constants, fixed-point 1e9 — precomputed literals (identical
+  // in the oracle SQL), so NO runtime float op feeds the decision:
+  //   ln(p1/p0) = ln(0.55/0.50) = ln(1.1):  floor(0.09531018…·1e9)
+  //   ln(q1/q0) = ln(0.45/0.50) = ln(0.9):  floor(−0.10536052…·1e9)
+  //   bound ln((1−β)/α) = ln(19) at α=β=0.05: floor(2.94443898…·1e9)
+  private val SprtLnP = 95310179L
+  private val SprtLnQ = -105360516L
+  private val SprtBound = 2944438979L
+
+  /** q194 — SPRT (Wald's sequential probability ratio test) on a
+    * running A/B experiment: arms are the deterministic user_id % 2
+    * split; each click/view event is a Bernoulli trial (success =
+    * click) testing H₀: p = 0.50 vs H₁: p = 0.55. Per arm and day the
+    * log-likelihood ratio increments x·ln(p1/p0) + (n−x)·ln(q1/q0)
+    * accumulate until the boundary ±ln(19) (α = β = 0.05) is crossed —
+    * the early-stopping monitor every experimentation platform runs so
+    * a decided test stops burning traffic.
+    *
+    * Shape: one (arm, day) aggregate — the only event-sized shuffle,
+    * map-side combined — then a 2-partition day-ordered window over a
+    * days×arms frame and two tiny aggregates; scales as pure keyed
+    * streaming aggregation. Exactness: the LLR terms are integer
+    * multiples of precomputed BIGINT constants (no runtime ln), the
+    * cumsum is exact, and the crossing day / decision are pure integer
+    * comparisons — bit-exact cross-engine at any scale. */
+  def q194Sprt(s: SparkSession, dir: String): DataFrame = {
+    val byArm = Window.partitionBy("arm").orderBy("day")
+    val daily = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "view"))
+      .groupBy((col("user_id") % 2).as("arm"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("event_type") === "click", 1)).as("x"))
+    val cum = daily.withColumn("cum_llr",
+      sum(col("x") * SprtLnP + (col("n") - col("x")) * SprtLnQ).over(byArm))
+    val crossings = cum
+      .filter(col("cum_llr") >= SprtBound || col("cum_llr") <= -SprtBound)
+      .withColumn("rn", row_number().over(byArm))
+      .filter(col("rn") === 1)
+      .select(col("arm"), col("day").as("decision_day"),
+        col("cum_llr").as("cum_at_decision"),
+        when(col("cum_llr") >= SprtBound, "reject_h0")
+          .otherwise("accept_h0").as("decision"))
+    cum.groupBy("arm")
+      .agg(count(lit(1)).as("n_days"), sum(col("x")).as("total_x"),
+        sum(col("n")).as("total_n"))
+      .join(crossings, Seq("arm"), "left")
+      .select(col("arm"), col("n_days"), col("total_x"), col("total_n"),
+        coalesce(col("decision"), lit("continue")).as("decision"),
+        col("decision_day"), col("cum_at_decision"))
+      .orderBy("arm")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q193_kaplan_meier" -> (q193KaplanMeier _),
+    "q194_sprt" -> (q194Sprt _),
     "q191_attribution" -> (q191Attribution _),
     "q189_drawdown" -> (q189Drawdown _),
     "q190_conversion_lag" -> (q190ConversionLag _),
@@ -936,6 +1064,81 @@ object EventOps {
       " || lpad(CAST(event_id AS VARCHAR), 12, '0')"
 
   val oracles: Map[String, String] = Map(
+    "q193_kaplan_meier" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |           IS NULL THEN 1
+        |         WHEN epoch_us(ts) - epoch_us(lag(ts)
+        |             OVER (PARTITION BY user_id ORDER BY ts))
+        |           > 30 * 60 * 1000000 THEN 1
+        |         ELSE 0 END AS new_sess
+        |  FROM ev),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS sess_id
+        |  FROM marked),
+        |sessions AS (
+        |  SELECT user_id, sess_id, min(ts) AS s_start, max(ts) AS s_end
+        |  FROM sess GROUP BY 1, 2),
+        |cut AS (SELECT max(ts) AS max_ts FROM ev),
+        |lt AS (SELECT
+        |         CAST(floor((epoch_us(s_end) - epoch_us(s_start))
+        |           / 60000000) AS BIGINT) AS dur,
+        |         epoch_us(s_end) > (SELECT epoch_us(max_ts) FROM cut)
+        |           - 30 * 60 * 1000000 AS censored
+        |       FROM sessions),
+        |tot AS (SELECT count(*) AS n_total FROM lt),
+        |bd AS (SELECT dur,
+        |         CAST(count(*) FILTER (WHERE NOT censored) AS BIGINT) AS n_deaths,
+        |         CAST(count(*) FILTER (WHERE censored) AS BIGINT) AS n_censored
+        |       FROM lt GROUP BY 1),
+        |r AS (SELECT *, (SELECT n_total FROM tot) - coalesce(
+        |        CAST(sum(n_deaths + n_censored) OVER (ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+        |        0) AS n_risk
+        |      FROM bd),
+        |t AS (SELECT *, CASE WHEN n_deaths = n_risk
+        |          THEN CAST(-1000000000000 AS BIGINT)
+        |          ELSE CAST(floor(ln(CAST(n_risk - n_deaths AS DOUBLE)
+        |            / CAST(n_risk AS DOUBLE)) * 1e9) AS BIGINT) END AS term
+        |      FROM r),
+        |c AS (SELECT *, CAST(sum(term) OVER (ORDER BY dur
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS surv_scaled
+        |      FROM t)
+        |SELECT dur AS duration_min, n_risk, n_deaths, n_censored,
+        |  surv_scaled, CAST(surv_scaled AS DOUBLE) / 1e9 AS log_surv
+        |FROM c WHERE n_deaths > 0 ORDER BY duration_min""".stripMargin,
+    "q194_sprt" ->
+      """WITH daily AS (
+        |  SELECT user_id % 2 AS arm,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x
+        |  FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2),
+        |cum AS (SELECT *, CAST(sum(x * 95310179 + (n - x) * (-105360516))
+        |          OVER (PARTITION BY arm ORDER BY day) AS BIGINT) AS cum_llr
+        |        FROM daily),
+        |cr AS (SELECT arm, day AS decision_day, cum_llr AS cum_at_decision,
+        |         CASE WHEN cum_llr >= 2944438979 THEN 'reject_h0'
+        |              ELSE 'accept_h0' END AS decision,
+        |         row_number() OVER (PARTITION BY arm ORDER BY day) AS rn
+        |       FROM cum
+        |       WHERE cum_llr >= 2944438979 OR cum_llr <= -2944438979),
+        |pa AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(x) AS BIGINT) AS total_x,
+        |         CAST(sum(n) AS BIGINT) AS total_n
+        |       FROM cum GROUP BY 1)
+        |SELECT pa.arm, pa.n_days, pa.total_x, pa.total_n,
+        |  coalesce(c.decision, 'continue') AS decision,
+        |  c.decision_day, c.cum_at_decision
+        |FROM pa LEFT JOIN (SELECT * FROM cr WHERE rn = 1) c ON pa.arm = c.arm
+        |ORDER BY pa.arm""".stripMargin,
     "q191_attribution" ->
       """WITH t AS (
         |  SELECT event_type, "value",

@@ -1,6 +1,7 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -104,6 +105,167 @@ object WarehouseOps {
        |${(1 to Iters).map(iter).mkString(",\n")}
        |SELECT id AS part_id, r AS rank_fp FROM r$Iters
        |ORDER BY rank_fp DESC, part_id LIMIT 100""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q192
+
+  private val HitsIters = 2
+
+  /** q192 — HITS hubs & authorities (Kleinberg, JACM 1999) over the
+    * bipartite customer→part purchase graph: customers are hubs (good
+    * buyers point at good parts), parts are authorities; a = Σ h over
+    * in-edges and h = Σ a over out-edges, max-normalized each
+    * half-step. The second classic link-analysis eigenvector next to
+    * q114's PageRank — on a bipartite frame it surfaces "parts that
+    * well-rounded buyers concentrate on", not just high-degree parts.
+    *
+    * Scale shape (the q114 discipline): the edge list is ONE
+    * orders⋈lineitem join projected to distinct (cust, part) —
+    * edge-sized, localCheckpointed once for the 2·iters score joins;
+    * each update is edges ⋈ scores (scores are node-sized — AQE
+    * broadcasts) plus one keyed sum whose shuffle is node-sized; the
+    * max-normalizer is a 1-row aggregate broadcast back. Exactness:
+    * scores are FIXED-POINT BIGINTs (1e6 = 1.0) and normalization is
+    * integer multiply-then-div — addition-order-free, bit-exact vs the
+    * oracle's unrolled CTEs. Overflow budget: a raw sum is ≤ deg·1e6
+    * and the normalize multiplies by 1e6, so the hottest node degree
+    * must stay under ~9.2e6 — far past sf100 here; rescale the
+    * fixed-point to 1e3 beyond that. */
+  def q192Hits(s: SparkSession, dir: String): DataFrame = {
+    val edges = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey")),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint() // 2·iters consumers re-read the edge blocks
+    var hubs = edges.select(col("c")).distinct()
+      .select(col("c"), lit(1000000L).as("h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      val araw = edges.join(hubs, "c").groupBy("p").agg(sum(col("h")).as("s"))
+      auths = araw.crossJoin(broadcast(araw.agg(max(col("s")).as("m"))))
+        .select(col("p"), expr("s * 1000000 div m").as("a"))
+      val hraw = edges.join(auths, "p").groupBy("c").agg(sum(col("a")).as("s"))
+      hubs = hraw.crossJoin(broadcast(hraw.agg(max(col("s")).as("m"))))
+        .select(col("c"), expr("s * 1000000 div m").as("h"))
+    }
+    auths.orderBy(col("a").desc, col("p")).limit(50)
+      .select(col("p").as("part_id"), col("a").as("auth_fp"))
+  }
+
+  /** Unrolled 2-iteration HITS; every sum cast back from HUGEINT and
+    * `//` mirrors Spark's `div` (all values positive). */
+  private val HitsSql: String =
+    """WITH e AS (SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      |           FROM orders o JOIN lineitem l
+      |             ON o.o_orderkey = l.l_orderkey),
+      |h0 AS (SELECT DISTINCT c, CAST(1000000 AS BIGINT) AS h FROM e),
+      |a1r AS (SELECT p, CAST(sum(h) AS BIGINT) AS s
+      |        FROM e JOIN h0 USING (c) GROUP BY p),
+      |a1 AS (SELECT p, CAST(s * 1000000 // (SELECT max(s) FROM a1r)
+      |         AS BIGINT) AS a FROM a1r),
+      |h1r AS (SELECT c, CAST(sum(a) AS BIGINT) AS s
+      |        FROM e JOIN a1 USING (p) GROUP BY c),
+      |h1 AS (SELECT c, CAST(s * 1000000 // (SELECT max(s) FROM h1r)
+      |         AS BIGINT) AS h FROM h1r),
+      |a2r AS (SELECT p, CAST(sum(h) AS BIGINT) AS s
+      |        FROM e JOIN h1 USING (c) GROUP BY p),
+      |a2 AS (SELECT p, CAST(s * 1000000 // (SELECT max(s) FROM a2r)
+      |         AS BIGINT) AS a FROM a2r)
+      |SELECT p AS part_id, a AS auth_fp FROM a2
+      |ORDER BY auth_fp DESC, part_id LIMIT 50""".stripMargin
+
+  // ---------------------------------------------------------------- q195
+
+  private val ZonemapRowsPerBlock = 1000
+
+  /** q195 — zone-map skip analyzer: build min/max block statistics
+    * (the parquet row-group / ORC stripe footer stats every columnar
+    * store keeps) for lineitem under TWO physical layouts — natural
+    * (l_orderkey, l_linenumber) insert order vs l_shipdate-clustered —
+    * and evaluate how many blocks and rows each of four date-range
+    * predicates can SKIP under each layout. This quantifies what q117's
+    * Z-order and q175's compaction plan only promise: the clustered
+    * layout's skip fraction is the measured I/O saved at scan time,
+    * the data-layout ROI metric a 100 TB lakehouse tracks per table.
+    *
+    * Scale shape: each layout is one global sort (exactly the
+    * repartitionByRange a real layout rewrite performs — the cost
+    * being audited) followed by a map-side block aggregate; the block
+    * stats frame is rows/1000 — three orders of magnitude smaller than
+    * the data — and the predicate cross join is blocks × 4. In
+    * production the stats come free from file footers at write time;
+    * this operator is the audit that reads them. All counts and the
+    * ppm ratio are exact integers — bit-exact cross-engine. */
+  def q195Zonemap(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    def blocks(layout: String, ord: Seq[Column]) = li
+      .withColumn("rn", row_number().over(Window.orderBy(ord: _*)))
+      .withColumn("blk", expr(s"(rn - 1) div $ZonemapRowsPerBlock"))
+      .groupBy("blk")
+      .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("layout", lit(layout))
+    val stats = blocks("natural", Seq(col("l_orderkey"), col("l_linenumber")))
+      .unionByName(blocks("clustered",
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))))
+    val preds = s.range(1).select(explode(array(ZonemapPreds.map {
+      case (n, lo, hi) => struct(lit(n).as("pred"),
+        lit(lo).cast("timestamp").as("plo"),
+        lit(hi).cast("timestamp").as("phi"))
+    }: _*)).as("pr")).select(col("pr.*"))
+    val skipped = col("hi") < col("plo") || col("lo") >= col("phi")
+    stats.crossJoin(broadcast(preds))
+      .groupBy("layout", "pred")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(skipped, 1L).otherwise(0L)).as("blocks_skipped"),
+        sum(when(skipped, col("n_rows")).otherwise(0L)).as("rows_skipped"),
+        sum(col("n_rows")).as("rows_total"))
+      .withColumn("skip_ppm",
+        expr("rows_skipped * 1000000 div rows_total"))
+      .orderBy("layout", "pred")
+  }
+
+  /** Half-open [plo, phi) shipdate ranges: a wide half-year, a narrow
+    * month, the window's first quarter, and a trailing year. */
+  private val ZonemapPreds = Seq(
+    ("p1_1996h1", "1996-01-01", "1996-07-01"),
+    ("p2_1997jan", "1997-01-01", "1997-02-01"),
+    ("p3_1995q1", "1995-01-01", "1995-04-01"),
+    ("p4_2001", "2001-01-01", "2002-01-01"))
+
+  private val ZonemapSql: String = {
+    val values = ZonemapPreds.map { case (n, lo, hi) =>
+      s"('$n', TIMESTAMP '$lo', TIMESTAMP '$hi')"
+    }.mkString(", ")
+    s"""WITH li AS (SELECT l_orderkey, l_linenumber, l_shipdate
+       |            FROM lineitem),
+       |rows_l AS (
+       |  SELECT 'natural' AS layout,
+       |    (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+       |      // $ZonemapRowsPerBlock AS blk, l_shipdate FROM li
+       |  UNION ALL
+       |  SELECT 'clustered',
+       |    (row_number() OVER (ORDER BY l_shipdate, l_orderkey,
+       |       l_linenumber) - 1) // $ZonemapRowsPerBlock, l_shipdate
+       |  FROM li),
+       |b AS (SELECT layout, blk, min(l_shipdate) AS lo,
+       |        max(l_shipdate) AS hi, CAST(count(*) AS BIGINT) AS n_rows
+       |      FROM rows_l GROUP BY 1, 2),
+       |p(pred, plo, phi) AS (VALUES $values)
+       |SELECT layout, pred, CAST(count(*) AS BIGINT) AS n_blocks,
+       |  CAST(sum(CASE WHEN hi < plo OR lo >= phi THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS blocks_skipped,
+       |  CAST(sum(CASE WHEN hi < plo OR lo >= phi THEN n_rows ELSE 0 END)
+       |    AS BIGINT) AS rows_skipped,
+       |  CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       |  CAST(sum(CASE WHEN hi < plo OR lo >= phi THEN n_rows ELSE 0 END)
+       |    * 1000000 // sum(n_rows) AS BIGINT) AS skip_ppm
+       |FROM b CROSS JOIN p
+       |GROUP BY 1, 2 ORDER BY layout, pred""".stripMargin
   }
 
   // ---------------------------------------------------------------- q115
@@ -674,6 +836,8 @@ object WarehouseOps {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q192_hits" -> (q192Hits _),
+    "q195_zonemap" -> (q195Zonemap _),
     "q185_bfs_hops" -> (q185BfsHops _),
     "q114_pagerank" -> (q114PageRank _),
     "q177_label_prop" -> (q177LabelProp _),
@@ -688,6 +852,8 @@ object WarehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q192_hits" -> HitsSql,
+    "q195_zonemap" -> ZonemapSql,
     "q185_bfs_hops" -> BfsHopsSql,
     "q114_pagerank" -> PageRankSql,
     "q177_label_prop" -> LabelPropSql,

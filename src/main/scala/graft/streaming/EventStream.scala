@@ -76,9 +76,21 @@ object EventStream {
         throw new IllegalArgumentException(
           s"file source '$format' needs a path"))
       // TimestampType (not NTZ): EventTimeWatermark requires TIMESTAMP;
-      // with the UTC session the instant and wall-clock values coincide
-      reader.schema(RawEventsSchema).load(dir)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // with the UTC session the instant and wall-clock values coincide.
+      // File sources need a pinned schema, and the right one depends on
+      // how the generator wrote ts (int64 NANOS — readable only as raw
+      // longs — vs native TIMESTAMP(MICROS)): peek at the batch footer
+      // once and pin the matching layout (same dual contract as
+      // [[graft.Tables.events]]).
+      val tsType = s.read.parquet(dir).schema("ts").dataType
+      if (tsType == org.apache.spark.sql.types.LongType)
+        reader.schema(RawEventsSchema).load(dir)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else
+        reader.schema(org.apache.spark.sql.types.StructType(
+            RawEventsSchema.map(f => if (f.name == "ts") f.copy(dataType = tsType) else f)))
+          .load(dir)
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
     } else reader.load()
   }
 

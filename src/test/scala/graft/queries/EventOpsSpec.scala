@@ -508,6 +508,52 @@ class EventOpsSpec extends SparkTestBase {
     assert(got == credit.toMap)
   }
 
+  test("q193 Kaplan-Meier: survival is monotone non-increasing from 1 and matches d/n recurrence") {
+    val rows = EventOps.q193KaplanMeier(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    var prevSurv = 1.0
+    var prevRisk = Long.MaxValue
+    rows.foreach { r =>
+      val nRisk = r.getAs[Long]("n_risk")
+      val d = r.getAs[Long]("n_deaths")
+      val surv = math.exp(r.getAs[Double]("log_surv"))
+      assert(d >= 1 && d <= nRisk)
+      assert(nRisk <= prevRisk)
+      assert(surv <= prevSurv + 1e-12, s"survival increased at $r")
+      assert(surv >= 0.0 && surv <= 1.0)
+      prevSurv = surv; prevRisk = nRisk
+    }
+    // recompute the product-limit estimate independently (double product
+    // vs the fixed-point-log path: agreement to float tolerance)
+    var s = 1.0
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_risk").toDouble
+      val d = r.getAs[Long]("n_deaths").toDouble
+      s *= (n - d) / n
+      assert(math.abs(math.exp(r.getAs[Double]("log_surv")) - s) < 1e-6,
+        s"KM product mismatch at ${r.getAs[Long]("duration_min")}")
+    }
+  }
+
+  test("q194 SPRT: decisions are consistent with the cumulative LLR path") {
+    val rows = EventOps.q194Sprt(spark, Sf).collect()
+    assert(rows.map(_.getAs[Long]("arm")).toSet == Set(0L, 1L))
+    rows.foreach { r =>
+      val dec = r.getAs[String]("decision")
+      assert(Set("reject_h0", "accept_h0", "continue")(dec))
+      if (dec == "continue") {
+        assert(r.isNullAt(r.fieldIndex("decision_day")))
+        assert(r.isNullAt(r.fieldIndex("cum_at_decision")))
+      } else {
+        val cum = r.getAs[Long]("cum_at_decision")
+        assert(if (dec == "reject_h0") cum >= 2944438979L
+               else cum <= -2944438979L)
+      }
+      // trials dominate successes
+      assert(r.getAs[Long]("total_x") <= r.getAs[Long]("total_n"))
+    }
+  }
+
   test("q190 conversion-lag quartiles are contiguous and account for all converters") {
     val rows = EventOps.q190ConversionLag(spark, Sf).collect()
     assert(rows.nonEmpty)

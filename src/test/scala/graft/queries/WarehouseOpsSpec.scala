@@ -348,6 +348,67 @@ class WarehouseOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q192 HITS: top authority is max-normalized and scores replay in-memory") {
+    val rows = WarehouseOps.q192Hits(spark, Sf).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val scores = rows.map(_.getAs[Long]("auth_fp"))
+    // max-normalized: the best authority carries exactly 1e6
+    assert(scores.head == 1000000L)
+    assert(scores.forall(a => a >= 0 && a <= 1000000L))
+    // descending with part_id tiebreak
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        val (sa, sb) = (a.getAs[Long]("auth_fp"), b.getAs[Long]("auth_fp"))
+        assert(sa > sb || (sa == sb &&
+          a.getAs[Long]("part_id") < b.getAs[Long]("part_id")))
+      case _ =>
+    }
+    // replay the 2-iteration fixed-point walk in memory
+    val e = graft.Tables.orders(spark, Sf).select("o_orderkey", "o_custkey")
+      .join(graft.Tables.lineitem(spark, Sf).select("l_orderkey", "l_partkey"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .select("o_custkey", "l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    var h = e.map(_._1).distinct.map(_ -> 1000000L).toMap
+    var a = Map.empty[Long, Long]
+    for (_ <- 1 to 2) {
+      val ar = e.groupBy(_._2).map { case (p, es) =>
+        p -> es.map(x => h(x._1)).sum }
+      val am = ar.values.max
+      a = ar.map { case (p, s) => p -> s * 1000000L / am }
+      val hr = e.groupBy(_._1).map { case (c, es) =>
+        c -> es.map(x => a(x._2)).sum }
+      val hm = hr.values.max
+      h = hr.map { case (c, s) => c -> s * 1000000L / hm }
+    }
+    rows.foreach { r =>
+      assert(a(r.getAs[Long]("part_id")) == r.getAs[Long]("auth_fp"))
+    }
+  }
+
+  test("q195 zonemap: clustered layout never skips less, invariants hold") {
+    val rows = WarehouseOps.q195Zonemap(spark, Sf).collect()
+    assert(rows.length == 8) // 2 layouts x 4 predicates
+    val total = rows.head.getAs[Long]("rows_total")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("rows_total") == total)
+      assert(r.getAs[Long]("blocks_skipped") <= r.getAs[Long]("n_blocks"))
+      assert(r.getAs[Long]("rows_skipped") <= total)
+      val ppm = r.getAs[Long]("skip_ppm")
+      assert(ppm == r.getAs[Long]("rows_skipped") * 1000000L / total)
+    }
+    // the point of the operator: shipdate clustering dominates natural
+    // layout for shipdate range predicates
+    val byPred = rows.groupBy(_.getAs[String]("pred"))
+    byPred.values.foreach { prs =>
+      val nat = prs.find(_.getAs[String]("layout") == "natural").get
+      val clu = prs.find(_.getAs[String]("layout") == "clustered").get
+      assert(clu.getAs[Long]("rows_skipped") >= nat.getAs[Long]("rows_skipped"),
+        s"clustering lost on ${prs.head.getAs[String]("pred")}")
+    }
+  }
+
   test("q185 BFS hops matches an in-memory 3-round multi-source BFS") {
     val edges = replicaEdges()
     val nbrs = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
