@@ -474,7 +474,9 @@ object GraftFunctions {
     ("jaro_winkler", classOf[JaroWinkler].getName,
       children => JaroWinkler(children(0), children(1))),
     ("bmp_stats", classOf[BmpStats].getName,
-      children => BmpStats(children(0))))
+      children => BmpStats(children(0))),
+    ("winnow_fingerprints", classOf[WinnowFingerprints].getName,
+      children => WinnowFingerprints(children(0), children(1), children(2))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, cls, builder) =>

@@ -757,7 +757,228 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  // ---------------------------------------------------------------- q197
+
+  private val WinnowK = 5  // k-gram length (chars)
+  private val WinnowW = 4  // window of consecutive k-gram hashes
+  private val WinnowMinShared = 3
+  // stop-fingerprint cap: a fingerprint selected by more than this many
+  // docs is corpus boilerplate — joining on it costs df²/2 pairs while
+  // carrying no discriminative signal (measured: the hottest fingerprint
+  // at sf0.1 appears in 3889/5000 docs; uncapped pair multiplicity 296M,
+  // capped 146k). The same move real shingle-dedup pipelines make.
+  private val WinnowMaxDf = 100L
+
+  /** q197 — winnowing document fingerprints (Schleimer/Wilkerson/
+    * Aiken, SIGMOD'03 — the MOSS algorithm): hash every K-char gram,
+    * slide a W-hash window, select each window's minimum (rightmost on
+    * ties), and report document pairs sharing ≥ 3 distinct selected
+    * fingerprints. Winnowing GUARANTEES any shared substring of length
+    * ≥ K+W−1 yields a shared fingerprint while keeping density at
+    * 2/(W+1) — the local-similarity detector (plagiarism, license-text
+    * reuse, template boilerplate) that whole-set Jaccard (q45/q198)
+    * and global signatures (q37/q38) can't provide.
+    *
+    * The rightmost-tie argmin rides ONE integer key:
+    * h·2²¹ + (2²¹−1−pos) — min(key) picks the smallest hash and, among
+    * ties, the largest pos; both engines compute the identical BIGINT
+    * (bound: positions < 2²¹ ≈ 2M chars/doc — re-encode wider for
+    * book-length docs). Shape: explode is per-doc-linear, the window
+    * is doc-partitioned (parallel at any corpus size), fingerprints
+    * per doc ≈ 2L/(W+1), and the pair stage joins on the fingerprint
+    * hash AFTER dropping fingerprints with document frequency >
+    * [[WinnowMaxDf]] (see its note — boilerplate hashes would cost
+    * df²/2 join rows for zero signal), so the inverted-list shuffle is
+    * bounded per bucket. The match guarantee is therefore: any shared
+    * substring of length ≥ K+W−1 containing at least one NON-boilerplate
+    * window yields a shared fingerprint. All counts exact integers. */
+  def q197Winnowing(s: SparkSession, dir: String): DataFrame = {
+    // The per-document selection runs entirely inside the native
+    // single-pass kernel [[graft.functions.WinnowFingerprints]] (see
+    // its doc for the exact value contract the DuckDB oracle mirrors):
+    // no window shuffle exists at all — the first exchange in the
+    // whole plan is the document-frequency aggregate over selected
+    // fingerprints. (History: a doc-partitioned window over exploded
+    // gram rows measured 8.7 s at sf0.1; the declarative array-
+    // expression form still spent 11.5 s in interpreted higher-order
+    // lambdas; the kernel is one char walk per doc.)
+    graft.functions.GraftFunctions.register(s)
+    val selected = Tables.documents(s, dir)
+      .select(col("doc_id"), normText(col("text")).as("n"))
+      .filter(length(col("n")) >= WinnowK)
+      .select(col("doc_id"), explode(call_function("winnow_fingerprints",
+        col("n"), lit(WinnowK), lit(WinnowW))).as("fh"))
+      .localCheckpoint() // df aggregate + both pair-join sides
+    val rare = selected.join(
+      selected.groupBy("fh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= WinnowMaxDf).select("fh"),
+      "fh")
+    rare.as("a").join(rare.as("b"),
+        col("a.fh") === col("b.fh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= WinnowMinShared)
+      .orderBy(col("n_shared").desc, col("id_a"), col("id_b"))
+  }
+
+  private val WinnowingSql: String = {
+    s"""WITH d AS (SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+       |  FROM documents
+       |  WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |    >= $WinnowK),
+       |k AS (SELECT doc_id,
+       |    list_transform(range(1, length(n) - ${WinnowK - 2}), i ->
+       |      CAST(ascii(substr(n, i, 1)) * 923521
+       |        + ascii(substr(n, i + 1, 1)) * 29791
+       |        + ascii(substr(n, i + 2, 1)) * 961
+       |        + ascii(substr(n, i + 3, 1)) * 31
+       |        + ascii(substr(n, i + 4, 1)) AS BIGINT) * 2097152
+       |      + (2097151 - i)) AS keys
+       |  FROM d),
+       |sel AS (SELECT doc_id,
+       |    unnest(list_distinct(list_transform(
+       |      range($WinnowW, len(keys) + 1), j ->
+       |        list_min(keys[j - ${WinnowW - 1} : j]) // 2097152))) AS fh
+       |  FROM k),
+       |rare AS (SELECT doc_id, fh FROM sel
+       |         WHERE fh IN (SELECT fh FROM sel GROUP BY fh
+       |                      HAVING count(*) <= $WinnowMaxDf))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(count(*) AS BIGINT) AS n_shared
+       |FROM rare a JOIN rare b ON a.fh = b.fh AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= $WinnowMinShared
+       |ORDER BY n_shared DESC, id_a, id_b""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q198
+
+  /** q198 — PPJoin-style prefix-filtered set-similarity join (Xiao/
+    * Wang/Lin/Yu, WWW'08): EXACT within-language 5-gram-set Jaccard
+    * ≥ 0.8 with no blocking recall loss. Each doc's gram set is
+    * ordered by ascending GLOBAL frequency (rarest first, gram
+    * tiebreak); only the first |x| − ⌈t·|x|⌉ + 1 grams — the prefix —
+    * are exploded into the inverted index, because two sets meeting
+    * the threshold MUST share a prefix gram (pigeonhole). Complements
+    * the dedup family: q45/q143 block lossily (bucket/neighborhood
+    * misses are accepted), q37 estimates; this is the exact join at
+    * sub-quadratic candidate cost.
+    *
+    * Scale shape: the frequency table is vocabulary-sized; prefixes
+    * put each doc in ≤ (1−t)·|x|+1 inverted lists, SHORT by
+    * construction on any Zipf-vocabulary corpus (prefix grams are the
+    * rare ones — the whole point of frequency ordering); language
+    * equality rides the JOIN KEY (cross-language text can't near-dup —
+    * the q45 discipline — and it spreads hot grams across partitions),
+    * and the length filter 4·max ≤ 5·min plus PPJoin's positional
+    * filter (1 + min(remaining suffixes) ≥ ⌈t·(la+lb)/(1+t)⌉) prune
+    * candidates that cannot pass — output-lossless, the spec proves it
+    * against filter-free brute force. On THIS synthetic corpus the
+    * 5-gram universe is still small (~2k — a 31-word vocab), so
+    * candidates degrade toward within-language all-pairs — the
+    * data-dependent worst case, stated honestly; verification is
+    * therefore the native zero-allocation sorted-hash merge
+    * (`sorted_intersect_count`, the q45 kernel) rather than per-pair
+    * hash sets. Exactness: ⌈t·|x|⌉ is the integer (4·len+4) div 5 —
+    * no float touches the prefix length — the Jaccard gate compares
+    * inter·5 ≥ 4·union in integers, and hashing grams before the
+    * merge leaves set sizes unchanged (xxhash64 injective on a ~2k
+    * universe in practice; the q45/q37 discipline, spec-checked
+    * against brute force over strings). */
+  def q198PrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    // Hash-space from the first step: the native single-pass gram
+    // kernel (q45's `sorted_gram_hashes`) replaces the interpreted
+    // string-array build (array_distinct ∘ transform ∘ substring per
+    // 950-gram doc), which measured 40 s of the query's 48 s at sf0.1.
+    // The output is candidate-set-INDEPENDENT (any lossless filter
+    // chain yields the same verified pairs), so ordering prefixes by
+    // (freq, hash) instead of (freq, gram) changes nothing the oracle
+    // can observe.
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), normText(col("text")).as("n"))
+      .filter(length(col("n")) >= 5)
+      .select(col("doc_id"), col("lang"),
+        call_function("sorted_gram_hashes", col("n"), lit(5)).as("sh"))
+      .withColumn("len", size(col("sh")).cast("long"))
+      .localCheckpoint() // consumed by the freq explode + 2 verify joins
+    val ex = docs.select(col("doc_id"), col("lang"), col("len"),
+      explode(col("sh")).as("h"))
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val prefixes = ex.join(freq, "h")
+      .groupBy("doc_id")
+      .agg(first(col("lang")).as("lang"), first(col("len")).as("len"),
+        transform(sort_array(collect_list(struct(col("cnt"), col("h")))),
+          x => x.getField("h")).as("oh"))
+      // integer div — `/` on longs is DOUBLE division in Spark
+      .select(col("doc_id"), col("lang"), col("len"),
+        posexplode(expr(
+          "slice(oh, 1, CAST(len - (4*len + 4) div 5 + 1 AS INT))")))
+      .select(col("doc_id"), col("lang"), col("len"),
+        (col("pos") + 1).as("i"), col("col").as("g"))
+    // PPJoin count filter (sound, Xiao et al. §3.2): prefixes of
+    // lengths l − α + c must share ≥ c elements when |A∩B| ≥ α; with
+    // our prefix length l − ⌈t·l⌉ + 1 that gives
+    // ov ≥ α − max(⌈t·la⌉, ⌈t·lb⌉) + 1. Counting prefix hits per pair
+    // REPLACES the candidate distinct (same shuffle), and the count
+    // bound collapses the verify set before any gram array moves:
+    // measured at sf0.1, 396,161 candidate pairs → 1,030 survivors →
+    // 79 result pairs (== filter-free brute force, spec-proven). The
+    // arrays-per-pair shuffle this avoids was 6 GB — the difference
+    // between 48 s and interactive.
+    val cands = prefixes.as("a").join(prefixes.as("b"), expr(
+        """a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
+          |AND 4 * greatest(a.len, b.len) <= 5 * least(a.len, b.len)
+          |AND 1 + least(a.len - a.i, b.len - b.i)
+          |      >= (4 * (a.len + b.len) + 8) div 9""".stripMargin))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("ov"),
+        first(col("a.len")).as("la0"), first(col("b.len")).as("lb0"))
+      .filter(expr(
+        """ov >= (4 * (la0 + lb0) + 8) div 9
+          |  - greatest((4*la0 + 4) div 5, (4*lb0 + 4) div 5) + 1""".stripMargin))
+      .select(col("id_a"), col("id_b"))
+    val inter = call_function("sorted_intersect_count",
+      col("sha"), col("shb")).cast("long")
+    cands
+      .join(docs.select(col("doc_id").as("id_a"), col("sh").as("sha"),
+        col("len").as("la")), "id_a")
+      .join(docs.select(col("doc_id").as("id_b"), col("sh").as("shb"),
+        col("len").as("lb")), "id_b")
+      .select(col("id_a"), col("id_b"), inter.as("inter_sz"),
+        (col("la") + col("lb") - inter).as("union_sz"))
+      .filter(col("inter_sz") * 5 >= col("union_sz") * 4)
+      .select(col("id_a"), col("id_b"), col("inter_sz"), col("union_sz"),
+        expr("inter_sz * 1000000 div union_sz").as("jac_ppm"))
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Filter-free semantic twin: same-language pairs, exact 5-gram
+    * Jaccard ≥ 0.8 — the Spark side's prefix/length/positional filters
+    * must lose nothing against this. */
+  private val PrefixJoinSql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+      |  FROM documents),
+      |s AS (SELECT doc_id, lang, list_distinct(list_transform(
+      |    range(1, length(n) - 3),
+      |    i -> substring(n, i, 5))) AS gs FROM d
+      |  WHERE length(n) >= 5),
+      |o AS (SELECT doc_id, lang, gs, CAST(len(gs) AS BIGINT) AS len FROM s),
+      |v AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |        CAST(len(list_intersect(a.gs, b.gs)) AS BIGINT) AS inter_sz,
+      |        CAST(a.len + b.len - len(list_intersect(a.gs, b.gs))
+      |          AS BIGINT) AS union_sz
+      |      FROM o a JOIN o b
+      |        ON a.lang = b.lang AND a.doc_id < b.doc_id)
+      |SELECT id_a, id_b, inter_sz, union_sz,
+      |  inter_sz * 1000000 // union_sz AS jac_ppm
+      |FROM v WHERE inter_sz * 5 >= 4 * union_sz
+      |ORDER BY id_a, id_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q197_winnowing" -> (q197Winnowing _),
+    "q198_prefix_join" -> (q198PrefixJoin _),
     "q76_heavy_hitters" -> (q76HeavyHitters _),
     "q72_sequence_packing" -> (q72SequencePacking _),
     "q73_repetition" -> (q73Repetition _),
@@ -838,6 +1059,8 @@ object TextOps {
        |  FROM $v, $b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q197_winnowing" -> WinnowingSql,
+    "q198_prefix_join" -> PrefixJoinSql,
     "q149_bpe_merges" -> s"""
       |WITH v0 AS (
       |  SELECT rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),

@@ -268,6 +268,131 @@ object WarehouseOps {
        |GROUP BY 1, 2 ORDER BY layout, pred""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q196
+
+  /** Benford first-digit expectation log₁₀(1+1/d), floor-quantized to
+    * ppm — precomputed literals shared verbatim with the oracle, so no
+    * runtime log feeds the comparison. */
+  private val BenfordPpm = Seq(
+    1 -> 301029L, 2 -> 176091L, 3 -> 124938L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66946L, 7 -> 57991L, 8 -> 51152L, 9 -> 45757L)
+
+  /** q196 — Benford's-law first-digit audit over fixed-point price
+    * cents: naturally-grown monetary amounts follow P(d) = log₁₀(1+1/d)
+    * and systematic deviation flags fabricated or truncated feeds —
+    * the forensic data-quality screen auditors and ingestion monitors
+    * run per source. The first digit is taken from the BIGINT cents
+    * rendering (integer→string is identical cross-engine; doubles are
+    * never stringified). One map-side-combined 9-group aggregate over
+    * the scan — embarrassingly scalable; observed shares and
+    * deviations are exact integer ppm. */
+  def q196Benford(s: SparkSession, dir: String): DataFrame = {
+    val obs = Tables.lineitem(s, dir)
+      .select(floor(col("l_extendedprice") * 100).cast("long").as("fp"))
+      .filter(col("fp") > 0)
+      .select(substring(col("fp").cast("string"), 1, 1)
+        .cast("int").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_obs"))
+    val tot = obs.agg(sum(col("n_obs")).as("n_total"))
+    val expect = s.range(1).select(explode(array(BenfordPpm.map {
+      case (d, p) => struct(lit(d).as("digit"), lit(p).as("benford_ppm"))
+    }: _*)).as("e")).select(col("e.*"))
+    expect.join(obs, Seq("digit"), "left")
+      .na.fill(0L, Seq("n_obs"))
+      .crossJoin(broadcast(tot))
+      .select(col("digit"), col("n_obs"),
+        expr("n_obs * 1000000 div n_total").as("obs_ppm"),
+        col("benford_ppm"),
+        abs(expr("n_obs * 1000000 div n_total") - col("benford_ppm"))
+          .as("dev_ppm"))
+      .orderBy("digit")
+  }
+
+  private val BenfordSql: String = {
+    val values = BenfordPpm.map { case (d, p) =>
+      s"($d, CAST($p AS BIGINT))" }.mkString(", ")
+    s"""WITH obs AS (
+       |  SELECT CAST(substr(CAST(CAST(floor(l_extendedprice * 1e2)
+       |      AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+       |    CAST(count(*) AS BIGINT) AS n_obs
+       |  FROM lineitem WHERE floor(l_extendedprice * 1e2) > 0
+       |  GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n_total FROM obs),
+       |e(digit, benford_ppm) AS (VALUES $values)
+       |SELECT e.digit, coalesce(o.n_obs, 0) AS n_obs,
+       |  coalesce(o.n_obs, 0) * 1000000 // t.n_total AS obs_ppm,
+       |  e.benford_ppm,
+       |  abs(coalesce(o.n_obs, 0) * 1000000 // t.n_total
+       |    - e.benford_ppm) AS dev_ppm
+       |FROM e LEFT JOIN obs o ON e.digit = o.digit, tot t
+       |ORDER BY e.digit""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q199
+
+  private val AlsS = 1000L
+
+  /** q199 — rank-1 ALS factorization step (the power-iteration seed of
+    * every matrix-factorization recommender): over the customer×part
+    * quantity matrix, alternate u_c = Σr·v / Σv² (per customer) and
+    * v_p = Σr·u / Σu² (per part) once each from uniform v₀ = 1 — the
+    * resulting item factor ranks parts by the dominant singular
+    * direction, the "quality weighted by who buys it" signal a plain
+    * popularity count misses.
+    *
+    * Scale shape: ratings are ONE orders⋈lineitem join + one keyed
+    * aggregate (edge-sized, localCheckpointed for the two alternation
+    * consumers); each alternation is a node-sized join (AQE
+    * broadcasts) + a keyed sum — identical to q114/q192's per-
+    * iteration cost. Exactness: factors are FIXED-POINT BIGINTs
+    * (1e3 = 1.0) and each update is integer
+    * multiply-sum-then-div — addition-order-free, bit-exact vs the
+    * oracle's CTE chain. Overflow budget: S²·Σ(r·u_fp) stays under
+    * 2⁶³ while a customer's quantity total × the hottest factor is
+    * < ~9e12 — orders of magnitude of headroom at sf100; drop S to
+    * 1e2 beyond. */
+  def q199AlsRank1(s: SparkSession, dir: String): DataFrame = {
+    val ratings = Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"))
+      .join(Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_quantity")),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .agg(sum(floor(col("l_quantity")).cast("long")).as("r"))
+      .localCheckpoint() // 2 alternation consumers
+    val u = ratings.withColumn("v", lit(AlsS))
+      .groupBy("c").agg(sum(col("r") * col("v")).as("num"),
+        sum(col("v") * col("v")).as("den"))
+      .select(col("c"), expr(s"$AlsS * $AlsS * num div den").as("u"))
+    ratings.join(u, "c")
+      .groupBy("p").agg(sum(col("r") * col("u")).as("num"),
+        sum(col("u") * col("u")).as("den"),
+        count(lit(1)).as("n_buyers"))
+      .select(col("p").as("part_id"),
+        expr(s"$AlsS * $AlsS * num div den").as("v_fp"),
+        col("n_buyers"))
+      .orderBy(col("v_fp").desc, col("part_id"))
+      .limit(20)
+  }
+
+  private val AlsSql: String =
+    s"""WITH r AS (
+       |  SELECT o.o_custkey AS c, l.l_partkey AS p,
+       |    CAST(sum(CAST(floor(l.l_quantity) AS BIGINT)) AS BIGINT) AS r
+       |  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+       |  GROUP BY 1, 2),
+       |u AS (
+       |  SELECT c, CAST($AlsS * $AlsS * sum(r * $AlsS)
+       |    // sum(CAST($AlsS AS BIGINT) * $AlsS) AS BIGINT) AS u
+       |  FROM r GROUP BY c),
+       |v AS (
+       |  SELECT r.p, CAST($AlsS * $AlsS * sum(r.r * u.u)
+       |      // sum(u.u * u.u) AS BIGINT) AS v_fp,
+       |    CAST(count(*) AS BIGINT) AS n_buyers
+       |  FROM r JOIN u ON r.c = u.c GROUP BY r.p)
+       |SELECT p AS part_id, v_fp, n_buyers FROM v
+       |ORDER BY v_fp DESC, part_id LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- q115
 
   /** q115 — SCD2 (slowly-changing-dimension type 2) upsert: apply a
@@ -838,6 +963,8 @@ object WarehouseOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q192_hits" -> (q192Hits _),
     "q195_zonemap" -> (q195Zonemap _),
+    "q196_benford" -> (q196Benford _),
+    "q199_als_rank1" -> (q199AlsRank1 _),
     "q185_bfs_hops" -> (q185BfsHops _),
     "q114_pagerank" -> (q114PageRank _),
     "q177_label_prop" -> (q177LabelProp _),
@@ -854,6 +981,8 @@ object WarehouseOps {
   val oracles: Map[String, String] = Map(
     "q192_hits" -> HitsSql,
     "q195_zonemap" -> ZonemapSql,
+    "q196_benford" -> BenfordSql,
+    "q199_als_rank1" -> AlsSql,
     "q185_bfs_hops" -> BfsHopsSql,
     "q114_pagerank" -> PageRankSql,
     "q177_label_prop" -> LabelPropSql,

@@ -310,6 +310,42 @@ class LlmOpsSpec extends SparkTestBase {
     assert(e == eChain)
   }
 
+  test("winnow_fingerprints kernel equals the declarative array chain") {
+    graft.functions.GraftFunctions.register(spark)
+    val (k, w, enc) = (5, 4, 2097152L)
+    val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
+    val viaKernel = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), norm.as("n"))
+      .filter(length(col("n")) >= k + w - 1)
+      .select(col("doc_id"), call_function("winnow_fingerprints",
+        col("n"), lit(k), lit(w)).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val viaChain = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), norm.as("n"))
+      .filter(length(col("n")) >= k + w - 1)
+      .select(col("doc_id"), expr(
+        s"""sort_array(array_distinct(transform(
+           |  sequence($w, length(n) - ${k - 1}), j ->
+           |    array_min(transform(sequence(j - ${w - 1}, j), i ->
+           |      CAST(ascii(substr(n, i, 1)) * 923521
+           |        + ascii(substr(n, i + 1, 1)) * 29791
+           |        + ascii(substr(n, i + 2, 1)) * 961
+           |        + ascii(substr(n, i + 3, 1)) * 31
+           |        + ascii(substr(n, i + 4, 1)) AS BIGINT) * $enc
+           |      + (${enc - 1} - i))) div $enc)))""".stripMargin).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(viaKernel == viaChain)
+    // too-short docs produce no fingerprints (no descending-sequence
+    // ghosts): length in [k, k+w-2] has no full window
+    import spark.implicits._
+    val short = Seq((0L, "abcde"), (1L, "abcdefg"), (2L, "abcdefgh"))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), call_function("winnow_fingerprints",
+        col("text"), lit(k), lit(w)).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).size).toMap
+    assert(short == Map(0L -> 0, 1L -> 0, 2L -> 1))
+  }
+
   test("simhash64 expression is bit-identical to the explode-aggregate form") {
     graft.functions.GraftFunctions.register(spark)
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
@@ -694,6 +730,61 @@ class LlmOpsSpec extends SparkTestBase {
       .agg(sum(floor(col("a.c") * col("b.c") * 1e9).cast("long")).as("cs"))
       .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(cells == twin)
+  }
+
+  test("q197 winnowing guarantees shared fingerprints on a long shared substring") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.TextOps.queries("q197_winnowing")(spark, Sf)
+      .collect()
+    // pairs are symmetric-deduped, ordered, and meet the floor
+    rows.foreach { r =>
+      assert(r.getAs[Long]("id_a") < r.getAs[Long]("id_b"))
+      assert(r.getAs[Long]("n_shared") >= 3)
+    }
+    // planted check: two docs sharing a 200-char substring MUST share
+    // fingerprints (winnowing guarantee: any match >= k+w-1 = 8 chars
+    // yields at least one common selected hash)
+    val shared = "the quick brown fox jumps over the lazy dog " * 5
+    val base = graft.Tables.documents(spark, Sf).limit(0)
+    val planted = spark.createDataFrame(java.util.List.of(
+      org.apache.spark.sql.Row(9000001L, s"prefix one $shared", "en", "t", 1L),
+      org.apache.spark.sql.Row(9000002L, s"other lead-in $shared tail", "en", "t", 1L)),
+      base.schema)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_winnow").toString
+    graft.Tables.names.foreach { t =>
+      val df = if (t == "documents") planted else graft.Tables(spark, Sf, t)
+      df.write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    }
+    val p = graft.queries.TextOps.queries("q197_winnowing")(spark, tmp)
+      .collect()
+    assert(p.exists(r => r.getAs[Long]("id_a") == 9000001L &&
+      r.getAs[Long]("id_b") == 9000002L && r.getAs[Long]("n_shared") >= 3),
+      s"planted near-dup not found: ${p.mkString(";")}")
+  }
+
+  test("q198 prefix join is EXACT: equals brute-force all-pairs jaccard at threshold") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.TextOps.queries("q198_prefix_join")(spark, Sf)
+      .collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("jac_ppm"))).toSet
+    // brute force over every same-language doc pair — no prefix
+    // filter, no length filter: proves the filters lose nothing
+    val sets = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("lang"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("n"))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+        r.getAs[String]("n").sliding(5).filter(_.length == 5).toSet))
+      .filter(_._3.nonEmpty)
+    val brute = (for {
+      (a, la, ga) <- sets; (b, lb, gb) <- sets if a < b && la == lb
+      inter = (ga & gb).size.toLong
+      union = ga.size + gb.size - inter
+      if inter * 5L >= union * 4L
+    } yield (a, b, inter * 1000000L / union)).toSet
+    assert(rows == brute,
+      s"missing=${(brute -- rows).take(3)} extra=${(rows -- brute).take(3)}")
   }
 
   test("topPrincipalComponent is a unit-norm eigenvector of q108's matrix") {

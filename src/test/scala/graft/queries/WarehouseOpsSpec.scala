@@ -409,6 +409,61 @@ class WarehouseOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q196 Benford: ppm shares sum to ~1e6 and digits cover 1-9") {
+    val rows = WarehouseOps.q196Benford(spark, Sf).collect()
+    assert(rows.map(_.getAs[Int]("digit")).toSeq == (1 to 9))
+    val obsSum = rows.map(_.getAs[Long]("obs_ppm")).sum
+    assert(obsSum > 999990L && obsSum <= 1000000L, s"obs sum $obsSum")
+    val benSum = rows.map(_.getAs[Long]("benford_ppm")).sum
+    assert(benSum > 999990L && benSum <= 1000000L)
+    val total = rows.map(_.getAs[Long]("n_obs")).sum
+    rows.foreach { r =>
+      assert(r.getAs[Long]("obs_ppm") ==
+        r.getAs[Long]("n_obs") * 1000000L / total)
+      assert(r.getAs[Long]("dev_ppm") ==
+        math.abs(r.getAs[Long]("obs_ppm") - r.getAs[Long]("benford_ppm")))
+    }
+  }
+
+  test("q199 rank-1 ALS: factors replay the two alternations in memory") {
+    val got = WarehouseOps.q199AlsRank1(spark, Sf).collect()
+    assert(got.nonEmpty && got.length <= 20)
+    val ratings = graft.Tables.orders(spark, Sf)
+      .select("o_orderkey", "o_custkey")
+      .join(graft.Tables.lineitem(spark, Sf)
+          .select("l_orderkey", "l_partkey", "l_quantity"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .collect()
+      .groupBy(r => (r.getAs[Long]("o_custkey"), r.getAs[Long]("l_partkey")))
+      .map { case ((c, p), rs) =>
+        (c, p, rs.map(r => math.floor(r.getAs[Double]("l_quantity")).toLong).sum) }
+      .toSeq
+    val S = 1000L
+    val u = ratings.groupBy(_._1).map { case (c, rs) =>
+      val num = rs.map(_._3 * S).sum
+      val den = rs.map(_ => S * S).sum
+      c -> S * S * num / den
+    }
+    val v = ratings.groupBy(_._2).map { case (p, rs) =>
+      val num = rs.map(t => t._3 * u(t._1)).sum
+      val den = rs.map(t => u(t._1) * u(t._1)).sum
+      p -> (S * S * num / den, rs.size.toLong)
+    }
+    got.foreach { r =>
+      val (vf, n) = v(r.getAs[Long]("part_id"))
+      assert(r.getAs[Long]("v_fp") == vf && r.getAs[Long]("n_buyers") == n)
+    }
+    // descending output with part tiebreak
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("v_fp") > b.getAs[Long]("v_fp") ||
+          (a.getAs[Long]("v_fp") == b.getAs[Long]("v_fp") &&
+            a.getAs[Long]("part_id") < b.getAs[Long]("part_id")))
+      case _ =>
+    }
+  }
+
   test("q185 BFS hops matches an in-memory 3-round multi-source BFS") {
     val edges = replicaEdges()
     val nbrs = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
