@@ -980,7 +980,71 @@ object CorpusOps {
        |  CAST(count(DISTINCT tok) AS BIGINT) AS n_terms
        |FROM h GROUP BY 1, 2 ORDER BY lang, b""".stripMargin
 
+  // ---------------------------------------------------------------- q201
+
+  /** q201 — cross-source containment audit: for every ordered source
+    * pair, C(A→B) = |grams(A) ∩ grams(B)| / |grams(A)| over each
+    * source's distinct 5-gram set — the dataset-overlap matrix a
+    * curation pipeline reads before mixing sources (near-1 rows mean
+    * source A is redundant given B: a scrape-of-a-scrape, a mirror, or
+    * a re-crawl) and the source-level complement of q140's snapshot
+    * diff and q74's train/test decontamination.
+    *
+    * Scale shape: the per-source gram set is one explode + distinct
+    * (source-keyed shuffle, map-side combined); the pair stage joins
+    * on the gram hash — inverted-list-shaped like q198, bounded by
+    * source-count² output; sizes join back source-keyed (tiny, AQE
+    * broadcasts). Everything is an exact integer; containment is an
+    * exact ppm division. */
+  def q201SourceContainment(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val grams = Tables.documents(s, dir)
+      .select(col("source"), norm(col("text")).as("n"))
+      .filter(length(col("n")) >= 5)
+      .select(col("source"),
+        explode(call_function("sorted_gram_hashes", col("n"), lit(5)))
+          .as("h"))
+      .distinct()
+      .localCheckpoint() // sizes aggregate + both pair-join sides
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
+    grams.as("a").join(grams.as("b"),
+        col("a.h") === col("b.h") && col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("inter_sz"))
+      .join(sizes.select(col("source").as("src_a"), col("sz").as("size_a")),
+        "src_a")
+      .join(sizes.select(col("source").as("src_b"), col("sz").as("size_b")),
+        "src_b")
+      .select(col("src_a"), col("src_b"), col("inter_sz"), col("size_a"),
+        col("size_b"),
+        expr("inter_sz * 1000000 div size_a").as("containment_ppm"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** String-gram twin (hash-count equality under the q45/q198
+    * injectivity discipline). */
+  private val SourceContainmentSql: String =
+    """WITH d AS (SELECT source,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+      |  FROM documents),
+      |e AS (SELECT DISTINCT source, g FROM (
+      |    SELECT source, unnest(list_distinct(list_transform(
+      |      range(1, length(n) - 3), i -> substring(n, i, 5)))) AS g
+      |    FROM d WHERE length(n) >= 5)),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+      |       FROM e GROUP BY 1),
+      |iv AS (SELECT a.source AS src_a, b.source AS src_b,
+      |         CAST(count(*) AS BIGINT) AS inter_sz
+      |       FROM e a JOIN e b ON a.g = b.g AND a.source <> b.source
+      |       GROUP BY 1, 2)
+      |SELECT src_a, src_b, inter_sz, x.sz AS size_a, y.sz AS size_b,
+      |  inter_sz * 1000000 // x.sz AS containment_ppm
+      |FROM iv JOIN sz x ON x.source = iv.src_a
+      |  JOIN sz y ON y.source = iv.src_b
+      |ORDER BY src_a, src_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q201_source_containment" -> (q201SourceContainment _),
     "q188_feature_hash" -> (q188FeatureHash _),
     "q175_compaction_plan" -> (q175CompactionPlan _),
     "q176_stratified_alloc" -> (q176StratifiedAlloc _),
@@ -1009,6 +1073,7 @@ object CorpusOps {
   private val ip = IpPat
 
   val oracles: Map[String, String] = Map(
+    "q201_source_containment" -> SourceContainmentSql,
     "q188_feature_hash" -> FeatureHashSql,
     "q175_compaction_plan" -> CompactionPlanSql,
     "q176_stratified_alloc" -> StratifiedAllocSql,

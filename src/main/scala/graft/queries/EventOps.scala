@@ -1018,9 +1018,93 @@ object EventOps {
       .orderBy("arm")
   }
 
+  /** q203 — Markov next-event prediction, leakage-safe eval: train the
+    * first-order transition argmax on pairs completing BEFORE day 16
+    * of the window, predict the majority next event per current type,
+    * and score accuracy on pairs completing on/after the cut — the
+    * sequence-model baseline every session-prediction system is judged
+    * against (and the eval twin of q128's transition matrix, which
+    * reports probabilities but never tests them out of sample).
+    *
+    * Shape: one user-partitioned lag window (the only event-sized
+    * operation), then type²-sized aggregates; train/test split is a
+    * pure filter on the pair's completion time, so no leakage path
+    * exists. Exactness: the argmax is decided by (count DESC, type
+    * ASC) row_number — integer ordering, no probabilities — and
+    * accuracy is an exact ppm division. */
+  def q203MarkovEval(s: SparkSession, dir: String): DataFrame = {
+    val cut = lit("2024-01-16").cast("timestamp")
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+      .filter(col("prev_type").isNotNull)
+      .select(col("prev_type"), col("event_type").as("next_type"),
+        (col("ts") < cut).as("is_train"))
+      .localCheckpoint() // train aggregate + test aggregate
+    val model = pairs.filter(col("is_train"))
+      .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(Window.partitionBy("prev_type")
+        .orderBy(col("n").desc, col("next_type"))))
+      .filter(col("rn") === 1)
+      .select(col("prev_type"), col("next_type").as("predicted"))
+    pairs.filter(!col("is_train"))
+      .join(model, Seq("prev_type"), "left")
+      .groupBy("prev_type")
+      .agg(first(col("predicted")).as("predicted"),
+        count(lit(1)).as("n_test"),
+        count(when(col("next_type") === col("predicted"), 1)).as("n_correct"))
+      .withColumn("acc_ppm", expr("n_correct * 1000000 div n_test"))
+      .orderBy("prev_type")
+  }
+
+  /** q205 — change-point localization by binary segmentation (first
+    * split): per event type's daily fixed-point series, the split that
+    * maximizes the between-segment sum of squares
+    * SL²/nL + SR²/nR − S²/n — WHERE the level shifted, complementing
+    * q186's CUSUM (which only alarms that it did). One split of the
+    * top-down segmentation every changepoint library starts with.
+    *
+    * Shape: day-grain after the first aggregate; two stacked windows
+    * (prefix sums, then argmax by row_number) — all partitioned by
+    * event type. Exactness: prefix sums/counts are exact BIGINTs;
+    * daily totals stay < 2³² so SL² < 2⁵³ and the gain doubles are
+    * EXACT integer-valued ratios — the argmax (gain DESC, day ASC)
+    * is deterministic cross-engine. */
+  def q205BinsegChangepoint(s: SparkSession, dir: String): DataFrame = {
+    val byType = Window.partitionBy("event_type")
+    val toDay = byType.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("day"))
+      .agg(sum(floor(col("value") * 100).cast("long")).as("v"))
+    val gains = daily
+      .withColumn("sl", sum(col("v")).over(toDay))
+      .withColumn("nl", count(lit(1)).over(toDay))
+      .withColumn("s", sum(col("v")).over(byType))
+      .withColumn("n", count(lit(1)).over(byType))
+      .filter(col("nl") < col("n")) // split AFTER this day
+      .withColumn("gain",
+        (col("sl") * col("sl")).cast(DoubleType) / col("nl")
+          + ((col("s") - col("sl")) * (col("s") - col("sl"))).cast(DoubleType)
+            / (col("n") - col("nl"))
+          - (col("s") * col("s")).cast(DoubleType) / col("n"))
+    gains.withColumn("rn", row_number().over(
+        byType.orderBy(col("gain").desc, col("day"))))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("split_day"), col("gain"),
+        (col("sl").cast(DoubleType) / (col("nl") * lit(100.0)))
+          .as("mean_left"),
+        ((col("s") - col("sl")).cast(DoubleType)
+          / ((col("n") - col("nl")) * lit(100.0))).as("mean_right"))
+      .orderBy("event_type")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_kaplan_meier" -> (q193KaplanMeier _),
     "q194_sprt" -> (q194Sprt _),
+    "q203_markov_eval" -> (q203MarkovEval _),
+    "q205_binseg_changepoint" -> (q205BinsegChangepoint _),
     "q191_attribution" -> (q191Attribution _),
     "q189_drawdown" -> (q189Drawdown _),
     "q190_conversion_lag" -> (q190ConversionLag _),
@@ -1064,6 +1148,54 @@ object EventOps {
       " || lpad(CAST(event_id AS VARCHAR), 12, '0')"
 
   val oracles: Map[String, String] = Map(
+    "q203_markov_eval" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |    CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),
+        |p AS (SELECT prev_type, event_type AS next_type,
+        |        ts < TIMESTAMP '2024-01-16' AS is_train
+        |      FROM (SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |              ORDER BY ts, event_id) AS prev_type FROM ev)
+        |      WHERE prev_type IS NOT NULL),
+        |m AS (SELECT prev_type, next_type AS predicted FROM (
+        |        SELECT prev_type, next_type, row_number() OVER (
+        |            PARTITION BY prev_type
+        |            ORDER BY count(*) DESC, next_type) AS rn
+        |        FROM p WHERE is_train GROUP BY prev_type, next_type)
+        |      WHERE rn = 1),
+        |t AS (SELECT p.prev_type, any_value(m.predicted) AS predicted,
+        |        CAST(count(*) AS BIGINT) AS n_test,
+        |        CAST(count(*) FILTER (WHERE p.next_type = m.predicted)
+        |          AS BIGINT) AS n_correct
+        |      FROM p LEFT JOIN m ON p.prev_type = m.prev_type
+        |      WHERE NOT is_train GROUP BY 1)
+        |SELECT prev_type, predicted, n_test, n_correct,
+        |  n_correct * 1000000 // n_test AS acc_ppm
+        |FROM t ORDER BY prev_type""".stripMargin,
+    "q205_binseg_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(sum(CAST(floor("value" * 100) AS BIGINT)) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT *,
+        |    CAST(sum(v) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS sl,
+        |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      AS BIGINT) AS nl,
+        |    CAST(sum(v) OVER (PARTITION BY event_type) AS BIGINT) AS s,
+        |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM daily),
+        |h AS (SELECT *, CAST(sl * sl AS DOUBLE) / nl
+        |        + CAST((s - sl) * (s - sl) AS DOUBLE) / (n - nl)
+        |        - CAST(s * s AS DOUBLE) / n AS gain
+        |      FROM g WHERE nl < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY gain DESC, day) AS rn FROM h)
+        |SELECT event_type, day AS split_day, gain,
+        |  CAST(sl AS DOUBLE) / (nl * 1e2) AS mean_left,
+        |  CAST(s - sl AS DOUBLE) / ((n - nl) * 1e2) AS mean_right
+        |FROM r WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q193_kaplan_meier" ->
       """WITH ev AS (
         |  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),

@@ -976,9 +976,193 @@ object TextOps {
       |FROM v WHERE inter_sz * 5 >= 4 * union_sz
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ---------------------------------------------------------------- q200
+
+  /** Fixed query workload for the phrase-search operator — literal on
+    * both engines. */
+  private val PhraseQueries = Seq(
+    "slow hash batch", "window fast query", "data merge group")
+
+  /** q200 — positional inverted index + exact phrase query: build
+    * (token, doc, position) postings from the corpus — THE structure
+    * under every search engine — and answer 3-word phrase queries by
+    * joining consecutive positions (w₁@p ∧ w₂@p+1 ∧ w₃@p+2). The
+    * retrieval twin of q131's BM25 ranking: BM25 scores bags of
+    * words, this answers the exact-adjacency queries bags can't.
+    *
+    * Scale shape: postings build is one explode (map-side); each
+    * phrase probe joins the three term posting lists on (doc, pos±k) —
+    * shuffles bounded by the SHORTEST term's postings, the classic
+    * term-at-a-time intersection; the phrase table is literal-tiny and
+    * broadcast. At 100 TB the postings frame is what you'd bucket by
+    * term and persist — the probe plan is unchanged. Counts are exact
+    * integers. */
+  def q200PhraseSearch(s: SparkSession, dir: String): DataFrame = {
+    // dictionary filter: only terms any query mentions enter the
+    // postings frame — the "consult the term dictionary first" step of
+    // every inverted-index probe (70% of this corpus's tokens never
+    // match and are dropped before the checkpoint)
+    val queryVocab = PhraseQueries.flatMap(_.split(" ")).distinct
+    val postings = Tables.documents(s, dir)
+      .select(col("doc_id"), normText(col("text")).as("n"))
+      .select(col("doc_id"), posexplode(split(col("n"), " ")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
+        col("col").as("tok"))
+      .filter(col("tok").isin(queryVocab: _*))
+      .localCheckpoint() // three probe joins re-read the postings
+    val phrases = s.range(1).select(explode(array(PhraseQueries.map { ph =>
+      val Array(w1, w2, w3) = ph.split(" ")
+      struct(lit(ph).as("phrase"), lit(w1).as("w1"), lit(w2).as("w2"),
+        lit(w3).as("w3"))
+    }: _*)).as("q")).select(col("q.*"))
+    broadcast(phrases)
+      .join(postings.as("t1"), col("t1.tok") === col("w1"))
+      .join(postings.as("t2"), col("t2.doc_id") === col("t1.doc_id") &&
+        col("t2.p") === col("t1.p") + 1 && col("t2.tok") === col("w2"))
+      .join(postings.as("t3"), col("t3.doc_id") === col("t1.doc_id") &&
+        col("t3.p") === col("t1.p") + 2 && col("t3.tok") === col("w3"))
+      .groupBy(col("phrase"), col("t1.doc_id").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("t1.p")).as("first_pos"))
+      .orderBy("phrase", "doc_id")
+  }
+
+  private val PhraseSearchSql: String = {
+    val values = PhraseQueries.map { ph =>
+      val Array(w1, w2, w3) = ph.split(" ")
+      s"('$ph', '$w1', '$w2', '$w3')"
+    }.mkString(", ")
+    s"""WITH d AS (SELECT doc_id,
+       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+       |      ' ') AS ts
+       |  FROM documents),
+       |po AS (SELECT doc_id, CAST(i AS BIGINT) AS p, ts[i] AS tok
+       |       FROM d, LATERAL unnest(range(1, len(ts) + 1)) AS u(i)),
+       |q(phrase, w1, w2, w3) AS (VALUES $values)
+       |SELECT q.phrase, t1.doc_id AS doc_id,
+       |  CAST(count(*) AS BIGINT) AS n_matches,
+       |  CAST(min(t1.p) AS BIGINT) AS first_pos
+       |FROM q
+       |JOIN po t1 ON t1.tok = q.w1
+       |JOIN po t2 ON t2.doc_id = t1.doc_id AND t2.p = t1.p + 1
+       |  AND t2.tok = q.w2
+       |JOIN po t3 ON t3.doc_id = t1.doc_id AND t3.p = t1.p + 2
+       |  AND t3.tok = q.w3
+       |GROUP BY 1, 2 ORDER BY phrase, doc_id""".stripMargin
+  }
+
+  // ---------------------------------------------------------------- q202
+
+  private val HeapsBucket = 50L
+
+  /** q202 — Heaps'-law vocabulary-growth fit over the 5-gram
+    * vocabulary: V(N) ≈ k·N^β, estimated by OLS of ln V on ln N along
+    * the corpus prefix curve. The sub-linearity exponent β is the
+    * curation signal for corpus diversity (β → 0: the corpus is
+    * recycling its vocabulary — more data adds no new content;
+    * complements q104's Zipf exponent, the static view of the same
+    * distribution). Token-level V saturates at this corpus's 31-word
+    * vocabulary instantly, so the GRAM vocabulary (~2k, still growing
+    * at sf0.1) is the fitted one.
+    *
+    * Scale shape: first-occurrence per gram is one keyed min
+    * aggregate; the prefix curve is evaluated at BUCKET grain
+    * (50 docs/bucket), so the ordered cumsum window runs over
+    * n_docs/50 rows, and the documented 100 TB form swaps that window
+    * for the standard two-phase distributed prefix sum without
+    * touching the fit. Exactness: N and V are exact integer cumsums;
+    * both are floor-quantized AFTER ln (the q107 discipline) and the
+    * OLS sufficient statistics are exact BIGINTs; β/ln k/r² are the
+    * identical final double expressions in both engines. */
+  def q202HeapsFit(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), normText(col("text")).as("n"))
+      .filter(length(col("n")) >= 5)
+      .select(col("doc_id"), expr(s"doc_id div $HeapsBucket").as("bkt"),
+        call_function("sorted_gram_hashes", col("n"), lit(5)).as("gh"),
+        (length(col("n")) - 4).cast("long").as("n_grams"))
+      .localCheckpoint() // totals aggregate + first-occurrence explode
+    val perBktTotals = docs.groupBy("bkt")
+      .agg(sum(col("n_grams")).as("bkt_n"))
+    val firstSeen = docs.select(col("bkt"), explode(col("gh")).as("h"))
+      .groupBy("h").agg(min(col("bkt")).as("fb"))
+      .groupBy(col("fb").as("bkt")).agg(count(lit(1)).as("bkt_v"))
+    val ord = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, 0)
+    val lnq = (c: Column) =>
+      floor(log(c.cast(DoubleType)) * 1e6).cast(LongType)
+    val curve = perBktTotals.join(firstSeen, Seq("bkt"), "left")
+      .na.fill(0L, Seq("bkt_v"))
+      .withColumn("cn", sum(col("bkt_n")).over(ord))
+      .withColumn("cv", sum(col("bkt_v")).over(ord))
+      .select(lnq(col("cn")).as("x"), lnq(col("cv")).as("y"))
+    curve.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      .select(col("n"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+          / (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+          .as("beta"),
+        ((col("sy").cast(DoubleType) / col("n")
+          - (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+            / (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+            * col("sx").cast(DoubleType) / col("n")) / lit(1e6)).as("ln_k"),
+        // squares in DOUBLE: the BIGINT square of n·sxy−sx·sy would
+        // overflow (~4e32); the pre-square casts keep both engines on
+        // the identical double tree
+        (((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+          * (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType))
+          / ((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+            * (col("n") * col("syy") - col("sy") * col("sy"))
+              .cast(DoubleType))).as("r2"))
+  }
+
+  private val HeapsFitSql: String =
+    s"""WITH d0 AS (SELECT doc_id,
+       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+       |  FROM documents),
+       |d AS (SELECT doc_id, doc_id // $HeapsBucket AS bkt, n,
+       |        list_distinct(list_transform(range(1, length(n) - 3),
+       |          i -> substring(n, i, 5))) AS gs,
+       |        CAST(length(n) - 4 AS BIGINT) AS n_grams
+       |      FROM d0 WHERE length(n) >= 5),
+       |tot AS (SELECT bkt, CAST(sum(n_grams) AS BIGINT) AS bkt_n
+       |        FROM d GROUP BY 1),
+       |fs AS (SELECT fb AS bkt, CAST(count(*) AS BIGINT) AS bkt_v FROM (
+       |         SELECT g, min(bkt) AS fb FROM (
+       |           SELECT bkt, unnest(gs) AS g FROM d) GROUP BY g)
+       |       GROUP BY 1),
+       |curve AS (SELECT
+       |    CAST(floor(ln(CAST(sum(bkt_n) OVER w AS DOUBLE)) * 1e6)
+       |      AS BIGINT) AS x,
+       |    CAST(floor(ln(CAST(sum(coalesce(bkt_v, 0)) OVER w AS DOUBLE))
+       |      * 1e6) AS BIGINT) AS y
+       |  FROM tot LEFT JOIN fs USING (bkt)
+       |  WINDOW w AS (ORDER BY bkt
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy
+       |  FROM curve)
+       |SELECT n,
+       |  CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / CAST(n * sxx - sx * sx AS DOUBLE) AS beta,
+       |  (CAST(sy AS DOUBLE) / n
+       |    - CAST(n * sxy - sx * sy AS DOUBLE)
+       |      / CAST(n * sxx - sx * sx AS DOUBLE)
+       |      * CAST(sx AS DOUBLE) / n) / 1e6 AS ln_k,
+       |  CAST(n * sxy - sx * sy AS DOUBLE)
+       |    * CAST(n * sxy - sx * sy AS DOUBLE)
+       |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+       |      * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+       |FROM st""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q197_winnowing" -> (q197Winnowing _),
     "q198_prefix_join" -> (q198PrefixJoin _),
+    "q200_phrase_search" -> (q200PhraseSearch _),
+    "q202_heaps_fit" -> (q202HeapsFit _),
     "q76_heavy_hitters" -> (q76HeavyHitters _),
     "q72_sequence_packing" -> (q72SequencePacking _),
     "q73_repetition" -> (q73Repetition _),
@@ -1061,6 +1245,8 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q197_winnowing" -> WinnowingSql,
     "q198_prefix_join" -> PrefixJoinSql,
+    "q200_phrase_search" -> PhraseSearchSql,
+    "q202_heaps_fit" -> HeapsFitSql,
     "q149_bpe_merges" -> s"""
       |WITH v0 AS (
       |  SELECT rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),

@@ -393,6 +393,133 @@ object WarehouseOps {
        |SELECT p AS part_id, v_fp, n_buyers FROM v
        |ORDER BY v_fp DESC, part_id LIMIT 20""".stripMargin
 
+  // ---------------------------------------------------------------- q204
+
+  /** q204 — order↔lineitem reconciliation audit: per order, the signed
+    * discrepancy between the header total and the sum of its line
+    * extended prices (exact integer cents), rolled up by discrepancy
+    * MAGNITUDE (decimal-digit bucket of |diff|). The double-entry
+    * control every billing/warehouse pipeline runs nightly; headerless
+    * lines and line-less headers surface in the same frame (left join,
+    * zero fill). On this synthetic data headers and lines are drawn
+    * independently, so the distribution is wide — exactly what the
+    * audit is for. One keyed aggregate + one join, both
+    * orderkey-sharded; every number is an exact BIGINT. */
+  def q204OrderReconcile(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .groupBy(col("l_orderkey").as("o_orderkey"))
+      .agg(sum(floor(col("l_extendedprice") * 100).cast("long"))
+        .as("actual_fp"))
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"),
+        floor(col("o_totalprice") * 100).cast("long").as("expected_fp"))
+      .join(li, Seq("o_orderkey"), "left")
+      .na.fill(0L, Seq("actual_fp"))
+      .select(col("o_orderkey"),
+        (col("actual_fp") - col("expected_fp")).as("diff_fp"))
+      .withColumn("bucket",
+        length(abs(col("diff_fp")).cast("string")).cast("long"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_orders"),
+        min(col("diff_fp")).as("min_diff_fp"),
+        max(col("diff_fp")).as("max_diff_fp"),
+        sum(abs(col("diff_fp"))).as("sum_abs_fp"),
+        min(col("o_orderkey")).as("example_order"))
+      .orderBy("bucket")
+  }
+
+  private val OrderReconcileSql: String =
+    """WITH li AS (SELECT l_orderkey AS o_orderkey,
+      |    CAST(sum(CAST(floor(l_extendedprice * 1e2) AS BIGINT))
+      |      AS BIGINT) AS actual_fp
+      |  FROM lineitem GROUP BY 1),
+      |d AS (SELECT o.o_orderkey,
+      |    coalesce(li.actual_fp, 0)
+      |      - CAST(floor(o.o_totalprice * 1e2) AS BIGINT) AS diff_fp
+      |  FROM orders o LEFT JOIN li ON li.o_orderkey = o.o_orderkey)
+      |SELECT CAST(length(CAST(abs(diff_fp) AS VARCHAR)) AS BIGINT)
+      |    AS bucket,
+      |  CAST(count(*) AS BIGINT) AS n_orders,
+      |  CAST(min(diff_fp) AS BIGINT) AS min_diff_fp,
+      |  CAST(max(diff_fp) AS BIGINT) AS max_diff_fp,
+      |  CAST(sum(abs(diff_fp)) AS BIGINT) AS sum_abs_fp,
+      |  CAST(min(o_orderkey) AS BIGINT) AS example_order
+      |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin
+
+  // ---------------------------------------------------------------- q206
+
+  private val AprioriMinSup = 5L
+
+  /** q206 — A-priori frequent 3-itemsets (Agrawal/Srikant, VLDB'94):
+    * the next lattice level above q152's pairs. Candidate triples are
+    * generated map-side inside each basket (bounded by Σ C(|basket|,3),
+    * never a self-join) and PRUNED by the A-priori property before
+    * counting — a triple survives only if all three of its sub-pairs
+    * are frequent — so the counting aggregate sees a candidate set
+    * collapsed by the monotonicity argument that makes market-basket
+    * mining tractable at warehouse scale.
+    *
+    * Shape: one l_orderkey shuffle to baskets (the q152 build), triple
+    * explode map-side, three semi joins against the frequent-pair set
+    * (pair-keyed, AQE-broadcast at test SFs, co-keyed shuffles beyond),
+    * one counting aggregate. All counts exact BIGINTs; ties break on
+    * (a, b, c). */
+  def q206Apriori3(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val sets = li.groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      .localCheckpoint() // pair explode + triple explode
+    val pairs = sets.select(explode(expr(
+        """flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), y ->
+          |    struct(x AS a, y AS b))))""".stripMargin)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+    val f2 = pairs.groupBy("a", "b").agg(count(lit(1)).as("supp2"))
+      .filter(col("supp2") >= AprioriMinSup)
+      .select("a", "b")
+    val triples = sets.select(explode(expr(
+        """flatten(flatten(transform(ps, (x, i) ->
+          |  transform(slice(ps, i + 2, size(ps)), (y, j) ->
+          |    transform(slice(ps, i + j + 3, size(ps)), z ->
+          |      struct(x AS a, y AS b, z AS c))))))""".stripMargin)).as("t"))
+      .select(col("t.a").as("a"), col("t.b").as("b"), col("t.c").as("c"))
+    triples
+      .join(f2, Seq("a", "b"), "left_semi")
+      .join(f2.select(col("a"), col("b").as("c")), Seq("a", "c"), "left_semi")
+      .join(f2.select(col("a").as("b"), col("b").as("c")), Seq("b", "c"),
+        "left_semi")
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= AprioriMinSup)
+      .orderBy(col("supp").desc, col("a"), col("b"), col("c"))
+      .limit(20)
+  }
+
+  private val Apriori3Sql: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |sets AS (SELECT l_orderkey, list_sort(list(l_partkey)) AS ps
+       |         FROM li GROUP BY 1),
+       |pairs AS (SELECT (p).a AS a, (p).b AS b FROM (
+       |  SELECT unnest(flatten(list_transform(ps, (x, i) ->
+       |    list_transform(ps[i+1:], y -> {'a': x, 'b': y})))) AS p
+       |  FROM sets)),
+       |f2 AS (SELECT a, b FROM (SELECT a, b, count(*) AS supp2
+       |       FROM pairs GROUP BY 1, 2) WHERE supp2 >= $AprioriMinSup),
+       |tri AS (SELECT (t).a AS a, (t).b AS b, (t).c AS c FROM (
+       |  SELECT unnest(flatten(flatten(list_transform(ps, (x, i) ->
+       |    list_transform(ps[i+1:], (y, j) ->
+       |      list_transform(ps[i+j+1:], z ->
+       |        {'a': x, 'b': y, 'c': z})))))) AS t
+       |  FROM sets)),
+       |pruned AS (
+       |  SELECT tri.a, tri.b, tri.c FROM tri
+       |  JOIN f2 p1 ON p1.a = tri.a AND p1.b = tri.b
+       |  JOIN f2 p2 ON p2.a = tri.a AND p2.b = tri.c
+       |  JOIN f2 p3 ON p3.a = tri.b AND p3.b = tri.c)
+       |SELECT a, b, c, CAST(count(*) AS BIGINT) AS supp
+       |FROM pruned GROUP BY 1, 2, 3 HAVING count(*) >= $AprioriMinSup
+       |ORDER BY supp DESC, a, b, c LIMIT 20""".stripMargin
+
   // ---------------------------------------------------------------- q115
 
   /** q115 — SCD2 (slowly-changing-dimension type 2) upsert: apply a
@@ -965,6 +1092,8 @@ object WarehouseOps {
     "q195_zonemap" -> (q195Zonemap _),
     "q196_benford" -> (q196Benford _),
     "q199_als_rank1" -> (q199AlsRank1 _),
+    "q204_order_reconcile" -> (q204OrderReconcile _),
+    "q206_apriori3" -> (q206Apriori3 _),
     "q185_bfs_hops" -> (q185BfsHops _),
     "q114_pagerank" -> (q114PageRank _),
     "q177_label_prop" -> (q177LabelProp _),
@@ -983,6 +1112,8 @@ object WarehouseOps {
     "q195_zonemap" -> ZonemapSql,
     "q196_benford" -> BenfordSql,
     "q199_als_rank1" -> AlsSql,
+    "q204_order_reconcile" -> OrderReconcileSql,
+    "q206_apriori3" -> Apriori3Sql,
     "q185_bfs_hops" -> BfsHopsSql,
     "q114_pagerank" -> PageRankSql,
     "q177_label_prop" -> LabelPropSql,

@@ -554,6 +554,69 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q203 Markov eval: argmax prediction replayed sequentially, leakage-free") {
+    val rows = EventOps.q203MarkovEval(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nt, nc) = (r.getAs[Long]("n_test"), r.getAs[Long]("n_correct"))
+      assert(nc >= 0 && nc <= nt)
+      assert(r.getAs[Long]("acc_ppm") == nc * 1000000L / nt)
+    }
+    // replay: per-user sorted walk, train on pairs before day 16
+    val cut = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+    val ev = graft.Tables.events(spark, Sf)
+      .select("user_id", "event_id", "ts", "event_type").collect()
+    val pairs = ev.groupBy(_.getAs[Long]("user_id")).toSeq.flatMap {
+      case (_, rs) =>
+        rs.sortBy(r => (r.getAs[java.time.LocalDateTime]("ts"),
+          r.getAs[Long]("event_id")))(
+          Ordering.Tuple2(Ordering.ordered, Ordering.Long))
+          .sliding(2).collect { case Array(a, b) =>
+            (a.getAs[String]("event_type"), b.getAs[String]("event_type"),
+              b.getAs[java.time.LocalDateTime]("ts").isBefore(cut))
+          }
+    }
+    val model = pairs.filter(_._3).groupBy(_._1).map { case (p, ps) =>
+      p -> ps.groupBy(_._2).toSeq
+        .sortBy { case (t, xs) => (-xs.size, t) }.head._1
+    }
+    val want = pairs.filterNot(_._3).groupBy(_._1).map { case (p, ps) =>
+      p -> (ps.size.toLong,
+        ps.count(x => model.get(p).contains(x._2)).toLong)
+    }
+    val got = rows.map(r => r.getAs[String]("prev_type") ->
+      (r.getAs[Long]("n_test"), r.getAs[Long]("n_correct"))).toMap
+    assert(got == want)
+  }
+
+  test("q205 binseg: chosen split maximizes between-segment SS in a replay") {
+    val rows = EventOps.q205BinsegChangepoint(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val daily = graft.Tables.events(spark, Sf)
+      .groupBy(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.date_trunc("day",
+          org.apache.spark.sql.functions.col("ts")).as("day"))
+      .agg(org.apache.spark.sql.functions.sum(
+        org.apache.spark.sql.functions.floor(
+          org.apache.spark.sql.functions.col("value") * 100).cast("long"))
+        .as("v"))
+      .collect()
+      .groupBy(_.getAs[String]("event_type"))
+    rows.foreach { r =>
+      val series = daily(r.getAs[String]("event_type"))
+        .sortBy(_.getAs[java.sql.Timestamp]("day").getTime)
+        .map(_.getAs[Long]("v"))
+      val s = series.sum.toDouble
+      val n = series.length.toDouble
+      val gains = (1 until series.length).map { k =>
+        val sl = series.take(k).sum.toDouble
+        sl * sl / k + (s - sl) * (s - sl) / (n - k) - s * s / n
+      }
+      assert(math.abs(r.getAs[Double]("gain") - gains.max) < 1e-6,
+        s"${r.getAs[String]("event_type")}: ${r.getAs[Double]("gain")} vs ${gains.max}")
+    }
+  }
+
   test("q190 conversion-lag quartiles are contiguous and account for all converters") {
     val rows = EventOps.q190ConversionLag(spark, Sf).collect()
     assert(rows.nonEmpty)

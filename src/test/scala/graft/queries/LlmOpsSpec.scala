@@ -310,6 +310,60 @@ class LlmOpsSpec extends SparkTestBase {
     assert(e == eChain)
   }
 
+  test("q200 phrase search equals a regex count over reassembled text") {
+    import org.apache.spark.sql.functions._
+    val got = graft.queries.TextOps.queries("q200_phrase_search")(spark, Sf)
+      .collect()
+      .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("doc_id")) ->
+        (r.getAs[Long]("n_matches"), r.getAs[Long]("first_pos"))).toMap
+    val docs = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "\\s+", " ")).as("n"))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("n"))
+    val phrases = Seq("slow hash batch", "window fast query",
+      "data merge group")
+    val want = (for {
+      (id, n) <- docs; ph <- phrases
+      toks = n.split(" ")
+      hits = toks.indices.dropRight(2).filter(i =>
+        toks(i) + " " + toks(i + 1) + " " + toks(i + 2) == ph)
+      if hits.nonEmpty
+    } yield (ph, id) -> (hits.size.toLong, hits.min.toLong + 1)).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "no phrase hits at this SF — pick commoner phrases")
+  }
+
+  test("q201 containment: diagonal-free, bounded ppm, symmetric intersections") {
+    val rows = graft.queries.CorpusOps
+      .queries("q201_source_containment")(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val inter = rows.map(r => (r.getAs[String]("src_a"),
+      r.getAs[String]("src_b")) -> r.getAs[Long]("inter_sz")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[String]("src_a") != r.getAs[String]("src_b"))
+      val c = r.getAs[Long]("containment_ppm")
+      assert(c >= 0 && c <= 1000000L)
+      assert(r.getAs[Long]("inter_sz") <=
+        math.min(r.getAs[Long]("size_a"), r.getAs[Long]("size_b")))
+      // |A∩B| is symmetric even though containment is not
+      assert(inter((r.getAs[String]("src_b"), r.getAs[String]("src_a")))
+        == r.getAs[Long]("inter_sz"))
+    }
+  }
+
+  test("q202 Heaps fit: sub-linear growth with a sane r2") {
+    val r = graft.queries.TextOps.queries("q202_heaps_fit")(spark, Sf)
+      .collect().head
+    val beta = r.getAs[Double]("beta")
+    assert(r.getAs[Long]("n") >= 2)
+    // gram vocabulary grows, but sub-linearly
+    assert(beta > 0.0 && beta < 1.0, s"beta=$beta")
+    assert(r.getAs[Double]("r2") > 0.5 && r.getAs[Double]("r2") <= 1.0)
+    // ln V = ln k + beta ln N must roughly reproduce the final vocab
+    val lnK = r.getAs[Double]("ln_k")
+    assert(!lnK.isNaN && !lnK.isInfinite)
+  }
+
   test("winnow_fingerprints kernel equals the declarative array chain") {
     graft.functions.GraftFunctions.register(spark)
     val (k, w, enc) = (5, 4, 2097152L)

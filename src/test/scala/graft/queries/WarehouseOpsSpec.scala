@@ -464,6 +464,52 @@ class WarehouseOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q204 reconcile: buckets partition all orders and bounds hold") {
+    val rows = WarehouseOps.q204OrderReconcile(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val nOrders = graft.Tables.orders(spark, Sf).count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == nOrders)
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      val (lo, hi) = (r.getAs[Long]("min_diff_fp"), r.getAs[Long]("max_diff_fp"))
+      assert(lo <= hi)
+      // digit-count bucket: |diff| in [10^(b-1), 10^b) (bucket 1 includes 0)
+      val cap = math.pow(10, b.toDouble).toLong
+      assert(math.abs(lo) < cap && math.abs(hi) < cap)
+      assert(r.getAs[Long]("sum_abs_fp") >= math.max(math.abs(lo), math.abs(hi)))
+    }
+  }
+
+  test("q206 apriori: triples replay brute-force counts and respect monotonicity") {
+    val rows = WarehouseOps.q206Apriori3(spark, Sf).collect()
+    val baskets = graft.Tables.lineitem(spark, Sf)
+      .select("l_orderkey", "l_partkey").distinct().collect()
+      .groupBy(_.getAs[Long]("l_orderkey"))
+      .map(_._2.map(_.getAs[Long]("l_partkey")).sorted.toVector)
+    val tripleCounts = scala.collection.mutable.Map[(Long, Long, Long), Long]()
+    val pairCounts = scala.collection.mutable.Map[(Long, Long), Long]()
+    baskets.foreach { ps =>
+      for (i <- ps.indices; j <- i + 1 until ps.size) {
+        pairCounts((ps(i), ps(j))) = pairCounts.getOrElse((ps(i), ps(j)), 0L) + 1
+        for (k <- j + 1 until ps.size)
+          tripleCounts((ps(i), ps(j), ps(k))) =
+            tripleCounts.getOrElse((ps(i), ps(j), ps(k)), 0L) + 1
+      }
+    }
+    val want = tripleCounts.filter { case ((a, b, c), n) =>
+      n >= 5 && pairCounts((a, b)) >= 5 && pairCounts((a, c)) >= 5 &&
+        pairCounts((b, c)) >= 5
+    }.toSeq.sortBy { case ((a, b, c), n) => (-n, a, b, c) }.take(20)
+    val got = rows.map(r => ((r.getAs[Long]("a"), r.getAs[Long]("b"),
+      r.getAs[Long]("c")), r.getAs[Long]("supp"))).toSeq
+    assert(got == want, s"got=${got.take(3)} want=${want.take(3)}")
+    // monotonicity: a frequent triple's support never exceeds its pairs'
+    got.foreach { case ((a, b, c), n) =>
+      assert(n <= pairCounts((a, b)) && n <= pairCounts((a, c)) &&
+        n <= pairCounts((b, c)))
+    }
+  }
+
   test("q185 BFS hops matches an in-memory 3-round multi-source BFS") {
     val edges = replicaEdges()
     val nbrs = edges.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
