@@ -970,9 +970,9 @@ object EventOps {
   //   ln(p1/p0) = ln(0.55/0.50) = ln(1.1):  floor(0.09531018…·1e9)
   //   ln(q1/q0) = ln(0.45/0.50) = ln(0.9):  floor(−0.10536052…·1e9)
   //   bound ln((1−β)/α) = ln(19) at α=β=0.05: floor(2.94443898…·1e9)
-  private val SprtLnP = 95310179L
-  private val SprtLnQ = -105360516L
-  private val SprtBound = 2944438979L
+  private[graft] val SprtLnP = 95310179L
+  private[graft] val SprtLnQ = -105360516L
+  private[graft] val SprtBound = 2944438979L
 
   /** q194 — SPRT (Wald's sequential probability ratio test) on a
     * running A/B experiment: arms are the deterministic user_id % 2
@@ -1100,11 +1100,48 @@ object EventOps {
       .orderBy("event_type")
   }
 
+  /** q208 — TWAP (time-weighted average price/value) per type and
+    * day: each observation is weighted by how long it REMAINED the
+    * latest reading (to the next same-type event, or the day
+    * boundary) — the standard irregular-sampling average for sensor
+    * and market data, where the plain mean over-weights bursts (a
+    * sensor that reports 100× during a spike would drag the naive
+    * mean; TWAP charges each value for its holding time only).
+    *
+    * Shape: one keyed lead window + one keyed aggregate — nothing
+    * beyond (type, day) grain ever shuffles. Exactness: weights are
+    * exact integer microseconds, values fixed-point cents, the
+    * weighted sum an exact BIGINT (bound: Σ v·dt < 2⁶³ holds while
+    * |v| < ~1e8 cents at a day's 8.64e10 µs — far past target scale),
+    * and `twap` is the identical final double division. */
+  def q208Twap(s: SparkSession, dir: String): DataFrame = {
+    def us(c: Column): Column = unix_micros(c.cast("timestamp"))
+    val byTypeDay = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("event_type"), col("event_id"), col("ts"),
+        date_trunc("day", col("ts")).as("day"),
+        floor(col("value") * 100).cast("long").as("v"))
+      .withColumn("dt",
+        coalesce(us(lead(col("ts"), 1).over(byTypeDay)),
+          us(col("day")) + 86400000000L) - us(col("ts")))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("v") * col("dt")).as("twap_num"),
+        sum(col("dt")).as("dt_total"))
+      .select(col("event_type"), col("day"), col("n_events"),
+        col("twap_num"), col("dt_total"),
+        (col("twap_num").cast(DoubleType)
+          / (col("dt_total").cast(DoubleType) * lit(1e2))).as("twap"))
+      .orderBy("event_type", "day")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q193_kaplan_meier" -> (q193KaplanMeier _),
     "q194_sprt" -> (q194Sprt _),
     "q203_markov_eval" -> (q203MarkovEval _),
     "q205_binseg_changepoint" -> (q205BinsegChangepoint _),
+    "q208_twap" -> (q208Twap _),
     "q191_attribution" -> (q191Attribution _),
     "q189_drawdown" -> (q189Drawdown _),
     "q190_conversion_lag" -> (q190ConversionLag _),
@@ -1148,6 +1185,21 @@ object EventOps {
       " || lpad(CAST(event_id AS VARCHAR), 12, '0')"
 
   val oracles: Map[String, String] = Map(
+    "q208_twap" ->
+      """WITH ev AS (SELECT event_type, event_id,
+        |    CAST(ts AS TIMESTAMP) AS ts,
+        |    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+        |    CAST(floor("value" * 100) AS BIGINT) AS v FROM events),
+        |l AS (SELECT *, lead(ts) OVER (PARTITION BY event_type, day
+        |        ORDER BY ts, event_id) AS next_ts FROM ev),
+        |d AS (SELECT *, coalesce(epoch_us(next_ts),
+        |        epoch_us(day) + 86400000000) - epoch_us(ts) AS dt FROM l)
+        |SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(v * dt) AS BIGINT) AS twap_num,
+        |  CAST(sum(dt) AS BIGINT) AS dt_total,
+        |  CAST(CAST(sum(v * dt) AS BIGINT) AS DOUBLE)
+        |    / (CAST(CAST(sum(dt) AS BIGINT) AS DOUBLE) * 1e2) AS twap
+        |FROM d GROUP BY 1, 2 ORDER BY event_type, day""".stripMargin,
     "q203_markov_eval" ->
       """WITH ev AS (SELECT user_id, event_id,
         |    CAST(ts AS TIMESTAMP) AS ts, event_type FROM events),

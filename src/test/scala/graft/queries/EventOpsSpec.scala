@@ -554,6 +554,32 @@ class EventOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q208 TWAP: weights cover first event to day end, bounds hold") {
+    val rows = EventOps.q208Twap(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dt = r.getAs[Long]("dt_total")
+      assert(dt > 0 && dt <= 86400000000L)
+      val twap = r.getAs[Double]("twap")
+      assert(twap == r.getAs[Long]("twap_num").toDouble / (dt.toDouble * 1e2))
+    }
+    // single-event day in a tiny replica: TWAP equals that value and
+    // the weight runs to the day boundary
+    import spark.implicits._
+    val one = Seq((1L, java.time.LocalDateTime.parse("2024-01-01T06:00:00"),
+      1L, "x", 2.5, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_twap").toString
+    graft.Tables.names.foreach { t =>
+      val df = if (t == "events") one else graft.Tables(spark, Sf, t)
+      df.write.mode("overwrite").parquet(s"$tmp/$t.parquet")
+    }
+    val o = EventOps.q208Twap(spark, tmp).collect()
+    assert(o.length == 1)
+    assert(o.head.getAs[Long]("dt_total") == 18L * 3600 * 1000000)
+    assert(math.abs(o.head.getAs[Double]("twap") - 2.5) < 1e-12)
+  }
+
   test("q203 Markov eval: argmax prediction replayed sequentially, leakage-free") {
     val rows = EventOps.q203MarkovEval(spark, Sf).collect()
     assert(rows.nonEmpty)

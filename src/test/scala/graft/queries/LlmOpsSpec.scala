@@ -841,6 +841,35 @@ class LlmOpsSpec extends SparkTestBase {
       s"missing=${(brute -- rows).take(3)} extra=${(rows -- brute).take(3)}")
   }
 
+  test("q207 matryoshka recall agrees with an in-memory two-precision rerank") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.VectorOps
+      .queries("q207_matryoshka_recall")(spark, Sf).collect()
+    assert(rows.map(_.getAs[Long]("query_id")).toSeq == (0L to 4L))
+    val emb = graft.Tables.embeddings(spark, Sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").toArray).toMap
+    def cos(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until d) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i)
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qs = emb.keys.filter(_ < 5).toSeq.sorted
+    val cs = emb.keys.filter(_ >= 5).toSeq
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      def top10(d: Int) = cs.map(c => c -> cos(emb(q), emb(c), d))
+        .sortBy { case (c, s) => (-s, c) }.take(10).map(_._1)
+      val (f, t) = (top10(64), top10(16))
+      assert(r.getAs[Long]("n_overlap") == f.toSet.intersect(t.toSet).size)
+      assert(r.getAs[Boolean]("top1_kept") == t.contains(f.head))
+    }
+  }
+
   test("topPrincipalComponent is a unit-norm eigenvector of q108's matrix") {
     val (v, lambda) = VectorOps.topPrincipalComponent(spark, Sf)
     assert(math.abs(v.map(x => x * x).sum - 1.0) < 1e-9)
