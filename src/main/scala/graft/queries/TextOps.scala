@@ -426,15 +426,35 @@ object TextOps {
     * 1-row argmax broadcasts back — per round one vocab-keyed
     * aggregate, nothing corpus-sized after the first groupBy. */
   def q149BpeMerges(s: SparkSession, dir: String): DataFrame = {
-    val sep = "\u001f"
+    val (rounds, _) = bpeTrained(s, dir)
+    rounds.map { case (r, b) =>
+      b.select(lit(r).as("round"),
+        element_at(split(col("pair"), BpeSep), 1).as("s1"),
+        element_at(split(col("pair"), BpeSep), 2).as("s2"),
+        col("pair_cnt"))
+    }.reduce(_ unionAll _).orderBy("round")
+  }
+
+  private val BpeSep = "\u001f"
+
+  /** Shared BPE training pipeline: 3 greedy merge rounds over the
+    * word-count vocabulary. Returns the per-round best pairs (q149's
+    * output) AND the post-merge vocabulary with the source word
+    * carried (q209 applies it). Carrying `w` changes nothing for
+    * q149: word <-> symbol-string stays bijective through every
+    * round, so the pair counting sees identical rows. */
+  private def bpeTrained(s: SparkSession,
+      dir: String): (Seq[(Int, DataFrame)], DataFrame) = {
+    val sep = BpeSep
     val vocab0 = Tables.documents(s, dir)
       .select(explode(split(normText(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       // "abc" -> "a<sep>b<sep>c": separator after every char, trailing
       // one trimmed — avoids split("")'s trailing-empty-symbol edge
-      .select(rtrim(regexp_replace(col("w"), "(.)", "$1" + sep), sep)
-        .as("syms"), col("cnt"))
+      .select(col("w"),
+        rtrim(regexp_replace(col("w"), "(.)", "$1" + sep), sep)
+          .as("syms"), col("cnt"))
       // materialize ONCE: the corpus-scale token explode feeds all
       // three rounds (b1, v1->b2, v2->b3 would each recompute it)
       .localCheckpoint()
@@ -474,19 +494,14 @@ object TextOps {
             |         AND x = s2
             |    THEN concat(acc, x)
             |    ELSE concat(acc, chr(31), x) END)""".stripMargin)
-          .as("syms"), col("cnt"))
+          .as("syms"), col("w"), col("cnt"))
     val b1 = bestPair(vocab0).localCheckpoint()
     val v1 = merged(vocab0, b1)
     val b2 = bestPair(v1).localCheckpoint()
     val v2 = merged(v1, b2)
     val b3 = bestPair(v2).localCheckpoint()
-    def row(r: Int, b: DataFrame): DataFrame =
-      b.select(lit(r).as("round"),
-        element_at(split(col("pair"), sep), 1).as("s1"),
-        element_at(split(col("pair"), sep), 2).as("s2"),
-        col("pair_cnt"))
-    row(1, b1).unionAll(row(2, b2)).unionAll(row(3, b3))
-      .orderBy("round")
+    val v3 = merged(v2, b3)
+    (Seq(1 -> b1, 2 -> b2, 3 -> b3), v3)
   }
 
   /** q44 — array/higher-order scalar functions over token arrays:
@@ -1158,11 +1173,77 @@ object TextOps {
        |      * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
        |FROM st""".stripMargin
 
+  // ---------------------------------------------------------------- q209
+
+  /** q209 — tokenizer fertility audit: apply q149's LEARNED 3-round
+    * BPE merge table to the corpus and report tokens-per-word
+    * (fertility) per language — the multilingual-equity metric behind
+    * every tokenizer review (a language with 2× fertility pays 2× the
+    * sequence length, context budget and compute for the same text).
+    * Closes the train→apply loop: q149 only trains the merges; this is
+    * the first consumer that tokenizes WITH them.
+    *
+    * Scale shape — the defining trick: merges are applied to the
+    * VOCABULARY (distinct words — vocabulary-sized, tiny), and the
+    * corpus only contributes (lang, word) COUNT aggregates that join
+    * against the tokenized vocab; the fold over symbols never sees a
+    * corpus-sized row. That is exactly how production fertility audits
+    * run on trillion-token corpora. Every output is an exact integer;
+    * fertility is an exact ppm division. */
+  def q209BpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val (_, v3) = bpeTrained(s, dir)
+    val nTok = v3.select(col("w"),
+      size(split(col("syms"), BpeSep)).cast("long").as("n_tok"))
+    Tables.documents(s, dir)
+      .select(col("lang"),
+        explode(split(normText(col("text")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      .join(nTok, "w")
+      .groupBy("lang")
+      .agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * col("n_tok")).as("n_tokens"),
+        count(lit(1)).as("n_distinct_words"))
+      .select(col("lang"), col("n_words"), col("n_tokens"),
+        col("n_distinct_words"),
+        expr("n_tokens * 1000000 div n_words").as("fertility_ppm"))
+      .orderBy("lang")
+  }
+
+  private def BpeFertilitySql: String = s"""
+    |WITH v0 AS (
+    |  SELECT w, rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),
+    |      chr(31)) AS syms,
+    |    count(*) AS cnt
+    |  FROM (
+    |    SELECT unnest(string_split(
+    |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+    |    FROM documents)
+    |  WHERE w <> '' GROUP BY 1, 2),
+    |${bpeRoundSql("v0", "b1", "v1", carry = "w, ")},
+    |${bpeRoundSql("v1", "b2", "v2", carry = "w, ")},
+    |${bpeRoundSql("v2", "b3", "v3", carry = "w, ")},
+    |nt AS (SELECT w, CAST(len(string_split(syms, chr(31))) AS BIGINT)
+    |         AS n_tok FROM v3),
+    |wl AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM (
+    |         SELECT lang, unnest(string_split(trim(regexp_replace(
+    |           lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+    |         FROM documents)
+    |       WHERE w <> '' GROUP BY 1, 2)
+    |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
+    |  CAST(sum(cnt * n_tok) AS BIGINT) AS n_tokens,
+    |  CAST(count(*) AS BIGINT) AS n_distinct_words,
+    |  CAST(sum(cnt * n_tok) AS BIGINT) * 1000000
+    |    // CAST(sum(cnt) AS BIGINT) AS fertility_ppm
+    |FROM wl JOIN nt USING (w)
+    |GROUP BY 1 ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q197_winnowing" -> (q197Winnowing _),
     "q198_prefix_join" -> (q198PrefixJoin _),
     "q200_phrase_search" -> (q200PhraseSearch _),
     "q202_heaps_fit" -> (q202HeapsFit _),
+    "q209_bpe_fertility" -> (q209BpeFertility _),
     "q76_heavy_hitters" -> (q76HeavyHitters _),
     "q72_sequence_packing" -> (q72SequencePacking _),
     "q73_repetition" -> (q73Repetition _),
@@ -1223,7 +1304,8 @@ object TextOps {
     * BIGINT because DuckDB's sum(BIGINT) yields HUGEINT, which the
     * driver's type-tagged hash can never match against Spark's int64
     * (the r7 judge's root cause for the only 3 red rows). */
-  private def bpeRoundSql(v: String, b: String, vNext: String): String =
+  private def bpeRoundSql(v: String, b: String, vNext: String,
+      carry: String = ""): String =
     s"""$b AS (
        |  SELECT pair, CAST(sum(cnt) AS BIGINT) AS pair_cnt,
        |    string_split(pair, chr(31))[1] AS s1,
@@ -1235,7 +1317,7 @@ object TextOps {
        |  GROUP BY pair
        |  ORDER BY pair_cnt DESC, pair LIMIT 1),
        |$vNext AS (
-       |  SELECT list_reduce(string_split(syms, chr(31)), (acc, x) ->
+       |  SELECT ${carry}list_reduce(string_split(syms, chr(31)), (acc, x) ->
        |      CASE WHEN (acc = $b.s1
        |            OR right(acc, length($b.s1) + 1) = chr(31) || $b.s1)
        |          AND x = $b.s2
@@ -1247,6 +1329,7 @@ object TextOps {
     "q198_prefix_join" -> PrefixJoinSql,
     "q200_phrase_search" -> PhraseSearchSql,
     "q202_heaps_fit" -> HeapsFitSql,
+    "q209_bpe_fertility" -> BpeFertilitySql,
     "q149_bpe_merges" -> s"""
       |WITH v0 AS (
       |  SELECT rtrim(regexp_replace(w, '(.)', '\\1' || chr(31), 'g'),

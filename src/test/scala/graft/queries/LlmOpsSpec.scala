@@ -841,6 +841,36 @@ class LlmOpsSpec extends SparkTestBase {
       s"missing=${(brute -- rows).take(3)} extra=${(rows -- brute).take(3)}")
   }
 
+  test("q209 fertility: merges shrink tokens-per-word below chars-per-word") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.queries.TextOps.queries("q209_bpe_fertility")(spark, Sf)
+      .collect()
+    assert(rows.nonEmpty)
+    // chars-per-word baseline: with zero merges fertility == word length
+    val base = graft.Tables.documents(spark, Sf)
+      .select(col("lang"), explode(split(trim(regexp_replace(
+        lower(col("text")), "\\s+", " ")), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang")
+      .agg(sum(length(col("w")).cast("long")).as("sum_chars"),
+        count(lit(1)).as("n_words"))
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("sum_chars") * 1000000L / r.getAs[Long]("n_words"),
+          r.getAs[Long]("n_words"))).toMap
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val f = r.getAs[Long]("fertility_ppm")
+      assert(r.getAs[Long]("n_words") == base(lang)._2)
+      // 3 merges strictly reduce the corpus-wide symbol count, and can
+      // never push fertility below 1 token/word
+      assert(f < base(lang)._1, s"$lang: $f !< chars ${base(lang)._1}")
+      assert(f >= 1000000L)
+      assert(f ==
+        r.getAs[Long]("n_tokens") * 1000000L / r.getAs[Long]("n_words"))
+    }
+  }
+
   test("q207 matryoshka recall agrees with an in-memory two-precision rerank") {
     import org.apache.spark.sql.functions._
     val rows = graft.queries.VectorOps

@@ -267,6 +267,13 @@ class ScaleSpec extends SparkTestBase {
       .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc)
       .drop("rep")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // orders replicate with the SAME orderkey shift as lineitem (the
+    // join key stays consistent); custkeys unchanged — every customer
+    // simply orders 10x more, so the bipartite/ratings graphs densify
+    graft.Tables.orders(spark, base).crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * maxOk)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
       val r = f
@@ -277,6 +284,11 @@ class ScaleSpec extends SparkTestBase {
     assert(timed("q152")(WarehouseOps.q152Itemsets(spark, dir).count()) == 20)
     assert(timed("q114")(WarehouseOps.q114PageRank(spark, dir).count()) == 100)
     assert(timed("q157")(WarehouseOps.q157KcorePeel(spark, dir).count()) > 0)
+    // round-8 iterative additions: HITS, rank-1 ALS, A-priori triples —
+    // all top-k-shaped outputs, so cardinality stays fixed at 10x
+    assert(timed("q192")(WarehouseOps.q192Hits(spark, dir).count()) == 50)
+    assert(timed("q199")(WarehouseOps.q199AlsRank1(spark, dir).count()) == 20)
+    assert(timed("q206")(WarehouseOps.q206Apriori3(spark, dir).count()) == 20)
     // every replica must land in its original's cluster: labels are
     // min-reachable doc_id, so all cluster ids stay below the original
     // id range — pointer-jumping converged across the 10x replica fan
