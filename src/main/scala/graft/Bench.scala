@@ -8,6 +8,8 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // dual events.ts layout support (see Tables.events / Verify)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm-up: initialize parquet reader, codegen, shuffle machinery,
@@ -38,6 +40,30 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // ---- contention canary -------------------------------------------
+    // A saturated host inflates wall-clock times of queries that did not
+    // change (r7 and r8 both recorded windows where a static projection
+    // ran 100× its clean time). min-of-2 inside the same window cannot
+    // detect that — both measures share the contention. So we interleave
+    // a FIXED, tiny query through the run and compare it against its own
+    // start-of-run baseline: the canary's code never changes, hence any
+    // inflation is the host's, not ours. Queries timed inside an
+    // inflated canary window get re-measured after a backoff once the
+    // canary recovers; if it never recovers the JSON carries
+    // `contended:true` plus the canary series so a reader can discount
+    // the window mechanically.
+    def canaryOnce(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .groupBy("n_regionkey").count()
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val canaryBase = (1 to 5).map(_ => canaryOnce()).min
+    val canarySeries = scala.collection.mutable.ListBuffer.empty[Double]
+    // canary reading associated with each query (index into canarySeries)
+    val canaryAt = scala.collection.mutable.Map.empty[String, Int]
+    val inflateFactor = 3.0
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         recordFailure: Boolean): Double = {
@@ -65,28 +91,61 @@ object Bench {
       spark.sharedState.cacheManager.clearCache()
       elapsed
     }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map {
-      case (name, fn) => name -> timeOne(name, fn, recordFailure = true)
+    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+    val canaryEvery = 8
+    val firstPass = sorted.zipWithIndex.map { case ((name, fn), i) =>
+      if (i % canaryEvery == 0) canarySeries += canaryOnce()
+      canaryAt(name) = canarySeries.length - 1
+      name -> timeOne(name, fn, recordFailure = true)
     }
-    // Contention hardening: a busy host can inflate individual queries
-    // 2-10× (r7's driver window inflated 15 untouched queries while two
-    // independent clean runs agreed on the stable times). Re-measure
-    // only the queries whose first measure exceeds a threshold and
-    // report the min — bounded extra cost, and a single noisy window
-    // can no longer distort the graded artifact. Failures are not
-    // retried: a red query stays red.
+    canarySeries += canaryOnce() // close the last window
+    // Contention hardening, layer 1 (r7): a busy host can inflate
+    // individual queries 2-10×. Re-measure queries whose first measure
+    // exceeds a threshold and report the min. Failures are not retried:
+    // a red query stays red.
     val retryAbove = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "2.0").toDouble
-    val results = firstPass.map { case (name, t1) =>
+    val minOf2 = firstPass.map { case (name, t1) =>
       if (t1 >= retryAbove) {
         val t2 = timeOne(name, SparkEntry.queries(name), recordFailure = false)
         name -> (if (t2 >= 0) math.min(t1, t2) else t1)
       } else name -> t1
     }
+    // Layer 2 (r9): min-of-2 fails when BOTH measures sit inside one
+    // contended window (happened in r7 and r8). Detect inflated windows
+    // via the canary, wait out the contention with bounded backoff, and
+    // re-run only the queries whose windows were inflated.
+    def inflated(c: Double): Boolean = c > canaryBase * inflateFactor
+    val contendedNames = minOf2.collect { case (name, t) if t >= 0 &&
+      (inflated(canarySeries(canaryAt(name))) ||
+       inflated(canarySeries(math.min(canaryAt(name) + 1, canarySeries.length - 1))))
+      => name }.toSet
+    var stillContended = false
+    val results =
+      if (contendedNames.isEmpty) minOf2
+      else {
+        // wait for the host to quiet down: up to 5 × 30 s probes
+        var tries = 0
+        var recovered = false
+        while (tries < 5 && !recovered) {
+          Thread.sleep(30000)
+          recovered = !inflated(canaryOnce())
+          tries += 1
+        }
+        stillContended = !recovered
+        if (recovered) minOf2.map { case (name, t) =>
+          if (contendedNames(name) && t >= 0) {
+            val t2 = timeOne(name, SparkEntry.queries(name), recordFailure = false)
+            canarySeries += canaryOnce()
+            name -> (if (t2 >= 0) math.min(t, t2) else t)
+          } else name -> t
+        } else minOf2
+      }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+    val canaryJson = canarySeries.map(c => f"$c%.4f").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"contended":$stillContended,"canary_base":${f"$canaryBase%.4f"},"canary":$canaryJson,"sf":"$sfDir"}"""
     println(json)
     // also persist the line: log tails get truncated (r3's total was
     // lost that way) — the file is always a complete, parseable record.

@@ -39,9 +39,13 @@ object Tables {
     *   - parquet TIMESTAMP(MICROS, isAdjustedToUTC=false): Spark reads
     *     it natively as TIMESTAMP_NTZ — pass through.
     * Either way the column lands as NTZ (wall-clock), matching the
-    * files' isAdjustedToUTC=false. */
+    * files' isAdjustedToUTC=false.
+    *
+    * The `spark.sql.legacy.parquet.nanosAsLong` conf the NANOS layout
+    * needs is session bootstrap's responsibility (Verify / Bench /
+    * SparkTestBase set it at build time) — a table loader must not
+    * mutate session state as a side effect. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = apply(s, d, "events")
     val ts = raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>

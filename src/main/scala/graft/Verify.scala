@@ -16,6 +16,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // events.ts ships as either TIMESTAMP(NANOS) or TIMESTAMP(MICROS)
+      // depending on the generator (TESTDATA layout flip, r8); the NANOS
+      // layout is only readable as raw int64 with this legacy conf.
+      // Session-level by design: Tables.events stays side-effect-free.
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -34,7 +34,14 @@ case class WinnowFingerprints(first: Expression, second: Expression,
     (first.dataType, second.dataType, third.dataType) match {
       case (StringType, IntegerType, IntegerType)
         if second.foldable && third.foldable =>
-        TypeCheckResult.TypeCheckSuccess
+        // values, not just types: non-positive k or w would silently
+        // produce garbage (w = 0 leaves the window min at Long.MaxValue)
+        (second.eval(), third.eval()) match {
+          case (kv: Integer, wv: Integer) if kv > 0 && wv > 0 =>
+            TypeCheckResult.TypeCheckSuccess
+          case (kv, wv) => TypeCheckResult.TypeCheckFailure(
+            s"winnow_fingerprints expects k > 0 and w > 0, got (k=$kv, w=$wv)")
+        }
       case (a, b, c) => TypeCheckResult.TypeCheckFailure(
         s"winnow_fingerprints expects (string, foldable int, foldable int), got ($a, $b, $c)")
     }
@@ -58,6 +65,14 @@ case class WinnowFingerprints(first: Expression, second: Expression,
     val n = cps.length
     if (n < k || n - k + 1 < w) return new GenericArrayData(Array.empty[Long])
     val np = n - k + 1
+    // the key packs (hash · 2²¹ + (2²¹ − 1 − pos)); a 1-based pos at or
+    // beyond 2²¹ would drive the tie-break term negative and corrupt
+    // neighboring hashes. Fail loudly instead of silently fingerprinting
+    // garbage — a >2M-gram document needs chunking upstream (q52).
+    if (np + 1 >= Enc) throw new IllegalArgumentException(
+      s"winnow_fingerprints: document has $np gram positions, exceeding " +
+      s"the 2^21-1 position budget of the packed tie-break encoding; " +
+      s"chunk the document upstream")
     val keys = new Array[Long](np)
     var i = 0
     while (i < np) {

@@ -399,9 +399,12 @@ object WarehouseOps {
     * discrepancy between the header total and the sum of its line
     * extended prices (exact integer cents), rolled up by discrepancy
     * MAGNITUDE (decimal-digit bucket of |diff|). The double-entry
-    * control every billing/warehouse pipeline runs nightly; headerless
-    * lines and line-less headers surface in the same frame (left join,
-    * zero fill). On this synthetic data headers and lines are drawn
+    * control every billing/warehouse pipeline runs nightly. Scope: the
+    * join is orders-LEFT, so line-less headers surface (zero fill) but
+    * lineitem rows whose l_orderkey has no orders header are out of
+    * scope here — auditing orphan lines would need a full outer join
+    * (on TPC-H-shaped data the FK always resolves, so none exist).
+    * On this synthetic data headers and lines are drawn
     * independently, so the distribution is wide — exactly what the
     * audit is for. One keyed aggregate + one join, both
     * orderkey-sharded; every number is an exact BIGINT. */

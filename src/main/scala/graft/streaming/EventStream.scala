@@ -81,8 +81,17 @@ object EventStream {
       // how the generator wrote ts (int64 NANOS — readable only as raw
       // longs — vs native TIMESTAMP(MICROS)): peek at the batch footer
       // once and pin the matching layout (same dual contract as
-      // [[graft.Tables.events]]).
-      val tsType = s.read.parquet(dir).schema("ts").dataType
+      // [[graft.Tables.events]]). The peek is an eager batch read and a
+      // file-watch source's directory is routinely empty or not yet
+      // created at stream-definition time — in that case fall back to
+      // the raw nanos/long layout (the generator default), which is
+      // what the pre-peek versions of this head always pinned. A layout
+      // FLIP mid-stream still needs a restart: the schema is pinned per
+      // stream definition, as Structured Streaming requires.
+      val tsType =
+        try s.read.parquet(dir).schema("ts").dataType
+        catch { case _: org.apache.spark.sql.AnalysisException =>
+          org.apache.spark.sql.types.LongType }
       if (tsType == org.apache.spark.sql.types.LongType)
         reader.schema(RawEventsSchema).load(dir)
           .withColumn("ts", timestamp_micros(expr("ts div 1000")))

@@ -39,6 +39,34 @@ class FormatsSpec extends SparkTestBase {
     assert(a.sameElements(b))
   }
 
+  test("Tables.events accepts both ts layouts and mutates no session conf") {
+    // the loader dispatches on the footer type: int64 (the NANOS layout
+    // read raw under the bootstrap-set nanosAsLong conf) is floor-div'd
+    // to micros; native TIMESTAMP passes through. Pin BOTH branches by
+    // rewriting the same rows in each layout and asserting identical
+    // results — and assert the loader itself no longer sets session
+    // conf (r8 smell: a table loader with a global side effect).
+    import org.apache.spark.sql.types.TimestampNTZType
+    val native = Tables.events(spark, Sf).orderBy("event_id").limit(50)
+      .select("event_id", "ts", "user_id")
+    val rows = native.collect()
+    val base = Files.createTempDirectory("graft_evt").toString
+    // micros layout: write ts as TIMESTAMP_NTZ (annotated MICROS)
+    native.write.parquet(s"$base/micros/events.parquet")
+    // nanos-as-long layout: what the NANOS files look like to Spark
+    // under the legacy conf — a raw int64 nanosecond column
+    native.withColumn("ts",
+        unix_micros(col("ts").cast("timestamp")) * 1000L)
+      .write.parquet(s"$base/longs/events.parquet")
+    val confBefore = spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong")
+    val viaMicros = Tables.events(spark, s"$base/micros").orderBy("event_id").collect()
+    val viaLongs = Tables.events(spark, s"$base/longs").orderBy("event_id").collect()
+    assert(spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong") === confBefore)
+    assert(Tables.events(spark, s"$base/micros").schema("ts").dataType === TimestampNTZType)
+    assert(viaMicros.sameElements(rows))
+    assert(viaLongs.sameElements(rows))
+  }
+
   test("partitionBy layout prunes non-matching partitions at the scan") {
     val out = tmp("graft_part")
     Tables.events(spark, Sf)

@@ -55,6 +55,68 @@ class IotPipelineSpec extends SparkTestBase {
     }
   }
 
+  // ---- K2 JDBC sink: round-trip against a REAL JDBC endpoint --------
+  // The reference's JDBC path (`process_iot_data.py:190-232`) is dead
+  // code guarded on config completeness; r8 tested only the guard. The
+  // sandbox has no ClickHouse, but Apache Derby's embedded engine ships
+  // in /opt/spark/jars (and Spark carries a DerbyDialect), so the full
+  // batched write path — driver load, batched inserts, append mode,
+  // env-var password sourcing fallback — is exercised against a live
+  // in-memory database here, not mocked.
+  private def derbyCfg(table: String) = {
+    // keep Derby's derby.log out of the repo root
+    System.setProperty("derby.system.home",
+      Files.createTempDirectory("graft_derby").toString)
+    Map(
+      "clickhouse.jdbc_url" -> "jdbc:derby:memory:graftjdbc;create=true",
+      "clickhouse.driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "clickhouse.table" -> table,
+      // batchsize below the row count forces MULTIPLE insert batches
+      // through the same executeBatch path a 100k-row ClickHouse load
+      // would take
+      "clickhouse.batchsize" -> "2")
+  }
+
+  private def readBack(table: String) =
+    spark.read.format("jdbc")
+      .option("url", "jdbc:derby:memory:graftjdbc;create=true")
+      // same user as the writer: Derby resolves unqualified tables in
+      // the schema named after the connection user
+      .option("user", "default")
+      .option("dbtable", table)
+      .load()
+
+  test("writeJdbc round-trips rows through an embedded JDBC database") {
+    val dir = writeCsv(header, good,
+      good.replace("C1", "C9"), good.replace("C1", "C8"))
+    val out = Transforms.transform(IotPipeline.readCsv(spark, dir))
+    // CLICKHOUSE_PASSWORD is unset in this environment: the env-var
+    // sourcing falls back to "" (the reference's os.environ.get default,
+    // `process_iot_data.py:201`) and Derby, like a default-auth
+    // ClickHouse, accepts the connection — proving the fallback path.
+    assert(sys.env.get("CLICKHOUSE_PASSWORD").isEmpty)
+    assert(IotPipeline.writeJdbc(out, derbyCfg("IOT_JDBC_RT")))
+    val back = readBack("IOT_JDBC_RT")
+    assert(back.count() === 3)
+    // schema survives: 22 columns, same names, same order (Spark quotes
+    // identifiers at CREATE so Derby preserves the case)
+    assert(back.columns.toSeq === out.columns.toSeq)
+    // no predicate pushdown here: Derby types Spark strings as CLOB,
+    // which its SQL can't compare to a CHAR literal — filter client-side
+    val r = back.collect().find(_.getAs[String]("uid") == "C9").get
+    assert(r.getAs[Float]("duration_sec") === 1.5f)
+    assert(r.getAs[Boolean]("local_orig_bool") === true)
+  }
+
+  test("writeJdbc append mode accumulates instead of overwriting") {
+    val dir = writeCsv(header, good)
+    val out = Transforms.transform(IotPipeline.readCsv(spark, dir))
+    val cfg = derbyCfg("IOT_JDBC_APP")
+    assert(IotPipeline.writeJdbc(out, cfg))
+    assert(IotPipeline.writeJdbc(out, cfg)) // second write must APPEND
+    assert(readBack("IOT_JDBC_APP").count() === 2)
+  }
+
   test("malformed rows still flow through the full transform program") {
     val bad =
       "C5,192.168.1.5,notaport,10.0.0.1,80,tcp,http,bogus,100,200,SF,T,F,0,Dd,2,140,2,240,-,Benign,-"

@@ -400,6 +400,30 @@ class LlmOpsSpec extends SparkTestBase {
     assert(short == Map(0L -> 0, 1L -> 0, 2L -> 1))
   }
 
+  test("winnow_fingerprints rejects bad parameters loudly, not with garbage") {
+    graft.functions.GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq("abcdefghij").toDF("text")
+    // non-positive k or w: analysis-time failure (w=0 would silently
+    // emit Long.MaxValue-derived fingerprints before r9's value check)
+    for ((k, w) <- Seq((0, 4), (-1, 4), (5, 0), (5, -2)))
+      intercept[org.apache.spark.sql.AnalysisException] {
+        df.select(call_function("winnow_fingerprints",
+          col("text"), lit(k), lit(w))).collect()
+      }
+    // a document whose gram-position count exceeds the 2^21-1 packed
+    // tie-break budget must throw, not silently corrupt the encoding
+    val big = Seq("x" * 2200000).toDF("text")
+    val e = intercept[Exception] {
+      big.select(call_function("winnow_fingerprints",
+        col("text"), lit(5), lit(4))).collect()
+    }
+    def chain(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: chain(t.getCause)
+    assert(chain(e).exists(c => c.isInstanceOf[IllegalArgumentException] &&
+      c.getMessage.contains("position budget")), s"unexpected: $e")
+  }
+
   test("simhash64 expression is bit-identical to the explode-aggregate form") {
     graft.functions.GraftFunctions.register(spark)
     val norm = trim(regexp_replace(lower(col("text")), "\\s+", " "))
