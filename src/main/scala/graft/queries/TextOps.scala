@@ -772,6 +772,47 @@ object TextOps {
       .orderBy("lang", "rank")
   }
 
+  // ---------------------------------------------------------------- q210
+
+  /** q210 — EXACT per-language heavy hitters: the oracle-verified
+    * companion that bounds q76's Misra-Gries sketch. Same tokenization,
+    * same grouping; top-8 tokens per language by exact count with a
+    * deterministic (count desc, token asc) tie-break — one token
+    * explode + one (lang, token) aggregate + a lang-partitioned top-k
+    * window, all DuckDB-expressible. The MG theorem then pins q76
+    * mechanically: every token with frequency > n/(k+1) MUST appear in
+    * the sketch's output — the spec asserts exactly that containment
+    * against THIS query's exact counts, so the rows-only sketch is
+    * bounded by an oracle-green frame rather than by unit fixtures
+    * alone. At 100 TB the exact form is one vocabulary-sized shuffle
+    * (fine); MG remains the bounded-state fallback when per-group
+    * vocabularies don't. */
+  def q210HeavyHittersExact(s: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(s, dir)
+      .select(col("lang"), explode(tokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("lang", "token")
+      .agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang")
+      .orderBy(col("cnt").desc, col("token"))
+    counts
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= 8)
+      .select("lang", "rank", "token", "cnt")
+      .orderBy("lang", "rank")
+  }
+
+  private val HeavyHittersExactSql: String =
+    """SELECT lang, rank, token, cnt FROM (
+      |  SELECT lang, t AS token, count(*) AS cnt,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY count(*) DESC, t) AS rank
+      |  FROM (SELECT lang,
+      |          unnest(string_split_regex(lower(text), '\s+')) AS t
+      |        FROM documents)
+      |  WHERE t <> '' GROUP BY lang, t)
+      |WHERE rank <= 8 ORDER BY lang, rank""".stripMargin
+
   // ---------------------------------------------------------------- q197
 
   private val WinnowK = 5  // k-gram length (chars)
@@ -1245,6 +1286,7 @@ object TextOps {
     "q202_heaps_fit" -> (q202HeapsFit _),
     "q209_bpe_fertility" -> (q209BpeFertility _),
     "q76_heavy_hitters" -> (q76HeavyHitters _),
+    "q210_heavy_hitters_exact" -> (q210HeavyHittersExact _),
     "q72_sequence_packing" -> (q72SequencePacking _),
     "q73_repetition" -> (q73Repetition _),
     "q74_decontaminate" -> (q74Decontaminate _),
@@ -1325,6 +1367,7 @@ object TextOps {
        |  FROM $v, $b)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q210_heavy_hitters_exact" -> HeavyHittersExactSql,
     "q197_winnowing" -> WinnowingSql,
     "q198_prefix_join" -> PrefixJoinSql,
     "q200_phrase_search" -> PhraseSearchSql,

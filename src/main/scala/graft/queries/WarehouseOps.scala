@@ -51,7 +51,9 @@ object WarehouseOps {
     *     integer PageRank update. Total mass ≤ |V| * 1e9 keeps every
     *     sum far below BIGINT overflow past sf100.
     */
-  def q114PageRank(s: SparkSession, dir: String): DataFrame = {
+  /** q114's co-purchase edge list + outdegree frame (shared by the
+    * fixed-round and fixpoint forms). */
+  private def coPurchaseGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
     val edges = li.groupBy("ok").agg(collect_set(col("pk")).as("ps"))
@@ -60,8 +62,28 @@ object WarehouseOps {
       .filter(col("src") =!= col("dst"))
       .select("src", "dst")
       .distinct()
-      .localCheckpoint() // 4 consumers: outdeg + 3 iteration joins
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint() // consumers: outdeg + every iteration join
+    (edges, edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
+  }
+
+  /** One integer-PageRank update: edges ⋈ ranks → dst-keyed sum. */
+  private def pageRankStep(edges: DataFrame, deg: DataFrame,
+      ranks: DataFrame): DataFrame =
+    edges.join(deg, "src")
+      .join(ranks, col("src") === col("id"))
+      .select(col("dst"), expr("r div outdeg").as("c"))
+      .groupBy("dst").agg(sum(col("c")).as("s"))
+      // co-purchase edges are symmetric, so every node has in-edges
+      // and stays in the frame across iterations
+      .select(col("dst").as("id"),
+        expr("150000000 + 85 * s div 100").as("r"))
+
+  /** Full rank frame after a caller-chosen number of rounds — the
+    * unrolled form the oracle mirrors (and the fixpoint twin's
+    * equivalence reference). */
+  private[queries] def pageRankRanks(s: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    val (edges, deg) = coPurchaseGraph(s, dir)
     // Per-iteration, deg and ranks are NODE-sized while edges are
     // EDGE-sized: AQE broadcasts both small sides, so the cached edge
     // set is never re-shuffled — each iteration is a map-side join
@@ -72,18 +94,44 @@ object WarehouseOps {
     // On a graph whose rank frame outgrows broadcast, flip to that
     // co-partitioned shape.)
     var ranks = deg.select(col("src").as("id"), lit(1000000000L).as("r"))
-    for (_ <- 1 to Iters)
-      ranks = edges.join(deg, "src")
-        .join(ranks, col("src") === col("id"))
-        .select(col("dst"), expr("r div outdeg").as("c"))
-        .groupBy("dst").agg(sum(col("c")).as("s"))
-        // co-purchase edges are symmetric, so every node has in-edges
-        // and stays in the frame across iterations
-        .select(col("dst").as("id"),
-          expr("150000000 + 85 * s div 100").as("r"))
-    ranks.orderBy(col("r").desc, col("id"))
+    for (_ <- 1 to iters)
+      ranks = pageRankStep(edges, deg, ranks)
+    ranks
+  }
+
+  def q114PageRank(s: SparkSession, dir: String): DataFrame =
+    pageRankRanks(s, dir, Iters)
+      .orderBy(col("r").desc, col("id"))
       .limit(100)
       .select(col("id").as("part_id"), col("r").as("rank_fp"))
+
+  /** PageRank with a CONVERGENCE stopping rule: iterate until the max
+    * per-node fixed-point change drops below `epsFp` (1e9 = rank 1.0,
+    * so the default 1e6 stops at a 0.001 rank delta) or `maxIters`. A
+    * real 100×-scale graph can't fix its round count a priori — the
+    * driver loop runs one node-sized aggregate per round (a 1-row max
+    * to the driver: model state, not data movement) and
+    * `localCheckpoint`s each frame so lineage stays flat at any depth.
+    * Because every round is the SAME integer update as q114, the
+    * result after n rounds is bit-identical to the unrolled form at n —
+    * the equivalence WarehouseOpsSpec asserts. Returns the rank frame
+    * and the number of rounds run. */
+  def pageRankFixpoint(s: SparkSession, dir: String,
+      epsFp: Long = 1000000L, maxIters: Int = 50): (DataFrame, Int) = {
+    val (edges, deg) = coPurchaseGraph(s, dir)
+    var ranks = deg.select(col("src").as("id"), lit(1000000000L).as("r"))
+      .localCheckpoint()
+    var iters = 0
+    var delta = Long.MaxValue
+    while (delta >= epsFp && iters < maxIters) {
+      val next = pageRankStep(edges, deg, ranks).localCheckpoint()
+      delta = next.join(ranks.select(col("id"), col("r").as("r0")), "id")
+        .agg(max(abs(col("r") - col("r0"))).as("d"))
+        .head().getLong(0)
+      ranks = next
+      iters += 1
+    }
+    (ranks, iters)
   }
 
   /** The oracle unrolls the same 3 iterations as chained CTEs; DuckDB
@@ -871,22 +919,57 @@ object WarehouseOps {
     * degree within the 3-round survivor subgraph, which equals its
     * k-core degree once peeling has converged. All integer →
     * bit-exact; the oracle unrolls the same 3 rounds as CTEs. */
-  def q157KcorePeel(s: SparkSession, dir: String): DataFrame = {
-    // CoreRounds+1 checkpoint consumers: each round's degree aggregate
-    var edges = sampledCoPurchaseEdges(s, dir)
-    for (_ <- 1 to CoreRounds) {
-      val deg = edges.select(col("src").as("n"))
-        .unionAll(edges.select(col("dst").as("n")))
-        .groupBy("n").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= CoreK).select("n")
-      edges = edges
-        .join(keep.withColumnRenamed("n", "src"), Seq("src"), "left_semi")
-        .join(keep.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi")
-    }
+  /** One peel round: recompute degrees, drop every node below K. */
+  private def kcorePeelStep(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("src").as("n"))
+      .unionAll(edges.select(col("dst").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val keep = deg.filter(col("deg") >= CoreK).select("n")
+    edges
+      .join(keep.withColumnRenamed("n", "src"), Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("n", "dst"), Seq("dst"), "left_semi")
+  }
+
+  /** Survivor degree report over a peeled edge set. */
+  private[queries] def kcoreReport(edges: DataFrame): DataFrame =
     edges.select(col("src").as("part_id"))
       .unionAll(edges.select(col("dst").as("part_id")))
       .groupBy("part_id").agg(count(lit(1)).as("deg"))
       .orderBy(col("deg").desc, col("part_id"))
+
+  private[queries] def kcoreEdgesAfter(s: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    // rounds+1 checkpoint consumers: each round's degree aggregate
+    var edges = sampledCoPurchaseEdges(s, dir)
+    for (_ <- 1 to rounds) edges = kcorePeelStep(edges)
+    edges
+  }
+
+  def q157KcorePeel(s: SparkSession, dir: String): DataFrame =
+    kcoreReport(kcoreEdgesAfter(s, dir, CoreRounds))
+
+  /** k-core peeling run to CONVERGENCE: peel until a round removes no
+    * edge (the true k-core — peeling is monotone decreasing, so an
+    * unchanged edge count IS the fixpoint) or `maxRounds`. One
+    * driver-side count per round (1 long — model state);
+    * `localCheckpoint` keeps the per-round lineage flat, so the loop
+    * depth a 100× graph needs doesn't stack semi joins. Returns the
+    * converged edge set's survivor report and the number of rounds
+    * that changed the graph; equivalence to [[q157KcorePeel]]'s
+    * unrolled form at matching round counts is spec-asserted. */
+  def kcoreFixpoint(s: SparkSession, dir: String,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    var edges = sampledCoPurchaseEdges(s, dir)
+    var n = edges.count()
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < maxRounds) {
+      val next = kcorePeelStep(edges).localCheckpoint()
+      val m = next.count()
+      changed = m != n
+      if (changed) { edges = next; n = m; rounds += 1 }
+    }
+    (kcoreReport(edges), rounds)
   }
 
   private val KcorePeelSql: String = {
@@ -930,29 +1013,68 @@ object WarehouseOps {
     * instead of replaying r chained join-window stages (the q114
     * lineage discipline). All integer → bit-exact; the oracle unrolls
     * the same 3 rounds as CTEs. */
-  def q177LabelProp(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+  /** One synchronous LPA round: neighbor-label vote, min-label tie. */
+  private def labelPropStep(und: DataFrame, labels: DataFrame): DataFrame = {
+    val pick = Window.partitionBy("n")
+      .orderBy(col("c").desc, col("lbl").asc)
+    und.join(labels.withColumnRenamed("n", "nbr"), "nbr")
+      .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(pick))
+      .filter(col("rn") === 1)
+      .select("n", "lbl")
+  }
+
+  /** Undirected neighbor view + self-label init (shared by both forms). */
+  private def labelPropInit(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val edges = sampledCoPurchaseEdges(s, dir)
     val und = edges.select(col("src").as("n"), col("dst").as("nbr"))
       .unionAll(edges.select(col("dst").as("n"), col("src").as("nbr")))
-    var labels = und.select(col("n")).distinct()
+    val labels = und.select(col("n")).distinct()
       .withColumn("lbl", col("n"))
       .localCheckpoint()
-    val pick = Window.partitionBy("n")
-      .orderBy(col("c").desc, col("lbl").asc)
-    for (_ <- 1 to LpaRounds) {
-      labels = und
-        .join(labels.withColumnRenamed("n", "nbr"), "nbr")
-        .groupBy("n", "lbl").agg(count(lit(1)).as("c"))
-        .withColumn("rn", row_number().over(pick))
-        .filter(col("rn") === 1)
-        .select("n", "lbl")
-        .localCheckpoint()
-    }
+    (und, labels)
+  }
+
+  private[queries] def labelPropReport(labels: DataFrame): DataFrame =
     labels.groupBy(col("lbl").as("community"))
       .agg(count(lit(1)).as("n_members"), min(col("n")).as("min_part"))
       .orderBy(col("n_members").desc, col("community"))
       .limit(50)
+
+  private[queries] def labelPropLabels(s: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    val (und, init) = labelPropInit(s, dir)
+    var labels = init
+    for (_ <- 1 to rounds)
+      labels = labelPropStep(und, labels).localCheckpoint()
+    labels
+  }
+
+  def q177LabelProp(s: SparkSession, dir: String): DataFrame =
+    labelPropReport(labelPropLabels(s, dir, LpaRounds))
+
+  /** Label propagation run to CONVERGENCE: rounds until no node
+    * changes label (sync LPA with the min-label tie-break is
+    * deterministic, and on a bipartite-ish co-purchase graph it can
+    * oscillate — `maxRounds` bounds that) . One driver-side changed-
+    * label count per round; checkpoint-per-round keeps lineage flat.
+    * Returns the community report and the rounds run; round-for-round
+    * equivalence with [[q177LabelProp]]'s unrolled form is
+    * spec-asserted. */
+  def labelPropFixpoint(s: SparkSession, dir: String,
+      maxRounds: Int = 30): (DataFrame, Int) = {
+    val (und, init) = labelPropInit(s, dir)
+    var labels = init
+    var rounds = 0
+    var changed = Long.MaxValue
+    while (changed > 0 && rounds < maxRounds) {
+      val next = labelPropStep(und, labels).localCheckpoint()
+      changed = next.join(labels.select(col("n"), col("lbl").as("prev")), "n")
+        .filter(col("lbl") =!= col("prev")).count()
+      labels = next
+      rounds += 1
+    }
+    (labelPropReport(labels), rounds)
   }
 
   private val LabelPropSql: String = {

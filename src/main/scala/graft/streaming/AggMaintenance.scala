@@ -34,19 +34,14 @@ object AggMaintenance {
       .agg(count(lit(1)).as("n_events"),
         sum(floor(col("value") * 1e6).cast("long")).as("sum_fp"))
 
-  /** Start with `.start()`: maintains the delta log under `storeDir`. */
+  /** Start with `.start()`: maintains the delta log under `storeDir`
+    * ([[DeltaLog]] exactly-once discipline; partials are data-derived,
+    * so no single-file collapse). */
   def maintain(stream: DataFrame, storeDir: String,
       checkpointDir: String): DataStreamWriter[Row] =
-    stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        partial(batch)
-          .withColumn("_batch_id", lit(batchId))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("_batch_id")
-          .parquet(storeDir)
-      }
-      .option("checkpointLocation", checkpointDir)
+    DeltaLog.sink(stream, storeDir, checkpointDir) {
+      (batch, _) => partial(batch)
+    }
 
   /** The fold-on-read over a delta-log frame — factored out so the
     * batch twin (q163) aggregates through the same code path. */
@@ -59,5 +54,5 @@ object AggMaintenance {
   /** The maintained view: fold the delta log. Identical schema and
     * values to the one-shot batch aggregate over the same events. */
   def view(s: SparkSession, storeDir: String): DataFrame =
-    fold(s.read.parquet(storeDir))
+    fold(DeltaLog.read(s, storeDir))
 }

@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+
+/** The delta-log discipline shared by every fold-on-read streaming
+  * monitor in this package ([[AggMaintenance]], [[DriftMonitor]],
+  * [[SprtMonitor]]): each micro-batch writes its derived rows into its
+  * OWN `_batch_id` partition with dynamic-partition overwrite, and
+  * readers fold the accumulated log.
+  *
+  * Why this one seam carries exactly-once on plain parquet: a replayed
+  * batch (restart between sink write and checkpoint commit) re-writes
+  * the SAME `_batch_id` partition, overwriting its half-write instead
+  * of appending a duplicate — idempotence without a transactional
+  * table format. State lives in the log, not the streaming state
+  * store, so restarts need no state recovery; the trade is that reads
+  * fold the log, so production compacts old deltas periodically
+  * ([[graft.operators.Compaction]]).
+  *
+  * The DOMAIN folds stay with their monitors — this seam owns only the
+  * mechanics every monitor was re-implementing: the batch-id stamp,
+  * the overwrite mode, the partition layout, and the read-side type
+  * restoration. */
+object DeltaLog {
+
+  /** Write one batch's delta rows into their `_batch_id` partition.
+    * `singleFile` collapses model-sized deltas (one audit row, K arms)
+    * to one file; leave it false for data-sized partials. */
+  def writeBatch(delta: DataFrame, batchId: Long, storeDir: String,
+      singleFile: Boolean = false): Unit = {
+    val stamped = delta.withColumn("_batch_id", lit(batchId))
+    (if (singleFile) stamped.coalesce(1) else stamped)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("_batch_id")
+      .parquet(storeDir)
+  }
+
+  /** foreachBatch sink: apply the monitor's per-batch derivation, then
+    * [[writeBatch]] it. The derivation sees the raw micro-batch and the
+    * batch id (some monitors fold the id into their rows). Start the
+    * returned writer with `.start()`. */
+  def sink(stream: DataFrame, storeDir: String, checkpointDir: String,
+      singleFile: Boolean = false)(
+      derive: (DataFrame, Long) => DataFrame): DataStreamWriter[Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        writeBatch(derive(batch, batchId), batchId, storeDir, singleFile)
+      }
+      .option("checkpointLocation", checkpointDir)
+
+  /** Read the accumulated log with `_batch_id` restored to LONG
+    * (partition-column inference reads the directory value back as
+    * INT, which would silently change fold/window types). */
+  def read(s: SparkSession, storeDir: String): DataFrame =
+    s.read.parquet(storeDir)
+      .withColumn("_batch_id", col("_batch_id").cast("long"))
+}

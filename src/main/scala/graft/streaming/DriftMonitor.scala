@@ -54,24 +54,20 @@ object DriftMonitor {
   }
 
   /** foreachBatch sink: per batch, bin → PSI vs `reference` → one audit
-    * row (batch id, doc count, psi). Start with `.start()`. */
+    * row (batch id, doc count, psi), written through the [[DeltaLog]]
+    * exactly-once seam (single-file: the delta is ONE audit row).
+    * Start with `.start()`. */
   def monitor(stream: DataFrame, reference: DataFrame, outDir: String,
       checkpointDir: String): DataStreamWriter[Row] = {
     val refCounts = binCounts(reference)
-    stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    DeltaLog.sink(stream, outDir, checkpointDir, singleFile = true) {
+      (batch, _) =>
         val s = batch.sparkSession
         import s.implicits._
         val cur = binCounts(batch)
         val ps = psiScaled(refCounts, cur)
-        Seq((batchId, cur.values.sum, ps, ps / 1e6))
-          .toDF("_batch_id", "n_docs", "psi_scaled", "psi")
-          .coalesce(1)
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("_batch_id")
-          .parquet(outDir)
-      }
-      .option("checkpointLocation", checkpointDir)
+        Seq((cur.values.sum, ps, ps / 1e6))
+          .toDF("n_docs", "psi_scaled", "psi")
+    }
   }
 }

@@ -28,24 +28,18 @@ import graft.queries.EventOps
   * overwrites its own half-write instead of double-counting trials. */
 object SprtMonitor {
 
-  /** foreachBatch sink: per batch, one (arm, n, x) delta row per arm.
-    * Start with `.start()`. */
+  /** foreachBatch sink: per batch, one (arm, n, x) delta row per arm,
+    * through the [[DeltaLog]] exactly-once seam (single-file: the
+    * delta is two arm rows). Start with `.start()`. */
   def deltas(stream: DataFrame, outDir: String,
       checkpointDir: String): DataStreamWriter[Row] =
-    stream.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+    DeltaLog.sink(stream, outDir, checkpointDir, singleFile = true) {
+      (batch, _) =>
         batch.filter(col("event_type").isin("click", "view"))
           .groupBy((col("user_id") % 2).as("arm"))
           .agg(count(lit(1)).as("n"),
             count(when(col("event_type") === "click", 1)).as("x"))
-          .withColumn("_batch_id", lit(batchId))
-          .coalesce(1)
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("_batch_id")
-          .parquet(outDir)
-      }
-      .option("checkpointLocation", checkpointDir)
+    }
 
   /** Fold-on-read: cumulative LLR per arm in batch order, plus the
     * first crossing (if any) — q194's decision semantics over the
@@ -54,9 +48,7 @@ object SprtMonitor {
     * the current verdict. */
   def decisions(s: SparkSession, deltaDir: String): DataFrame = {
     val byArm = Window.partitionBy("arm").orderBy("_batch_id")
-    val cum = s.read.parquet(deltaDir)
-      // partition-column inference reads the batch id back as INT
-      .withColumn("_batch_id", col("_batch_id").cast("long"))
+    val cum = DeltaLog.read(s, deltaDir)
       .withColumn("cum_llr", sum(
         col("x") * EventOps.SprtLnP + (col("n") - col("x")) * EventOps.SprtLnQ)
         .over(byArm))

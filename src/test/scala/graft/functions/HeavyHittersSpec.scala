@@ -58,4 +58,34 @@ class HeavyHittersSpec extends SparkTestBase {
       assert(got == truth(r.getString(0)))
     }
   }
+
+  test("q76 sketch is bounded by q210's oracle-verified exact counts") {
+    // The MG guarantee, asserted against the REAL corpus through the
+    // oracle-green exact companion (q210): any token whose exact
+    // frequency exceeds n_lang/(k+1) must appear in the k=8 sketch.
+    // This ties the rows-only q76 to a DuckDB-verified frame — the MG
+    // output is no longer checked only on synthetic fixtures.
+    import org.apache.spark.sql.functions._
+    val sketch = graft.queries.TextOps.q76HeavyHitters(spark, Sf)
+      .collect().groupBy(_.getString(0))
+      .map { case (lang, rs) => lang -> rs.map(_.getAs[String]("token")).toSet }
+    val exactTop = graft.queries.TextOps.q210HeavyHittersExact(spark, Sf)
+      .collect().groupBy(_.getString(0))
+    // per-language total token counts (n in the MG bound)
+    val nTok = graft.Tables.documents(spark, Sf)
+      .select(col("lang"), explode(split(lower(col("text")), "\\s+")).as("t"))
+      .filter(col("t") =!= "")
+      .groupBy("lang").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(exactTop.nonEmpty)
+    exactTop.foreach { case (lang, rows) =>
+      val threshold = nTok(lang) / 9.0 // k = 8
+      val mustAppear = rows.filter(_.getAs[Long]("cnt") > threshold)
+        .map(_.getAs[String]("token"))
+      mustAppear.foreach { t =>
+        assert(sketch(lang).contains(t),
+          s"lang=$lang token '$t' above n/(k+1) missing from MG sketch")
+      }
+    }
+  }
 }

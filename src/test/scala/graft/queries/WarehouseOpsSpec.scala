@@ -531,4 +531,64 @@ class WarehouseOpsSpec extends SparkTestBase {
       if (h > 0) assert(nbrs(n).exists(m => got.get(m).exists(_ == h - 1)))
     }
   }
+
+  // ---- convergence-criterion twins of the bounded-round iterative ops
+  // The registered queries run FIXED unrolled rounds (oracle-able); a
+  // real 100× graph needs a stopping rule. These assert the fixpoint
+  // loops are the SAME update — bit-identical to the unrolled form at
+  // the round count the loop actually ran.
+
+  test("pageRankFixpoint equals the unrolled form at its stopping round") {
+    // loose epsilon so the fixture converges in a handful of rounds
+    val (ranks, iters) = WarehouseOps.pageRankFixpoint(spark, Sf,
+      epsFp = 20000000L, maxIters = 20)
+    assert(iters > 0 && iters < 20, s"iters=$iters") // STOPPED, not capped
+    val viaLoop = ranks.orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val unrolled = WarehouseOps.pageRankRanks(spark, Sf, iters)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaLoop.sameElements(unrolled))
+    // and the stopping rule held: one more round moves every node < eps
+    val more = WarehouseOps.pageRankRanks(spark, Sf, iters + 1)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxDelta = viaLoop.zip(more).map { case ((_, a), (_, b)) =>
+      math.abs(a - b) }.max
+    assert(maxDelta < 20000000L, s"maxDelta=$maxDelta")
+  }
+
+  test("kcoreFixpoint reaches the true k-core and equals the unrolled form") {
+    val (report, rounds) = WarehouseOps.kcoreFixpoint(spark, Sf, maxRounds = 50)
+    assert(rounds < 50, s"rounds=$rounds") // converged, not capped
+    val viaLoop = report.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val unrolled = WarehouseOps.kcoreReport(
+        WarehouseOps.kcoreEdgesAfter(spark, Sf, rounds))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaLoop.sameElements(unrolled))
+    // fixpoint stability: one more peel round changes nothing
+    val onceMore = WarehouseOps.kcoreReport(
+        WarehouseOps.kcoreEdgesAfter(spark, Sf, rounds + 1))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaLoop.sameElements(onceMore))
+    // every survivor really has >= K neighbors in the survivor graph
+    assert(viaLoop.forall(_._2 >= 8))
+  }
+
+  test("labelPropFixpoint equals the unrolled form at its stopping round") {
+    val (report, rounds) = WarehouseOps.labelPropFixpoint(spark, Sf,
+      maxRounds = 30)
+    assert(rounds > 0, s"rounds=$rounds")
+    val viaLoop = report.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val unrolled = WarehouseOps.labelPropReport(
+        WarehouseOps.labelPropLabels(spark, Sf, rounds))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(viaLoop.sameElements(unrolled))
+    if (rounds < 30) {
+      // converged: one more round reproduces the same communities
+      val onceMore = WarehouseOps.labelPropReport(
+          WarehouseOps.labelPropLabels(spark, Sf, rounds + 1))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(viaLoop.sameElements(onceMore))
+    }
+  }
 }
