@@ -813,6 +813,89 @@ object TextOps {
       |  WHERE t <> '' GROUP BY lang, t)
       |WHERE rank <= 8 ORDER BY lang, rank""".stripMargin
 
+  // ---------------------------------------------------------------- q214
+
+  private val CmsDepth = 4
+  private val CmsWidth = 256
+
+  /** CMS row hash: bucket of `tok` in depth-`d`'s row. md5-derived so
+    * the DuckDB oracle computes the identical bucket (xxhash64 isn't
+    * DuckDB-expressible — md5 is the shared-hash currency here, as in
+    * the sampling/fingerprint family). First 8 hex chars < 2³² so the
+    * BIGINT parse is exact and non-negative on both engines. */
+  private def cmsBucket(tok: Column, d: Column): Column =
+    pmod(conv(substring(md5(concat(tok, lit("|"), d.cast("string"))), 1, 8),
+      16, 10).cast(LongType), lit(CmsWidth.toLong))
+
+  /** q214 — Count-Min sketch (Cormode & Muthukrishnan, 2005) as a
+    * GROUPED TABLE, not opaque binary state: every (depth, bucket)
+    * cell is one row of a d×w=4×256 aggregate, built map-side-combined
+    * in a single pass over the token stream. Point queries then read
+    * min over the key's d cells. The output audits the sketch against
+    * exact truth for the global top-20 tokens: `overest` is the CMS
+    * error, provably ≥ 0 (CMS never undercounts — the oracle verifies
+    * the exact cell arithmetic, the spec pins the guarantee).
+    *
+    * Scale shape: the corpus is scanned once; the only full-volume
+    * shuffle is the 1,024-group cell aggregation (partial aggregation
+    * collapses each map task to ≤1,024 rows — the shuffle moves
+    * O(tasks×1024) rows regardless of corpus size, which is the whole
+    * point of sketching at 100 TB). The top-20 truth side uses the
+    * distributed TakeOrderedAndProject top-k, never a global-window
+    * sort over the vocabulary; the 20-row rank window and the
+    * 80-row×1,024-row estimate join are broadcast-sized. */
+  def q214CountMin(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= "")
+    val depths = s.range(0, CmsDepth)
+      .select(col("id").cast(IntegerType).as("d"))
+    val sketch = toks.crossJoin(depths)
+      .select(col("d"), cmsBucket(col("token"), col("d")).as("bucket"))
+      .groupBy("d", "bucket")
+      .agg(count(lit(1)).as("cell"))
+    val top20 = toks.groupBy("token").agg(count(lit(1)).as("true_cnt"))
+      .orderBy(col("true_cnt").desc, col("token")).limit(20)
+    val ranked = top20.withColumn("rank",
+      row_number().over(Window.orderBy(col("true_cnt").desc, col("token")))
+        .cast(LongType))
+    ranked.crossJoin(depths)
+      .select(col("rank"), col("token"), col("true_cnt"), col("d"),
+        cmsBucket(col("token"), col("d")).as("bucket"))
+      .join(sketch, Seq("d", "bucket"))
+      .groupBy("rank", "token", "true_cnt")
+      .agg(min(col("cell")).as("est_cnt"))
+      .select(col("rank"), col("token"), col("true_cnt"), col("est_cnt"),
+        (col("est_cnt") - col("true_cnt")).as("overest"))
+      .orderBy("rank")
+  }
+
+  private val CountMinSql: String =
+    s"""WITH toks AS (
+       |  SELECT t AS token FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+       |    FROM documents) WHERE t <> ''),
+       |depths AS (SELECT unnest(range(0, $CmsDepth)) AS d),
+       |sketch AS (
+       |  SELECT d, CAST(('0x' || substr(md5(token || '|' ||
+       |      CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % $CmsWidth AS bucket,
+       |    count(*) AS cell
+       |  FROM toks, depths GROUP BY 1, 2),
+       |topk AS (
+       |  SELECT token, cnt AS true_cnt,
+       |    row_number() OVER (ORDER BY cnt DESC, token) AS rank
+       |  FROM (SELECT token, count(*) AS cnt FROM toks GROUP BY 1)),
+       |est AS (
+       |  SELECT k.rank, k.token, k.true_cnt, min(s.cell) AS est_cnt
+       |  FROM (SELECT * FROM topk WHERE rank <= 20) k
+       |  CROSS JOIN depths dd
+       |  JOIN sketch s ON s.d = dd.d
+       |    AND s.bucket = CAST(('0x' || substr(md5(k.token || '|' ||
+       |      CAST(dd.d AS VARCHAR)), 1, 8)) AS BIGINT) % $CmsWidth
+       |  GROUP BY 1, 2, 3)
+       |SELECT rank, token, true_cnt, est_cnt, est_cnt - true_cnt AS overest
+       |FROM est ORDER BY rank""".stripMargin
+
   // ---------------------------------------------------------------- q197
 
   private val WinnowK = 5  // k-gram length (chars)
@@ -1287,6 +1370,7 @@ object TextOps {
     "q209_bpe_fertility" -> (q209BpeFertility _),
     "q76_heavy_hitters" -> (q76HeavyHitters _),
     "q210_heavy_hitters_exact" -> (q210HeavyHittersExact _),
+    "q214_countmin" -> (q214CountMin _),
     "q72_sequence_packing" -> (q72SequencePacking _),
     "q73_repetition" -> (q73Repetition _),
     "q74_decontaminate" -> (q74Decontaminate _),
@@ -1368,6 +1452,7 @@ object TextOps {
 
   val oracles: Map[String, String] = Map(
     "q210_heavy_hitters_exact" -> HeavyHittersExactSql,
+    "q214_countmin" -> CountMinSql,
     "q197_winnowing" -> WinnowingSql,
     "q198_prefix_join" -> PrefixJoinSql,
     "q200_phrase_search" -> PhraseSearchSql,

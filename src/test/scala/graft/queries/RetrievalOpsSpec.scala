@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Round-9 retrieval/sketch family: SemDeDup (q211), ColBERT MaxSim
+  * (q212), nDCG@10 (q213), Count-Min (q214). Each is oracle-verified
+  * end-to-end by the driver; these specs pin the properties the hash
+  * compare can't state — guarantees, internal consistency, and
+  * brute-force equivalence of the composed plans. */
+class RetrievalOpsSpec extends SparkTestBase {
+
+  test("q211 semdedup: every drop points at a lower-id same-cluster " +
+    "neighbor and matches the brute-force pair set") {
+    val rows = VectorOps.q211SemDedup(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("dup_of") < r.getAs[Long]("vec_id"))
+      assert(r.getAs[Double]("best_sim") >= 0.35)
+      assert(r.getAs[Long]("n_dups") >= 1L)
+    }
+    // brute force via the declarative (non-native) cosine: identical
+    // dropped-set — the label-join plan loses nothing vs all-pairs
+    val emb = graft.Tables.embeddings(spark, Sf)
+    val a = emb.select(col("label"), col("vec_id"), col("embedding").as("ae"))
+    val b = emb.select(col("label").as("bl"), col("vec_id").as("b_id"),
+      col("embedding").as("be"))
+    val brute = a.crossJoin(b)
+      .filter(col("label") === col("bl") && col("b_id") < col("vec_id"))
+      .filter(VectorOps.cosine(col("ae"), col("be")) >= 0.35)
+      .select("vec_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet === brute)
+  }
+
+  test("q212 maxsim: scores match a per-label brute-force recompute " +
+    "and ranks are a dense permutation") {
+    val got = VectorOps.q212MaxSim(spark, Sf).collect()
+    assert(got.nonEmpty)
+    assert(got.map(_.getAs[Int]("rk")).sorted.toSeq === (1 to got.length))
+    // every label's score: sum over the 8 query tokens of its best
+    // cosine, recomputed with the declarative fold + the same
+    // floor-scaled integer sum
+    val emb = graft.Tables.embeddings(spark, Sf)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("tok_id"), col("embedding").as("qe"))
+    val c = emb.filter(col("vec_id") >= 8)
+      .select(col("label"), col("embedding").as("ce"))
+    val brute = c.crossJoin(q)
+      .groupBy("label", "tok_id")
+      .agg(max(VectorOps.cosine(col("qe"), col("ce"))).as("m"))
+      .groupBy("label")
+      .agg((sum(floor(col("m") * lit(1e9))) / lit(1e9)).as("s"))
+      .collect().map(r => r.getAs[Int]("label") ->
+        r.getAs[Double]("s")).toMap
+    got.foreach { r =>
+      assert(r.getAs[Double]("maxsim") === brute(r.getAs[Int]("label")))
+    }
+  }
+
+  test("q213 ndcg: bounded in [0,1], hits consistent with q40's " +
+    "top-10, and perfect-ranking queries score exactly 1") {
+    val emb = graft.Tables.embeddings(spark, Sf)
+    val qlab = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("label").as("ql"))
+    val hits = VectorOps.q40CosineTopK(spark, Sf)
+      .join(qlab, Seq("query_id"))
+      .groupBy("query_id")
+      .agg(sum((col("label") === col("ql")).cast("int")).as("h"))
+      .collect().map(r => r.getAs[Long]("query_id") ->
+        r.getAs[Long]("h")).toMap
+    val rows = VectorOps.q213Ndcg(spark, Sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val nd = r.getAs[Double]("ndcg")
+      assert(nd >= 0.0 && nd <= 1.0)
+      assert(r.getAs[Long]("hits") === hits(r.getAs[Long]("query_id")))
+      // hits all ranked at the top ⇒ DCG = IDCG exactly (same scaled
+      // integer terms), so a contiguous-prefix ranking must emit 1.0
+      val prefix = (1L to r.getAs[Long]("hits"))
+      if (r.getAs[Long]("hits") > 0 && {
+        val got = VectorOps.q40CosineTopK(spark, Sf)
+          .join(qlab, Seq("query_id"))
+          .filter(col("query_id") === r.getAs[Long]("query_id"))
+          .filter(col("label") === col("ql"))
+          .select("rk").collect().map(_.getAs[Int]("rk").toLong).sorted.toSeq
+        got === prefix
+      }) assert(nd === 1.0)
+    }
+  }
+
+  test("q214 count-min: never undercounts and the min-over-depths " +
+    "estimate sits within the e/w error budget") {
+    val rows = TextOps.q214CountMin(spark, Sf).collect()
+    assert(rows.length === 20)
+    val n = graft.Tables.documents(spark, Sf)
+      .select(explode(split(lower(col("text")), "\\s+")).as("t"))
+      .filter(col("t") =!= "").count()
+    rows.foreach { r =>
+      val over = r.getAs[Long]("overest")
+      assert(over >= 0L, s"CMS undercounted ${r.getAs[String]("token")}")
+      // Markov bound per depth is N·e/w; min over 4 depths leaves huge
+      // slack on this fixed corpus (measured overest is 0 throughout)
+      assert(over <= math.ceil(n * math.E / 256).toLong)
+    }
+  }
+}
