@@ -1043,7 +1043,110 @@ object CorpusOps {
       |  JOIN sz y ON y.source = iv.src_b
       |ORDER BY src_a, src_b""".stripMargin
 
+  // ---------------------------------------------------- q215 CDC chunks
+
+  private val CdcWindow = 8
+
+  /** q215 — content-defined chunking dedup audit (the Rabin/FastCDC
+    * family, as in LBFS/restic/training-data blob stores): a chunk
+    * boundary falls after position i wherever the hash of the
+    * trailing 8-char window hits a 1-in-16 target (md5's first hex
+    * digit = '0' — md5 so the oracle computes identical boundaries;
+    * production swaps in a rolling Rabin hash, SAME plan shape), plus
+    * a forced boundary at end-of-document. Identical byte runs then
+    * chunk identically REGARDLESS of their offset in the containing
+    * document — the insertion-shift robustness that fixed-size
+    * blocking lacks and the reason every dedup store chunks this way.
+    * Output: per-source chunk counts, distinct-chunk counts, and the
+    * byte volume a content-addressed store would not re-write.
+    *
+    * Scale shape: boundary detection is embarrassingly parallel
+    * (position explode → codegen'd md5 — no interpreted lambda per
+    * the r8 HOF lesson); boundary rows carry (doc_id, i) ONLY — the
+    * text amplification of carrying documents through the per-doc
+    * window shuffle is deliberately avoided, text moves once in the
+    * final span join. The chunk-hash groupBy shuffles 16-byte keys,
+    * high-cardinality and uniform. Each stage survives 100 TB. */
+  /** The chunker itself, reusable over any (doc_id, source, text)
+    * frame — q215 aggregates it; the spec re-runs it on shifted text
+    * to pin the offset-robustness property. */
+  private[queries] def cdcChunkFrame(docs0: DataFrame): DataFrame = {
+    val docs = docs0.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("source"), col("text"))
+    val pos = docs
+      .select(col("doc_id"), col("text"),
+        explode(when(length(col("text")) >= CdcWindow,
+          sequence(lit(CdcWindow), length(col("text"))))
+          .otherwise(array())).as("i"))
+    val bnd = pos
+      .filter(substring(md5(col("text").substr(
+        col("i") - lit(CdcWindow - 1), lit(CdcWindow))), 1, 1) === "0")
+      .select(col("doc_id"), col("i"))
+      .union(docs.select(col("doc_id"), length(col("text")).as("i")))
+      .distinct()
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val spans = bnd.withColumn("start",
+      coalesce(lag(col("i"), 1).over(w), lit(0)) + lit(1))
+    spans.join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("source"),
+        col("text").substr(col("start"), col("i") - col("start") + lit(1))
+          .as("chunk"))
+  }
+
+  def q215CdcChunks(s: SparkSession, dir: String): DataFrame = {
+    cdcChunkFrame(Tables.documents(s, dir))
+      .select(col("source"), md5(col("chunk")).as("h"),
+        length(col("chunk")).as("clen"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("cnt"), max(col("clen")).as("clen2"))
+      .groupBy("source")
+      .agg(sum(col("cnt")).as("n_chunks"),
+        count(lit(1)).as("n_distinct"),
+        sum(col("cnt") * col("clen2")).as("chunk_bytes"),
+        sum((col("cnt") - 1) * col("clen2")).as("dup_bytes"))
+      .withColumn("dup_frac",
+        col("dup_bytes").cast(DoubleType) / col("chunk_bytes").cast(DoubleType))
+      .orderBy("source")
+  }
+
+  private val CdcChunksSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id, source, text, len(text) AS n FROM documents
+       |  WHERE len(text) >= 1),
+       |pos AS (
+       |  SELECT doc_id, text, unnest(range($CdcWindow, n + 1)) AS i
+       |  FROM d WHERE n >= $CdcWindow),
+       |bnd AS (
+       |  SELECT doc_id, i FROM pos
+       |  WHERE substr(md5(substr(text, i - ${CdcWindow - 1}, $CdcWindow)),
+       |    1, 1) = '0'
+       |  UNION
+       |  SELECT doc_id, n AS i FROM d),
+       |sp AS (
+       |  SELECT doc_id, i,
+       |    coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+       |      AS start
+       |  FROM bnd),
+       |ch AS (
+       |  SELECT s.doc_id, d.source,
+       |    substr(d.text, CAST(s.start AS INTEGER),
+       |      CAST(s.i - s.start + 1 AS INTEGER)) AS chunk
+       |  FROM sp s JOIN d USING (doc_id)),
+       |byh AS (
+       |  SELECT source, md5(chunk) AS h, max(len(chunk)) AS clen,
+       |    count(*) AS cnt
+       |  FROM ch GROUP BY 1, 2)
+       |SELECT source,
+       |  CAST(sum(cnt) AS BIGINT) AS n_chunks,
+       |  count(*) AS n_distinct,
+       |  CAST(sum(cnt * clen) AS BIGINT) AS chunk_bytes,
+       |  CAST(sum((cnt - 1) * clen) AS BIGINT) AS dup_bytes,
+       |  CAST(CAST(sum((cnt - 1) * clen) AS BIGINT) AS DOUBLE) /
+       |    CAST(CAST(sum(cnt * clen) AS BIGINT) AS DOUBLE) AS dup_frac
+       |FROM byh GROUP BY source ORDER BY source""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q215_cdc_chunks" -> (q215CdcChunks _),
     "q201_source_containment" -> (q201SourceContainment _),
     "q188_feature_hash" -> (q188FeatureHash _),
     "q175_compaction_plan" -> (q175CompactionPlan _),
@@ -1073,6 +1176,7 @@ object CorpusOps {
   private val ip = IpPat
 
   val oracles: Map[String, String] = Map(
+    "q215_cdc_chunks" -> CdcChunksSql,
     "q201_source_containment" -> SourceContainmentSql,
     "q188_feature_hash" -> FeatureHashSql,
     "q175_compaction_plan" -> CompactionPlanSql,

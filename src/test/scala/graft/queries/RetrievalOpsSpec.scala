@@ -104,4 +104,43 @@ class RetrievalOpsSpec extends SparkTestBase {
       assert(over <= math.ceil(n * math.E / 256).toLong)
     }
   }
+
+  test("q215 cdc chunking: bytes reconcile exactly and chunking is " +
+    "robust to an offset shift (fixed-size blocking is not)") {
+    val rows = CorpusOps.q215CdcChunks(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_chunks"))
+      assert(r.getAs[Long]("dup_bytes") < r.getAs[Long]("chunk_bytes"))
+    }
+    // Σ chunk bytes per source == Σ document bytes per source: the
+    // spans tile every document exactly (no gaps, no overlaps)
+    val docBytes = graft.Tables.documents(spark, Sf)
+      .groupBy("source").agg(sum(length(col("text"))).as("b"))
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("b")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("chunk_bytes") ===
+        docBytes(r.getAs[String]("source")))
+    }
+    // the CDC property: prepend one char to every document and most
+    // chunk hashes SURVIVE — boundaries re-synchronize one window
+    // after the edit, so only the head chunk (and the 1-in-16 tail
+    // merges it causes) changes. A fixed-size blocker would lose
+    // every chunk. ≥60% survival is far below observed, far above
+    // what offset-shifted fixed blocks could achieve (~0%).
+    val docs = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("source"), col("text"))
+    val orig = CorpusOps.cdcChunkFrame(docs)
+      .groupBy("chunk").count()
+    val shifted = CorpusOps.cdcChunkFrame(
+      docs.withColumn("text", concat(lit("X"), col("text"))))
+      .groupBy("chunk").count().withColumnRenamed("count", "count2")
+    val joined = orig.join(shifted, Seq("chunk"))
+      .select(least(col("count"), col("count2")).as("kept"))
+      .agg(sum("kept")).collect()(0).getLong(0)
+    val total = orig.agg(sum("count")).collect()(0).getLong(0)
+    assert(joined.toDouble / total >= 0.6,
+      s"only $joined of $total chunks survived a 1-char shift")
+  }
 }
