@@ -587,6 +587,40 @@ object CorpusOps {
         min(col("grp_n")).over(Window.partitionBy()))
       .orderBy("c_nationkey", "c_mktsegment")
 
+  // --------------------------------------------------- q216 l-diversity
+
+  /** q216 — l-diversity audit (Machanavajjhala et al., ICDE'06), the
+    * companion to q137's k-anonymity: a quasi-identifier group can be
+    * large (k-anonymous) yet still leak if everyone in it shares the
+    * same sensitive value. Quasi-identifier = (nation, market
+    * segment) as in q137; sensitive attribute = the account-balance
+    * band floor(acctbal/2000). Reports per-group size and distinct-
+    * sensitive-value count l, flags groups below l=3, and carries the
+    * table-wide min as the release's l-diversity.
+    *
+    * Scale: one groupBy on the QI key with a distinct-count — the
+    * same two-level partial aggregation as any count-distinct; the
+    * global-min window runs over the (tiny) group frame, never rows. */
+  def q216LDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .withColumn("band", floor(col("c_acctbal") / lit(2000.0)))
+      .groupBy("c_nationkey", "c_mktsegment")
+      .agg(count(lit(1)).as("grp_n"),
+        countDistinct(col("band")).as("l"))
+      .withColumn("is_risky", (col("l") < 3).cast(IntegerType))
+      .withColumn("l_diversity", min(col("l")).over(Window.partitionBy()))
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  private val LDiversitySql: String =
+    """SELECT c_nationkey, c_mktsegment, grp_n, l,
+      |  CASE WHEN l < 3 THEN 1 ELSE 0 END AS is_risky,
+      |  min(l) OVER () AS l_diversity
+      |FROM (
+      |  SELECT c_nationkey, c_mktsegment, count(*) AS grp_n,
+      |    count(DISTINCT CAST(floor(c_acctbal / 2000.0) AS BIGINT)) AS l
+      |  FROM customer GROUP BY 1, 2)
+      |ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   // ------------------------------------------------- q138 mixture sample
 
   /** q138 — temperature-flattened language mixture (the multilingual
@@ -1147,6 +1181,7 @@ object CorpusOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_cdc_chunks" -> (q215CdcChunks _),
+    "q216_l_diversity" -> (q216LDiversity _),
     "q201_source_containment" -> (q201SourceContainment _),
     "q188_feature_hash" -> (q188FeatureHash _),
     "q175_compaction_plan" -> (q175CompactionPlan _),
@@ -1177,6 +1212,7 @@ object CorpusOps {
 
   val oracles: Map[String, String] = Map(
     "q215_cdc_chunks" -> CdcChunksSql,
+    "q216_l_diversity" -> LDiversitySql,
     "q201_source_containment" -> SourceContainmentSql,
     "q188_feature_hash" -> FeatureHashSql,
     "q175_compaction_plan" -> CompactionPlanSql,

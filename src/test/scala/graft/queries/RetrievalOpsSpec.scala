@@ -143,4 +143,44 @@ class RetrievalOpsSpec extends SparkTestBase {
     assert(joined.toDouble / total >= 0.6,
       s"only $joined of $total chunks survived a 1-char shift")
   }
+
+  test("q216 l-diversity: l bounded by group size, flags and global " +
+    "min internally consistent") {
+    val rows = CorpusOps.q216LDiversity(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val ls = rows.map(_.getAs[Long]("l"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("l") >= 1L)
+      assert(r.getAs[Long]("l") <= r.getAs[Long]("grp_n"))
+      assert(r.getAs[Int]("is_risky") === (if (r.getAs[Long]("l") < 3) 1 else 0))
+      assert(r.getAs[Long]("l_diversity") === ls.min)
+    }
+  }
+
+  test("q217 mmd matrix: all label pairs present, nonnegative, and " +
+    "one pair re-derived from raw vectors driver-side matches") {
+    val rows = VectorOps.q217MmdMatrix(spark, Sf).collect()
+    val emb = graft.Tables.embeddings(spark, Sf)
+      .select(col("label"), col("embedding")).collect()
+      .groupBy(_.getAs[Int]("label"))
+      .view.mapValues(_.map(_.getSeq[Float](1).toArray)).toMap
+    val labels = emb.keySet.toSeq.sorted
+    assert(rows.length === labels.size * (labels.size - 1) / 2)
+    rows.foreach(r => assert(r.getAs[Double]("mmd2") >= 0.0))
+    // independent recompute for the (smallest, largest) label pair
+    // with the same quantization ladder, in plain driver-side Scala
+    def means(vs: Array[Array[Float]]): Array[Double] =
+      (0 until 64).map { d =>
+        vs.map(v => math.floor(v(d).toDouble * 1e6).toLong).sum /
+          (vs.length * 1e6)
+      }.toArray
+    val (la, lb) = (labels.head, labels.last)
+    val (ma, mb) = (means(emb(la)), means(emb(lb)))
+    val expect = (0 until 64).map { d =>
+      math.floor((ma(d) - mb(d)) * (ma(d) - mb(d)) * 1e12).toLong
+    }.sum / 1e12
+    val got = rows.find(r => r.getAs[Int]("label_a") == la &&
+      r.getAs[Int]("label_b") == lb).get.getAs[Double]("mmd2")
+    assert(got === expect)
+  }
 }
