@@ -26,8 +26,10 @@ object TextOps {
   private[graft] def normText(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
 
-  /** Whitespace tokens of the raw text. */
-  private def tokens(c: Column): Column = split(c, "\\s+")
+  /** Whitespace tokens of the raw text. (private[graft]: the
+    * streaming CMS maintenance tokenizes micro-batches through the
+    * SAME expression so incremental cells stay additive with q214's.) */
+  private[graft] def tokens(c: Column): Column = split(c, "\\s+")
 
   /** q30 — exact deduplication: group by normalized text, keep the
     * smallest doc_id as the canonical representative. At scale the
@@ -844,27 +846,44 @@ object TextOps {
     * distributed TakeOrderedAndProject top-k, never a global-window
     * sort over the vocabulary; the 20-row rank window and the
     * 80-row×1,024-row estimate join are broadcast-sized. */
+  /** One micro-batch/corpus worth of CMS cells from a `token`-column
+    * frame — ADDITIVE: summing cell frames over batches equals the
+    * cells of the concatenated corpus, which is what lets
+    * [[graft.streaming.CmsMaintenance]] delta-log per-batch cells and
+    * fold on read. */
+  private[graft] def cmsCells(toks: DataFrame): DataFrame = {
+    val depths = toks.sparkSession.range(0, CmsDepth)
+      .select(col("id").cast(IntegerType).as("d"))
+    toks.crossJoin(depths)
+      .select(col("d"), cmsBucket(col("token"), col("d")).as("bucket"))
+      .groupBy("d", "bucket")
+      .agg(count(lit(1)).as("cell"))
+  }
+
+  /** Point-query a cell frame: min over the key's d cells. `keys` is
+    * any frame with a `token` column; other columns ride along as
+    * grouping keys. */
+  private[graft] def cmsEstimate(sketch: DataFrame, keys: DataFrame): DataFrame = {
+    val depths = sketch.sparkSession.range(0, CmsDepth)
+      .select(col("id").cast(IntegerType).as("d"))
+    keys.crossJoin(depths)
+      .withColumn("bucket", cmsBucket(col("token"), col("d")))
+      .join(sketch, Seq("d", "bucket"))
+      .groupBy(keys.columns.map(col).toSeq: _*)
+      .agg(min(col("cell")).as("est_cnt"))
+  }
+
   def q214CountMin(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(explode(tokens(lower(col("text")))).as("token"))
       .filter(col("token") =!= "")
-    val depths = s.range(0, CmsDepth)
-      .select(col("id").cast(IntegerType).as("d"))
-    val sketch = toks.crossJoin(depths)
-      .select(col("d"), cmsBucket(col("token"), col("d")).as("bucket"))
-      .groupBy("d", "bucket")
-      .agg(count(lit(1)).as("cell"))
+    val sketch = cmsCells(toks)
     val top20 = toks.groupBy("token").agg(count(lit(1)).as("true_cnt"))
       .orderBy(col("true_cnt").desc, col("token")).limit(20)
     val ranked = top20.withColumn("rank",
       row_number().over(Window.orderBy(col("true_cnt").desc, col("token")))
         .cast(LongType))
-    ranked.crossJoin(depths)
-      .select(col("rank"), col("token"), col("true_cnt"), col("d"),
-        cmsBucket(col("token"), col("d")).as("bucket"))
-      .join(sketch, Seq("d", "bucket"))
-      .groupBy("rank", "token", "true_cnt")
-      .agg(min(col("cell")).as("est_cnt"))
+    cmsEstimate(sketch, ranked)
       .select(col("rank"), col("token"), col("true_cnt"), col("est_cnt"),
         (col("est_cnt") - col("true_cnt")).as("overest"))
       .orderBy("rank")
