@@ -587,6 +587,69 @@ object CorpusOps {
         min(col("grp_n")).over(Window.partitionBy()))
       .orderBy("c_nationkey", "c_mktsegment")
 
+  // ---------------------------------------------- q218 rendezvous hash
+
+  /** HRW hash of `key` on `node`: md5-derived so the oracle computes
+    * the identical 32-bit value. */
+  private def hrwHash(key: Column, node: Int): Column =
+    conv(substring(md5(concat(key.cast("string"), lit("#"),
+      lit(node.toString))), 1, 8), 16, 10).cast(LongType)
+
+  /** q218 — rendezvous (highest-random-weight) sharding audit (Thaler
+    * & Ravishankar, 1996): each key lands on argmax_node
+    * hash(key, node). The property that makes HRW the sharding rule
+    * for stateful stores: growing the cluster from 5 to 6 nodes moves
+    * ONLY the keys the new node now wins (≈1/6, and every mover's
+    * destination IS the new node) — mod-N hashing (q100's shard
+    * assignment) would reshuffle ~5/6 of all keys. Output: per-shard
+    * key counts and how many keys the expansion steals from it.
+    *
+    * Scale shape: the argmax is a 6-element array_max of (hash, node)
+    * structs evaluated INLINE per row — no shuffle, no per-key group;
+    * the only shuffle is the final 5-group count. Ties break to the
+    * higher node on both engines ((h, node) struct order here, `ORDER
+    * BY hv DESC, node DESC` in the oracle). */
+  /** Per-key shard assignments before/after the 5→6 expansion — the
+    * doc-grain frame q218 aggregates and the spec audits key-by-key. */
+  private[queries] def rendezvousPerDoc(s: SparkSession, dir: String): DataFrame = {
+    def shard(nNodes: Int): Column =
+      array_max(array((0 until nNodes).map(n =>
+        struct(hrwHash(col("doc_id"), n).as("h"),
+          lit(n).as("node"))): _*)).getField("node")
+    Tables.documents(s, dir)
+      .select(col("doc_id"), shard(5).as("shard5"), shard(6).as("shard6"))
+  }
+
+  def q218Rendezvous(s: SparkSession, dir: String): DataFrame = {
+    rendezvousPerDoc(s, dir)
+      .groupBy("shard5")
+      .agg(count(lit(1)).as("n_docs"),
+        sum((col("shard6") =!= col("shard5")).cast(LongType)).as("n_moved"))
+      .orderBy("shard5")
+  }
+
+  private val RendezvousSql: String =
+    """WITH h AS (
+      |  SELECT d.doc_id, CAST(n.node AS INTEGER) AS node,
+      |    CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || '#' ||
+      |      CAST(n.node AS VARCHAR)), 1, 8)) AS BIGINT) AS hv
+      |  FROM documents d, (SELECT unnest(range(0, 6)) AS node) n),
+      |s5 AS (
+      |  SELECT doc_id, node AS shard5 FROM (
+      |    SELECT doc_id, node, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY hv DESC, node DESC) AS rk
+      |    FROM h WHERE node < 5) WHERE rk = 1),
+      |s6 AS (
+      |  SELECT doc_id, node AS shard6 FROM (
+      |    SELECT doc_id, node, row_number() OVER (PARTITION BY doc_id
+      |      ORDER BY hv DESC, node DESC) AS rk
+      |    FROM h) WHERE rk = 1)
+      |SELECT shard5, count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN shard6 <> shard5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_moved
+      |FROM s5 JOIN s6 USING (doc_id)
+      |GROUP BY shard5 ORDER BY shard5""".stripMargin
+
   // --------------------------------------------------- q216 l-diversity
 
   /** q216 — l-diversity audit (Machanavajjhala et al., ICDE'06), the
@@ -1182,6 +1245,7 @@ object CorpusOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q215_cdc_chunks" -> (q215CdcChunks _),
     "q216_l_diversity" -> (q216LDiversity _),
+    "q218_rendezvous" -> (q218Rendezvous _),
     "q201_source_containment" -> (q201SourceContainment _),
     "q188_feature_hash" -> (q188FeatureHash _),
     "q175_compaction_plan" -> (q175CompactionPlan _),
@@ -1213,6 +1277,7 @@ object CorpusOps {
   val oracles: Map[String, String] = Map(
     "q215_cdc_chunks" -> CdcChunksSql,
     "q216_l_diversity" -> LDiversitySql,
+    "q218_rendezvous" -> RendezvousSql,
     "q201_source_containment" -> SourceContainmentSql,
     "q188_feature_hash" -> FeatureHashSql,
     "q175_compaction_plan" -> CompactionPlanSql,

@@ -183,4 +183,22 @@ class RetrievalOpsSpec extends SparkTestBase {
       r.getAs[Int]("label_b") == lb).get.getAs[Double]("mmd2")
     assert(got === expect)
   }
+
+  test("q218 rendezvous: expansion moves only what the new node wins, " +
+    "and movers' destination IS the new node") {
+    val rows = CorpusOps.q218Rendezvous(spark, Sf).collect()
+    assert(rows.map(_.getAs[Int]("shard5")).sorted.toSeq === (0 until 5))
+    val (docs, moved) = (rows.map(_.getAs[Long]("n_docs")).sum,
+      rows.map(_.getAs[Long]("n_moved")).sum)
+    // ~1/6 of keys move on a 5→6 expansion; mod-N would move ~5/6
+    val frac = moved.toDouble / docs
+    assert(frac > 0.05 && frac < 0.35, s"moved fraction $frac")
+    // doc-level: a key either stays put or lands on the NEW node —
+    // the defining minimal-disruption property of HRW
+    val badMoves = CorpusOps.rendezvousPerDoc(spark, Sf)
+      .filter(col("shard6") =!= col("shard5"))
+      .filter(col("shard6") =!= 5).count()
+    assert(badMoves === 0L,
+      "a mover landed somewhere other than the new node")
+  }
 }

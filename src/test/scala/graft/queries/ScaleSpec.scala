@@ -298,6 +298,39 @@ class ScaleSpec extends SparkTestBase {
       "every replicated doc must be clustered")
     assert(stats.getLong(1) < maxDoc,
       s"replica clusters must label with the ORIGINAL doc_id (< $maxDoc)")
+    // round-9 additions — exact replicas make the scale invariants
+    // sharp rather than statistical:
+    // CDC chunking: replicas chunk identically, so per-source DISTINCT
+    // chunks are unchanged at 10x while total bytes are exactly 10x
+    val cdc1 = CorpusOps.q215CdcChunks(spark, base).collect()
+      .map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("n_distinct"), r.getAs[Long]("chunk_bytes"))).toMap
+    val cdc10 = timed("q215")(CorpusOps.q215CdcChunks(spark, dir).collect())
+    cdc10.foreach { r =>
+      val (d1, b1) = cdc1(r.getAs[String]("source"))
+      assert(r.getAs[Long]("n_distinct") === d1,
+        s"${r.getAs[String]("source")}: replicas invented new chunks")
+      assert(r.getAs[Long]("chunk_bytes") === 10L * b1)
+    }
+    // SemDeDup: replicate embeddings too — every replica has its
+    // original at cosine 1.0, so all 9x replicas are dropped and every
+    // replica's dedup target is an ORIGINAL vector id
+    val emb = graft.Tables.embeddings(spark, base)
+    val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    emb.crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("rep") * maxVec)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val sd = timed("q211")(VectorOps.q211SemDedup(spark, dir))
+    val replicas = sd.filter(col("vec_id") >= maxVec)
+    assert(replicas.count() === 9L * emb.count(),
+      "every replicated vector must be flagged as a duplicate")
+    assert(replicas.filter(col("dup_of") >= maxVec).count() === 0L,
+      "every replica must dedup against an ORIGINAL vector")
+    // CMS: the sketch stays 4x256 cells no matter the corpus size
+    val cms = timed("q214")(TextOps.q214CountMin(spark, dir).collect())
+    assert(cms.length === 20)
+    cms.foreach(r => assert(r.getAs[Long]("overest") >= 0L))
   }
 
   test("pipeline fails fast on missing input (documented divergence)") {
