@@ -587,6 +587,141 @@ object CorpusOps {
         min(col("grp_n")).over(Window.partitionBy()))
       .orderBy("c_nationkey", "c_mktsegment")
 
+  // --------------------------------------------- q219 split leakage
+
+  /** q219 — near-duplicate leakage across the train/val/test split:
+    * join q45's exact n-gram-Jaccard near-dup pairs (θ=0.5) against
+    * q146's salted-md5 split assignment and count pairs per
+    * (split_a, split_b) cell. Off-diagonal cells are CONTAMINATION —
+    * a test document with a train-side near-twin inflates every eval
+    * number (the Lee et al. dedup-before-split finding); the audit
+    * every serious pretraining pipeline runs before trusting held-out
+    * loss. Same-split duplicate mass (the diagonal) is wasted epochs,
+    * reported alongside.
+    *
+    * Scale shape: the pair set is LSH/size-bucket-bounded (q45's
+    * machinery — never all-pairs), the split rule is two hashes per
+    * doc computed inline, and the two id-keyed joins attach a
+    * doc-count-sized frame to a pair-count-sized frame — AQE
+    * broadcasts whichever side is small. Nothing here outgrows the
+    * near-dup pair volume itself at 100 TB. */
+  def q219SplitLeakage(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(norm(col("text")))
+    val h = md5Hash32(concat(lit("split:"), fp)) % 100L
+    val split = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test")
+          .as("split"))
+    val pairs = TextOps.ngramJaccardPairs(s, dir, 0.5)
+      .select(col("id_a"), col("id_b"))
+    pairs
+      .join(split.select(col("doc_id").as("id_a"),
+        col("split").as("split_a")), Seq("id_a"))
+      .join(split.select(col("doc_id").as("id_b"),
+        col("split").as("split_b")), Seq("id_b"))
+      .groupBy("split_a", "split_b")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("leaked",
+        (col("split_a") =!= col("split_b")).cast(IntegerType))
+      .orderBy("split_a", "split_b")
+  }
+
+  /** q146's bucket rule in the compact hex-cast spelling (DuckDB
+    * parses '0x…'-prefixed hex straight to BIGINT — same value as the
+    * strpos polynomial, one line instead of eight). */
+  private def SplitHexSql: String =
+    """CAST(('0x' || substr(md5('split:' ||
+      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))), 1, 8))
+      |  AS BIGINT) % 100""".stripMargin
+
+  private def SplitLeakageSql: String =
+    s"""WITH sp AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ($SplitHexSql) < 80 THEN 'train'
+       |      WHEN ($SplitHexSql) < 90 THEN 'val'
+       |      ELSE 'test' END AS split
+       |  FROM documents WHERE text IS NOT NULL),
+       |grams AS (
+       |  SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT)
+       |      AS szbucket,
+       |    list_distinct(list_transform(range(1, length(n) - 1),
+       |      i -> substring(n, i, 3))) AS g
+       |  FROM (SELECT doc_id, lang, n_chars,
+       |          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+       |        FROM documents)),
+       |pairs AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM grams a JOIN grams b
+       |    ON a.lang = b.lang AND a.szbucket = b.szbucket
+       |      AND a.doc_id < b.doc_id
+       |  WHERE CAST(len(list_intersect(a.g, b.g)) AS DOUBLE)
+       |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5)
+       |SELECT split_a, split_b, n_pairs,
+       |  CASE WHEN split_a <> split_b THEN 1 ELSE 0 END AS leaked
+       |FROM (
+       |  SELECT sa.split AS split_a, sb.split AS split_b,
+       |    count(*) AS n_pairs
+       |  FROM pairs p
+       |    JOIN sp sa ON sa.doc_id = p.id_a
+       |    JOIN sp sb ON sb.doc_id = p.id_b
+       |  GROUP BY 1, 2)
+       |ORDER BY split_a, split_b""".stripMargin
+
+  // --------------------------------------------- q220 DP noisy counts
+
+  /** q220 — ε-differentially-private count release (Dwork et al.,
+    * TCC'06): per-language document counts released through the
+    * Laplace mechanism at ε=1, sensitivity 1 — the third member of
+    * the privacy family (q137 k-anonymity, q216 l-diversity audit the
+    * data; this PERTURBS the release). "Randomness" follows the
+    * repo-wide discipline: the uniform is md5-derived
+    * ((hash32+0.5)/2³², never 0, ½, or 1), pushed through the exact
+    * inverse-CDF sgn(u−½)·(−ln(1−2|u−½|)), and the single
+    * transcendental is floor-quantized to integer microunits so the
+    * released value is a deterministic function of integers. Seeded
+    * DP noise is exactly how production pipelines make DP releases
+    * replayable/testable; swap the salt for entropy to deploy.
+    *
+    * Scale: one groupBy(lang) count; the mechanism is per-GROUP
+    * arithmetic on the (tiny) aggregate frame. */
+  def q220DpCounts(s: SparkSession, dir: String): DataFrame = {
+    val c = md5Hash32(concat(lit("dp:"), col("lang")))
+      .cast(DoubleType).plus(lit(0.5)).divide(lit(4294967296.0))
+      .minus(lit(0.5))
+    val noise = when(c >= 0, -log(lit(1.0) - lit(2.0) * c))
+      .otherwise(log(lit(1.0) + lit(2.0) * c))
+    Tables.documents(s, dir)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("noise_micro", floor(noise * lit(1e6)))
+      .select(col("lang"), col("n_docs"), col("noise_micro"),
+        ((col("n_docs") * lit(1e6) + col("noise_micro")) / lit(1e6))
+          .as("released"),
+        lit(1.0).as("epsilon"))
+      .orderBy("lang")
+  }
+
+  private def DpCountsSql: String =
+    """WITH c AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1),
+      |u AS (
+      |  SELECT lang, n_docs,
+      |    CAST(('0x' || substr(md5('dp:' || lang), 1, 8)) AS BIGINT)
+      |      AS h32
+      |  FROM c),
+      |n AS (
+      |  SELECT lang, n_docs,
+      |    CAST(floor((CASE
+      |      WHEN (CAST(h32 AS DOUBLE) + 5e-1) / 4294967296e0 - 5e-1 >= 0
+      |      THEN -ln(1e0 - 2e0 *
+      |        ((CAST(h32 AS DOUBLE) + 5e-1) / 4294967296e0 - 5e-1))
+      |      ELSE ln(1e0 + 2e0 *
+      |        ((CAST(h32 AS DOUBLE) + 5e-1) / 4294967296e0 - 5e-1))
+      |      END) * 1e6) AS BIGINT) AS noise_micro
+      |  FROM u)
+      |SELECT lang, n_docs, noise_micro,
+      |  (n_docs * 1e6 + noise_micro) / 1e6 AS released,
+      |  1e0 AS epsilon
+      |FROM n ORDER BY lang""".stripMargin
+
   // ---------------------------------------------- q218 rendezvous hash
 
   /** HRW hash of `key` on `node`: md5-derived so the oracle computes
@@ -1246,6 +1381,8 @@ object CorpusOps {
     "q215_cdc_chunks" -> (q215CdcChunks _),
     "q216_l_diversity" -> (q216LDiversity _),
     "q218_rendezvous" -> (q218Rendezvous _),
+    "q219_split_leakage" -> (q219SplitLeakage _),
+    "q220_dp_counts" -> (q220DpCounts _),
     "q201_source_containment" -> (q201SourceContainment _),
     "q188_feature_hash" -> (q188FeatureHash _),
     "q175_compaction_plan" -> (q175CompactionPlan _),
@@ -1278,6 +1415,8 @@ object CorpusOps {
     "q215_cdc_chunks" -> CdcChunksSql,
     "q216_l_diversity" -> LDiversitySql,
     "q218_rendezvous" -> RendezvousSql,
+    "q219_split_leakage" -> SplitLeakageSql,
+    "q220_dp_counts" -> DpCountsSql,
     "q201_source_containment" -> SourceContainmentSql,
     "q188_feature_hash" -> FeatureHashSql,
     "q175_compaction_plan" -> CompactionPlanSql,

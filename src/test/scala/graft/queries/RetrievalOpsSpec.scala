@@ -201,4 +201,36 @@ class RetrievalOpsSpec extends SparkTestBase {
     assert(badMoves === 0L,
       "a mover landed somewhere other than the new node")
   }
+
+  test("q219 split leakage: matrix accounts for every near-dup pair " +
+    "and the leaked flag marks exactly the off-diagonal") {
+    val rows = CorpusOps.q219SplitLeakage(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    val splits = Set("train", "val", "test")
+    rows.foreach { r =>
+      assert(splits(r.getAs[String]("split_a")))
+      assert(splits(r.getAs[String]("split_b")))
+      assert(r.getAs[Int]("leaked") ===
+        (if (r.getAs[String]("split_a") != r.getAs[String]("split_b")) 1
+         else 0))
+    }
+    val totalPairs = TextOps.ngramJaccardPairs(spark, Sf, 0.5).count()
+    assert(rows.map(_.getAs[Long]("n_pairs")).sum === totalPairs,
+      "every near-dup pair must land in exactly one matrix cell")
+  }
+
+  test("q220 dp counts: release identity holds, noise is nonzero " +
+    "and bounded") {
+    val rows = CorpusOps.q220DpCounts(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nm) = (r.getAs[Long]("n_docs"), r.getAs[Long]("noise_micro"))
+      assert(r.getAs[Double]("released") === (n * 1e6 + nm) / 1e6)
+      assert(nm !== 0L, "Laplace noise of exactly 0 is a hash bug")
+      // P(|Lap(1)| > 20) ~ 2e-9 — on this fixed salt the draws are
+      // single digits; 20 flags a broken inverse-CDF, not bad luck
+      assert(math.abs(nm) < 20L * 1000000L)
+      assert(r.getAs[Double]("epsilon") === 1.0)
+    }
+  }
 }

@@ -321,9 +321,9 @@ class ScaleSpec extends SparkTestBase {
       .withColumn("vec_id", col("vec_id") + col("rep") * maxVec)
       .drop("rep")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    val sd = timed("q211")(VectorOps.q211SemDedup(spark, dir))
+    val sd = VectorOps.q211SemDedup(spark, dir)
     val replicas = sd.filter(col("vec_id") >= maxVec)
-    assert(replicas.count() === 9L * emb.count(),
+    assert(timed("q211")(replicas.count()) === 9L * emb.count(),
       "every replicated vector must be flagged as a duplicate")
     assert(replicas.filter(col("dup_of") >= maxVec).count() === 0L,
       "every replica must dedup against an ORIGINAL vector")
