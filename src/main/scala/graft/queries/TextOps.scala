@@ -820,14 +820,20 @@ object TextOps {
   private val CmsDepth = 4
   private val CmsWidth = 256
 
-  /** CMS row hash: bucket of `tok` in depth-`d`'s row. md5-derived so
-    * the DuckDB oracle computes the identical bucket (xxhash64 isn't
-    * DuckDB-expressible — md5 is the shared-hash currency here, as in
-    * the sampling/fingerprint family). First 8 hex chars < 2³² so the
-    * BIGINT parse is exact and non-negative on both engines. */
-  private def cmsBucket(tok: Column, d: Column): Column =
-    pmod(conv(substring(md5(concat(tok, lit("|"), d.cast("string"))), 1, 8),
-      16, 10).cast(LongType), lit(CmsWidth.toLong))
+  /** The 4 CMS row buckets of `tok` from ONE md5: the 128-bit digest
+    * splits into four independent 32-bit words (hex chars 1-8, 9-16,
+    * 17-24, 25-32), one per depth — the canonical one-hash-per-key CMS
+    * trick, and 4× fewer digests than hashing (tok, d) per row.
+    * md5-derived so the DuckDB oracle computes the identical buckets
+    * (xxhash64 isn't DuckDB-expressible — md5 is the shared-hash
+    * currency, as in the sampling/fingerprint family); each 8-hex-char
+    * word < 2³² parses exactly and non-negatively on both engines. */
+  private def cmsBuckets(tok: Column): Column = {
+    val h = md5(tok)
+    array((0 until CmsDepth).map(d =>
+      pmod(conv(substring(h, d * 8 + 1, 8), 16, 10).cast(LongType),
+        lit(CmsWidth.toLong))): _*)
+  }
 
   /** q214 — Count-Min sketch (Cormode & Muthukrishnan, 2005) as a
     * GROUPED TABLE, not opaque binary state: every (depth, bucket)
@@ -851,27 +857,22 @@ object TextOps {
     * cells of the concatenated corpus, which is what lets
     * [[graft.streaming.CmsMaintenance]] delta-log per-batch cells and
     * fold on read. */
-  private[graft] def cmsCells(toks: DataFrame): DataFrame = {
-    val depths = toks.sparkSession.range(0, CmsDepth)
-      .select(col("id").cast(IntegerType).as("d"))
-    toks.crossJoin(depths)
-      .select(col("d"), cmsBucket(col("token"), col("d")).as("bucket"))
+  private[graft] def cmsCells(toks: DataFrame): DataFrame =
+    toks
+      .select(posexplode(cmsBuckets(col("token"))).as(Seq("d", "bucket")))
       .groupBy("d", "bucket")
       .agg(count(lit(1)).as("cell"))
-  }
 
   /** Point-query a cell frame: min over the key's d cells. `keys` is
     * any frame with a `token` column; other columns ride along as
     * grouping keys. */
-  private[graft] def cmsEstimate(sketch: DataFrame, keys: DataFrame): DataFrame = {
-    val depths = sketch.sparkSession.range(0, CmsDepth)
-      .select(col("id").cast(IntegerType).as("d"))
-    keys.crossJoin(depths)
-      .withColumn("bucket", cmsBucket(col("token"), col("d")))
+  private[graft] def cmsEstimate(sketch: DataFrame, keys: DataFrame): DataFrame =
+    keys
+      .select(keys.columns.map(col) :+
+        posexplode(cmsBuckets(col("token"))).as(Seq("d", "bucket")): _*)
       .join(sketch, Seq("d", "bucket"))
       .groupBy(keys.columns.map(col).toSeq: _*)
       .agg(min(col("cell")).as("est_cnt"))
-  }
 
   def q214CountMin(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
@@ -896,8 +897,8 @@ object TextOps {
        |    FROM documents) WHERE t <> ''),
        |depths AS (SELECT unnest(range(0, $CmsDepth)) AS d),
        |sketch AS (
-       |  SELECT d, CAST(('0x' || substr(md5(token || '|' ||
-       |      CAST(d AS VARCHAR)), 1, 8)) AS BIGINT) % $CmsWidth AS bucket,
+       |  SELECT d, CAST(('0x' || substr(md5(token), CAST(d * 8 + 1 AS
+       |      INTEGER), 8)) AS BIGINT) % $CmsWidth AS bucket,
        |    count(*) AS cell
        |  FROM toks, depths GROUP BY 1, 2),
        |topk AS (
@@ -909,8 +910,8 @@ object TextOps {
        |  FROM (SELECT * FROM topk WHERE rank <= 20) k
        |  CROSS JOIN depths dd
        |  JOIN sketch s ON s.d = dd.d
-       |    AND s.bucket = CAST(('0x' || substr(md5(k.token || '|' ||
-       |      CAST(dd.d AS VARCHAR)), 1, 8)) AS BIGINT) % $CmsWidth
+       |    AND s.bucket = CAST(('0x' || substr(md5(k.token),
+       |      CAST(dd.d * 8 + 1 AS INTEGER), 8)) AS BIGINT) % $CmsWidth
        |  GROUP BY 1, 2, 3)
        |SELECT rank, token, true_cnt, est_cnt, est_cnt - true_cnt AS overest
        |FROM est ORDER BY rank""".stripMargin
