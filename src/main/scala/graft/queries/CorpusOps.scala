@@ -667,6 +667,62 @@ object CorpusOps {
        |  GROUP BY 1, 2)
        |ORDER BY split_a, split_b""".stripMargin
 
+  // --------------------------------------------- q221 compress ratio
+
+  /** Per-document DEFLATE lengths via `mapPartitions` — a real byte
+    * codec (java.util.zip, level 6), so this is genuine
+    * partition-batched worker territory like the media decodes in
+    * [[MultimodalOps]]: one `Deflater` per partition, reset per row,
+    * never an allocation per document. */
+  private[queries] def withDeflateLen(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { iter =>
+        val deflater = new java.util.zip.Deflater(6, false)
+        val buf = new Array[Byte](1 << 16)
+        iter.map { case (id, lang, text) =>
+          val bytes = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(bytes)
+          deflater.finish()
+          var zlen = 0
+          while (!deflater.finished()) zlen += deflater.deflate(buf)
+          (id, lang, bytes.length, zlen)
+        }
+      }
+      .toDF("doc_id", "lang", "raw_len", "zip_len")
+  }
+
+  /** q221 — compression-ratio quality signal (the CCNet/RefinedWeb
+    * family's cheap text filter): highly compressible text is
+    * boilerplate/repetition, nearly incompressible text is noise; both
+    * tails get filtered before training. Reports per language the mean
+    * DEFLATE ratio in ppm plus both tail counts (boilerplate <45%,
+    * noise >85% of raw size). Registered rows-only — no SQL engine
+    * exposes DEFLATE — with the spec pinning the codec's behavioral
+    * contract instead (see RetrievalOpsSpec: repetition compresses
+    * far below 45%, hex noise sits above 85%, ratios bounded).
+    *
+    * Scale shape: embarrassingly parallel partition-local codec work
+    * (the expensive stage), then a languages-sized aggregate. Ratio
+    * arithmetic is integer ppm so the aggregate is order-free. */
+  def q221CompressRatio(s: SparkSession, dir: String): DataFrame =
+    withDeflateLen(Tables.documents(s, dir).filter(col("text").isNotNull)
+        .filter(length(col("text")) > 0))
+      .withColumn("ratio_ppm",
+        (col("zip_len").cast(LongType) * lit(1000000L) / col("raw_len"))
+          .cast(LongType))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("ratio_ppm")) / count(lit(1))).cast(LongType)
+          .as("avg_ratio_ppm"),
+        sum((col("ratio_ppm") < 450000L).cast(LongType))
+          .as("n_boilerplate"),
+        sum((col("ratio_ppm") > 850000L).cast(LongType)).as("n_noise"))
+      .orderBy("lang")
+
   // --------------------------------------------- q220 DP noisy counts
 
   /** q220 — ε-differentially-private count release (Dwork et al.,
@@ -1383,6 +1439,7 @@ object CorpusOps {
     "q218_rendezvous" -> (q218Rendezvous _),
     "q219_split_leakage" -> (q219SplitLeakage _),
     "q220_dp_counts" -> (q220DpCounts _),
+    "q221_compress_ratio" -> (q221CompressRatio _),
     "q201_source_containment" -> (q201SourceContainment _),
     "q188_feature_hash" -> (q188FeatureHash _),
     "q175_compaction_plan" -> (q175CompactionPlan _),

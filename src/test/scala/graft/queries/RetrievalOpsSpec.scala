@@ -233,4 +233,32 @@ class RetrievalOpsSpec extends SparkTestBase {
       assert(r.getAs[Double]("epsilon") === 1.0)
     }
   }
+
+  test("q221 compress ratio: codec contract — repetition compresses " +
+    "into the boilerplate tail, hex noise into the noise tail") {
+    val rows = CorpusOps.q221CompressRatio(spark, Sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("avg_ratio_ppm") > 0L)
+      assert(r.getAs[Long]("avg_ratio_ppm") < 1200000L)
+      assert(r.getAs[Long]("n_boilerplate") +
+        r.getAs[Long]("n_noise") <= r.getAs[Long]("n_docs"))
+    }
+    // behavioral contract of the signal itself, on constructed docs:
+    // pure repetition lands deep in the boilerplate tail, digest-hex
+    // "noise" text stays near-incompressible
+    import spark.implicits._
+    val synth = Seq(
+      (1L, "en", "spam spam " * 60),
+      (2L, "en", (1 to 60).map(i =>
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(i.toString.getBytes).map("%02x".format(_)).mkString)
+        .mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+    val lens = CorpusOps.withDeflateLen(synth).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("zip_len").toDouble / r.getAs[Int]("raw_len"))).toMap
+    assert(lens(1L) < 0.45, s"repetition ratio ${lens(1L)} not boilerplate")
+    assert(lens(2L) > 0.45, s"hex-noise ratio ${lens(2L)} too compressible")
+  }
 }
