@@ -1358,7 +1358,7 @@ object CorpusOps {
   /** The chunker itself, reusable over any (doc_id, source, text)
     * frame — q215 aggregates it; the spec re-runs it on shifted text
     * to pin the offset-robustness property. */
-  private[queries] def cdcChunkFrame(docs0: DataFrame): DataFrame = {
+  private[graft] def cdcChunkFrame(docs0: DataFrame): DataFrame = {
     val docs = docs0.filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("source"), col("text"))
     val pos = docs
