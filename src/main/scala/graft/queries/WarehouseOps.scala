@@ -1212,7 +1212,111 @@ object WarehouseOps {
        |FROM d$BfsRounds ORDER BY part_id""".stripMargin
   }
 
+  // ---------------------------------------------- q222 Poisson bootstrap
+
+  private val BootB = 100
+
+  /** q222 — Poisson-bootstrap 95% CI for the mean account balance
+    * (Chamandy et al., Google 2012 — "Estimating uncertainty for
+    * massive data streams"): classical bootstrap resampling needs
+    * sampling WITH replacement from the full dataset per replicate —
+    * impossible distributed; the Poisson trick replaces each row's
+    * multinomial count with an independent Poisson(1) draw, so every
+    * row computes its own weight for all B replicates in one pass with
+    * NO coordination. This is the standard error machinery behind
+    * large-scale A/B metrology.
+    *
+    * Determinism: the per-(row, replicate) uniform is md5-derived and
+    * the Poisson(1) inverse CDF is a 6-literal CASE ladder (P(X>5) <
+    * 1e-4 — truncation noted); balances are exact integer cents, so
+    * each replicate mean is one BIGINT/BIGINT division.
+    *
+    * Scale shape: a ×B row amplification that exists only INSIDE the
+    * map stage — the shuffle carries B=100 (num, den) partial rows per
+    * task, nothing data-sized; the order-statistics step runs over the
+    * 100-row replicate frame. */
+  def q222PoissonBootstrap(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+      .select(col("c_custkey"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).as("cents"))
+    val spine = s.range(0, BootB).select(col("id").as("r"))
+    val u = (CorpusOps.md5Hash32(concat(lit("bs:"),
+      col("c_custkey").cast("string"), lit(":"), col("r").cast("string")))
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
+    val w = when(u < 0.36787944117144233, lit(0L))
+      .when(u < 0.73575888234288466, lit(1L))
+      .when(u < 0.91969860292860582, lit(2L))
+      .when(u < 0.98101184312384615, lit(3L))
+      .when(u < 0.99634015317265628, lit(4L))
+      .otherwise(lit(5L))
+    val means = cust.crossJoin(spine)
+      .select(col("r"), (w * col("cents")).as("wx"), w.as("w"))
+      .groupBy("r")
+      .agg(sum(col("wx")).as("num"), sum(col("w")).as("den"))
+      .select(col("r"),
+        (col("num").cast("double") / col("den").cast("double"))
+          .as("mean_r"))
+    val ranked = means.withColumn("rn",
+      row_number().over(Window.orderBy(col("mean_r"), col("r"))))
+    val lo = ranked.filter(col("rn") === 3)
+      .select(col("mean_r").as("lo_cents"))
+    val hi = ranked.filter(col("rn") === 98)
+      .select(col("mean_r").as("hi_cents"))
+    val full = cust.agg(
+      count(lit(1)).as("n_rows"),
+      (sum(col("cents")).cast("double") / count(lit(1)).cast("double"))
+        .as("mean_cents"))
+    full.crossJoin(lo).crossJoin(hi)
+      .select(col("n_rows"), lit(BootB).as("n_resamples"),
+        (col("mean_cents") / lit(100.0)).as("mean_full"),
+        (col("lo_cents") / lit(100.0)).as("ci_lo"),
+        (col("hi_cents") / lit(100.0)).as("ci_hi"))
+  }
+
+  private val PoissonBootstrapSql: String =
+    s"""WITH cust AS (
+       |  SELECT c_custkey,
+       |    CAST(floor(c_acctbal * 100 + 5e-1) AS BIGINT) AS cents
+       |  FROM customer),
+       |wts AS (
+       |  SELECT r, cents,
+       |    CASE WHEN uu < 3.6787944117144233e-1 THEN 0
+       |         WHEN uu < 7.3575888234288466e-1 THEN 1
+       |         WHEN uu < 9.1969860292860582e-1 THEN 2
+       |         WHEN uu < 9.8101184312384615e-1 THEN 3
+       |         WHEN uu < 9.9634015317265628e-1 THEN 4
+       |         ELSE 5 END AS w
+       |  FROM (
+       |    SELECT c.c_custkey, s.r, c.cents,
+       |      (CAST(CAST(('0x' || substr(md5('bs:' ||
+       |        CAST(c.c_custkey AS VARCHAR) || ':' ||
+       |        CAST(s.r AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+       |        + 5e-1) / 4294967296e0 AS uu
+       |    FROM cust c, (SELECT unnest(range(0, $BootB)) AS r) s)),
+       |means AS (
+       |  SELECT r, CAST(sum(w * cents) AS BIGINT) AS num,
+       |    CAST(sum(w) AS BIGINT) AS den
+       |  FROM wts GROUP BY r),
+       |ranked AS (
+       |  SELECT r, CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS mean_r,
+       |    row_number() OVER (
+       |      ORDER BY CAST(num AS DOUBLE) / CAST(den AS DOUBLE), r) AS rn
+       |  FROM means),
+       |full_m AS (
+       |  SELECT count(*) AS n_rows,
+       |    CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) /
+       |      CAST(count(*) AS DOUBLE) AS mean_cents
+       |  FROM cust)
+       |SELECT f.n_rows, CAST($BootB AS INTEGER) AS n_resamples,
+       |  f.mean_cents / 1e2 AS mean_full,
+       |  lo.mean_r / 1e2 AS ci_lo,
+       |  hi.mean_r / 1e2 AS ci_hi
+       |FROM full_m f,
+       |  (SELECT mean_r FROM ranked WHERE rn = 3) lo,
+       |  (SELECT mean_r FROM ranked WHERE rn = 98) hi""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q222_poisson_bootstrap" -> (q222PoissonBootstrap _),
     "q192_hits" -> (q192Hits _),
     "q195_zonemap" -> (q195Zonemap _),
     "q196_benford" -> (q196Benford _),
@@ -1233,6 +1337,7 @@ object WarehouseOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "q222_poisson_bootstrap" -> PoissonBootstrapSql,
     "q192_hits" -> HitsSql,
     "q195_zonemap" -> ZonemapSql,
     "q196_benford" -> BenfordSql,

@@ -261,4 +261,23 @@ class RetrievalOpsSpec extends SparkTestBase {
     assert(lens(1L) < 0.45, s"repetition ratio ${lens(1L)} not boilerplate")
     assert(lens(2L) > 0.45, s"hex-noise ratio ${lens(2L)} too compressible")
   }
+
+  test("q222 poisson bootstrap: CI brackets the full-data mean at a " +
+    "width consistent with n") {
+    val r = WarehouseOps.q222PoissonBootstrap(spark, Sf).collect()
+    assert(r.length === 1)
+    val (lo, hi, mean) = (r(0).getAs[Double]("ci_lo"),
+      r(0).getAs[Double]("ci_hi"), r(0).getAs[Double]("mean_full"))
+    assert(lo < mean && mean < hi,
+      s"CI [$lo, $hi] must bracket the point estimate $mean")
+    assert(r(0).getAs[Int]("n_resamples") === 100)
+    // TPC-H acctbal is ~U(-999, 9999): sd ≈ 3175, so a 95% CI spans
+    // roughly ±2·sd/√n. Allow [0.5×, 3×] of that — a resampler that
+    // degenerates (width→0) or ignores n (width→sd) both fail.
+    val n = r(0).getAs[Long]("n_rows").toDouble
+    val expect = 2 * 2 * 3175.0 / math.sqrt(n)
+    val width = hi - lo
+    assert(width > expect * 0.25 && width < expect * 3.0,
+      s"CI width $width vs expected ~$expect")
+  }
 }
