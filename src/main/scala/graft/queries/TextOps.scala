@@ -916,6 +916,127 @@ object TextOps {
        |SELECT rank, token, true_cnt, est_cnt, est_cnt - true_cnt AS overest
        |FROM est ORDER BY rank""".stripMargin
 
+  // ---------------------------------------------------------------- q223
+
+  private val HllB = 6                  // 2^6 = 64 registers
+  private val HllM = 1 << HllB
+  private val HllWBits = 32 - HllB      // 26-bit suffix feeds rho
+
+  /** q223 — HyperLogLog (Flajolet et al., 2007) as an EXACT GROUPED
+    * TABLE, the companion to q214's Count-Min: bucket = the top 6 bits
+    * of the md5-derived 32-bit hash, register = max over the bucket's
+    * hashes of rho (leading-zero count of the 26-bit suffix, +1), and
+    * the estimate is α·m²·2³²/Σ2^(32−M_j) with the standard
+    * linear-counting fallback. Every register value, the scaled
+    * harmonic sum (an exact BIGINT — each 2^(32−M_j) term is an
+    * integer), and the final estimate are DuckDB-oracle-verified
+    * cell-by-cell; q124 keeps `approx_count_distinct` for the
+    * engine-native path, this one proves the algorithm itself. rho
+    * comes from a 26-arm integer CASE ladder — no float log anywhere
+    * near the registers.
+    *
+    * Scale shape: one pass, map-side max-combined into ≤64 groups —
+    * like the CMS, shuffle volume is O(tasks×64) whatever the corpus;
+    * max() needs no pre-distinct (duplicates can't raise a max). The
+    * output audits the estimate against the exact distinct count
+    * (±30% is the spec gate; 1.04/√64 ≈ 13% is the paper's σ). */
+  def q223HllTable(s: SparkSession, dir: String): DataFrame =
+    hllTableOf(Tables.documents(s, dir)
+      .select(explode(tokens(lower(col("text")))).as("token"))
+      .filter(col("token") =!= ""))
+
+  /** The sketch itself over any `token`-column frame — q223 runs it on
+    * the corpus; the spec also drives a 20k-distinct synthetic stream
+    * through it to exercise the raw-estimate regime (the corpus's
+    * 31-token vocabulary lands in linear counting). */
+  private[graft] def hllTableOf(toks: DataFrame): DataFrame = {
+    val s = toks.sparkSession
+    val h32 = conv(substring(md5(col("token")), 1, 8), 16, 10)
+      .cast(LongType)
+    val bucket = (h32 / lit(1L << HllWBits)).cast(LongType)
+    val w = h32 % lit(1L << HllWBits)
+    // rho = leading-zero count of the 26-bit suffix + 1, as a pure
+    // integer CASE ladder evaluated smallest-rho-first: arm k fires
+    // when w ≥ 2^(26-k), i.e. exactly k-1 leading zeros.
+    val rhoLadder = {
+      var c = when(w >= lit(1L << (HllWBits - 1)), lit(1))
+      for (k <- 2 to HllWBits)
+        c = c.when(w >= lit(1L << (HllWBits - k)), lit(k))
+      c.otherwise(lit(HllWBits + 1))   // w = 0: all 26 bits zero
+    }
+    val regs = toks
+      .select(bucket.as("bucket"), rhoLadder.as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("m_j"))
+    val spine = s.range(0, HllM).select(col("id").as("bucket"))
+    val registers = spine.join(regs, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("m_j"), lit(0)).as("m_j"))
+    val folded = registers.agg(
+      sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 32 - m_j) AS BIGINT)"))
+        .as("s_scaled"),
+      sum((col("m_j") === 0).cast("long")).as("v_zero"))
+    val nTrue = toks.agg(countDistinct(col("token")).as("n_true"))
+    folded.crossJoin(nTrue)
+      .select(lit(HllM).as("m"), col("v_zero"), col("s_scaled"),
+        col("n_true"),
+        (lit(0.709) * lit(HllM.toDouble * HllM) * lit(4294967296.0) /
+          col("s_scaled").cast("double")).as("est_raw"))
+      .withColumn("est",
+        when(col("v_zero") > 0 &&
+            col("est_raw") <= lit(2.5 * HllM),
+          floor(lit(HllM.toDouble) *
+            log(lit(HllM.toDouble) / col("v_zero").cast("double")) *
+            lit(1e6)) / lit(1e6))
+          .otherwise(col("est_raw")))
+      .withColumn("err_ppm",
+        floor((col("est") - col("n_true").cast("double")) /
+          col("n_true").cast("double") * lit(1e6)).cast(LongType))
+  }
+
+  private val HllTableSql: String = {
+    val rhoArms = (1 to HllWBits).map(k =>
+      s"WHEN w >= ${1L << (HllWBits - k)} THEN $k").mkString("\n      |      ")
+    s"""WITH toks AS (
+       |  SELECT t AS token FROM (
+       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+       |    FROM documents) WHERE t <> ''),
+       |hashed AS (
+       |  SELECT CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
+       |    AS h32 FROM toks),
+       |rhod AS (
+       |  SELECT h32 // ${1L << HllWBits} AS bucket,
+       |    CASE ${rhoArms}
+       |      ELSE ${HllWBits + 1} END AS rho
+       |  FROM (SELECT h32, h32 % ${1L << HllWBits} AS w FROM hashed)),
+       |regs AS (
+       |  SELECT s.bucket, coalesce(max(r.rho), 0) AS m_j
+       |  FROM (SELECT unnest(range(0, $HllM)) AS bucket) s
+       |  LEFT JOIN rhod r ON r.bucket = s.bucket
+       |  GROUP BY s.bucket),
+       |folded AS (
+       |  SELECT CAST(sum(CAST(1::BIGINT << (32 - m_j) AS BIGINT))
+       |      AS BIGINT) AS s_scaled,
+       |    CAST(sum(CASE WHEN m_j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS v_zero
+       |  FROM regs),
+       |est0 AS (
+       |  SELECT CAST($HllM AS INTEGER) AS m, v_zero, s_scaled,
+       |    (SELECT count(DISTINCT token) FROM toks) AS n_true,
+       |    7.09e-1 * ${HllM.toDouble * HllM}e0 * 4294967296e0 /
+       |      CAST(s_scaled AS DOUBLE) AS est_raw
+       |  FROM folded)
+       |SELECT m, v_zero, s_scaled, n_true, est_raw,
+       |  CASE WHEN v_zero > 0 AND est_raw <= ${2.5 * HllM}e0
+       |    THEN floor(${HllM}e0 * ln(${HllM}e0 / CAST(v_zero AS DOUBLE))
+       |      * 1e6) / 1e6
+       |    ELSE est_raw END AS est,
+       |  CAST(floor((CASE WHEN v_zero > 0 AND est_raw <= ${2.5 * HllM}e0
+       |    THEN floor(${HllM}e0 * ln(${HllM}e0 / CAST(v_zero AS DOUBLE))
+       |      * 1e6) / 1e6
+       |    ELSE est_raw END - CAST(n_true AS DOUBLE))
+       |    / CAST(n_true AS DOUBLE) * 1e6) AS BIGINT) AS err_ppm
+       |FROM est0""".stripMargin
+  }
+
   // ---------------------------------------------------------------- q197
 
   private val WinnowK = 5  // k-gram length (chars)
@@ -1391,6 +1512,7 @@ object TextOps {
     "q76_heavy_hitters" -> (q76HeavyHitters _),
     "q210_heavy_hitters_exact" -> (q210HeavyHittersExact _),
     "q214_countmin" -> (q214CountMin _),
+    "q223_hll_table" -> (q223HllTable _),
     "q72_sequence_packing" -> (q72SequencePacking _),
     "q73_repetition" -> (q73Repetition _),
     "q74_decontaminate" -> (q74Decontaminate _),
@@ -1473,6 +1595,7 @@ object TextOps {
   val oracles: Map[String, String] = Map(
     "q210_heavy_hitters_exact" -> HeavyHittersExactSql,
     "q214_countmin" -> CountMinSql,
+    "q223_hll_table" -> HllTableSql,
     "q197_winnowing" -> WinnowingSql,
     "q198_prefix_join" -> PrefixJoinSql,
     "q200_phrase_search" -> PhraseSearchSql,

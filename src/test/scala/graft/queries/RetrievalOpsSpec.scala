@@ -280,4 +280,30 @@ class RetrievalOpsSpec extends SparkTestBase {
     assert(width > expect * 0.25 && width < expect * 3.0,
       s"CI width $width vs expected ~$expect")
   }
+
+  test("q223 hll: corpus lands in linear counting within 30%; a 20k " +
+    "synthetic stream exercises the raw regime within 3 sigma") {
+    val r = TextOps.q223HllTable(spark, Sf).collect()
+    assert(r.length === 1)
+    val (est, nTrue) = (r(0).getAs[Double]("est"), r(0).getAs[Long]("n_true"))
+    assert(math.abs(est - nTrue) <= nTrue * 0.30,
+      s"HLL est $est vs true $nTrue")
+    assert(r(0).getAs[Long]("err_ppm") ===
+      math.floor((est - nTrue.toDouble) / nTrue * 1e6).toLong)
+    // raw-regime check: 20k distinct synthetic tokens (duplicated ×3 —
+    // duplicates must not move a max-based sketch), σ = 1.04/√64
+    import spark.implicits._
+    val synth = spark.range(0, 20000).select(
+      concat(lit("tok"), col("id")).as("token"))
+      .union(spark.range(0, 20000).select(
+        concat(lit("tok"), col("id")).as("token")))
+      .union(spark.range(0, 20000).select(
+        concat(lit("tok"), col("id")).as("token")))
+    val raw = TextOps.hllTableOf(synth).collect()(0)
+    val rawEst = raw.getAs[Double]("est")
+    assert(raw.getAs[Double]("est_raw") === rawEst,
+      "20k distinct must not fall into linear counting")
+    assert(math.abs(rawEst - 20000) <= 20000 * (3 * 1.04 / 8),
+      s"raw HLL estimate $rawEst vs 20000")
+  }
 }
