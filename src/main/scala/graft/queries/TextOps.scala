@@ -949,8 +949,11 @@ object TextOps {
     * the corpus; the spec also drives a 20k-distinct synthetic stream
     * through it to exercise the raw-estimate regime (the corpus's
     * 31-token vocabulary lands in linear counting). */
-  private[graft] def hllTableOf(toks: DataFrame): DataFrame = {
-    val s = toks.sparkSession
+  /** One token frame's NON-ZERO registers: (bucket, m_j) rows.
+    * max-mergeable — the streaming twin ([[graft.streaming
+    * .HllMaintenance]]) delta-logs these per batch and folds with a
+    * per-bucket max. */
+  private[graft] def hllRegistersOf(toks: DataFrame): DataFrame = {
     val h32 = conv(substring(md5(col("token")), 1, 8), 16, 10)
       .cast(LongType)
     val bucket = (h32 / lit(1L << HllWBits)).cast(LongType)
@@ -964,20 +967,18 @@ object TextOps {
         c = c.when(w >= lit(1L << (HllWBits - k)), lit(k))
       c.otherwise(lit(HllWBits + 1))   // w = 0: all 26 bits zero
     }
-    val regs = toks
-      .select(bucket.as("bucket"), rhoLadder.as("rho"))
+    toks.select(bucket.as("bucket"), rhoLadder.as("rho"))
       .groupBy("bucket").agg(max(col("rho")).as("m_j"))
-    val spine = s.range(0, HllM).select(col("id").as("bucket"))
-    val registers = spine.join(regs, Seq("bucket"), "left")
-      .select(col("bucket"), coalesce(col("m_j"), lit(0)).as("m_j"))
-    val folded = registers.agg(
+  }
+
+  /** The estimate over a FULL register table (all m buckets, zeros
+    * included): raw harmonic estimate + linear-counting fallback. */
+  private[graft] def hllEstimateOf(registers: DataFrame): DataFrame =
+    registers.agg(
       sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 32 - m_j) AS BIGINT)"))
         .as("s_scaled"),
       sum((col("m_j") === 0).cast("long")).as("v_zero"))
-    val nTrue = toks.agg(countDistinct(col("token")).as("n_true"))
-    folded.crossJoin(nTrue)
       .select(lit(HllM).as("m"), col("v_zero"), col("s_scaled"),
-        col("n_true"),
         (lit(0.709) * lit(HllM.toDouble * HllM) * lit(4294967296.0) /
           col("s_scaled").cast("double")).as("est_raw"))
       .withColumn("est",
@@ -987,9 +988,19 @@ object TextOps {
             log(lit(HllM.toDouble) / col("v_zero").cast("double")) *
             lit(1e6)) / lit(1e6))
           .otherwise(col("est_raw")))
+
+  private[graft] def hllTableOf(toks: DataFrame): DataFrame = {
+    val s = toks.sparkSession
+    val spine = s.range(0, HllM).select(col("id").as("bucket"))
+    val registers = spine.join(hllRegistersOf(toks), Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("m_j"), lit(0)).as("m_j"))
+    val nTrue = toks.agg(countDistinct(col("token")).as("n_true"))
+    hllEstimateOf(registers).crossJoin(nTrue)
       .withColumn("err_ppm",
         floor((col("est") - col("n_true").cast("double")) /
           col("n_true").cast("double") * lit(1e6)).cast(LongType))
+      .select(col("m"), col("v_zero"), col("s_scaled"), col("n_true"),
+        col("est_raw"), col("est"), col("err_ppm"))
   }
 
   private val HllTableSql: String = {
