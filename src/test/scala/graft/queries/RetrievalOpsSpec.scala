@@ -306,4 +306,24 @@ class RetrievalOpsSpec extends SparkTestBase {
     assert(math.abs(rawEst - 20000) <= 20000 * (3 * 1.04 / 8),
       s"raw HLL estimate $rawEst vs 20000")
   }
+
+  test("q224 jl audit: every pair accounted, ratios positive, mass " +
+    "concentrated around 1 as the lemma promises") {
+    val rows = VectorOps.q224JlAudit(spark, Sf).collect()
+    val total = rows.map(_.getAs[Long]("n_pairs")).sum
+    assert(total === 50L * 49 / 2, s"expected 1225 pairs, got $total")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_ratio") > 0.0)
+      assert(r.getAs[Double]("min_ratio") <= r.getAs[Double]("max_ratio"))
+      // bucket must bracket its own min/max
+      val bk = r.getAs[Long]("bucket")
+      assert(math.floor(r.getAs[Double]("min_ratio") * 10).toLong === bk)
+    }
+    // E[ratio]=1, sd≈√(2/16)=0.35: the central [0.6, 1.4) buckets must
+    // carry the bulk of the mass (≈68% theoretical; gate at 55%)
+    val central = rows.filter(r => r.getAs[Long]("bucket") >= 6 &&
+      r.getAs[Long]("bucket") <= 13).map(_.getAs[Long]("n_pairs")).sum
+    assert(central.toDouble / total >= 0.55,
+      s"only $central/$total pairs within ±0.4 of 1")
+  }
 }
