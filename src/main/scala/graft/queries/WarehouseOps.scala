@@ -1315,7 +1315,69 @@ object WarehouseOps {
        |  (SELECT mean_r FROM ranked WHERE rn = 3) lo,
        |  (SELECT mean_r FROM ranked WHERE rn = 98) hi""".stripMargin
 
+  // ---------------------------------------------- q225 FD discovery
+
+  /** The five audited FD candidates: (label, table, determinant,
+    * dependent) — a deliberate mix of exactly-holding (key→attr,
+    * p_partkey→p_brand) and violated dependencies so
+    * the g3 spectrum is exercised. */
+  private val FdCandidates = Seq(
+    ("customer.c_nationkey->c_mktsegment", "customer",
+      "c_nationkey", "c_mktsegment"),
+    ("nation.n_nationkey->n_regionkey", "nation",
+      "n_nationkey", "n_regionkey"),
+    ("orders.o_custkey->o_orderpriority", "orders",
+      "o_custkey", "o_orderpriority"),
+    ("part.p_brand->p_type", "part", "p_brand", "p_type"),
+    ("part.p_partkey->p_brand", "part", "p_partkey", "p_brand"))
+
+  /** q225 — approximate functional-dependency audit (the TANE /
+    * Metanome g3 measure, Huhtala et al. 1999): for each candidate
+    * A→B, the minimum fraction of rows whose removal makes the
+    * dependency exact — Σ_A max_B |rows(A,B)| kept, the rest are
+    * violations. The schema-profiling step data catalogs run before
+    * trusting join keys, building dimension hierarchies, or choosing
+    * clustering columns; key-determined candidates must land at 0 ppm,
+    * genuinely independent column pairs far above.
+    *
+    * Scale shape per candidate: two partial-aggregated groupBys keyed
+    * by the determinant (the standard count-distinct ladder), then a
+    * one-row fold; candidates union into a 5-row frame. Nothing holds
+    * more than (distinct A) rows after the first aggregate. */
+  def q225FdAudit(s: SparkSession, dir: String): DataFrame = {
+    def one(label: String, df: DataFrame, a: String, b: String): DataFrame =
+      df.groupBy(col(a), col(b)).agg(count(lit(1)).as("n"))
+        .groupBy(col(a))
+        .agg(max(col("n")).as("keep"), sum(col("n")).as("tot"))
+        .agg(sum(col("keep")).as("n_keep"), sum(col("tot")).as("n_rows"))
+        .select(lit(label).as("fd"), col("n_rows"), col("n_keep"),
+          (col("n_rows") - col("n_keep")).as("violations"),
+          floor((col("n_rows") - col("n_keep")).cast("double") /
+            col("n_rows").cast("double") * lit(1e6)).cast("long")
+            .as("g3_ppm"))
+    FdCandidates.map { case (label, table, a, b) =>
+      one(label, Tables(s, dir, table), a, b)
+    }.reduce(_.union(_)).orderBy("fd")
+  }
+
+  private val FdAuditSql: String = {
+    val arms = FdCandidates.map { case (label, table, a, b) =>
+      s"""SELECT '$label' AS fd,
+         |  CAST(sum(tot) AS BIGINT) AS n_rows,
+         |  CAST(sum(keep) AS BIGINT) AS n_keep,
+         |  CAST(sum(tot) - sum(keep) AS BIGINT) AS violations,
+         |  CAST(floor(CAST(sum(tot) - sum(keep) AS DOUBLE)
+         |    / CAST(sum(tot) AS DOUBLE) * 1e6) AS BIGINT) AS g3_ppm
+         |FROM (
+         |  SELECT $a, max(n) AS keep, sum(n) AS tot FROM (
+         |    SELECT $a, $b, count(*) AS n FROM $table GROUP BY 1, 2)
+         |  GROUP BY 1)""".stripMargin
+    }
+    arms.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q225_fd_audit" -> (q225FdAudit _),
     "q222_poisson_bootstrap" -> (q222PoissonBootstrap _),
     "q192_hits" -> (q192Hits _),
     "q195_zonemap" -> (q195Zonemap _),
@@ -1338,6 +1400,7 @@ object WarehouseOps {
 
   val oracles: Map[String, String] = Map(
     "q222_poisson_bootstrap" -> PoissonBootstrapSql,
+    "q225_fd_audit" -> FdAuditSql,
     "q192_hits" -> HitsSql,
     "q195_zonemap" -> ZonemapSql,
     "q196_benford" -> BenfordSql,

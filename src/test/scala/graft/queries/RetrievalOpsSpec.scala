@@ -326,4 +326,22 @@ class RetrievalOpsSpec extends SparkTestBase {
     assert(central.toDouble / total >= 0.55,
       s"only $central/$total pairs within ±0.4 of 1")
   }
+
+  test("q225 fd audit: key-determined candidates at exactly 0 ppm, " +
+    "independent pairs far above, keeps bounded by rows") {
+    val rows = WarehouseOps.q225FdAudit(spark, Sf).collect()
+      .map(r => r.getAs[String]("fd") -> r).toMap
+    assert(rows.size === 5)
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_keep") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("violations") ===
+        r.getAs[Long]("n_rows") - r.getAs[Long]("n_keep"))
+    }
+    assert(rows("nation.n_nationkey->n_regionkey")
+      .getAs[Long]("g3_ppm") === 0L)
+    assert(rows("part.p_partkey->p_brand").getAs[Long]("g3_ppm") === 0L)
+    assert(rows("customer.c_nationkey->c_mktsegment")
+      .getAs[Long]("g3_ppm") > 100000L)
+    assert(rows("part.p_brand->p_type").getAs[Long]("g3_ppm") > 100000L)
+  }
 }
