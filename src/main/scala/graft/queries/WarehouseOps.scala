@@ -1376,7 +1376,74 @@ object WarehouseOps {
     arms.mkString("", "\nUNION ALL\n", "\nORDER BY fd")
   }
 
+  // ---------------------------------------------- q226 IND discovery
+
+  private val IndCandidates = Seq(
+    ("customer.c_nationkey<=nation.n_nationkey",
+      "customer", "c_nationkey", "nation", "n_nationkey"),
+    ("lineitem.l_orderkey<=orders.o_orderkey",
+      "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("orders.o_custkey<=customer.c_custkey",
+      "orders", "o_custkey", "customer", "c_custkey"),
+    ("part.p_size<=nation.n_nationkey",
+      "part", "p_size", "nation", "n_nationkey"))
+
+  /** q226 — inclusion-dependency audit, the companion to q225's FD
+    * audit (together they are foreign-key DISCOVERY, the other half of
+    * schema profiling): for each candidate A ⊆ B, the distinct values
+    * of the child column not covered by the parent column. The three
+    * genuine star-schema edges must cover at 1,000,000 ppm; the decoy
+    * (part sizes vs nation keys) must not.
+    *
+    * Scale shape: distinct on the child key (partial-aggregated) then
+    * a key-only LEFT ANTI join against the parent's key column —
+    * shuffle volume is distinct-key-sized on both sides, and AQE
+    * broadcasts genuinely small parents (nation). */
+  def q226IndAudit(s: SparkSession, dir: String): DataFrame = {
+    def one(label: String, ct: String, cc: String, pt: String,
+        pc: String): DataFrame = {
+      val child = Tables(s, dir, ct).select(col(cc).cast("long").as("v"))
+        .distinct()
+      val parent = Tables(s, dir, pt).select(col(pc).cast("long").as("v"))
+      val uncovered = child.join(parent, Seq("v"), "left_anti")
+      child.agg(count(lit(1)).as("n_child_distinct"))
+        .crossJoin(uncovered.agg(count(lit(1)).as("n_uncovered")))
+        .select(lit(label).as("ind"), col("n_child_distinct"),
+          col("n_uncovered"),
+          floor((col("n_child_distinct") - col("n_uncovered"))
+            .cast("double") / col("n_child_distinct").cast("double")
+            * lit(1e6)).cast("long").as("coverage_ppm"))
+    }
+    IndCandidates.map { case (label, ct, cc, pt, pc) =>
+      one(label, ct, cc, pt, pc)
+    }.reduce(_.union(_)).orderBy("ind")
+  }
+
+  private val IndAuditSql: String = {
+    val arms = IndCandidates.map { case (label, ct, cc, pt, pc) =>
+      s"""SELECT '$label' AS ind,
+         |  (SELECT count(DISTINCT CAST($cc AS BIGINT)) FROM $ct)
+         |    AS n_child_distinct,
+         |  (SELECT count(*) FROM (
+         |     SELECT DISTINCT CAST($cc AS BIGINT) AS v FROM $ct) c
+         |   WHERE NOT EXISTS (
+         |     SELECT 1 FROM $pt p WHERE CAST(p.$pc AS BIGINT) = c.v))
+         |    AS n_uncovered,
+         |  CAST(floor(
+         |    CAST((SELECT count(DISTINCT CAST($cc AS BIGINT)) FROM $ct)
+         |      - (SELECT count(*) FROM (
+         |           SELECT DISTINCT CAST($cc AS BIGINT) AS v FROM $ct) c
+         |         WHERE NOT EXISTS (
+         |           SELECT 1 FROM $pt p
+         |           WHERE CAST(p.$pc AS BIGINT) = c.v)) AS DOUBLE)
+         |    / CAST((SELECT count(DISTINCT CAST($cc AS BIGINT)) FROM $ct)
+         |        AS DOUBLE) * 1e6) AS BIGINT) AS coverage_ppm""".stripMargin
+    }
+    arms.mkString("", "\nUNION ALL\n", "\nORDER BY ind")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q226_ind_audit" -> (q226IndAudit _),
     "q225_fd_audit" -> (q225FdAudit _),
     "q222_poisson_bootstrap" -> (q222PoissonBootstrap _),
     "q192_hits" -> (q192Hits _),
@@ -1401,6 +1468,7 @@ object WarehouseOps {
   val oracles: Map[String, String] = Map(
     "q222_poisson_bootstrap" -> PoissonBootstrapSql,
     "q225_fd_audit" -> FdAuditSql,
+    "q226_ind_audit" -> IndAuditSql,
     "q192_hits" -> HitsSql,
     "q195_zonemap" -> ZonemapSql,
     "q196_benford" -> BenfordSql,

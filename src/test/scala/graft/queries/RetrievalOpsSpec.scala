@@ -344,4 +344,20 @@ class RetrievalOpsSpec extends SparkTestBase {
       .getAs[Long]("g3_ppm") > 100000L)
     assert(rows("part.p_brand->p_type").getAs[Long]("g3_ppm") > 100000L)
   }
+
+  test("q226 ind audit: real star-schema edges cover fully, the decoy " +
+    "does not") {
+    val rows = WarehouseOps.q226IndAudit(spark, Sf).collect()
+      .map(r => r.getAs[String]("ind") -> r).toMap
+    assert(rows.size === 4)
+    Seq("customer.c_nationkey<=nation.n_nationkey",
+      "lineitem.l_orderkey<=orders.o_orderkey",
+      "orders.o_custkey<=customer.c_custkey").foreach { k =>
+      assert(rows(k).getAs[Long]("coverage_ppm") === 1000000L, k)
+      assert(rows(k).getAs[Long]("n_uncovered") === 0L, k)
+    }
+    val decoy = rows("part.p_size<=nation.n_nationkey")
+    assert(decoy.getAs[Long]("coverage_ppm") < 1000000L)
+    assert(decoy.getAs[Long]("n_uncovered") > 0L)
+  }
 }
