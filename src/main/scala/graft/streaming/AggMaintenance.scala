@@ -55,4 +55,9 @@ object AggMaintenance {
     * values to the one-shot batch aggregate over the same events. */
   def view(s: SparkSession, storeDir: String): DataFrame =
     fold(DeltaLog.read(s, storeDir))
+
+  /** Time travel: the view as it stood after `batchId` committed —
+    * the fold over [[DeltaLog.readAsOf]]'s partition-pruned prefix. */
+  def viewAsOf(s: SparkSession, storeDir: String, batchId: Long): DataFrame =
+    fold(DeltaLog.readAsOf(s, storeDir, batchId))
 }

@@ -38,9 +38,15 @@ object CmsMaintenance {
 
   /** The maintained sketch: fold the delta log back to d×w cells. */
   def sketch(s: SparkSession, storeDir: String): DataFrame =
-    DeltaLog.read(s, storeDir)
-      .groupBy("d", "bucket")
-      .agg(sum(col("cell")).as("cell"))
+    foldCells(DeltaLog.read(s, storeDir))
+
+  /** Time travel: the sketch as of `batchId` (partition-pruned). */
+  def sketchAsOf(s: SparkSession, storeDir: String,
+      batchId: Long): DataFrame =
+    foldCells(DeltaLog.readAsOf(s, storeDir, batchId))
+
+  private def foldCells(deltas: DataFrame): DataFrame =
+    deltas.groupBy("d", "bucket").agg(sum(col("cell")).as("cell"))
 
   /** Estimate counts for a `token`-column key frame against the
     * maintained sketch (min over depths, never an undercount). */

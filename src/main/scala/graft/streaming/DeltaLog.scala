@@ -57,4 +57,15 @@ object DeltaLog {
   def read(s: SparkSession, storeDir: String): DataFrame =
     s.read.parquet(storeDir)
       .withColumn("_batch_id", col("_batch_id").cast("long"))
+
+  /** Time travel: the log as it stood after batch `batchId` committed.
+    * Because every batch owns exactly its `_batch_id` partition and
+    * partition pruning turns the predicate into a directory skip, any
+    * monitor's fold over [[readAsOf]] IS its historical state — no
+    * snapshot files, no extra bookkeeping; the log's layout already
+    * encodes its own history. (A compaction that collapses old deltas
+    * trades this retention away below its high-water mark — the usual
+    * table-format deal.) */
+  def readAsOf(s: SparkSession, storeDir: String, batchId: Long): DataFrame =
+    read(s, storeDir).filter(col("_batch_id") <= batchId)
 }

@@ -45,6 +45,23 @@ class AggMaintenanceSpec extends SparkTestBase {
         r.getAs[String]("event_type")) ->
         (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
     assert(got == expected, s"view $got != batch $expected")
+    // time travel: as-of the first batch, the view must equal the
+    // one-shot aggregate over b1 ALONE — the partition-pruned prefix
+    // IS the historical state
+    val asOf0 = AggMaintenance.viewAsOf(spark, store, 0L).collect()
+      .map(r => (r.getAs[Timestamp]("hour_start").toString,
+        r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_fp"))).toMap
+    val b1Only = b1.toDF()
+      .groupBy(date_trunc("hour", col("ts")).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 1e6).cast("long")).as("s"))
+      .collect()
+      .map(r => (r.getAs[Timestamp]("hour_start").toString,
+        r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
+    assert(asOf0 == b1Only, s"as-of-0 view $asOf0 != b1 aggregate $b1Only")
   }
 
   test("a replayed batch overwrites its own delta (no double count)") {

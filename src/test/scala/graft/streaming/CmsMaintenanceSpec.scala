@@ -53,6 +53,15 @@ class CmsMaintenanceSpec extends SparkTestBase {
     Seq("the", "quick", "dog").foreach { t =>
       assert(est(t) >= truth(t), s"undercounted $t")
     }
+    // time travel: the sketch as of batch 0 equals the batch-built
+    // sketch over b1 alone
+    val asOf0 = CmsMaintenance.sketchAsOf(spark, store, 0L).collect()
+      .map(r => (r.getAs[Int]("d"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cell")).toMap
+    val b1Cells = TextOps.cmsCells(toks(b1)).collect()
+      .map(r => (r.getAs[Int]("d"), r.getAs[Long]("bucket")) ->
+        r.getAs[Long]("cell")).toMap
+    assert(asOf0 === b1Cells)
   }
 
   test("a replayed batch overwrites its own delta (no double add)") {
