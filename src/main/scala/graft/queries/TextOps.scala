@@ -997,8 +997,10 @@ object TextOps {
     val nTrue = toks.agg(countDistinct(col("token")).as("n_true"))
     hllEstimateOf(registers).crossJoin(nTrue)
       .withColumn("err_ppm",
-        floor((col("est") - col("n_true").cast("double")) /
-          col("n_true").cast("double") * lit(1e6)).cast(LongType))
+        when(col("n_true") > 0,
+          floor((col("est") - col("n_true").cast("double")) /
+            col("n_true").cast("double") * lit(1e6)).cast(LongType))
+          .otherwise(lit(null).cast(LongType)))
       .select(col("m"), col("v_zero"), col("s_scaled"), col("n_true"),
         col("est_raw"), col("est"), col("err_ppm"))
   }

@@ -1410,9 +1410,11 @@ object WarehouseOps {
         .crossJoin(uncovered.agg(count(lit(1)).as("n_uncovered")))
         .select(lit(label).as("ind"), col("n_child_distinct"),
           col("n_uncovered"),
-          floor((col("n_child_distinct") - col("n_uncovered"))
-            .cast("double") / col("n_child_distinct").cast("double")
-            * lit(1e6)).cast("long").as("coverage_ppm"))
+          when(col("n_child_distinct") > 0,
+            floor((col("n_child_distinct") - col("n_uncovered"))
+              .cast("double") / col("n_child_distinct").cast("double")
+              * lit(1e6)).cast("long"))
+            .otherwise(lit(null).cast("long")).as("coverage_ppm"))
     }
     IndCandidates.map { case (label, ct, cc, pt, pc) =>
       one(label, ct, cc, pt, pc)
