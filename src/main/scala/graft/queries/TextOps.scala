@@ -1050,6 +1050,40 @@ object TextOps {
        |FROM est0""".stripMargin
   }
 
+  // ---------------------------------------------------------------- q227
+
+  /** q227 — per-group top-k through the bounded-heap
+    * [[graft.functions.TopKByScore]] aggregate (top-5 documents by
+    * length per language) instead of the usual window + filter. Same
+    * answer, different physics: `row_number() OVER (PARTITION BY lang
+    * ORDER BY ...)` sorts every group's FULL row set through the
+    * exchange; the aggregate ships at most k rows per group per map
+    * task (partial aggregation) and merges associatively — the shape
+    * that survives a 100 TB group. Exact, not sketched: the global
+    * top-k is contained in the union of per-partition top-ks, so the
+    * DuckDB window oracle matches bit-for-bit (ties broken score
+    * DESC, id ASC on both sides). */
+  def q227TopKPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKByScore(5),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.ScoredId]())
+    Tables.documents(s, dir)
+      .groupBy("lang")
+      .agg(topk(col("n_chars").cast(LongType), col("doc_id")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("lang"), (col("pos") + 1).cast(LongType).as("rank"),
+        col("e.id").as("doc_id"), col("e.score").as("n_chars"))
+      .orderBy("lang", "rank")
+  }
+
+  private val TopKPerGroupSql: String =
+    """SELECT lang, rank, doc_id, n_chars FROM (
+      |  SELECT lang, doc_id, n_chars,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY n_chars DESC, doc_id) AS rank
+      |  FROM documents)
+      |WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
+
   // ---------------------------------------------------------------- q197
 
   private val WinnowK = 5  // k-gram length (chars)
@@ -1526,6 +1560,7 @@ object TextOps {
     "q210_heavy_hitters_exact" -> (q210HeavyHittersExact _),
     "q214_countmin" -> (q214CountMin _),
     "q223_hll_table" -> (q223HllTable _),
+    "q227_topk_per_group" -> (q227TopKPerGroup _),
     "q72_sequence_packing" -> (q72SequencePacking _),
     "q73_repetition" -> (q73Repetition _),
     "q74_decontaminate" -> (q74Decontaminate _),
@@ -1609,6 +1644,7 @@ object TextOps {
     "q210_heavy_hitters_exact" -> HeavyHittersExactSql,
     "q214_countmin" -> CountMinSql,
     "q223_hll_table" -> HllTableSql,
+    "q227_topk_per_group" -> TopKPerGroupSql,
     "q197_winnowing" -> WinnowingSql,
     "q198_prefix_join" -> PrefixJoinSql,
     "q200_phrase_search" -> PhraseSearchSql,

@@ -360,4 +360,33 @@ class RetrievalOpsSpec extends SparkTestBase {
     assert(decoy.getAs[Long]("coverage_ppm") < 1000000L)
     assert(decoy.getAs[Long]("n_uncovered") > 0L)
   }
+
+  test("q227 topk aggregate: bit-identical to the window form and " +
+    "invariant under partitioning") {
+    val viaAgg = TextOps.q227TopKPerGroup(spark, Sf).collect().map(_.toString)
+    // window twin — the plan q227 exists to avoid
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("n_chars").desc, col("doc_id"))
+    val viaWindow = graft.Tables.documents(spark, Sf)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("doc_id"),
+        col("n_chars").cast("long").as("n_chars"))
+      .orderBy("lang", "rank").collect().map(_.toString)
+    assert(viaAgg.toSeq === viaWindow.toSeq)
+    // merge associativity: the same answer regardless of how rows are
+    // split across partitions (partial-aggregation correctness)
+    val topk = udaf(graft.functions.TopKByScore(5),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.ScoredId]())
+    def run(parts: Int) = graft.Tables.documents(spark, Sf)
+      .repartition(parts)
+      .groupBy("lang")
+      .agg(topk(col("n_chars").cast("long"), col("doc_id")).as("top"))
+      .select(col("lang"), col("top"))
+      .collect().map(r => r.getAs[String]("lang") ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.toString).mkString(","))
+      .toMap
+    assert(run(1) === run(7))
+  }
 }
