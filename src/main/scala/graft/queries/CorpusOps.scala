@@ -723,6 +723,91 @@ object CorpusOps {
         sum((col("ratio_ppm") > 850000L).cast(LongType)).as("n_noise"))
       .orderBy("lang")
 
+  // --------------------------------------------- q228 epoch shuffle
+
+  /** q228 — deterministic per-epoch training shuffle: every epoch
+    * orders the corpus by `md5(epoch:doc_id)` — a different, fully
+    * reproducible permutation each epoch with zero stored state, the
+    * standard trick for resumable distributed training order (the
+    * sort key is computable from (epoch, id) alone, so any worker can
+    * reconstruct its slice after preemption). Emits the first 10
+    * positions of epochs 0–2 for verification; the full-order
+    * production form is the same expression as a sort key.
+    *
+    * Scale: the per-epoch order is a total sort in production
+    * (rangepartitioned, as any global sort); the audit here ranks
+    * within a 3-epoch spine and keeps 10 rows per epoch via the same
+    * distributed top-k shape as q227's window twin. */
+  def q228EpochShuffle(s: SparkSession, dir: String): DataFrame = {
+    val epochs = s.range(0, 3).select(col("id").cast(IntegerType).as("epoch"))
+    val keyed = Tables.documents(s, dir).select(col("doc_id"))
+      .crossJoin(epochs)
+      .withColumn("sk", md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string"))))
+    keyed
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("epoch").orderBy(col("sk"), col("doc_id")))
+        .cast(LongType))
+      .filter(col("pos") <= 10)
+      .select(col("epoch"), col("pos"), col("doc_id"))
+      .orderBy("epoch", "pos")
+  }
+
+  private val EpochShuffleSql: String =
+    """SELECT epoch, pos, doc_id FROM (
+      |  SELECT epoch, doc_id,
+      |    row_number() OVER (PARTITION BY epoch ORDER BY
+      |      md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)),
+      |      doc_id) AS pos
+      |  FROM documents, (SELECT CAST(unnest(range(0, 3)) AS INTEGER)
+      |    AS epoch))
+      |WHERE pos <= 10 ORDER BY epoch, pos""".stripMargin
+
+  // ---------------------------------------- q229 negative sampling
+
+  /** q229 — deterministic negative sampling for contrastive training
+    * (the in-batch-negatives / hard-negative-mining data step): for
+    * each anchor vector (vec_id < 20), pick 3 reproducible negatives —
+    * candidates with a DIFFERENT label, ranked by md5(anchor:cand).
+    * Hash-ranking makes the draw uniform over eligible candidates,
+    * stateless, and identically reconstructible by any worker — the
+    * property that lets a preempted trainer resume mid-epoch without
+    * a stored sample table.
+    *
+    * Scale shape: anchors broadcast against one candidate scan (the
+    * q40 discipline); the per-anchor top-3 keeps the window input at
+    * (anchors × candidates) rows of 3 integers — at real scale the
+    * q227 bounded-heap aggregate replaces the window, same semantics. */
+  def q229NegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val anchors = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"))
+    val cands = emb.select(col("vec_id").as("cand_id"),
+      col("label").as("cand_label"))
+    cands.crossJoin(broadcast(anchors))
+      .filter(col("cand_label") =!= col("anchor_label"))
+      .withColumn("sk", md5(concat(col("anchor_id").cast("string"),
+        lit(":"), col("cand_id").cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("anchor_id").orderBy(col("sk"), col("cand_id")))
+        .cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("anchor_id"), col("rk"), col("cand_id"),
+        col("cand_label"))
+      .orderBy("anchor_id", "rk")
+  }
+
+  private val NegativeSamplingSql: String =
+    """SELECT anchor_id, rk, cand_id, cand_label FROM (
+      |  SELECT a.vec_id AS anchor_id, c.vec_id AS cand_id,
+      |    c.label AS cand_label,
+      |    row_number() OVER (PARTITION BY a.vec_id ORDER BY
+      |      md5(CAST(a.vec_id AS VARCHAR) || ':' ||
+      |        CAST(c.vec_id AS VARCHAR)), c.vec_id) AS rk
+      |  FROM embeddings a, embeddings c
+      |  WHERE a.vec_id < 20 AND c.label <> a.label)
+      |WHERE rk <= 3 ORDER BY anchor_id, rk""".stripMargin
+
   // --------------------------------------------- q220 DP noisy counts
 
   /** q220 — ε-differentially-private count release (Dwork et al.,
@@ -1440,6 +1525,8 @@ object CorpusOps {
     "q219_split_leakage" -> (q219SplitLeakage _),
     "q220_dp_counts" -> (q220DpCounts _),
     "q221_compress_ratio" -> (q221CompressRatio _),
+    "q228_epoch_shuffle" -> (q228EpochShuffle _),
+    "q229_negative_sampling" -> (q229NegativeSampling _),
     "q201_source_containment" -> (q201SourceContainment _),
     "q188_feature_hash" -> (q188FeatureHash _),
     "q175_compaction_plan" -> (q175CompactionPlan _),
@@ -1474,6 +1561,8 @@ object CorpusOps {
     "q218_rendezvous" -> RendezvousSql,
     "q219_split_leakage" -> SplitLeakageSql,
     "q220_dp_counts" -> DpCountsSql,
+    "q228_epoch_shuffle" -> EpochShuffleSql,
+    "q229_negative_sampling" -> NegativeSamplingSql,
     "q201_source_containment" -> SourceContainmentSql,
     "q188_feature_hash" -> FeatureHashSql,
     "q175_compaction_plan" -> CompactionPlanSql,

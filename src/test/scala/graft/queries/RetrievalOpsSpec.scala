@@ -389,4 +389,35 @@ class RetrievalOpsSpec extends SparkTestBase {
       .toMap
     assert(run(1) === run(7))
   }
+
+  test("q228 epoch shuffle: epochs are distinct permutations of the " +
+    "same id space") {
+    val rows = CorpusOps.q228EpochShuffle(spark, Sf).collect()
+    val byEpoch = rows.groupBy(_.getAs[Int]("epoch"))
+      .view.mapValues(_.sortBy(_.getAs[Long]("pos"))
+        .map(_.getAs[Long]("doc_id")).toSeq).toMap
+    assert(byEpoch.keySet === Set(0, 1, 2))
+    byEpoch.values.foreach(ids => assert(ids.distinct.size === ids.size))
+    // different epochs must produce different heads — identical
+    // 10-prefixes across independently hashed epochs would be a
+    // broken (epoch-insensitive) sort key
+    assert(byEpoch(0) !== byEpoch(1))
+    assert(byEpoch(1) !== byEpoch(2))
+  }
+
+  test("q229 negative sampling: negatives never share the anchor's " +
+    "label and redraws are reproducible") {
+    val rows = CorpusOps.q229NegativeSampling(spark, Sf).collect()
+    val labels = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    assert(rows.groupBy(_.getAs[Long]("anchor_id")).forall(_._2.length == 3))
+    rows.foreach { r =>
+      assert(r.getAs[Int]("cand_label") !==
+        labels(r.getAs[Long]("anchor_id")),
+        s"negative shares anchor label for ${r.getAs[Long]("anchor_id")}")
+    }
+    val again = CorpusOps.q229NegativeSampling(spark, Sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
