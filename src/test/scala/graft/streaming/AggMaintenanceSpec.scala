@@ -62,6 +62,14 @@ class AggMaintenanceSpec extends SparkTestBase {
         r.getAs[String]("event_type")) ->
         (r.getAs[Long]("n"), r.getAs[Long]("s"))).toMap
     assert(asOf0 == b1Only, s"as-of-0 view $asOf0 != b1 aggregate $b1Only")
+    // and the time travel is a PARTITION skip, not a post-scan filter:
+    // the _batch_id predicate must land in the scan's PartitionFilters
+    val plan = DeltaLog.readAsOf(spark, store, 0L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("_batch_id"),
+      s"_batch_id <= 0 must prune partitions, plan: $plan")
   }
 
   test("a replayed batch overwrites its own delta (no double count)") {
