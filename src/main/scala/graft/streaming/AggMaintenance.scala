@@ -60,4 +60,15 @@ object AggMaintenance {
     * the fold over [[DeltaLog.readAsOf]]'s partition-pruned prefix. */
   def viewAsOf(s: SparkSession, storeDir: String, batchId: Long): DataFrame =
     fold(DeltaLog.readAsOf(s, storeDir, batchId))
+
+  /** Collapse committed deltas ≤ `upTo` into one folded delta —
+    * [[DeltaLog.compact]] through THIS monitor's fold (partial rows
+    * stay (hour, type)-grain so later deltas keep summing into them;
+    * the ORDER BY in [[fold]] is read-side only, dropped here). */
+  def compactThrough(s: SparkSession, storeDir: String, upTo: Long): Unit =
+    DeltaLog.compact(s, storeDir, upTo) { deltas =>
+      deltas.groupBy("hour_start", "event_type")
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("sum_fp")).as("sum_fp"))
+    }
 }

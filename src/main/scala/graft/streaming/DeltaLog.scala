@@ -58,6 +58,37 @@ object DeltaLog {
     s.read.parquet(storeDir)
       .withColumn("_batch_id", col("_batch_id").cast("long"))
 
+  /** Compact: collapse every delta with `_batch_id` ≤ `upTo` into ONE
+    * folded delta stored at partition `upTo`, using the monitor's own
+    * fold (counts sum, registers max, top-ks merge — compaction MUST
+    * go through the same fold the reader uses, which is why it lives
+    * on this seam and takes the fold as an argument). Read-side
+    * results are unchanged: fold(folded prefix ∪ suffix) ≡ fold(all
+    * deltas) for any associative fold. The trade is retention —
+    * [[readAsOf]] below `upTo` now returns the compacted state, not
+    * finer history (the usual table-format deal). Only compact
+    * batches the checkpoint has committed: a replay of an uncommitted
+    * batch would overwrite its partition with a raw delta again.
+    *
+    * The folded frame is materialized (localCheckpoint) BEFORE the
+    * overwrite — partition `upTo` is both input and output. */
+  def compact(s: SparkSession, storeDir: String, upTo: Long)(
+      fold: DataFrame => DataFrame): Unit = {
+    val folded = fold(readAsOf(s, storeDir, upTo))
+      .localCheckpoint(eager = true)
+    writeBatch(folded, upTo, storeDir, singleFile = true)
+    val root = new java.io.File(storeDir)
+    root.listFiles().filter(_.getName.startsWith("_batch_id="))
+      .filter(_.getName.stripPrefix("_batch_id=").toLong < upTo)
+      .foreach { dir =>
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(dir)
+      }
+  }
+
   /** Time travel: the log as it stood after batch `batchId` committed.
     * Because every batch owns exactly its `_batch_id` partition and
     * partition pruning turns the predicate into a directory skip, any

@@ -70,6 +70,20 @@ class AggMaintenanceSpec extends SparkTestBase {
       plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
         .contains("_batch_id"),
       s"_batch_id <= 0 must prune partitions, plan: $plan")
+    // compaction through the monitor's own fold: collapse both deltas
+    // into one partition — the view must be unchanged, and the store
+    // must physically hold only the compacted partition
+    AggMaintenance.compactThrough(spark, store, 1L)
+    val compacted = AggMaintenance.view(spark, store).collect()
+      .map(r => (r.getAs[Timestamp]("hour_start").toString,
+        r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("sum_fp"))).toMap
+    assert(compacted == expected,
+      s"compaction changed the view: $compacted != $expected")
+    val parts = new java.io.File(store).listFiles()
+      .filter(_.getName.startsWith("_batch_id=")).map(_.getName).sorted
+    assert(parts.toSeq === Seq("_batch_id=1"),
+      s"older partitions must be gone, found ${parts.mkString(",")}")
   }
 
   test("a replayed batch overwrites its own delta (no double count)") {
