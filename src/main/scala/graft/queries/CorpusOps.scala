@@ -763,6 +763,91 @@ object CorpusOps {
       |    AS epoch))
       |WHERE pos <= 10 ORDER BY epoch, pos""".stripMargin
 
+  // ------------------------------------------- q230 novelty rate
+
+  private val NovK = 5   // char-gram length for the novelty measure
+
+  /** q230 — held-out n-gram novelty rate: what fraction of the
+    * val/test splits' 5-gram instances (and distinct 5-grams) never
+    * appear in the train split. The memorization-adjacent hygiene
+    * metric: a held-out set whose n-grams are mostly present in train
+    * measures recall of the training data, not generalization —
+    * novelty quantifies how much of the eval signal is actually new.
+    * Complements q219 (pair-level near-dup leakage) at token grain.
+    *
+    * Scale shape: one distinct over train grams (high-cardinality,
+    * uniform keys), then a hash LEFT ANTI join of held-out gram
+    * instances against it; gram generation is the codegen'd
+    * position-explode (never a per-token lambda). */
+  def q230NoveltyRate(s: SparkSession, dir: String): DataFrame = {
+    val fp = md5(norm(col("text")))
+    val h = md5Hash32(concat(lit("split:"), fp)) % 100L
+    val docs = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(h < 80, "train").when(h < 90, "val").otherwise("test")
+          .as("split"),
+        norm(col("text")).as("n"))
+    val grams = docs
+      .select(col("split"),
+        explode(when(length(col("n")) >= NovK,
+          sequence(lit(1), length(col("n")) - lit(NovK - 1)))
+          .otherwise(array())).as("i"),
+        col("n"))
+      .select(col("split"), col("n").substr(col("i"), lit(NovK)).as("g"))
+    val trainSet = grams.filter(col("split") === "train")
+      .select("g").distinct()
+    val held = grams.filter(col("split") =!= "train")
+    val novel = held.join(trainSet, Seq("g"), "left_anti")
+    val inst = held.groupBy("split").agg(count(lit(1)).as("n_grams"))
+    val novInst = novel.groupBy("split").agg(count(lit(1)).as("n_novel"))
+    val dist = held.groupBy("split")
+      .agg(countDistinct(col("g")).as("n_distinct"))
+    val novDist = novel.groupBy("split")
+      .agg(countDistinct(col("g")).as("n_distinct_novel"))
+    inst.join(novInst, Seq("split"), "left")
+      .join(dist, Seq("split"), "left")
+      .join(novDist, Seq("split"), "left")
+      .select(col("split"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        col("n_distinct"),
+        coalesce(col("n_distinct_novel"), lit(0L)).as("n_distinct_novel"),
+        floor(coalesce(col("n_novel"), lit(0L)).cast("double") /
+          col("n_grams").cast("double") * lit(1e6)).cast("long")
+          .as("novelty_ppm"))
+      .orderBy("split")
+  }
+
+  private def NoveltyRateSql: String =
+    s"""WITH docs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN ($SplitHexSql) < 80 THEN 'train'
+       |      WHEN ($SplitHexSql) < 90 THEN 'val'
+       |      ELSE 'test' END AS split,
+       |    ${normSql()} AS n
+       |  FROM documents WHERE text IS NOT NULL),
+       |grams AS (
+       |  SELECT split, substr(n, CAST(i AS INTEGER), $NovK) AS g
+       |  FROM (SELECT split, n,
+       |          unnest(range(1, len(n) - ${NovK - 2})) AS i
+       |        FROM docs WHERE len(n) >= $NovK)),
+       |train_set AS (
+       |  SELECT DISTINCT g FROM grams WHERE split = 'train'),
+       |held AS (SELECT * FROM grams WHERE split <> 'train'),
+       |novel AS (
+       |  SELECT h.split, h.g FROM held h
+       |  WHERE NOT EXISTS (SELECT 1 FROM train_set t WHERE t.g = h.g))
+       |SELECT h.split,
+       |  count(*) AS n_grams,
+       |  coalesce((SELECT count(*) FROM novel v
+       |    WHERE v.split = h.split), 0) AS n_novel,
+       |  count(DISTINCT h.g) AS n_distinct,
+       |  coalesce((SELECT count(DISTINCT v.g) FROM novel v
+       |    WHERE v.split = h.split), 0) AS n_distinct_novel,
+       |  CAST(floor(CAST(coalesce((SELECT count(*) FROM novel v
+       |      WHERE v.split = h.split), 0) AS DOUBLE)
+       |    / CAST(count(*) AS DOUBLE) * 1e6) AS BIGINT) AS novelty_ppm
+       |FROM held h GROUP BY h.split ORDER BY h.split""".stripMargin
+
   // ---------------------------------------- q229 negative sampling
 
   /** q229 — deterministic negative sampling for contrastive training
@@ -1527,6 +1612,7 @@ object CorpusOps {
     "q221_compress_ratio" -> (q221CompressRatio _),
     "q228_epoch_shuffle" -> (q228EpochShuffle _),
     "q229_negative_sampling" -> (q229NegativeSampling _),
+    "q230_novelty_rate" -> (q230NoveltyRate _),
     "q201_source_containment" -> (q201SourceContainment _),
     "q188_feature_hash" -> (q188FeatureHash _),
     "q175_compaction_plan" -> (q175CompactionPlan _),
@@ -1563,6 +1649,7 @@ object CorpusOps {
     "q220_dp_counts" -> DpCountsSql,
     "q228_epoch_shuffle" -> EpochShuffleSql,
     "q229_negative_sampling" -> NegativeSamplingSql,
+    "q230_novelty_rate" -> NoveltyRateSql,
     "q201_source_containment" -> SourceContainmentSql,
     "q188_feature_hash" -> FeatureHashSql,
     "q175_compaction_plan" -> CompactionPlanSql,

@@ -420,4 +420,22 @@ class RetrievalOpsSpec extends SparkTestBase {
     val again = CorpusOps.q229NegativeSampling(spark, Sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("q230 novelty rate: both held-out splits reported with " +
+    "internally consistent bounded counts") {
+    val rows = CorpusOps.q230NoveltyRate(spark, Sf).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    assert(rows.keySet === Set("val", "test"))
+    rows.values.foreach { r =>
+      assert(r.getAs[Long]("n_novel") <= r.getAs[Long]("n_grams"))
+      assert(r.getAs[Long]("n_distinct_novel") <= r.getAs[Long]("n_distinct"))
+      // a novel distinct gram has ≥1 instance; a novel instance has a
+      // novel distinct gram behind it
+      assert((r.getAs[Long]("n_novel") > 0) ===
+        (r.getAs[Long]("n_distinct_novel") > 0))
+      assert(r.getAs[Long]("novelty_ppm") ===
+        math.floor(r.getAs[Long]("n_novel").toDouble /
+          r.getAs[Long]("n_grams") * 1e6).toLong)
+    }
+  }
 }
