@@ -1444,7 +1444,109 @@ object WarehouseOps {
     arms.mkString("", "\nUNION ALL\n", "\nORDER BY ind")
   }
 
+  // ---------------------------------------------- q231 spatial grid join
+
+  private val GeoBins = 32      // 32×32 grid
+  private val GeoEps = 5.0      // ε in degrees (planar)
+
+  /** q231 — grid-binned spatial ε-neighbor join, the scale shape of
+    * every distributed spatial engine (GeoSpark/Sedona partitioning,
+    * geohash bucketing, S2/H3 cells): points land in grid cells, and
+    * candidate pairs are generated ONLY within a cell and its 8
+    * neighbors — O(n·9·density) candidates instead of the O(n²) cross
+    * join, with no false negative possible because ε ≤ one cell edge.
+    * Coordinates are a documented md5-derived synthetic projection of
+    * the customer key (the reference schema has no geo columns; the
+    * OPERATOR is the subject, and the hash projection makes it
+    * oracle-reproducible).
+    *
+    * Exactness: bin ids are integer floors of the same double
+    * arithmetic on both engines; the ε test compares exact squared
+    * degrees. Candidate dedup keys on custkey order. Output: points,
+    * occupied cells, max cell occupancy, candidate pairs after the
+    * grid filter, and true ε-pairs — the selectivity spread a spatial
+    * optimizer would read. */
+  def q231GeoGridJoin(s: SparkSession, dir: String): DataFrame = {
+    def coord(salt: String, span: Double, off: Double) =
+      (CorpusOps.md5Hash32(concat(lit(salt), col("c_custkey").cast("string")))
+        .cast("double") / lit(4294967296.0)) * lit(span) - lit(off)
+    val pts = Tables.customer(s, dir)
+      .select(col("c_custkey").as("id"),
+        coord("lon:", 360.0, 180.0).as("lon"),
+        coord("lat:", 180.0, 90.0).as("lat"))
+      .withColumn("bx", floor((col("lon") + lit(180.0)) / lit(360.0)
+        * lit(GeoBins)).cast("int"))
+      .withColumn("by", floor((col("lat") + lit(90.0)) / lit(180.0)
+        * lit(GeoBins)).cast("int"))
+    // NOTE: divide-then-cast BEFORE subtracting — `(id/3 - 1).cast(int)`
+    // truncates -0.67 to 0 (toward zero), which silently duplicates the
+    // (0,0)/(1,0) offsets and drops the dy=-1 row (caught by the oracle
+    // mismatch: duplicated candidates inflated ε-pairs past brute truth)
+    val offsets = s.range(0, 9).select(
+      (col("id") % 3 - 1).cast("int").as("dx"),
+      ((col("id") / 3).cast("int") - 1).cast("int").as("dy"))
+    val probes = pts.crossJoin(offsets)
+      .select(col("id").as("a_id"), col("lon").as("a_lon"),
+        col("lat").as("a_lat"),
+        (col("bx") + col("dx")).as("bx"), (col("by") + col("dy")).as("by"))
+    val cand = probes.join(
+      pts.select(col("id").as("b_id"), col("lon").as("b_lon"),
+        col("lat").as("b_lat"), col("bx"), col("by")),
+      Seq("bx", "by"))
+      .filter(col("a_id") < col("b_id"))
+    val d2 = (col("a_lon") - col("b_lon")) * (col("a_lon") - col("b_lon")) +
+      (col("a_lat") - col("b_lat")) * (col("a_lat") - col("b_lat"))
+    val stats = cand.agg(count(lit(1)).as("n_candidates"),
+      sum((d2 < lit(GeoEps * GeoEps)).cast("long")).as("n_eps_pairs"))
+    val cells = pts.groupBy("bx", "by").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n_cells"), max(col("n")).as("max_cell"))
+    pts.agg(count(lit(1)).as("n_points"))
+      .crossJoin(cells).crossJoin(stats)
+      .select(col("n_points"), col("n_cells"), col("max_cell"),
+        col("n_candidates"), col("n_eps_pairs"))
+  }
+
+  private val GeoGridJoinSql: String = {
+    def coord(salt: String, span: String, off: String) =
+      s"""(CAST(CAST(('0x' || substr(md5('$salt' ||
+         |      CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+         |    / 4294967296e0) * $span - $off""".stripMargin
+    s"""WITH pts AS (
+       |  SELECT c_custkey AS id,
+       |    ${coord("lon:", "360e0", "180e0")} AS lon,
+       |    ${coord("lat:", "180e0", "90e0")} AS lat
+       |  FROM customer),
+       |binned AS (
+       |  SELECT id, lon, lat,
+       |    CAST(floor((lon + 180e0) / 360e0 * $GeoBins) AS INTEGER) AS bx,
+       |    CAST(floor((lat + 90e0) / 180e0 * $GeoBins) AS INTEGER) AS by
+       |  FROM pts),
+       |offsets AS (
+       |  SELECT CAST(i % 3 - 1 AS INTEGER) AS dx,
+       |    CAST(i // 3 - 1 AS INTEGER) AS dy
+       |  FROM (SELECT unnest(range(0, 9)) AS i)),
+       |cand AS (
+       |  SELECT a.id AS a_id, b.id AS b_id,
+       |    (a.lon - b.lon) * (a.lon - b.lon) +
+       |    (a.lat - b.lat) * (a.lat - b.lat) AS d2
+       |  FROM binned a
+       |  CROSS JOIN offsets o
+       |  JOIN binned b ON b.bx = a.bx + o.dx AND b.by = a.by + o.dy
+       |  WHERE a.id < b.id),
+       |cells AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
+       |    CAST(max(n) AS BIGINT) AS max_cell
+       |  FROM (SELECT bx, by, count(*) AS n FROM binned GROUP BY 1, 2))
+       |SELECT (SELECT count(*) FROM binned) AS n_points,
+       |  cells.n_cells, cells.max_cell,
+       |  (SELECT count(*) FROM cand) AS n_candidates,
+       |  (SELECT CAST(sum(CASE WHEN d2 < ${GeoEps * GeoEps}e0
+       |    THEN 1 ELSE 0 END) AS BIGINT) FROM cand) AS n_eps_pairs
+       |FROM cells""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q231_geo_grid_join" -> (q231GeoGridJoin _),
     "q226_ind_audit" -> (q226IndAudit _),
     "q225_fd_audit" -> (q225FdAudit _),
     "q222_poisson_bootstrap" -> (q222PoissonBootstrap _),
@@ -1471,6 +1573,7 @@ object WarehouseOps {
     "q222_poisson_bootstrap" -> PoissonBootstrapSql,
     "q225_fd_audit" -> FdAuditSql,
     "q226_ind_audit" -> IndAuditSql,
+    "q231_geo_grid_join" -> GeoGridJoinSql,
     "q192_hits" -> HitsSql,
     "q195_zonemap" -> ZonemapSql,
     "q196_benford" -> BenfordSql,

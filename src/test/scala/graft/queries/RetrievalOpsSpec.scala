@@ -438,4 +438,33 @@ class RetrievalOpsSpec extends SparkTestBase {
           r.getAs[Long]("n_grams") * 1e6).toLong)
     }
   }
+
+  test("q231 geo grid join: the grid finds EVERY brute-force epsilon " +
+    "pair (no false negatives) with a bounded candidate blowup") {
+    val r = WarehouseOps.q231GeoGridJoin(spark, Sf).collect()
+    assert(r.length === 1)
+    val (nPts, nCand, nEps) = (r(0).getAs[Long]("n_points"),
+      r(0).getAs[Long]("n_candidates"), r(0).getAs[Long]("n_eps_pairs"))
+    // brute-force ground truth over the same md5-projected coordinates
+    def u32(s: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        d.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_))
+          .mkString, 16).toDouble / 4294967296.0
+    }
+    val ids = graft.Tables.customer(spark, Sf)
+      .select("c_custkey").collect().map(_.getLong(0))
+    val pts = ids.map(id =>
+      (u32(s"lon:$id") * 360.0 - 180.0, u32(s"lat:$id") * 180.0 - 90.0))
+    var brute = 0L
+    for (i <- pts.indices; j <- (i + 1) until pts.length) {
+      val (dx, dy) = (pts(i)._1 - pts(j)._1, pts(i)._2 - pts(j)._2)
+      if (dx * dx + dy * dy < 25.0) brute += 1
+    }
+    assert(nEps === brute,
+      s"grid found $nEps epsilon pairs, brute force says $brute")
+    assert(nPts === ids.length.toLong)
+    assert(nCand >= nEps)
+    assert(nCand < nPts * nPts / 2, "grid filter must prune the cross join")
+  }
 }
