@@ -1545,7 +1545,64 @@ object WarehouseOps {
        |FROM cells""".stripMargin
   }
 
+  // -------------------------------------------- q232 point in polygon
+
+  /** CCW triangle used by q232 — (lon, lat) literal vertices. */
+  private val Tri = Seq((-60.0, -40.0), (80.0, -20.0), (10.0, 70.0))
+
+  /** q232 — point-in-polygon containment via half-plane sign tests:
+    * P is inside the CCW triangle iff every edge's cross product
+    * (B−A)×(P−A) is ≥ 0 — three multiply-subtract-compare expressions
+    * per point, fully codegen'd, zero transcendentals (the reason
+    * production point-in-polygon pipelines pre-triangulate regions).
+    * Same md5-projected coordinates as q231; per-nation containment
+    * counts — the "customers inside the region" rollup shape.
+    *
+    * Scale: a narrow scan with three inline predicates, then a
+    * 25-group aggregate. At real scale the polygon set is broadcast
+    * and q231's grid prunes which polygons a point can touch. */
+  def q232PointInPolygon(s: SparkSession, dir: String): DataFrame = {
+    def coord(salt: String, span: Double, off: Double) =
+      (CorpusOps.md5Hash32(concat(lit(salt), col("c_custkey").cast("string")))
+        .cast("double") / lit(4294967296.0)) * lit(span) - lit(off)
+    def edge(a: (Double, Double), b: (Double, Double)) =
+      (lit(b._1) - lit(a._1)) * (col("lat") - lit(a._2)) -
+        (lit(b._2) - lit(a._2)) * (col("lon") - lit(a._1))
+    val inside = (edge(Tri(0), Tri(1)) >= 0) &&
+      (edge(Tri(1), Tri(2)) >= 0) && (edge(Tri(2), Tri(0)) >= 0)
+    Tables.customer(s, dir)
+      .select(col("c_nationkey"),
+        coord("lon:", 360.0, 180.0).as("lon"),
+        coord("lat:", 180.0, 90.0).as("lat"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_points"),
+        sum(inside.cast("long")).as("n_inside"))
+      .orderBy("c_nationkey")
+  }
+
+  private val PointInPolygonSql: String = {
+    def c(salt: String, span: String, off: String) =
+      s"""(CAST(CAST(('0x' || substr(md5('$salt' ||
+         |      CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+         |    / 4294967296e0) * $span - $off""".stripMargin
+    def edge(a: (Double, Double), b: (Double, Double)) =
+      s"(${b._1}e0 - ${a._1}e0) * (lat - ${a._2}e0) - " +
+        s"(${b._2}e0 - ${a._2}e0) * (lon - ${a._1}e0)"
+    s"""WITH pts AS (
+       |  SELECT c_nationkey,
+       |    ${c("lon:", "360e0", "180e0")} AS lon,
+       |    ${c("lat:", "180e0", "90e0")} AS lat
+       |  FROM customer)
+       |SELECT c_nationkey, count(*) AS n_points,
+       |  CAST(sum(CASE WHEN ${edge(Tri(0), Tri(1))} >= 0
+       |    AND ${edge(Tri(1), Tri(2))} >= 0
+       |    AND ${edge(Tri(2), Tri(0))} >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_inside
+       |FROM pts GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q232_point_in_polygon" -> (q232PointInPolygon _),
     "q231_geo_grid_join" -> (q231GeoGridJoin _),
     "q226_ind_audit" -> (q226IndAudit _),
     "q225_fd_audit" -> (q225FdAudit _),
@@ -1574,6 +1631,7 @@ object WarehouseOps {
     "q225_fd_audit" -> FdAuditSql,
     "q226_ind_audit" -> IndAuditSql,
     "q231_geo_grid_join" -> GeoGridJoinSql,
+    "q232_point_in_polygon" -> PointInPolygonSql,
     "q192_hits" -> HitsSql,
     "q195_zonemap" -> ZonemapSql,
     "q196_benford" -> BenfordSql,

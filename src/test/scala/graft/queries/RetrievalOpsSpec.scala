@@ -467,4 +467,36 @@ class RetrievalOpsSpec extends SparkTestBase {
     assert(nCand >= nEps)
     assert(nCand < nPts * nPts / 2, "grid filter must prune the cross join")
   }
+
+  test("q232 point in polygon: containment equals a driver-side " +
+    "half-plane recompute and the hit rate tracks the area ratio") {
+    val rows = WarehouseOps.q232PointInPolygon(spark, Sf).collect()
+    val (nPts, nIn) = (rows.map(_.getAs[Long]("n_points")).sum,
+      rows.map(_.getAs[Long]("n_inside")).sum)
+    def u32(s: String): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(
+        d.digest(s.getBytes("UTF-8")).take(4).map("%02x".format(_))
+          .mkString, 16).toDouble / 4294967296.0
+    }
+    val tri = Seq((-60.0, -40.0), (80.0, -20.0), (10.0, 70.0))
+    def cross(a: (Double, Double), b: (Double, Double),
+        p: (Double, Double)): Double =
+      (b._1 - a._1) * (p._2 - a._2) - (b._2 - a._2) * (p._1 - a._1)
+    val brute = graft.Tables.customer(spark, Sf)
+      .select("c_custkey").collect().map(_.getLong(0)).count { id =>
+        val p = (u32(s"lon:$id") * 360.0 - 180.0,
+          u32(s"lat:$id") * 180.0 - 90.0)
+        cross(tri(0), tri(1), p) >= 0 && cross(tri(1), tri(2), p) >= 0 &&
+          cross(tri(2), tri(0), p) >= 0
+      }
+    assert(nIn === brute.toLong,
+      s"engine found $nIn inside, driver recompute says $brute")
+    // uniform projection ⇒ hit rate ≈ triangle area / world area
+    val area = math.abs(cross(tri(0), tri(1), tri(2))) / 2.0
+    val expect = area / (360.0 * 180.0)
+    val rate = nIn.toDouble / nPts
+    assert(math.abs(rate - expect) < 0.05,
+      s"hit rate $rate vs area ratio $expect")
+  }
 }
