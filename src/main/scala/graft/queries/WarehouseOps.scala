@@ -1601,7 +1601,61 @@ object WarehouseOps {
        |FROM pts GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin
   }
 
+  // ------------------------------------------------ q233 tree rollup
+
+  private val TreeLevels = 21   // ancestor path depth: covers keys < 2^21
+                                // (2M — beyond sf1's part count; rows with
+                                // anc < 1 are pruned, so over-provisioning
+                                // costs one filtered row per excess level)
+
+  /** q233 — hierarchical subtree rollup (the BOM / org-chart / category
+    * -tree aggregation): parts form an implicit binary tree
+    * (parent(k) = k/2, k ≥ 1; the synthetic stand-in for a BOM edge
+    * list), and each internal node wants the SUM of retail prices and
+    * the count over its whole subtree. Instead of iterating joins up
+    * the tree (depth rounds of shuffles) or a recursive CTE (q113
+    * holds that machinery), every node EXPLODES its own ancestor path
+    * — k/2, k/4, … — and one groupBy(ancestor) sums contributions:
+    * O(n·depth) rows, ONE shuffle, depth known from the key domain.
+    * The standard flattening for fixed-depth hierarchies at scale;
+    * exact integer cents throughout.
+    *
+    * Output: the top three levels (nodes 1–15) with subtree size and
+    * cost — including the node's own price when it exists. */
+  def q233TreeRollup(s: SparkSession, dir: String): DataFrame = {
+    val parts = Tables.part(s, dir)
+      .filter(col("p_partkey") >= 1)
+      .select(col("p_partkey").as("k"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).as("cents"))
+    val levels = s.range(0, TreeLevels).select(col("id").cast("int").as("lvl"))
+    val contrib = parts.crossJoin(levels)
+      .select(expr("shiftright(k, lvl)").as("anc"), col("cents"))
+      .filter(col("anc") >= 1 && col("anc") <= 15)
+    contrib
+      .groupBy("anc")
+      .agg(count(lit(1)).as("n_subtree"),
+        sum(col("cents")).as("subtree_cents"))
+      .select(col("anc").as("node"), col("n_subtree"),
+        col("subtree_cents"))
+      .orderBy("node")
+  }
+
+  private val TreeRollupSql: String =
+    s"""WITH parts AS (
+       |  SELECT p_partkey AS k,
+       |    CAST(floor(p_retailprice * 100 + 5e-1) AS BIGINT) AS cents
+       |  FROM part WHERE p_partkey >= 1),
+       |contrib AS (
+       |  SELECT k >> CAST(lvl AS INTEGER) AS anc, cents
+       |  FROM parts, (SELECT unnest(range(0, $TreeLevels)) AS lvl)
+       |  WHERE (k >> CAST(lvl AS INTEGER)) >= 1)
+       |SELECT anc AS node, count(*) AS n_subtree,
+       |  CAST(sum(cents) AS BIGINT) AS subtree_cents
+       |FROM contrib WHERE anc <= 15
+       |GROUP BY anc ORDER BY node""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q233_tree_rollup" -> (q233TreeRollup _),
     "q232_point_in_polygon" -> (q232PointInPolygon _),
     "q231_geo_grid_join" -> (q231GeoGridJoin _),
     "q226_ind_audit" -> (q226IndAudit _),
@@ -1632,6 +1686,7 @@ object WarehouseOps {
     "q226_ind_audit" -> IndAuditSql,
     "q231_geo_grid_join" -> GeoGridJoinSql,
     "q232_point_in_polygon" -> PointInPolygonSql,
+    "q233_tree_rollup" -> TreeRollupSql,
     "q192_hits" -> HitsSql,
     "q195_zonemap" -> ZonemapSql,
     "q196_benford" -> BenfordSql,

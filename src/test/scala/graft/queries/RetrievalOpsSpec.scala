@@ -499,4 +499,31 @@ class RetrievalOpsSpec extends SparkTestBase {
     assert(math.abs(rate - expect) < 0.05,
       s"hit rate $rate vs area ratio $expect")
   }
+
+  test("q233 tree rollup: parent equals the sum of its children plus " +
+    "itself, and the root covers every keyed part") {
+    val rows = WarehouseOps.q233TreeRollup(spark, Sf).collect()
+      .map(r => r.getAs[Long]("node") ->
+        (r.getAs[Long]("n_subtree"), r.getAs[Long]("subtree_cents"))).toMap
+    assert(rows.keySet === (1L to 15L).toSet)
+    val parts = graft.Tables.part(spark, Sf)
+      .filter(col("p_partkey") >= 1)
+      .select(col("p_partkey"),
+        floor(col("p_retailprice") * 100 + lit(0.5)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getAs[Long]("c"))
+    assert(rows(1L)._1 === parts.length.toLong,
+      "root subtree must cover every part with key >= 1")
+    assert(rows(1L)._2 === parts.map(_._2).sum)
+    // recursive identity on the fully-interior top rows: subtree(n) =
+    // self(n) + subtree(2n) + subtree(2n+1)
+    val self = parts.toMap
+    (1L to 7L).foreach { n =>
+      assert(rows(n)._2 ===
+        self.getOrElse(n, 0L) + rows(2 * n)._2 + rows(2 * n + 1)._2,
+        s"node $n violates the subtree identity")
+      assert(rows(n)._1 ===
+        (if (self.contains(n)) 1L else 0L) + rows(2 * n)._1 +
+          rows(2 * n + 1)._1)
+    }
+  }
 }
