@@ -1136,7 +1136,74 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  // --------------------------------------------- q234 policy replay
+
+  private val ReplayArms =
+    Seq("click", "error", "purchase", "signup", "view")
+
+  /** q234 — unbiased offline policy evaluation by replay (Li et al.,
+    * WSDM'11): to score a new decision policy π on LOGGED data, keep
+    * only the events where π(user) happens to equal the arm the
+    * logging policy actually showed, and average the observed reward
+    * there. When logging was uniform over K arms (it is here — ~equal
+    * volume per type), the matched subset is an unbiased sample of
+    * "what π would have seen", at a match rate of 1/K. This is the
+    * standard pre-deployment eval for recommenders/bandits — no
+    * simulator, no counterfactual model, just a filter and a mean.
+    * π is md5-derived per user (deterministic, reproducible).
+    *
+    * Exactness: rewards go through floor(value·1e6) micros, so every
+    * mean is a BIGINT/BIGINT division. One scan, one K-group
+    * aggregate. Output per arm: logged volume, matched volume, the
+    * logged-average reward and the replay (policy-matched) estimate. */
+  def q234PolicyReplay(s: SparkSession, dir: String): DataFrame = {
+    val pi = element_at(array(ReplayArms.map(lit): _*),
+      (CorpusOps.md5Hash32(concat(lit("pi:"), col("user_id").cast("string")))
+        % 5).cast("int") + 1)
+    Tables.events(s, dir)
+      .select(col("event_type").as("arm"),
+        (pi === col("event_type")).cast("long").as("m"),
+        floor(col("value") * lit(1e6)).as("vmi"))
+      .groupBy("arm")
+      .agg(count(lit(1)).as("n_logged"),
+        sum(col("m")).as("n_matched"),
+        sum(col("vmi")).as("sv"),
+        sum(col("m") * col("vmi")).as("smv"))
+      .select(col("arm"), col("n_logged"), col("n_matched"),
+        (col("sv").cast("double") / col("n_logged").cast("double") /
+          lit(1e6)).as("logged_mean"),
+        when(col("n_matched") > 0,
+          col("smv").cast("double") / col("n_matched").cast("double") /
+            lit(1e6)).otherwise(lit(null).cast("double"))
+          .as("replay_mean"))
+      .orderBy("arm")
+  }
+
+  private val PolicyReplaySql: String =
+    """SELECT arm, n_logged, n_matched,
+      |  CAST(sv AS DOUBLE) / CAST(n_logged AS DOUBLE) / 1e6
+      |    AS logged_mean,
+      |  CASE WHEN n_matched > 0
+      |    THEN CAST(smv AS DOUBLE) / CAST(n_matched AS DOUBLE) / 1e6
+      |    ELSE NULL END AS replay_mean
+      |FROM (
+      |  SELECT event_type AS arm, count(*) AS n_logged,
+      |    CAST(sum(m) AS BIGINT) AS n_matched,
+      |    CAST(sum(vmi) AS BIGINT) AS sv,
+      |    CAST(sum(m * vmi) AS BIGINT) AS smv
+      |  FROM (
+      |    SELECT event_type,
+      |      CASE WHEN (['click', 'error', 'purchase', 'signup', 'view'])[
+      |        CAST(CAST(('0x' || substr(md5('pi:' ||
+      |          CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5
+      |          AS INTEGER) + 1] = event_type THEN 1 ELSE 0 END AS m,
+      |      CAST(floor("value" * 1e6) AS BIGINT) AS vmi
+      |    FROM events)
+      |  GROUP BY event_type)
+      |ORDER BY arm""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q234_policy_replay" -> (q234PolicyReplay _),
     "q193_kaplan_meier" -> (q193KaplanMeier _),
     "q194_sprt" -> (q194Sprt _),
     "q203_markov_eval" -> (q203MarkovEval _),
@@ -1185,6 +1252,7 @@ object EventOps {
       " || lpad(CAST(event_id AS VARCHAR), 12, '0')"
 
   val oracles: Map[String, String] = Map(
+    "q234_policy_replay" -> PolicyReplaySql,
     "q208_twap" ->
       """WITH ev AS (SELECT event_type, event_id,
         |    CAST(ts AS TIMESTAMP) AS ts,

@@ -526,4 +526,32 @@ class RetrievalOpsSpec extends SparkTestBase {
           rows(2 * n + 1)._1)
     }
   }
+
+  test("q234 policy replay: 1/K match rate, bounded counts, and the " +
+    "replay estimate tracks the logged mean on hash-independent reward") {
+    // sf0.01: the law-of-large-numbers gates need a real user
+    // population — sf0.001 has only 15 distinct users, so per-arm
+    // match rates are lumpy (one arm can draw zero users) and the
+    // replay estimator is legitimately undefined there
+    val sf = "/root/testdata/sf0.01"
+    val rows = EventOps.q234PolicyReplay(spark, sf).collect()
+    assert(rows.length === 5)
+    rows.foreach { r =>
+      val (n, m) = (r.getAs[Long]("n_logged"), r.getAs[Long]("n_matched"))
+      assert(m <= n)
+      // uniform 5-arm policy over many users ⇒ ~20% matched
+      assert(m.toDouble / n > 0.10 && m.toDouble / n < 0.30,
+        s"${r.getAs[String]("arm")} match rate ${m.toDouble / n}")
+      // reward is independent of the user hash, so the matched subset
+      // is a random ~n/5 sample: its mean sits within a few standard
+      // errors of the logged mean. Values are ~U(0,100) ⇒ sd ≈ 29;
+      // gate at 6·29/√m so the bound scales with the sample actually
+      // matched at this SF (sf0.001 matches only ~40 events per arm)
+      assert(math.abs(r.getAs[Double]("replay_mean") -
+        r.getAs[Double]("logged_mean")) < 6.0 * 29.0 / math.sqrt(m.toDouble),
+        s"${r.getAs[String]("arm")} replay deviates beyond 6 SE")
+    }
+    val again = EventOps.q234PolicyReplay(spark, sf).collect()
+    assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
+  }
 }
