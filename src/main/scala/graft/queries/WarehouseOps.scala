@@ -1212,6 +1212,77 @@ object WarehouseOps {
        |FROM d$BfsRounds ORDER BY part_id""".stripMargin
   }
 
+  // ------------------------------------------- q235 weighted shortest path
+
+  private val SsspRounds = 4
+
+  /** q235 — multi-source weighted shortest paths ("cost to nearest
+    * hub") by Bellman-Ford relaxation over the co-purchase graph:
+    * edge cost = 1e6 // multiplicity (frequently co-bought pairs are
+    * cheap to traverse), hubs = every part key ≡ 0 (mod 100), and
+    * each round relaxes dist(v) = min(dist(v), min_u dist(u)+w(u,v)).
+    * The min-plus algebra complement of q185's unweighted BFS — the
+    * shape behind routing, nearest-warehouse, and influence-cost
+    * queries. Bounded [[SsspRounds]] rounds by the same declarative-
+    * contract as the BFS/PageRank family (exact fixpoints are
+    * driver-loop jobs — `pageRankFixpoint` holds that machinery);
+    * every round is one edges⋈frontier join + a node-keyed min, all
+    * integer arithmetic, oracle-unrolled as chained CTEs. */
+  def q235WeightedSssp(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+      .filter(col("l_partkey") % 10 === 0)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges = li.groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(col("ps")).as("src"), col("ps"))
+      .select(col("src"), explode(col("ps")).as("dst"))
+      .filter(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
+      .select(col("src"), col("dst"), expr("1000000 div cnt").as("w"))
+      .localCheckpoint()
+    val und = edges.select(col("src").as("n"), col("dst").as("nbr"), col("w"))
+      .unionAll(edges.select(col("dst").as("n"), col("src").as("nbr"),
+        col("w")))
+    var dist = und.select(col("n")).distinct()
+      .filter(col("n") % 100 === 0)
+      .withColumn("cost", lit(0L))
+      .localCheckpoint()
+    for (_ <- 1 to SsspRounds) {
+      val relaxed = und
+        .join(dist.withColumnRenamed("n", "nbr"), "nbr")
+        .select(col("n"), (col("cost") + col("w")).as("cost"))
+      dist = dist.unionAll(relaxed)
+        .groupBy("n").agg(min(col("cost")).as("cost"))
+        .localCheckpoint()
+    }
+    dist.select(col("n").as("part_id"), col("cost"))
+      .orderBy("part_id")
+  }
+
+  private val WeightedSsspSql: String = {
+    def round(k: Int) =
+      s"""d$k AS (SELECT n, min(cost) AS cost FROM (
+         |  SELECT n, cost FROM d${k - 1}
+         |  UNION ALL
+         |  SELECT u.n, d.cost + u.w FROM d${k - 1} d
+         |    JOIN und u ON u.nbr = d.n)
+         |  GROUP BY n)""".stripMargin
+    s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+       |            WHERE l_partkey % 10 = 0),
+       |e AS (SELECT src, dst, 1000000 // cnt AS w FROM (
+       |        SELECT a.pk AS src, b.pk AS dst, count(*) AS cnt
+       |        FROM (SELECT DISTINCT ok, pk FROM li) a
+       |        JOIN (SELECT DISTINCT ok, pk FROM li) b
+       |          ON a.ok = b.ok AND a.pk < b.pk
+       |        GROUP BY 1, 2)),
+       |und AS (SELECT src AS n, dst AS nbr, w FROM e
+       |        UNION ALL SELECT dst, src, w FROM e),
+       |d0 AS (SELECT DISTINCT n, CAST(0 AS BIGINT) AS cost FROM und
+       |       WHERE n % 100 = 0),
+       |${(1 to SsspRounds).map(round).mkString(",\n")}
+       |SELECT n AS part_id, CAST(cost AS BIGINT) AS cost
+       |FROM d$SsspRounds ORDER BY part_id""".stripMargin
+  }
+
   // ---------------------------------------------- q222 Poisson bootstrap
 
   private val BootB = 100
@@ -1656,6 +1727,7 @@ object WarehouseOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q233_tree_rollup" -> (q233TreeRollup _),
+    "q235_weighted_sssp" -> (q235WeightedSssp _),
     "q232_point_in_polygon" -> (q232PointInPolygon _),
     "q231_geo_grid_join" -> (q231GeoGridJoin _),
     "q226_ind_audit" -> (q226IndAudit _),
@@ -1687,6 +1759,7 @@ object WarehouseOps {
     "q231_geo_grid_join" -> GeoGridJoinSql,
     "q232_point_in_polygon" -> PointInPolygonSql,
     "q233_tree_rollup" -> TreeRollupSql,
+    "q235_weighted_sssp" -> WeightedSsspSql,
     "q192_hits" -> HitsSql,
     "q195_zonemap" -> ZonemapSql,
     "q196_benford" -> BenfordSql,

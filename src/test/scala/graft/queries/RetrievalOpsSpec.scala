@@ -554,4 +554,39 @@ class RetrievalOpsSpec extends SparkTestBase {
     val again = EventOps.q234PolicyReplay(spark, sf).collect()
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
+
+  test("q235 weighted sssp: equals an independent driver-side " +
+    "Bellman-Ford over the same weighted edges") {
+    val got = WarehouseOps.q235WeightedSssp(spark, Sf).collect()
+      .map(r => r.getAs[Long]("part_id") -> r.getAs[Long]("cost")).toMap
+    // rebuild the weighted edge list in plain Scala from lineitem
+    val li = graft.Tables.lineitem(spark, Sf)
+      .filter(col("l_partkey") % 10 === 0)
+      .select("l_orderkey", "l_partkey").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    val mult = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    byOrder.values.foreach { ps =>
+      for (a <- ps; b <- ps; if a < b)
+        mult((a, b)) = mult.getOrElse((a, b), 0L) + 1L
+    }
+    val und = mult.toSeq.flatMap { case ((a, b), c) =>
+      val w = 1000000L / c
+      Seq((a, b, w), (b, a, w))
+    }
+    val nodes = und.map(_._1).distinct
+    var dist = nodes.filter(_ % 100 == 0).map(_ -> 0L).toMap
+    for (_ <- 1 to 4) {
+      val next = scala.collection.mutable.Map[Long, Long](dist.toSeq: _*)
+      und.foreach { case (n, nbr, w) =>
+        dist.get(nbr).foreach { c =>
+          if (!next.contains(n) || next(n) > c + w) next(n) = c + w
+        }
+      }
+      dist = next.toMap
+    }
+    assert(got === dist,
+      s"engine ${got.size} rows vs driver ${dist.size} rows differ")
+    got.filter(_._1 % 100 == 0).values.foreach(c => assert(c === 0L))
+  }
 }
