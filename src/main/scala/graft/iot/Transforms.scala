@@ -29,7 +29,7 @@ object Transforms {
     * (`process_iot_data.py:105-111`). Affects `id.orig_h`,
     * `id.orig_p`, `id.resp_h`, `id.resp_p`, `detailed-label`. */
   def cleanColumnNames(df: DataFrame): DataFrame =
-    df.toDF(df.columns.map(_.replace(".", "_").replace("-", "_")): _*)
+    df.toDF(df.columns.toIndexedSeq.map(_.replace(".", "_").replace("-", "_")): _*)
 
   /** Pandas-Timedelta-style full pattern, e.g. `0 days 00:00:03.148000`
     * (`process_iot_data.py:121`). */

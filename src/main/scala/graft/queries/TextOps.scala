@@ -868,7 +868,7 @@ object TextOps {
     * grouping keys. */
   private[graft] def cmsEstimate(sketch: DataFrame, keys: DataFrame): DataFrame =
     keys
-      .select(keys.columns.map(col) :+
+      .select(keys.columns.toIndexedSeq.map(col) :+
         posexplode(cmsBuckets(col("token"))).as(Seq("d", "bucket")): _*)
       .join(sketch, Seq("d", "bucket"))
       .groupBy(keys.columns.map(col).toSeq: _*)

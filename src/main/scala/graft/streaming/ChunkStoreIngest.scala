@@ -66,5 +66,5 @@ object ChunkStoreIngest {
     * ever ingested. */
   def bytesStored(s: SparkSession, storeDir: String): Long =
     chunks(s, storeDir).agg(coalesce(sum(col("clen")), lit(0L)))
-      .head.getLong(0)
+      .head().getLong(0)
 }

@@ -67,7 +67,7 @@ object IotStream {
   def parseConnJson(raw: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.{col, from_json}
     raw.select(from_json(col("value").cast("string"), IotSchema.raw).as("r"))
-      .select(IotSchema.raw.fields.map(f => col("r.`" + f.name + "`")): _*)
+      .select(IotSchema.raw.fields.toIndexedSeq.map(f => col("r.`" + f.name + "`")): _*)
   }
 
   /** File-watch ingest with the batch reader's exact CSV options
