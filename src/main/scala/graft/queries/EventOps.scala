@@ -1136,6 +1136,105 @@ object EventOps {
       .orderBy("event_type", "day")
   }
 
+  // ----------------------------------------- q236 delta-method ratio
+
+  /** q236 — delta-method standard error for a ratio-of-sums metric
+    * (clicks per view, revenue per session — the metric form most A/B
+    * dashboards report and most naive variance formulas get wrong,
+    * because users, not events, are the independent units): with
+    * per-user (x_i, y_i), R = Σx/Σy and
+    * Var(R) ≈ (S_xx + R²·S_yy − 2R·S_xy) / (n·ȳ²), the first-order
+    * Taylor expansion. Completes the metrology family: q187 CUPED
+    * (variance reduction), q222 Poisson bootstrap (resampling), this
+    * (closed form).
+    *
+    * Exactness: per-user counts are integers, so all five moments
+    * (Σx, Σy, Σx², Σy², Σxy) are exact BIGINTs and the SE is one
+    * fixed expression over them — deterministic doubles on both
+    * engines. One user-grain aggregate then a single-row fold. */
+  def q236DeltaMethodRatio(s: SparkSession, dir: String): DataFrame = {
+    val perUser = Tables.events(s, dir)
+      .groupBy("user_id")
+      .agg(sum((col("event_type") === "click").cast("long")).as("x"),
+        sum((col("event_type") === "view").cast("long")).as("y"))
+    val m = perUser.agg(count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("y") * col("y")).as("syy"),
+      sum(col("x") * col("y")).as("sxy"))
+    val n = col("n").cast("double")
+    val r = col("sx").cast("double") / col("sy").cast("double")
+    val ybar = col("sy").cast("double") / n
+    val vx = (col("sxx").cast("double") -
+      col("sx").cast("double") * col("sx").cast("double") / n) / (n - lit(1.0))
+    val vy = (col("syy").cast("double") -
+      col("sy").cast("double") * col("sy").cast("double") / n) / (n - lit(1.0))
+    val cxy = (col("sxy").cast("double") -
+      col("sx").cast("double") * col("sy").cast("double") / n) / (n - lit(1.0))
+    val se = sqrt((vx + r * r * vy - lit(2.0) * r * cxy) /
+      (n * ybar * ybar))
+    m.select(col("n").as("n_users"), r.as("ratio"), se.as("se"),
+      (r - lit(1.96) * se).as("ci_lo"), (r + lit(1.96) * se).as("ci_hi"))
+  }
+
+  private val DeltaMethodRatioSql: String =
+    """SELECT n AS n_users,
+      |  CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) AS ratio,
+      |  sqrt(((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+      |      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1e0)
+      |    + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+      |      (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+      |      ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
+      |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE) - 1e0))
+      |    - 2e0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+      |      ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+      |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE) - 1e0)))
+      |    / (CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS se,
+      |  CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) - 1.96e0 * sqrt(
+      |    ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+      |      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1e0)
+      |    + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+      |      (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+      |      ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
+      |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE) - 1e0))
+      |    - 2e0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+      |      ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+      |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE) - 1e0)))
+      |    / (CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS ci_lo,
+      |  CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE) + 1.96e0 * sqrt(
+      |    ((CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) *
+      |      CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1e0)
+      |    + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+      |      (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+      |      ((CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) *
+      |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE) - 1e0))
+      |    - 2e0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) *
+      |      ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) *
+      |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) /
+      |        (CAST(n AS DOUBLE) - 1e0)))
+      |    / (CAST(n AS DOUBLE) * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))) AS ci_hi
+      |FROM (
+      |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |    CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM (
+      |    SELECT user_id,
+      |      CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |        AS BIGINT) AS x,
+      |      CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |        AS BIGINT) AS y
+      |    FROM events GROUP BY user_id))""".stripMargin
+
   // --------------------------------------------- q234 policy replay
 
   private val ReplayArms =
@@ -1204,6 +1303,7 @@ object EventOps {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q234_policy_replay" -> (q234PolicyReplay _),
+    "q236_delta_method_ratio" -> (q236DeltaMethodRatio _),
     "q193_kaplan_meier" -> (q193KaplanMeier _),
     "q194_sprt" -> (q194Sprt _),
     "q203_markov_eval" -> (q203MarkovEval _),
@@ -1253,6 +1353,7 @@ object EventOps {
 
   val oracles: Map[String, String] = Map(
     "q234_policy_replay" -> PolicyReplaySql,
+    "q236_delta_method_ratio" -> DeltaMethodRatioSql,
     "q208_twap" ->
       """WITH ev AS (SELECT event_type, event_id,
         |    CAST(ts AS TIMESTAMP) AS ts,

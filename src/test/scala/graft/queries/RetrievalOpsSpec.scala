@@ -589,4 +589,41 @@ class RetrievalOpsSpec extends SparkTestBase {
       s"engine ${got.size} rows vs driver ${dist.size} rows differ")
     got.filter(_._1 % 100 == 0).values.foreach(c => assert(c === 0L))
   }
+
+  test("q236 delta-method ratio: CI brackets the ratio and the SE " +
+    "agrees with a driver-side bootstrap of the same user frame") {
+    // sf0.01 for a real user population (150 users; sf0.001 has 15)
+    val sf = "/root/testdata/sf0.01"
+    val r = EventOps.q236DeltaMethodRatio(spark, sf).collect()(0)
+    val (ratio, se) = (r.getAs[Double]("ratio"), r.getAs[Double]("se"))
+    assert(se > 0.0)
+    assert(r.getAs[Double]("ci_lo") === ratio - 1.96 * se)
+    assert(r.getAs[Double]("ci_hi") === ratio + 1.96 * se)
+    val xy = graft.Tables.events(spark, sf)
+      .groupBy("user_id")
+      .agg(sum((col("event_type") === "click").cast("long")).as("x"),
+        sum((col("event_type") === "view").cast("long")).as("y"))
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    assert(xy.length.toLong === r.getAs[Long]("n_users"))
+    // Poisson bootstrap of the same ratio, driver-side, seeded
+    val rng = new scala.util.Random(42)
+    def pois(): Long = {
+      var (k, p) = (0L, rng.nextDouble())
+      val l = math.exp(-1.0)
+      while (p > l) { k += 1; p *= rng.nextDouble() }
+      k
+    }
+    val reps = (1 to 200).map { _ =>
+      var (sx, sy) = (0L, 0L)
+      xy.foreach { case (x, y) =>
+        val w = pois(); sx += w * x; sy += w * y
+      }
+      sx.toDouble / sy
+    }
+    val mean = reps.sum / reps.length
+    val sd = math.sqrt(reps.map(v => (v - mean) * (v - mean)).sum /
+      (reps.length - 1))
+    assert(se / sd > 0.6 && se / sd < 1.6,
+      s"delta-method SE $se vs bootstrap SD $sd disagree")
+  }
 }
