@@ -763,6 +763,83 @@ object CorpusOps {
       |    AS epoch))
       |WHERE pos <= 10 ORDER BY epoch, pos""".stripMargin
 
+  // ------------------------------------------- q237 rater agreement
+
+  /** q237 — Cohen's κ between two deterministic quality raters: rater
+    * A flags documents longer than 297 chars, rater B flags documents
+    * with more than 30 'e' occurrences (a cheap proxy pair standing in
+    * for two labeling heuristics/model versions). κ = (p_o − p_e) /
+    * (1 − p_e) corrects raw agreement for chance — the
+    * inter-annotator-agreement gate every labeling pipeline applies
+    * before trusting labels for training. Raw agreement between
+    * length-correlated raters is high by construction; κ reports how
+    * much of it is real.
+    *
+    * Exactness: the 2×2 confusion cells are exact integer counts from
+    * one scan; p_o, p_e, κ are one fixed double expression over them
+    * (guarded for the degenerate p_e = 1 and empty-input cases). */
+  def q237RaterAgreement(s: SparkSession, dir: String): DataFrame = {
+    val a = (length(col("text")) > 297).cast("long")
+    val b = ((length(col("text")) -
+      length(regexp_replace(col("text"), "e", ""))) > 30).cast("long")
+    val m = Tables.documents(s, dir).filter(col("text").isNotNull)
+      .select(a.as("a"), b.as("b"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("a") * col("b")).as("n11"),
+        sum(col("a") * (lit(1L) - col("b"))).as("n10"),
+        sum((lit(1L) - col("a")) * col("b")).as("n01"),
+        sum((lit(1L) - col("a")) * (lit(1L) - col("b"))).as("n00"))
+    val n = col("n").cast("double")
+    val po = (col("n11") + col("n00")).cast("double") / n
+    val pe = ((col("n11") + col("n10")).cast("double") / n) *
+      ((col("n11") + col("n01")).cast("double") / n) +
+      ((col("n01") + col("n00")).cast("double") / n) *
+        ((col("n10") + col("n00")).cast("double") / n)
+    m.select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+      when(col("n") > 0, po).as("po"),
+      when(col("n") > 0, pe).as("pe"),
+      when(col("n") > 0 && pe =!= lit(1.0), (po - pe) / (lit(1.0) - pe))
+        .as("kappa"))
+  }
+
+  private val RaterAgreementSql: String =
+    """SELECT n, n11, n10, n01, n00,
+      |  CASE WHEN n > 0 THEN CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE)
+      |    END AS po,
+      |  CASE WHEN n > 0 THEN
+      |    (CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |    (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE))
+      |    END AS pe,
+      |  CASE WHEN n > 0 AND
+      |    ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |    (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |      (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE))) <> 1e0
+      |  THEN
+      |    (CAST(n11 + n00 AS DOUBLE) / CAST(n AS DOUBLE) -
+      |      ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |        (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |      (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |        (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE))))
+      |    / (1e0 - ((CAST(n11 + n10 AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |        (CAST(n11 + n01 AS DOUBLE) / CAST(n AS DOUBLE)) +
+      |      (CAST(n01 + n00 AS DOUBLE) / CAST(n AS DOUBLE)) *
+      |        (CAST(n10 + n00 AS DOUBLE) / CAST(n AS DOUBLE))))
+      |  END AS kappa
+      |FROM (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(a * b) AS BIGINT) AS n11,
+      |    CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+      |    CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+      |    CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+      |  FROM (
+      |    SELECT CASE WHEN len(text) > 297 THEN 1 ELSE 0 END AS a,
+      |      CASE WHEN len(text) - len(replace(text, 'e', '')) > 30
+      |        THEN 1 ELSE 0 END AS b
+      |    FROM documents WHERE text IS NOT NULL))""".stripMargin
+
   // ------------------------------------------- q230 novelty rate
 
   private val NovK = 5   // char-gram length for the novelty measure
@@ -1613,6 +1690,7 @@ object CorpusOps {
     "q228_epoch_shuffle" -> (q228EpochShuffle _),
     "q229_negative_sampling" -> (q229NegativeSampling _),
     "q230_novelty_rate" -> (q230NoveltyRate _),
+    "q237_rater_agreement" -> (q237RaterAgreement _),
     "q201_source_containment" -> (q201SourceContainment _),
     "q188_feature_hash" -> (q188FeatureHash _),
     "q175_compaction_plan" -> (q175CompactionPlan _),
@@ -1650,6 +1728,7 @@ object CorpusOps {
     "q228_epoch_shuffle" -> EpochShuffleSql,
     "q229_negative_sampling" -> NegativeSamplingSql,
     "q230_novelty_rate" -> NoveltyRateSql,
+    "q237_rater_agreement" -> RaterAgreementSql,
     "q201_source_containment" -> SourceContainmentSql,
     "q188_feature_hash" -> FeatureHashSql,
     "q175_compaction_plan" -> CompactionPlanSql,

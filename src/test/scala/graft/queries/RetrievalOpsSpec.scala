@@ -626,4 +626,21 @@ class RetrievalOpsSpec extends SparkTestBase {
     assert(se / sd > 0.6 && se / sd < 1.6,
       s"delta-method SE $se vs bootstrap SD $sd disagree")
   }
+
+  test("q237 rater agreement: cells partition the corpus, kappa " +
+    "matches the closed form and sits strictly below raw agreement") {
+    val r = CorpusOps.q237RaterAgreement(spark, Sf).collect()(0)
+    val (n, n11, n10, n01, n00) = (r.getAs[Long]("n"), r.getAs[Long]("n11"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    assert(n11 + n10 + n01 + n00 === n)
+    val po = (n11 + n00).toDouble / n
+    val pe = ((n11 + n10).toDouble / n) * ((n11 + n01).toDouble / n) +
+      ((n01 + n00).toDouble / n) * ((n10 + n00).toDouble / n)
+    assert(r.getAs[Double]("po") === po)
+    assert(r.getAs[Double]("kappa") === (po - pe) / (1.0 - pe))
+    // chance correction must bite: correlated-but-imperfect raters
+    // land strictly between 0 and raw agreement
+    val k = r.getAs[Double]("kappa")
+    assert(k > 0.0 && k < po)
+  }
 }
