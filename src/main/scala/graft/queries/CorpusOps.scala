@@ -673,7 +673,11 @@ object CorpusOps {
     * codec (java.util.zip, level 6), so this is genuine
     * partition-batched worker territory like the media decodes in
     * [[MultimodalOps]]: one `Deflater` per partition, reset per row,
-    * never an allocation per document. */
+    * never an allocation per document. The Deflater holds NATIVE zlib
+    * memory, so it is `end()`ed when the partition iterator is
+    * exhausted rather than left to finalization — on a long-lived
+    * executor running many queries, un-ended deflaters would
+    * accumulate off-heap until a GC happens to collect them. */
   private[queries] def withDeflateLen(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
@@ -682,14 +686,22 @@ object CorpusOps {
       .mapPartitions { iter =>
         val deflater = new java.util.zip.Deflater(6, false)
         val buf = new Array[Byte](1 << 16)
-        iter.map { case (id, lang, text) =>
-          val bytes = text.getBytes("UTF-8")
-          deflater.reset()
-          deflater.setInput(bytes)
-          deflater.finish()
-          var zlen = 0
-          while (!deflater.finished()) zlen += deflater.deflate(buf)
-          (id, lang, bytes.length, zlen)
+        new Iterator[(Long, String, Int, Int)] {
+          override def hasNext: Boolean = {
+            val more = iter.hasNext
+            if (!more) deflater.end()
+            more
+          }
+          override def next(): (Long, String, Int, Int) = {
+            val (id, lang, text) = iter.next()
+            val bytes = text.getBytes("UTF-8")
+            deflater.reset()
+            deflater.setInput(bytes)
+            deflater.finish()
+            var zlen = 0
+            while (!deflater.finished()) zlen += deflater.deflate(buf)
+            (id, lang, bytes.length, zlen)
+          }
         }
       }
       .toDF("doc_id", "lang", "raw_len", "zip_len")
@@ -735,21 +747,30 @@ object CorpusOps {
     * production form is the same expression as a sort key.
     *
     * Scale: the per-epoch order is a total sort in production
-    * (rangepartitioned, as any global sort); the audit here ranks
-    * within a 3-epoch spine and keeps 10 rows per epoch via the same
-    * distributed top-k shape as q227's window twin. */
+    * (rangepartitioned, as any global sort); the audit keeps 10 rows
+    * per epoch via the [[graft.functions.BottomKByKey]] bounded-heap
+    * aggregate — NOT a window. `row_number() OVER (PARTITION BY
+    * epoch ...)` with 3 epochs means 3 shuffle partitions each sorting
+    * the whole corpus in one task (the classic low-cardinality
+    * window-partition parallelism collapse); the aggregate ships at
+    * most 10 rows per epoch per map task and merges associatively, so
+    * the plan has no per-epoch sort at all. Exact: bottom-k under the
+    * (full digest, doc_id) total order merges without error, so the
+    * DuckDB window oracle still matches bit-for-bit. */
   def q228EpochShuffle(s: SparkSession, dir: String): DataFrame = {
     val epochs = s.range(0, 3).select(col("id").cast(IntegerType).as("epoch"))
-    val keyed = Tables.documents(s, dir).select(col("doc_id"))
+    val bottomk = udaf(graft.functions.BottomKByKey(10),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.KeyedId]())
+    Tables.documents(s, dir).select(col("doc_id"))
       .crossJoin(epochs)
       .withColumn("sk", md5(concat(col("epoch").cast("string"), lit(":"),
         col("doc_id").cast("string"))))
-    keyed
-      .withColumn("pos", row_number().over(
-        Window.partitionBy("epoch").orderBy(col("sk"), col("doc_id")))
-        .cast(LongType))
-      .filter(col("pos") <= 10)
-      .select(col("epoch"), col("pos"), col("doc_id"))
+      .groupBy("epoch")
+      .agg(bottomk(col("sk"), col("doc_id")).as("head"))
+      .select(col("epoch"), posexplode(col("head")).as(Seq("pos0", "e")))
+      .select(col("epoch"), (col("pos0") + 1).cast(LongType).as("pos"),
+        col("e.id").as("doc_id"))
       .orderBy("epoch", "pos")
   }
 
@@ -855,7 +876,14 @@ object CorpusOps {
     * Scale shape: one distinct over train grams (high-cardinality,
     * uniform keys), then a hash LEFT ANTI join of held-out gram
     * instances against it; gram generation is the codegen'd
-    * position-explode (never a per-token lambda). */
+    * position-explode (never a per-token lambda). The join/distinct
+    * key is NOT the raw gram string but its 60-bit md5 prefix as a
+    * BIGINT: every downstream exchange ships 8-byte longs instead of
+    * variable-length strings, and the distinct/anti-join compare
+    * fixed-width integers (the q45 `sorted_gram_hashes` move). A
+    * 60-bit key over ~10⁶ distinct grams has collision odds ~10⁻⁶ —
+    * and the oracle computes the identical hash, so verification is
+    * still exact. */
   def q230NoveltyRate(s: SparkSession, dir: String): DataFrame = {
     val fp = md5(norm(col("text")))
     val h = md5Hash32(concat(lit("split:"), fp)) % 100L
@@ -870,7 +898,9 @@ object CorpusOps {
           sequence(lit(1), length(col("n")) - lit(NovK - 1)))
           .otherwise(array())).as("i"),
         col("n"))
-      .select(col("split"), col("n").substr(col("i"), lit(NovK)).as("g"))
+      .select(col("split"),
+        conv(substring(md5(col("n").substr(col("i"), lit(NovK))), 1, 15),
+          16, 10).cast(LongType).as("g"))
     val trainSet = grams.filter(col("split") === "train")
       .select("g").distinct()
     val held = grams.filter(col("split") =!= "train")
@@ -903,7 +933,9 @@ object CorpusOps {
        |    ${normSql()} AS n
        |  FROM documents WHERE text IS NOT NULL),
        |grams AS (
-       |  SELECT split, substr(n, CAST(i AS INTEGER), $NovK) AS g
+       |  SELECT split, CAST(('0x' ||
+       |      substr(md5(substr(n, CAST(i AS INTEGER), $NovK)), 1, 15))
+       |    AS BIGINT) AS g
        |  FROM (SELECT split, n,
        |          unnest(range(1, len(n) - ${NovK - 2})) AS i
        |        FROM docs WHERE len(n) >= $NovK)),

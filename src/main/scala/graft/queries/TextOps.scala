@@ -865,12 +865,20 @@ object TextOps {
 
   /** Point-query a cell frame: min over the key's d cells. `keys` is
     * any frame with a `token` column; other columns ride along as
-    * grouping keys. */
+    * grouping keys. LEFT join + coalesce-to-0: a cell row absent from
+    * the sketch means count 0 (cell frames only materialize touched
+    * cells), so an unseen token must estimate 0 — with an inner join
+    * its absent cells would silently drop out of the min (overstating
+    * the estimate) and a token matching no cells at all would vanish
+    * from the output entirely, which would make the public
+    * [[graft.streaming.CmsMaintenance]].estimate API lie on unseen
+    * keys. */
   private[graft] def cmsEstimate(sketch: DataFrame, keys: DataFrame): DataFrame =
     keys
       .select(keys.columns.toIndexedSeq.map(col) :+
         posexplode(cmsBuckets(col("token"))).as(Seq("d", "bucket")): _*)
-      .join(sketch, Seq("d", "bucket"))
+      .join(sketch, Seq("d", "bucket"), "left")
+      .withColumn("cell", coalesce(col("cell"), lit(0L)))
       .groupBy(keys.columns.map(col).toSeq: _*)
       .agg(min(col("cell")).as("est_cnt"))
 

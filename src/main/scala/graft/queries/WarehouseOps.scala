@@ -1674,11 +1674,6 @@ object WarehouseOps {
 
   // ------------------------------------------------ q233 tree rollup
 
-  private val TreeLevels = 21   // ancestor path depth: covers keys < 2^21
-                                // (2M — beyond sf1's part count; rows with
-                                // anc < 1 are pruned, so over-provisioning
-                                // costs one filtered row per excess level)
-
   /** q233 — hierarchical subtree rollup (the BOM / org-chart / category
     * -tree aggregation): parts form an implicit binary tree
     * (parent(k) = k/2, k ≥ 1; the synthetic stand-in for a BOM edge
@@ -1687,9 +1682,11 @@ object WarehouseOps {
     * the tree (depth rounds of shuffles) or a recursive CTE (q113
     * holds that machinery), every node EXPLODES its own ancestor path
     * — k/2, k/4, … — and one groupBy(ancestor) sums contributions:
-    * O(n·depth) rows, ONE shuffle, depth known from the key domain.
-    * The standard flattening for fixed-depth hierarchies at scale;
-    * exact integer cents throughout.
+    * O(n·depth) rows, ONE shuffle. Each row's path depth is derived
+    * from ITS OWN key's bit length (`length(bin(k))`, integer-exact —
+    * no float log2 rounding at powers of two, no fixed depth constant
+    * that silently undercounts once the key domain outgrows it at a
+    * larger scale factor). Exact integer cents throughout.
     *
     * Output: the top three levels (nodes 1–15) with subtree size and
     * cost — including the node's own price when it exists. */
@@ -1698,10 +1695,14 @@ object WarehouseOps {
       .filter(col("p_partkey") >= 1)
       .select(col("p_partkey").as("k"),
         floor(col("p_retailprice") * 100 + lit(0.5)).as("cents"))
-    val levels = s.range(0, TreeLevels).select(col("id").cast("int").as("lvl"))
-    val contrib = parts.crossJoin(levels)
+    // bit length of k = number of ancestors incl. itself; levels
+    // 0..bits-1 reach exactly down to root 1 (k >> (bits-1) = 1).
+    val bits = length(conv(col("k"), 10, 2)).cast("int")
+    val contrib = parts
+      .select(explode(sequence(lit(0), bits - 1)).as("lvl"),
+        col("k"), col("cents"))
       .select(expr("shiftright(k, lvl)").as("anc"), col("cents"))
-      .filter(col("anc") >= 1 && col("anc") <= 15)
+      .filter(col("anc") <= 15)
     contrib
       .groupBy("anc")
       .agg(count(lit(1)).as("n_subtree"),
@@ -1718,8 +1719,7 @@ object WarehouseOps {
        |  FROM part WHERE p_partkey >= 1),
        |contrib AS (
        |  SELECT k >> CAST(lvl AS INTEGER) AS anc, cents
-       |  FROM parts, (SELECT unnest(range(0, $TreeLevels)) AS lvl)
-       |  WHERE (k >> CAST(lvl AS INTEGER)) >= 1)
+       |  FROM parts, LATERAL (SELECT unnest(range(0, len(bin(k)))) AS lvl))
        |SELECT anc AS node, count(*) AS n_subtree,
        |  CAST(sum(cents) AS BIGINT) AS subtree_cents
        |FROM contrib WHERE anc <= 15

@@ -37,15 +37,20 @@ object ChunkStoreIngest {
 
   /** The store's chunk hashes as seen by batch `excludeBatch` — all
     * partitions except its own (replay safety), empty before the first
-    * batch commits. */
+    * batch commits. Emptiness is decided by an explicit store probe
+    * ([[DeltaLog.isEmpty]]), NEVER by catching read failures: a
+    * transient read error (corrupt footer, FS hiccup) on a non-empty
+    * store must fail the batch so the checkpoint retries — swallowing
+    * it would present an empty prior view, re-append every chunk, and
+    * permanently break the store's distinct-by-construction
+    * invariant. */
   private def priorChunks(s: SparkSession, storeDir: String,
       excludeBatch: Long): DataFrame =
-    try DeltaLog.read(s, storeDir)
-      .filter(col("_batch_id") =!= excludeBatch).select("h")
-    catch { case _: Throwable =>
+    if (DeltaLog.isEmpty(s, storeDir)) {
       import s.implicits._
       Seq.empty[String].toDF("h")
-    }
+    } else DeltaLog.read(s, storeDir)
+      .filter(col("_batch_id") =!= excludeBatch).select("h")
 
   /** Start with `.start()`: maintains the chunk store under
     * `storeDir`. */

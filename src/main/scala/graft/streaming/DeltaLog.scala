@@ -1,5 +1,6 @@
 package graft.streaming
 
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
@@ -17,13 +18,60 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * table format. State lives in the log, not the streaming state
   * store, so restarts need no state recovery; the trade is that reads
   * fold the log, so production compacts old deltas periodically
-  * ([[graft.operators.Compaction]]).
+  * ([[compact]]).
+  *
+  * Compaction is CRASH-ATOMIC via a marker protocol (all file ops on
+  * the Hadoop `FileSystem` API, so the log works unchanged on
+  * HDFS/S3A, not just `file://`):
+  *
+  *   1. the folded prefix is written to the side directory
+  *      `_compacted/<upTo>/` — invisible to the partitioned raw scan
+  *      (Spark ignores `_`-prefixed paths), so readers still see the
+  *      intact raw log;
+  *   2. the marker file `_compact_hwm_<upTo>` is committed by an
+  *      atomic rename — THIS is the commit point: readers resolve the
+  *      high-water mark as max over marker files and switch to
+  *      (folded base ∪ raw suffix > hwm) the instant it appears;
+  *   3. raw partitions ≤ upTo, older compacted dirs, and older
+  *      markers are garbage-collected — a crash anywhere in step 3
+  *      leaves only garbage that readers already ignore, re-collected
+  *      by the next compaction.
+  *
+  * A crash before step 2 leaves an orphan `_compacted` dir the next
+  * attempt overwrites; a crash after step 2 is a completed compaction
+  * with pending GC. No window double-counts or drops a batch.
   *
   * The DOMAIN folds stay with their monitors — this seam owns only the
   * mechanics every monitor was re-implementing: the batch-id stamp,
   * the overwrite mode, the partition layout, and the read-side type
   * restoration. */
 object DeltaLog {
+
+  private val MarkerPrefix = "_compact_hwm_"
+  private val CompactedDir = "_compacted"
+
+  private def fileSystem(s: SparkSession, dir: String): (FileSystem, Path) = {
+    val p = new Path(dir)
+    (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+  }
+
+  /** Committed compaction high-water mark: max over marker files, -1
+    * if never compacted. Markers are monotone — a new one is committed
+    * before old ones are deleted, so max is correct in every crash
+    * window. */
+  private def committedHwm(fs: FileSystem, root: Path): Long =
+    if (!fs.exists(root)) -1L
+    else fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(_.startsWith(MarkerPrefix))
+      .map(_.stripPrefix(MarkerPrefix).toLong)
+      .foldLeft(-1L)(math.max)
+
+  /** Raw `_batch_id=<n>` partition ids currently on disk. */
+  private def rawIds(fs: FileSystem, root: Path): Seq[Long] =
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).iterator.map(_.getPath.getName)
+      .filter(_.startsWith("_batch_id="))
+      .map(_.stripPrefix("_batch_id=").toLong).toSeq
 
   /** Write one batch's delta rows into their `_batch_id` partition.
     * `singleFile` collapses model-sized deltas (one audit row, K arms)
@@ -51,52 +99,93 @@ object DeltaLog {
       }
       .option("checkpointLocation", checkpointDir)
 
-  /** Read the accumulated log with `_batch_id` restored to LONG
+  /** True iff the store holds no committed data at all — the directory
+    * is absent, or exists with neither a raw `_batch_id=` partition nor
+    * a committed compaction. Callers that want "empty store reads as
+    * empty" semantics ([[ChunkStoreIngest]]) must gate on THIS rather
+    * than catching read failures: a corrupt footer or filesystem error
+    * on a non-empty store has to propagate and fail the batch, not
+    * masquerade as emptiness. */
+  def isEmpty(s: SparkSession, storeDir: String): Boolean = {
+    val (fs, root) = fileSystem(s, storeDir)
+    rawIds(fs, root).isEmpty && committedHwm(fs, root) < 0
+  }
+
+  /** The raw partitioned log with `_batch_id` restored to LONG
     * (partition-column inference reads the directory value back as
     * INT, which would silently change fold/window types). */
-  def read(s: SparkSession, storeDir: String): DataFrame =
+  private def rawRead(s: SparkSession, storeDir: String): DataFrame =
     s.read.parquet(storeDir)
       .withColumn("_batch_id", col("_batch_id").cast("long"))
 
-  /** Compact: collapse every delta with `_batch_id` ≤ `upTo` into ONE
-    * folded delta stored at partition `upTo`, using the monitor's own
-    * fold (counts sum, registers max, top-ks merge — compaction MUST
-    * go through the same fold the reader uses, which is why it lives
-    * on this seam and takes the fold as an argument). Read-side
-    * results are unchanged: fold(folded prefix ∪ suffix) ≡ fold(all
-    * deltas) for any associative fold. The trade is retention —
-    * [[readAsOf]] below `upTo` now returns the compacted state, not
-    * finer history (the usual table-format deal). Only compact
-    * batches the checkpoint has committed: a replay of an uncommitted
-    * batch would overwrite its partition with a raw delta again.
-    *
-    * The folded frame is materialized (localCheckpoint) BEFORE the
-    * overwrite — partition `upTo` is both input and output. */
-  def compact(s: SparkSession, storeDir: String, upTo: Long)(
-      fold: DataFrame => DataFrame): Unit = {
-    val folded = fold(readAsOf(s, storeDir, upTo))
-      .localCheckpoint(eager = true)
-    writeBatch(folded, upTo, storeDir, singleFile = true)
-    val root = new java.io.File(storeDir)
-    root.listFiles().filter(_.getName.startsWith("_batch_id="))
-      .filter(_.getName.stripPrefix("_batch_id=").toLong < upTo)
-      .foreach { dir =>
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(rm)
-          f.delete()
-        }
-        rm(dir)
-      }
-  }
+  /** Read the accumulated log: the compacted base (if any) unioned
+    * with raw deltas above the high-water mark. */
+  def read(s: SparkSession, storeDir: String): DataFrame =
+    readAsOf(s, storeDir, Long.MaxValue)
 
   /** Time travel: the log as it stood after batch `batchId` committed.
-    * Because every batch owns exactly its `_batch_id` partition and
-    * partition pruning turns the predicate into a directory skip, any
-    * monitor's fold over [[readAsOf]] IS its historical state — no
-    * snapshot files, no extra bookkeeping; the log's layout already
-    * encodes its own history. (A compaction that collapses old deltas
-    * trades this retention away below its high-water mark — the usual
-    * table-format deal.) */
-  def readAsOf(s: SparkSession, storeDir: String, batchId: Long): DataFrame =
-    read(s, storeDir).filter(col("_batch_id") <= batchId)
+    * Below the compaction high-water mark the compacted state is the
+    * oldest view available (the usual table-format retention trade);
+    * everywhere else, because every batch owns exactly its `_batch_id`
+    * partition and partition pruning turns the predicate into a
+    * directory skip, any monitor's fold over [[readAsOf]] IS its
+    * historical state — no snapshot files, no extra bookkeeping; the
+    * log's layout already encodes its own history. */
+  def readAsOf(s: SparkSession, storeDir: String, batchId: Long): DataFrame = {
+    val (fs, root) = fileSystem(s, storeDir)
+    val hwm = committedHwm(fs, root)
+    if (hwm < 0)
+      rawRead(s, storeDir).filter(col("_batch_id") <= batchId)
+    else {
+      val base = s.read.parquet(new Path(root,
+        s"$CompactedDir/$hwm").toString)
+      if (batchId <= hwm) base
+      else if (!rawIds(fs, root).exists(id => id > hwm && id <= batchId)) base
+      else base.unionByName(rawRead(s, storeDir)
+        .filter(col("_batch_id") > hwm && col("_batch_id") <= batchId))
+    }
+  }
+
+  /** Compact: collapse the log up to `upTo` (inclusive) into ONE
+    * folded base, using the monitor's own fold (counts sum, registers
+    * max, top-ks merge — compaction MUST go through the same fold the
+    * reader uses, which is why it lives on this seam and takes the
+    * fold as an argument). Read-side results are unchanged:
+    * fold(folded prefix ∪ suffix) ≡ fold(all deltas) for any
+    * associative fold. Crash-atomic per the marker protocol in the
+    * object doc. Only compact batches the checkpoint has committed: a
+    * replay of an uncommitted batch would re-write a raw partition the
+    * GC already claimed. */
+  def compact(s: SparkSession, storeDir: String, upTo: Long)(
+      fold: DataFrame => DataFrame): Unit = {
+    val (fs, root) = fileSystem(s, storeDir)
+    val prev = committedHwm(fs, root)
+    require(upTo > prev, s"compact($upTo) at or below committed hwm $prev")
+    // 1. fold the prefix and stage it to the side dir (invisible to
+    //    the raw scan; overwrite tolerates a crashed prior attempt)
+    val folded = fold(readAsOf(s, storeDir, upTo))
+      .withColumn("_batch_id", lit(upTo))
+    folded.coalesce(1).write.mode("overwrite")
+      .parquet(new Path(root, s"$CompactedDir/$upTo").toString)
+    // 2. commit: atomic marker rename — the instant this lands,
+    //    readers resolve hwm=upTo and ignore everything below it
+    val tmp = new Path(root, s".${MarkerPrefix}$upTo.tmp")
+    fs.create(tmp, true).close()
+    if (!fs.rename(tmp, new Path(root, s"$MarkerPrefix$upTo")))
+      throw new java.io.IOException(
+        s"failed to commit compaction marker $MarkerPrefix$upTo")
+    // 3. GC superseded files — readers already ignore all of these,
+    //    so a crash mid-delete just leaves garbage for the next pass
+    rawIds(fs, root).filter(_ <= upTo).foreach { id =>
+      fs.delete(new Path(root, s"_batch_id=$id"), true)
+    }
+    if (fs.exists(new Path(root, CompactedDir)))
+      fs.listStatus(new Path(root, CompactedDir)).iterator
+        .map(_.getPath).filter(_.getName.toLong < upTo)
+        .foreach(p => fs.delete(p, true))
+    fs.listStatus(root).iterator.map(_.getPath)
+      .filter(p => p.getName.startsWith(MarkerPrefix) &&
+        p.getName.stripPrefix(MarkerPrefix).toLong < upTo)
+      .foreach(p => fs.delete(p, false))
+  }
 }

@@ -403,6 +403,31 @@ class RetrievalOpsSpec extends SparkTestBase {
     // broken (epoch-insensitive) sort key
     assert(byEpoch(0) !== byEpoch(1))
     assert(byEpoch(1) !== byEpoch(2))
+    // the SCALE contract: the heads come from the bounded-heap
+    // aggregate, never a window over partitionBy(epoch) — 3 epochs
+    // would collapse the whole corpus into 3 single-task sorts. The
+    // executed plan must carry the udaf's object-hash aggregate and
+    // contain NO window operator at all.
+    val plan = CorpusOps.q228EpochShuffle(spark, Sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"q228 must not rank via a window: $plan")
+    assert(plan.contains("ObjectHashAggregate") &&
+      plan.contains("bottomkbykey"),
+      s"q228 must aggregate through BottomKByKey: $plan")
+    // merge associativity of the heap: same heads no matter how rows
+    // are split across partitions (partial-aggregation correctness)
+    val bottomk = udaf(graft.functions.BottomKByKey(10),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.KeyedId]())
+    def run(parts: Int) = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"))
+      .repartition(parts)
+      .withColumn("sk", md5(concat(lit("0:"), col("doc_id").cast("string"))))
+      .agg(bottomk(col("sk"), col("doc_id")).as("head"))
+      .collect().map(_.getSeq[org.apache.spark.sql.Row](0)
+        .map(_.toString).mkString(",")).toSeq
+    assert(run(1) === run(7))
   }
 
   test("q229 negative sampling: negatives never share the anchor's " +

@@ -71,8 +71,8 @@ class AggMaintenanceSpec extends SparkTestBase {
         .contains("_batch_id"),
       s"_batch_id <= 0 must prune partitions, plan: $plan")
     // compaction through the monitor's own fold: collapse both deltas
-    // into one partition — the view must be unchanged, and the store
-    // must physically hold only the compacted partition
+    // into the folded base — the view must be unchanged, the raw
+    // partitions must be gone, and the committed marker + base present
     AggMaintenance.compactThrough(spark, store, 1L)
     val compacted = AggMaintenance.view(spark, store).collect()
       .map(r => (r.getAs[Timestamp]("hour_start").toString,
@@ -80,10 +80,65 @@ class AggMaintenanceSpec extends SparkTestBase {
         (r.getAs[Long]("n_events"), r.getAs[Long]("sum_fp"))).toMap
     assert(compacted == expected,
       s"compaction changed the view: $compacted != $expected")
-    val parts = new java.io.File(store).listFiles()
-      .filter(_.getName.startsWith("_batch_id=")).map(_.getName).sorted
-    assert(parts.toSeq === Seq("_batch_id=1"),
-      s"older partitions must be gone, found ${parts.mkString(",")}")
+    val names = new java.io.File(store).listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith("_batch_id=")),
+      s"raw partitions must be gone, found ${names.mkString(",")}")
+    assert(names.contains("_compact_hwm_1"), "committed marker missing")
+    assert(new java.io.File(s"$store/_compacted/1").isDirectory,
+      "folded base missing")
+  }
+
+  test("compaction crash windows never double-count or drop a batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_mv_cw").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_mv_cwck").toString
+    def ev(id: Long, t: String, typ: String, v: Double) =
+      Ev(id, Timestamp.valueOf(t), 1L, typ, v, "{}")
+    val mem = MemoryStream[Ev](spark)
+    val q = AggMaintenance.maintain(mem.toDF(), store, ckpt).start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:05:00", "click", 1.0))
+      q.processAllAvailable()
+      mem.addData(ev(2, "2024-01-01 10:10:00", "click", 2.0))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-01 10:15:00", "click", 4.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    def viewCounts() = AggMaintenance.view(spark, store).collect()
+      .map(r => r.getAs[Long]("n_events") -> r.getAs[Long]("sum_fp")).toSeq
+    val before = viewCounts()
+    assert(before === Seq(3L -> 7000000L))
+    // crash window A: folded base staged for upTo=1 but NO marker —
+    // readers must keep using the intact raw log (no double count,
+    // since the orphan _compacted dir is invisible without its marker)
+    spark.read.parquet(s"$store/_batch_id=0")
+      .withColumn("_batch_id", lit(0L))
+      .unionByName(spark.read.parquet(s"$store/_batch_id=1")
+        .withColumn("_batch_id", lit(1L)))
+      .groupBy("hour_start", "event_type")
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("sum_fp")).as("sum_fp"))
+      .withColumn("_batch_id", lit(1L))
+      .write.mode("overwrite").parquet(s"$store/_compacted/1")
+    assert(viewCounts() === before,
+      "a staged-but-uncommitted compaction changed the view")
+    // crash window B: marker committed but GC never ran — raw
+    // partitions 0/1 coexist with the folded base; readers must fold
+    // base ∪ suffix(>1) only (no double count of batches 0/1)
+    new java.io.File(s"$store/_compact_hwm_1").createNewFile()
+    assert(viewCounts() === before,
+      "committed-marker-with-pending-GC double-counted raw deltas")
+    // recovery: the next compaction both commits and finishes the GC
+    AggMaintenance.compactThrough(spark, store, 2L)
+    assert(viewCounts() === before,
+      "compaction after a crashed predecessor changed the view")
+    val names = new java.io.File(store).listFiles().map(_.getName)
+    assert(!names.exists(_.startsWith("_batch_id=")) &&
+      !names.contains("_compact_hwm_1") && names.contains("_compact_hwm_2"),
+      s"GC after recovery incomplete: ${names.mkString(",")}")
+    assert(!new java.io.File(s"$store/_compacted/1").exists(),
+      "superseded folded base not collected")
   }
 
   test("a replayed batch overwrites its own delta (no double count)") {

@@ -53,6 +53,17 @@ class CmsMaintenanceSpec extends SparkTestBase {
     Seq("the", "quick", "dog").foreach { t =>
       assert(est(t) >= truth(t), s"undercounted $t")
     }
+    // an UNSEEN token must still yield a row, and its estimate is 0
+    // unless every one of its d cells collides with stored tokens —
+    // absent cell rows count as zero (left join), they don't silently
+    // drop out of the min or erase the key from the output
+    val unseen = Seq("zzz_never_ingested_zzz").toDF("token")
+    val unseenEst = CmsMaintenance.estimate(spark, store, unseen).collect()
+    assert(unseenEst.length === 1,
+      "unseen key vanished from the estimate output")
+    assert(unseenEst(0).getAs[Long]("est_cnt") === 0L,
+      s"tiny corpus cannot fill all 4 cells of an unseen key: " +
+        s"${unseenEst(0)}")
     // time travel: the sketch as of batch 0 equals the batch-built
     // sketch over b1 alone
     val asOf0 = CmsMaintenance.sketchAsOf(spark, store, 0L).collect()
