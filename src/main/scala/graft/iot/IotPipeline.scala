@@ -93,6 +93,25 @@ object IotPipeline {
     true
   }
 
+  /** Serving-store FULL-REFRESH cycle — the reference DAG's load
+    * semantic (`dags/iot_processing_dag.py:55-75`): TRUNCATE the
+    * serving table, then POSITIONAL insert (ClickHouse's
+    * `INSERT … SELECT … FROM file(…)` binds columns by position, not
+    * name — Spark's `insertInto` has exactly that resolution rule, so
+    * a frame with different column NAMES but matching positions loads
+    * identically). Creates the table from the frame's schema on first
+    * refresh. Idempotent by construction: any rerun — including a
+    * retry after a partial failure — leaves the table equal to the
+    * source frame, never appended or doubled; that is the property
+    * that makes the DAG's daily refresh safe to re-run. */
+  def refreshServing(spark: SparkSession, df: DataFrame,
+      table: String): Unit = {
+    if (!spark.catalog.tableExists(table))
+      df.limit(0).write.saveAsTable(table)
+    spark.sql(s"TRUNCATE TABLE $table")
+    df.write.insertInto(table)
+  }
+
   /** Full pipeline: scan → transform → overwrite parquet. Fails fast. */
   def run(spark: SparkSession, inputPath: String, outputPath: String,
       sortedByUid: Boolean = false): Unit = {

@@ -355,6 +355,49 @@ object MlOps {
   def q162IvfPqAnn(s: SparkSession, dir: String): DataFrame =
     ivfPqAnn(s, dir, nprobe = 2, shortlist = 40, k = 10)
 
+  /** Probe-volume audit seam for the 10x stress spec: under the q162
+    * configuration (nprobe=2 of the K=8 trained lists), how many
+    * candidate vectors land in SOME query's probed lists — i.e. the
+    * corpus fraction the ADC stage ever scores. Returns
+    * (scored candidate·query rows, corpus size, query count). The
+    * probed FRACTION is the scale contract: it is a property of the
+    * quantizer's list balance, independent of corpus size, so a 10x
+    * corpus scores 10x rows — never a larger fraction, never a full
+    * scan. */
+  private[queries] def ivfProbeStats(s: SparkSession, dir: String,
+      nprobe: Int = 2): (Long, Long, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val (cids, cents, _) = kmeansState(s, dir, Rounds)
+    val centroids = s.createDataFrame(
+      cids.zip(cents).map { case (c, arr) =>
+        (c, arr.map(x => (x.toDouble / 1e6).toFloat))
+      }.toSeq).toDF("cent_id", "cent_vec")
+    def cos(a: Column, b: Column) = VectorOps.cosineNative(s, a, b)
+    val emb = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+    val listSizes = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"))
+      .crossJoin(broadcast(centroids))
+      .select(col("cand_id"), col("cent_id"),
+        cos(col("c_emb"), col("cent_vec")).as("csim"))
+      .groupBy("cand_id")
+      .agg(max_by(col("cent_id"),
+        struct(col("csim"), col("cent_id") * -1)).as("cent_id"))
+      .groupBy("cent_id").agg(count(lit(1)).as("lsz"))
+    val queriesF = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val probed = queriesF.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("cent_id"),
+        cos(col("q_emb"), col("cent_vec")).as("csim"))
+      .withColumn("crk", row_number().over(
+        Window.partitionBy("query_id")
+          .orderBy(col("csim").desc, col("cent_id"))))
+      .filter(col("crk") <= nprobe)
+      .select("query_id", "cent_id")
+    val scored = probed.join(listSizes, "cent_id")
+      .agg(coalesce(sum(col("lsz")), lit(0L))).head().getLong(0)
+    (scored, emb.filter(col("vec_id") >= 5).count(), queriesF.count())
+  }
+
   /** DuckDB oracle for q135: the identical integer trajectory, three
     * rounds unrolled as CTE pairs (assign aᵢ / update cᵢ). */
   private def kmeansOracle: String = {

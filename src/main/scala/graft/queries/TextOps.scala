@@ -167,24 +167,38 @@ object TextOps {
     * 16 × array_min(transform(shingles,…)) — re-evaluates the shingle
     * construction per hash because higher-order functions defeat
     * Catalyst subexpression elimination: measured 43 s at sf0.01. */
-  def q37MinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
+  /** The (doc_id, band, bucket) banding frame q37 joins on — exposed
+    * as a seam so the 10x stress spec can measure bucket-size
+    * distributions and cap-hit counts on scaled corpora. */
+  private[queries] def minhashBanded(docs: DataFrame): DataFrame = {
     val numHashes = 16
     val bands = 4
     val rows = numHashes / bands
-    // signatures materialized ONCE (localCheckpoint): they feed the
-    // banding stage AND both sides of the signature re-join below
-    val docs = normDocs(s, dir)
-      .select(col("doc_id"),
-        call_function("minhash_sigs", col("norm"), lit(5), lit(numHashes))
-          .as("sig"))
-      .localCheckpoint()
-    val banded = docs.select(col("doc_id"),
+    docs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
           xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** Signature frame feeding [[minhashBanded]] (localCheckpointed —
+    * it is consumed by banding AND both sides of the re-join). */
+  private[queries] def minhashDocs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    normDocs(s, dir)
+      .select(col("doc_id"),
+        call_function("minhash_sigs", col("norm"), lit(5), lit(16))
+          .as("sig"))
+      .localCheckpoint()
+  }
+
+  def q37MinhashPairs(s: SparkSession, dir: String): DataFrame = {
+    val numHashes = 16
+    // signatures materialized ONCE (localCheckpoint): they feed the
+    // banding stage AND both sides of the signature re-join below
+    val docs = minhashDocs(s, dir)
+    val banded = minhashBanded(docs)
     // boilerplate guard: buckets holding more than maxBucket docs are
     // degenerate (near-identical boilerplate at corpus scale) and would
     // blow the pair space quadratically — cap them out, as a production
@@ -1220,7 +1234,9 @@ object TextOps {
     * merge leaves set sizes unchanged (xxhash64 injective on a ~2k
     * universe in practice; the q45/q37 discipline, spec-checked
     * against brute force over strings). */
-  def q198PrefixJoin(s: SparkSession, dir: String): DataFrame = {
+  /** q198's gram-hash doc frame (stage 0) — localCheckpointed; it is
+    * consumed by the freq explode + the 2 verify joins. */
+  private def prefixJoinDocs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     // Hash-space from the first step: the native single-pass gram
     // kernel (q45's `sorted_gram_hashes`) replaces the interpreted
@@ -1230,13 +1246,19 @@ object TextOps {
     // chain yields the same verified pairs), so ordering prefixes by
     // (freq, hash) instead of (freq, gram) changes nothing the oracle
     // can observe.
-    val docs = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .select(col("doc_id"), col("lang"), normText(col("text")).as("n"))
       .filter(length(col("n")) >= 5)
       .select(col("doc_id"), col("lang"),
         call_function("sorted_gram_hashes", col("n"), lit(5)).as("sh"))
       .withColumn("len", size(col("sh")).cast("long"))
-      .localCheckpoint() // consumed by the freq explode + 2 verify joins
+      .localCheckpoint()
+  }
+
+  /** q198's candidate groups BEFORE the count filter: one row per
+    * colliding (id_a, id_b) with its prefix-hit count `ov` — the raw
+    * inverted-index candidate multiplicity is sum(ov). */
+  private def prefixJoinCandGroups(docs: DataFrame): DataFrame = {
     val ex = docs.select(col("doc_id"), col("lang"), col("len"),
       explode(col("sh")).as("h"))
     val freq = ex.groupBy("h").agg(count(lit(1)).as("cnt"))
@@ -1251,17 +1273,7 @@ object TextOps {
           "slice(oh, 1, CAST(len - (4*len + 4) div 5 + 1 AS INT))")))
       .select(col("doc_id"), col("lang"), col("len"),
         (col("pos") + 1).as("i"), col("col").as("g"))
-    // PPJoin count filter (sound, Xiao et al. §3.2): prefixes of
-    // lengths l − α + c must share ≥ c elements when |A∩B| ≥ α; with
-    // our prefix length l − ⌈t·l⌉ + 1 that gives
-    // ov ≥ α − max(⌈t·la⌉, ⌈t·lb⌉) + 1. Counting prefix hits per pair
-    // REPLACES the candidate distinct (same shuffle), and the count
-    // bound collapses the verify set before any gram array moves:
-    // measured at sf0.1, 396,161 candidate pairs → 1,030 survivors →
-    // 79 result pairs (== filter-free brute force, spec-proven). The
-    // arrays-per-pair shuffle this avoids was 6 GB — the difference
-    // between 48 s and interactive.
-    val cands = prefixes.as("a").join(prefixes.as("b"), expr(
+    prefixes.as("a").join(prefixes.as("b"), expr(
         """a.g = b.g AND a.lang = b.lang AND a.doc_id < b.doc_id
           |AND 4 * greatest(a.len, b.len) <= 5 * least(a.len, b.len)
           |AND 1 + least(a.len - a.i, b.len - b.i)
@@ -1269,10 +1281,26 @@ object TextOps {
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("ov"),
         first(col("a.len")).as("la0"), first(col("b.len")).as("lb0"))
-      .filter(expr(
+  }
+
+  /** PPJoin count filter (sound, Xiao et al. §3.2): prefixes of
+    * lengths l − α + c must share ≥ c elements when |A∩B| ≥ α; with
+    * our prefix length l − ⌈t·l⌉ + 1 that gives
+    * ov ≥ α − max(⌈t·la⌉, ⌈t·lb⌉) + 1. Counting prefix hits per pair
+    * REPLACES the candidate distinct (same shuffle), and the count
+    * bound collapses the verify set before any gram array moves:
+    * measured at sf0.1, 396,161 candidate pairs → 1,030 survivors →
+    * 79 result pairs (== filter-free brute force, spec-proven). The
+    * arrays-per-pair shuffle this avoids was 6 GB — the difference
+    * between 48 s and interactive. */
+  private def prefixJoinCountFilter(candGroups: DataFrame): DataFrame =
+    candGroups.filter(expr(
         """ov >= (4 * (la0 + lb0) + 8) div 9
           |  - greatest((4*la0 + 4) div 5, (4*lb0 + 4) div 5) + 1""".stripMargin))
       .select(col("id_a"), col("id_b"))
+
+  private def prefixJoinVerify(docs: DataFrame,
+      cands: DataFrame): DataFrame = {
     val inter = call_function("sorted_intersect_count",
       col("sha"), col("shb")).cast("long")
     cands
@@ -1286,6 +1314,29 @@ object TextOps {
       .select(col("id_a"), col("id_b"), col("inter_sz"), col("union_sz"),
         expr("inter_sz * 1000000 div union_sz").as("jac_ppm"))
       .orderBy("id_a", "id_b")
+  }
+
+  def q198PrefixJoin(s: SparkSession, dir: String): DataFrame = {
+    val docs = prefixJoinDocs(s, dir)
+    prefixJoinVerify(docs,
+      prefixJoinCountFilter(prefixJoinCandGroups(docs)))
+  }
+
+  /** Candidate-collapse funnel for the 10x stress spec: (raw
+    * inverted-index candidate multiplicity Σov, count-filter
+    * survivors, verified result pairs). The collapse ratio
+    * survivors/multiplicity is what keeps the verify stage's
+    * array-shuffle bounded as the corpus scales. */
+  private[queries] def prefixJoinFunnel(s: SparkSession,
+      dir: String): (Long, Long, Long, Long) = {
+    val docs = prefixJoinDocs(s, dir)
+    val groups = prefixJoinCandGroups(docs).localCheckpoint()
+    val multiplicity = groups.agg(coalesce(sum(col("ov")), lit(0L)))
+      .head().getLong(0)
+    val survivors = prefixJoinCountFilter(groups).localCheckpoint()
+    val nSurvivors = survivors.count()
+    val nResult = prefixJoinVerify(docs, survivors).count()
+    (multiplicity, nSurvivors, nResult, docs.count())
   }
 
   /** Filter-free semantic twin: same-language pairs, exact 5-gram

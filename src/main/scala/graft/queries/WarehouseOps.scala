@@ -179,8 +179,9 @@ object WarehouseOps {
     * and the normalize multiplies by 1e6, so the hottest node degree
     * must stay under ~9.2e6 — far past sf100 here; rescale the
     * fixed-point to 1e3 beyond that. */
-  def q192Hits(s: SparkSession, dir: String): DataFrame = {
-    val edges = Tables.orders(s, dir)
+  /** The bipartite customer→part purchase edge list HITS iterates on. */
+  private def hitsEdges(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
       .select(col("o_orderkey"), col("o_custkey"))
       .join(Tables.lineitem(s, dir)
           .select(col("l_orderkey"), col("l_partkey")),
@@ -188,19 +189,73 @@ object WarehouseOps {
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
       .localCheckpoint() // 2·iters consumers re-read the edge blocks
+
+  /** ONE full HITS iteration (auth half-step then hub half-step, each
+    * max-normalized) — shared verbatim by the bounded q192 and
+    * [[hitsFixpoint]]. Returns (auths, hubs). */
+  private def hitsRound(edges: DataFrame,
+      hubs: DataFrame): (DataFrame, DataFrame) = {
+    val araw = edges.join(hubs, "c").groupBy("p").agg(sum(col("h")).as("s"))
+    val auths = araw.crossJoin(broadcast(araw.agg(max(col("s")).as("m"))))
+      .select(col("p"), expr("s * 1000000 div m").as("a"))
+    val hraw = edges.join(auths, "p").groupBy("c").agg(sum(col("a")).as("s"))
+    val nextHubs = hraw.crossJoin(broadcast(hraw.agg(max(col("s")).as("m"))))
+      .select(col("c"), expr("s * 1000000 div m").as("h"))
+    (auths, nextHubs)
+  }
+
+  private[queries] def hitsAuthsAfter(s: SparkSession, dir: String,
+      iters: Int): DataFrame = {
+    val edges = hitsEdges(s, dir)
     var hubs = edges.select(col("c")).distinct()
       .select(col("c"), lit(1000000L).as("h"))
     var auths: DataFrame = null
-    for (_ <- 1 to HitsIters) {
-      val araw = edges.join(hubs, "c").groupBy("p").agg(sum(col("h")).as("s"))
-      auths = araw.crossJoin(broadcast(araw.agg(max(col("s")).as("m"))))
-        .select(col("p"), expr("s * 1000000 div m").as("a"))
-      val hraw = edges.join(auths, "p").groupBy("c").agg(sum(col("a")).as("s"))
-      hubs = hraw.crossJoin(broadcast(hraw.agg(max(col("s")).as("m"))))
-        .select(col("c"), expr("s * 1000000 div m").as("h"))
+    for (_ <- 1 to iters) {
+      val (a, nh) = hitsRound(edges, hubs)
+      auths = a
+      hubs = nh
     }
-    auths.orderBy(col("a").desc, col("p")).limit(50)
+    auths
+  }
+
+  def q192Hits(s: SparkSession, dir: String): DataFrame =
+    hitsAuthsAfter(s, dir, HitsIters)
+      .orderBy(col("a").desc, col("p")).limit(50)
       .select(col("p").as("part_id"), col("a").as("auth_fp"))
+
+  /** HITS with a CONVERGENCE stopping rule: iterate until the max
+    * per-part fixed-point authority change drops below `epsFp`
+    * (1e6 = auth 1.0) or `maxIters` — power iteration stops when the
+    * principal eigenvector stabilizes, which a 100×-scale graph can't
+    * schedule as a fixed round count a priori. Per round: the two
+    * [[hitsRound]] half-steps (edge-sized joins, node-sized sums,
+    * broadcast normalizers) plus a part-sized max-delta aggregate to
+    * the driver; both score frames are `localCheckpoint`ed to keep
+    * lineage flat. Every round is the SAME integer update as q192, so
+    * the result after n rounds is bit-identical to the unrolled form
+    * at n (spec-asserted). Returns the auth frame and rounds run. */
+  def hitsFixpoint(s: SparkSession, dir: String,
+      epsFp: Long = 1000L, maxIters: Int = 30): (DataFrame, Int) = {
+    val edges = hitsEdges(s, dir)
+    var hubs = edges.select(col("c")).distinct()
+      .select(col("c"), lit(1000000L).as("h"))
+      .localCheckpoint()
+    var auths: DataFrame = null
+    var iters = 0
+    var delta = Long.MaxValue
+    while (delta >= epsFp && iters < maxIters) {
+      val (a, nh) = hitsRound(edges, hubs)
+      val nextAuths = a.localCheckpoint()
+      hubs = nh.localCheckpoint()
+      delta =
+        if (auths == null) Long.MaxValue
+        else nextAuths.join(auths.withColumnRenamed("a", "a0"), "p")
+          .agg(max(abs(col("a") - col("a0"))).as("d"))
+          .head().getLong(0)
+      auths = nextAuths
+      iters += 1
+    }
+    (auths, iters)
   }
 
   /** Unrolled 2-iteration HITS; every sum cast back from HUGEINT and
@@ -1172,24 +1227,69 @@ object WarehouseOps {
     * (an exact-fixpoint loop is a driver-controlled unbounded job
     * sequence). All integer → bit-exact; the oracle unrolls the same
     * 3 rounds as chained CTEs. */
-  def q185BfsHops(s: SparkSession, dir: String): DataFrame = {
+  /** The undirected sampled co-purchase adjacency q185 relaxes over. */
+  private def bfsUndirected(s: SparkSession, dir: String): DataFrame = {
     val edges = sampledCoPurchaseEdges(s, dir)
-    val und = edges.select(col("src").as("n"), col("dst").as("nbr"))
+    edges.select(col("src").as("n"), col("dst").as("nbr"))
       .unionAll(edges.select(col("dst").as("n"), col("src").as("nbr")))
-    var dist = und.select(col("n")).distinct()
+  }
+
+  /** Hop-0 seed frame: every anchor part (id ≡ 0 mod 100). */
+  private def bfsSeeds(und: DataFrame): DataFrame =
+    und.select(col("n")).distinct()
       .filter(col("n") % 100 === 0)
       .withColumn("hop", lit(0L))
-      .localCheckpoint()
-    for (_ <- 1 to BfsRounds) {
-      val relaxed = und
+
+  /** ONE BFS relaxation round — shared verbatim by the bounded q185
+    * and [[bfsFixpoint]], so the fixpoint loop is provably the same
+    * update as the oracle-unrolled form. */
+  private def bfsStep(und: DataFrame, dist: DataFrame): DataFrame =
+    dist.unionAll(und
         .join(dist.withColumnRenamed("n", "nbr"), "nbr")
-        .select(col("n"), (col("hop") + 1L).as("hop"))
-      dist = dist.unionAll(relaxed)
-        .groupBy("n").agg(min(col("hop")).as("hop"))
-        .localCheckpoint()
-    }
-    dist.select(col("n").as("part_id"), col("hop"))
+        .select(col("n"), (col("hop") + 1L).as("hop")))
+      .groupBy("n").agg(min(col("hop")).as("hop"))
+
+  private[queries] def bfsHopsAfter(s: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    val und = bfsUndirected(s, dir)
+    var dist = bfsSeeds(und).localCheckpoint()
+    for (_ <- 1 to rounds)
+      dist = bfsStep(und, dist).localCheckpoint()
+    dist
+  }
+
+  def q185BfsHops(s: SparkSession, dir: String): DataFrame =
+    bfsHopsAfter(s, dir, BfsRounds)
+      .select(col("n").as("part_id"), col("hop"))
       .orderBy("part_id")
+
+  /** BFS with a CONVERGENCE stopping rule: relax until a round changes
+    * no node's hop (the frontier is exhausted — every reachable node
+    * holds its true distance) or `maxRounds`. The distributed form for
+    * a graph whose diameter isn't known a priori: each round costs one
+    * edge-sized join + node-keyed min, plus a node-sized changed-row
+    * count to the driver (model state, not data movement); frames are
+    * `localCheckpoint`ed so lineage stays flat at any depth. Every
+    * round is [[bfsStep]] — bit-identical to the unrolled q185 form at
+    * the round count the loop ran (spec-asserted). Returns the
+    * distance frame and rounds run. */
+  def bfsFixpoint(s: SparkSession, dir: String,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    val und = bfsUndirected(s, dir)
+    var dist = bfsSeeds(und).localCheckpoint()
+    var rounds = 0
+    var changed = Long.MaxValue
+    while (changed > 0 && rounds < maxRounds) {
+      val next = bfsStep(und, dist).localCheckpoint()
+      changed = next
+        .join(dist.withColumnRenamed("hop", "h0"), Seq("n"), "left")
+        .filter(col("h0").isNull || col("h0") =!= col("hop"))
+        .count()
+      dist = next
+      rounds += 1
+    }
+    (dist.select(col("n").as("part_id"), col("hop")).orderBy("part_id"),
+      rounds)
   }
 
   private val BfsHopsSql: String = {
@@ -1228,7 +1328,9 @@ object WarehouseOps {
     * driver-loop jobs — `pageRankFixpoint` holds that machinery);
     * every round is one edges⋈frontier join + a node-keyed min, all
     * integer arithmetic, oracle-unrolled as chained CTEs. */
-  def q235WeightedSssp(s: SparkSession, dir: String): DataFrame = {
+  /** The weighted undirected co-purchase adjacency q235 relaxes over:
+    * edge cost = 1e6 // multiplicity. */
+  private def ssspUndirected(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .filter(col("l_partkey") % 10 === 0)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
@@ -1239,23 +1341,65 @@ object WarehouseOps {
       .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
       .select(col("src"), col("dst"), expr("1000000 div cnt").as("w"))
       .localCheckpoint()
-    val und = edges.select(col("src").as("n"), col("dst").as("nbr"), col("w"))
+    edges.select(col("src").as("n"), col("dst").as("nbr"), col("w"))
       .unionAll(edges.select(col("dst").as("n"), col("src").as("nbr"),
         col("w")))
-    var dist = und.select(col("n")).distinct()
+  }
+
+  /** Cost-0 hub seed frame (part id ≡ 0 mod 100). */
+  private def ssspSeeds(und: DataFrame): DataFrame =
+    und.select(col("n")).distinct()
       .filter(col("n") % 100 === 0)
       .withColumn("cost", lit(0L))
-      .localCheckpoint()
-    for (_ <- 1 to SsspRounds) {
-      val relaxed = und
+
+  /** ONE Bellman-Ford relaxation round — shared verbatim by the
+    * bounded q235 and [[ssspFixpoint]]. */
+  private def ssspStep(und: DataFrame, dist: DataFrame): DataFrame =
+    dist.unionAll(und
         .join(dist.withColumnRenamed("n", "nbr"), "nbr")
-        .select(col("n"), (col("cost") + col("w")).as("cost"))
-      dist = dist.unionAll(relaxed)
-        .groupBy("n").agg(min(col("cost")).as("cost"))
-        .localCheckpoint()
-    }
-    dist.select(col("n").as("part_id"), col("cost"))
+        .select(col("n"), (col("cost") + col("w")).as("cost")))
+      .groupBy("n").agg(min(col("cost")).as("cost"))
+
+  private[queries] def ssspCostsAfter(s: SparkSession, dir: String,
+      rounds: Int): DataFrame = {
+    val und = ssspUndirected(s, dir)
+    var dist = ssspSeeds(und).localCheckpoint()
+    for (_ <- 1 to rounds)
+      dist = ssspStep(und, dist).localCheckpoint()
+    dist
+  }
+
+  def q235WeightedSssp(s: SparkSession, dir: String): DataFrame =
+    ssspCostsAfter(s, dir, SsspRounds)
+      .select(col("n").as("part_id"), col("cost"))
       .orderBy("part_id")
+
+  /** Bellman-Ford with a CONVERGENCE stopping rule: relax until a
+    * round improves no node's cost (true shortest paths reached —
+    * with positive integer weights that takes at most V−1 rounds) or
+    * `maxRounds`. Same driver-loop shape as [[bfsFixpoint]]: one
+    * edge-sized join + node-keyed min per round, a node-sized
+    * changed-row count as the stopping signal, `localCheckpoint`ed
+    * lineage. Every round is [[ssspStep]] — bit-identical to the
+    * unrolled q235 form at the round count the loop ran. Returns the
+    * cost frame and rounds run. */
+  def ssspFixpoint(s: SparkSession, dir: String,
+      maxRounds: Int = 100): (DataFrame, Int) = {
+    val und = ssspUndirected(s, dir)
+    var dist = ssspSeeds(und).localCheckpoint()
+    var rounds = 0
+    var changed = Long.MaxValue
+    while (changed > 0 && rounds < maxRounds) {
+      val next = ssspStep(und, dist).localCheckpoint()
+      changed = next
+        .join(dist.withColumnRenamed("cost", "c0"), Seq("n"), "left")
+        .filter(col("c0").isNull || col("c0") =!= col("cost"))
+        .count()
+      dist = next
+      rounds += 1
+    }
+    (dist.select(col("n").as("part_id"), col("cost")).orderBy("part_id"),
+      rounds)
   }
 
   private val WeightedSsspSql: String = {

@@ -117,6 +117,47 @@ class IotPipelineSpec extends SparkTestBase {
     assert(readBack("IOT_JDBC_APP").count() === 2)
   }
 
+  // ---- serving-store refresh: the DAG's TRUNCATE + positional load --
+  // `dags/iot_processing_dag.py:55-75` refreshes ClickHouse by
+  // truncating and re-inserting positionally from file(); these pin the
+  // same cycle against the managed-table path.
+  test("refreshServing is an idempotent full refresh (TRUNCATE + reload)") {
+    val dir = writeCsv(header, good, good.replace("C1", "C9"))
+    val out = Transforms.transform(IotPipeline.readCsv(spark, dir))
+    try {
+      IotPipeline.refreshServing(spark, out, "iot_serving_rt")
+      val once = spark.table("iot_serving_rt").collect()
+        .map(_.toString).sorted.toSeq
+      assert(once.length === 2)
+      // rerun (the DAG retry case): NOT append — table content is
+      // exactly the source frame again
+      IotPipeline.refreshServing(spark, out, "iot_serving_rt")
+      val twice = spark.table("iot_serving_rt").collect()
+        .map(_.toString).sorted.toSeq
+      assert(twice === once, "refresh must replace, never accumulate")
+      // refresh with a SHRUNK source: stale rows must vanish
+      IotPipeline.refreshServing(spark,
+        out.filter(out("uid") === "C9"), "iot_serving_rt")
+      assert(spark.table("iot_serving_rt").count() === 1)
+    } finally spark.sql("DROP TABLE IF EXISTS iot_serving_rt")
+  }
+
+  test("refreshServing binds columns by POSITION, the file() semantic") {
+    val dir = writeCsv(header, good)
+    val out = Transforms.transform(IotPipeline.readCsv(spark, dir))
+    try {
+      IotPipeline.refreshServing(spark, out, "iot_serving_pos")
+      // same shape, scrambled NAMES: positional insert must still load
+      // (ClickHouse file() loads have no names at all)
+      val renamed = out.toDF(out.columns.map("x_" + _).toIndexedSeq: _*)
+      IotPipeline.refreshServing(spark, renamed, "iot_serving_pos")
+      val r = spark.table("iot_serving_pos").collect()
+      assert(r.length === 1)
+      assert(r.head.getAs[String]("uid") === "C1",
+        "position 0 must land in the table's first column")
+    } finally spark.sql("DROP TABLE IF EXISTS iot_serving_pos")
+  }
+
   test("malformed rows still flow through the full transform program") {
     val bad =
       "C5,192.168.1.5,notaport,10.0.0.1,80,tcp,http,bogus,100,200,SF,T,F,0,Dd,2,140,2,240,-,Benign,-"

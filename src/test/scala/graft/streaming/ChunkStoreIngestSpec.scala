@@ -44,7 +44,7 @@ class ChunkStoreIngestSpec extends SparkTestBase {
       // doc 3 is byte-identical to doc 1: only doc 4's chunks are new
       val doc4Bytes = expectedChunks(Seq(b2(1)))
         .join(expectedChunks(b1), Seq("h"), "left_anti")
-        .agg(coalesce(sum("clen"), lit(0L))).head.getLong(0)
+        .agg(coalesce(sum("clen"), lit(0L))).head().getLong(0)
       assert(afterB2 - afterB1 === doc4Bytes,
         "re-sent text must add zero bytes beyond the genuinely new doc")
     } finally q.stop()
