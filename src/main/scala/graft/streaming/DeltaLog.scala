@@ -32,14 +32,23 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   *      atomic rename — THIS is the commit point: readers resolve the
   *      high-water mark as max over marker files and switch to
   *      (folded base ∪ raw suffix > hwm) the instant it appears;
-  *   3. raw partitions ≤ upTo, older compacted dirs, and older
-  *      markers are garbage-collected — a crash anywhere in step 3
-  *      leaves only garbage that readers already ignore, re-collected
-  *      by the next compaction.
+  *   3. GC runs ONE GENERATION BEHIND (lazy): only files superseded
+  *      as of the PREVIOUS high-water mark are deleted (raw
+  *      partitions ≤ prev, compacted bases and markers < prev). The
+  *      just-superseded generation — prev's base, prev's marker, and
+  *      the raw suffix (prev, upTo] — survives until the NEXT
+  *      compaction, so any reader that resolved a high-water mark at
+  *      or after prev still has every file its plan references: the
+  *      concurrent-reader race of eager GC (plan formed against
+  *      files, files deleted mid-read) cannot happen inside one
+  *      compaction cycle. The retention window is exactly one
+  *      compaction generation — run compactions no more often than
+  *      the longest reader.
   *
   * A crash before step 2 leaves an orphan `_compacted` dir the next
   * attempt overwrites; a crash after step 2 is a completed compaction
-  * with pending GC. No window double-counts or drops a batch.
+  * whose GC debt the next compaction settles. No window double-counts
+  * or drops a batch.
   *
   * The DOMAIN folds stay with their monitors — this seam owns only the
   * mechanics every monitor was re-implementing: the batch-id stamp,
@@ -174,18 +183,22 @@ object DeltaLog {
     if (!fs.rename(tmp, new Path(root, s"$MarkerPrefix$upTo")))
       throw new java.io.IOException(
         s"failed to commit compaction marker $MarkerPrefix$upTo")
-    // 3. GC superseded files — readers already ignore all of these,
-    //    so a crash mid-delete just leaves garbage for the next pass
-    rawIds(fs, root).filter(_ <= upTo).foreach { id =>
+    // 3. LAZY GC — collect only what the PREVIOUS generation already
+    //    superseded, so every reader that resolved hwm >= prev keeps a
+    //    consistent file set; this generation's leftovers are the next
+    //    compaction's debt. A crash mid-delete just leaves garbage
+    //    that readers ignore.
+    rawIds(fs, root).filter(_ <= prev).foreach { id =>
       fs.delete(new Path(root, s"_batch_id=$id"), true)
     }
-    if (fs.exists(new Path(root, CompactedDir)))
+    if (prev >= 0) {
       fs.listStatus(new Path(root, CompactedDir)).iterator
-        .map(_.getPath).filter(_.getName.toLong < upTo)
+        .map(_.getPath).filter(_.getName.toLong < prev)
         .foreach(p => fs.delete(p, true))
-    fs.listStatus(root).iterator.map(_.getPath)
-      .filter(p => p.getName.startsWith(MarkerPrefix) &&
-        p.getName.stripPrefix(MarkerPrefix).toLong < upTo)
-      .foreach(p => fs.delete(p, false))
+      fs.listStatus(root).iterator.map(_.getPath)
+        .filter(p => p.getName.startsWith(MarkerPrefix) &&
+          p.getName.stripPrefix(MarkerPrefix).toLong < prev)
+        .foreach(p => fs.delete(p, false))
+    }
   }
 }

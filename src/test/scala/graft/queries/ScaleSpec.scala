@@ -377,6 +377,24 @@ class ScaleSpec extends SparkTestBase {
     // the (deterministic, integer) k-means quantizer, so the probed
     // fraction of the corpus is IDENTICAL at 1x and 10x — scored
     // volume grows exactly linearly, never toward a full scan
+    // q230 novelty: the split is a hash of the TEXT, so every replica
+    // lands in its original's split — train's distinct-gram set is
+    // UNCHANGED, held instances are exactly 10x, and the novelty rate
+    // is IDENTICAL to the ppm
+    val nov1 = CorpusOps.q230NoveltyRate(spark, base).collect()
+      .map(r => r.getAs[String]("split") -> r).toMap
+    val nov10 = timed("q230")(CorpusOps.q230NoveltyRate(spark, dir).collect())
+    nov10.foreach { r =>
+      val b = nov1(r.getAs[String]("split"))
+      assert(r.getAs[Long]("n_grams") === 10L * b.getAs[Long]("n_grams"))
+      assert(r.getAs[Long]("n_novel") === 10L * b.getAs[Long]("n_novel"))
+      assert(r.getAs[Long]("n_distinct") === b.getAs[Long]("n_distinct"),
+        "replicas must not invent distinct grams")
+      assert(r.getAs[Long]("n_distinct_novel") ===
+        b.getAs[Long]("n_distinct_novel"))
+      assert(r.getAs[Long]("novelty_ppm") === b.getAs[Long]("novelty_ppm"),
+        "the novelty RATE must be scale-invariant under replication")
+    }
     val (sc1, n1, nq1) = MlOps.ivfProbeStats(spark, base)
     val (sc10, n10, nq10) = timed("q162 probes")(MlOps.ivfProbeStats(spark, dir))
     info(s"q162 probed volume: $sc1/$n1 (1x) -> $sc10/$n10 (10x), " +

@@ -71,8 +71,11 @@ class AggMaintenanceSpec extends SparkTestBase {
         .contains("_batch_id"),
       s"_batch_id <= 0 must prune partitions, plan: $plan")
     // compaction through the monitor's own fold: collapse both deltas
-    // into the folded base — the view must be unchanged, the raw
-    // partitions must be gone, and the committed marker + base present
+    // into the folded base — the view must be unchanged and the
+    // committed marker + base present. GC is LAZY by one generation:
+    // the raw partitions a pre-compaction reader may still reference
+    // survive until the NEXT compaction (readers already ignore them
+    // via the marker).
     AggMaintenance.compactThrough(spark, store, 1L)
     val compacted = AggMaintenance.view(spark, store).collect()
       .map(r => (r.getAs[Timestamp]("hour_start").toString,
@@ -81,11 +84,12 @@ class AggMaintenanceSpec extends SparkTestBase {
     assert(compacted == expected,
       s"compaction changed the view: $compacted != $expected")
     val names = new java.io.File(store).listFiles().map(_.getName)
-    assert(!names.exists(_.startsWith("_batch_id=")),
-      s"raw partitions must be gone, found ${names.mkString(",")}")
     assert(names.contains("_compact_hwm_1"), "committed marker missing")
     assert(new java.io.File(s"$store/_compacted/1").isDirectory,
       "folded base missing")
+    assert(names.count(_.startsWith("_batch_id=")) === 2,
+      "first-generation GC must RETAIN raw partitions for in-flight " +
+        s"readers, found ${names.mkString(",")}")
   }
 
   test("compaction crash windows never double-count or drop a batch") {
@@ -129,16 +133,29 @@ class AggMaintenanceSpec extends SparkTestBase {
     new java.io.File(s"$store/_compact_hwm_1").createNewFile()
     assert(viewCounts() === before,
       "committed-marker-with-pending-GC double-counted raw deltas")
-    // recovery: the next compaction both commits and finishes the GC
+    // recovery: the next compaction commits gen 2 and settles gen 1's
+    // GC debt (raw <= 1 go), while RETAINING gen 1's base + marker +
+    // the raw suffix for any reader that resolved hwm=1 (lazy GC)
     AggMaintenance.compactThrough(spark, store, 2L)
     assert(viewCounts() === before,
       "compaction after a crashed predecessor changed the view")
-    val names = new java.io.File(store).listFiles().map(_.getName)
-    assert(!names.exists(_.startsWith("_batch_id=")) &&
-      !names.contains("_compact_hwm_1") && names.contains("_compact_hwm_2"),
-      s"GC after recovery incomplete: ${names.mkString(",")}")
-    assert(!new java.io.File(s"$store/_compacted/1").exists(),
-      "superseded folded base not collected")
+    def names() = new java.io.File(store).listFiles().map(_.getName).toSet
+    val n2 = names()
+    assert(!n2.contains("_batch_id=0") && !n2.contains("_batch_id=1"),
+      s"gen-1 debt (raw <= prev) must be collected: ${n2.mkString(",")}")
+    assert(n2.contains("_batch_id=2") && n2.contains("_compact_hwm_1") &&
+      new java.io.File(s"$store/_compacted/1").isDirectory,
+      s"the superseded generation must survive one cycle for " +
+        s"in-flight hwm=1 readers: ${n2.mkString(",")}")
+    // one more generation retires gen 1 entirely
+    AggMaintenance.compactThrough(spark, store, 3L)
+    assert(viewCounts() === before)
+    val n3 = names()
+    assert(!n3.exists(_.startsWith("_batch_id=")) &&
+      !n3.contains("_compact_hwm_1") &&
+      !new java.io.File(s"$store/_compacted/1").exists() &&
+      n3.contains("_compact_hwm_2") && n3.contains("_compact_hwm_3"),
+      s"second-cycle GC incomplete: ${n3.mkString(",")}")
   }
 
   test("a replayed batch overwrites its own delta (no double count)") {
