@@ -170,10 +170,12 @@ object TextOps {
   /** The (doc_id, band, bucket) banding frame q37 joins on — exposed
     * as a seam so the 10x stress spec can measure bucket-size
     * distributions and cap-hit counts on scaled corpora. */
+  private val MinhashN = 16     // signature width (shared by the seam
+  private val MinhashBands = 4  // and the query — must agree)
+
   private[queries] def minhashBanded(docs: DataFrame): DataFrame = {
-    val numHashes = 16
-    val bands = 4
-    val rows = numHashes / bands
+    val bands = MinhashBands
+    val rows = MinhashN / bands
     docs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
@@ -188,13 +190,13 @@ object TextOps {
     graft.functions.GraftFunctions.register(s)
     normDocs(s, dir)
       .select(col("doc_id"),
-        call_function("minhash_sigs", col("norm"), lit(5), lit(16))
+        call_function("minhash_sigs", col("norm"), lit(5), lit(MinhashN))
           .as("sig"))
       .localCheckpoint()
   }
 
   def q37MinhashPairs(s: SparkSession, dir: String): DataFrame = {
-    val numHashes = 16
+    val numHashes = MinhashN
     // signatures materialized ONCE (localCheckpoint): they feed the
     // banding stage AND both sides of the signature re-join below
     val docs = minhashDocs(s, dir)

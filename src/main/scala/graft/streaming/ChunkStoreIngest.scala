@@ -67,6 +67,19 @@ object ChunkStoreIngest {
   def chunks(s: SparkSession, storeDir: String): DataFrame =
     DeltaLog.read(s, storeDir).select("h", "clen")
 
+  /** Collapse committed deltas ≤ `upTo` into one folded base —
+    * [[DeltaLog.compact]] through THIS store's fold. The fold is a
+    * hash-keyed max (idempotent + associative: hashes are distinct by
+    * the ingest anti-join, so max(clen) is just "keep the row" —
+    * stated as an aggregate so a replay-raced duplicate could never
+    * double a byte count). `singleFile = false`: the folded base is a
+    * DATA-sized content table, not a model — it keeps its parallel
+    * file layout. */
+  def compactThrough(s: SparkSession, storeDir: String, upTo: Long): Unit =
+    DeltaLog.compact(s, storeDir, upTo, singleFile = false) { deltas =>
+      deltas.groupBy("h").agg(max(col("clen")).as("clen"))
+    }
+
   /** Total bytes the store holds — the dedup'd footprint of everything
     * ever ingested. */
   def bytesStored(s: SparkSession, storeDir: String): Long =

@@ -165,16 +165,22 @@ object DeltaLog {
     * object doc. Only compact batches the checkpoint has committed: a
     * replay of an uncommitted batch would re-write a raw partition the
     * GC already claimed. */
-  def compact(s: SparkSession, storeDir: String, upTo: Long)(
+  def compact(s: SparkSession, storeDir: String, upTo: Long,
+      singleFile: Boolean = true)(
       fold: DataFrame => DataFrame): Unit = {
     val (fs, root) = fileSystem(s, storeDir)
     val prev = committedHwm(fs, root)
     require(upTo > prev, s"compact($upTo) at or below committed hwm $prev")
     // 1. fold the prefix and stage it to the side dir (invisible to
-    //    the raw scan; overwrite tolerates a crashed prior attempt)
+    //    the raw scan; overwrite tolerates a crashed prior attempt).
+    //    `singleFile` collapses MODEL-sized folds (aggregate cells,
+    //    registers) to one file; pass false for DATA-sized folded
+    //    state (a chunk store's content table) so the base keeps its
+    //    parallel layout.
     val folded = fold(readAsOf(s, storeDir, upTo))
       .withColumn("_batch_id", lit(upTo))
-    folded.coalesce(1).write.mode("overwrite")
+    (if (singleFile) folded.coalesce(1) else folded)
+      .write.mode("overwrite")
       .parquet(new Path(root, s"$CompactedDir/$upTo").toString)
     // 2. commit: atomic marker rename — the instant this lands,
     //    readers resolve hwm=upTo and ignore everything below it

@@ -55,6 +55,44 @@ class ChunkStoreIngestSpec extends SparkTestBase {
     assert(got === want, "store != distinct chunk set of the union")
   }
 
+  test("compaction folds the store without changing it, and later " +
+    "batches dedup against the compacted base") {
+    import spark.implicits._
+    val src = java.nio.file.Files.createTempDirectory("graft_cs_csrc").toString
+    val store = java.nio.file.Files.createTempDirectory("graft_cs3").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_cs3_ck").toString
+    b1.toDF().write.mode("overwrite").parquet(src)
+    def stream = spark.readStream
+      .schema(Seq.empty[Doc].toDF().schema).parquet(src)
+    val q1 = ChunkStoreIngest.ingest(stream, store, ckpt).start()
+    try q1.processAllAvailable() finally { q1.stop(); q1.awaitTermination() }
+    val before = ChunkStoreIngest.chunks(spark, store).collect()
+      .map(_.toString).sorted.toSeq
+    // compact batch 0 into the folded base (data-sized fold — the
+    // base keeps a parallel layout, no coalesce(1))
+    ChunkStoreIngest.compactThrough(spark, store, 0L)
+    val afterCompact = ChunkStoreIngest.chunks(spark, store).collect()
+      .map(_.toString).sorted.toSeq
+    assert(afterCompact === before, "compaction changed the chunk set")
+    val bytesBefore = ChunkStoreIngest.bytesStored(spark, store)
+    // next batch re-sends doc 1's text + one genuinely new doc: the
+    // novelty anti-join must see the COMPACTED base as prior chunks
+    b2.toDF().write.mode("append").parquet(src)
+    val q2 = ChunkStoreIngest.ingest(stream, store, ckpt).start()
+    try q2.processAllAvailable() finally { q2.stop(); q2.awaitTermination() }
+    val doc4Bytes = expectedChunks(Seq(b2(1)))
+      .join(expectedChunks(b1), Seq("h"), "left_anti")
+      .agg(coalesce(sum("clen"), lit(0L))).head().getLong(0)
+    assert(ChunkStoreIngest.bytesStored(spark, store) - bytesBefore
+      === doc4Bytes,
+      "post-compaction ingest must dedup against the folded base")
+    val got = ChunkStoreIngest.chunks(spark, store).collect()
+      .map(r => r.getAs[String]("h") -> r.getAs[Int]("clen")).toMap
+    val want = expectedChunks(b1 ++ b2).collect()
+      .map(r => r.getAs[String]("h") -> r.getAs[Int]("clen")).toMap
+    assert(got === want)
+  }
+
   test("a replayed batch re-derives an identical delta (store unchanged)") {
     import spark.implicits._
     val src = java.nio.file.Files.createTempDirectory("graft_cs_src").toString
