@@ -864,8 +864,12 @@ object CorpusOps {
   // ------------------------------------------- q230 novelty rate
 
   private val NovK = 5   // char-gram length for the novelty measure
-  private val NovB = 2097143L     // Rabin-Karp base: prime > 0x10FFFF
-  private val NovM = 1L << 41     // modulus: NovM * NovB < 2^63
+  // Rabin-Karp rolling-polynomial constants, shared by the q230 gram
+  // keys and the q215 CDC boundary rule: base prime ABOVE the Unicode
+  // ceiling (0x10FFFF) so no two code points alias within a step;
+  // modulus * base < 2^63 keeps every intermediate in range.
+  private[queries] val RkBase = 2097143L
+  private[queries] val RkMod = 1L << 41
 
   /** q230 — held-out n-gram novelty rate: what fraction of the
     * val/test splits' 5-gram instances (and distinct 5-grams) never
@@ -910,9 +914,9 @@ object CorpusOps {
     // indexing), turning each document quadratic; element_at on the
     // materialized array is O(1).
     val gramKey = (0 until NovK).foldLeft(lit(0L)) { (acc, j) =>
-      pmod(acc * lit(NovB) +
+      pmod(acc * lit(RkBase) +
         element_at(col("cp"), col("i") + lit(j)),
-        lit(NovM))
+        lit(RkMod))
     }
     val grams = docs
       .select(col("split"),
@@ -958,8 +962,8 @@ object CorpusOps {
        |grams AS (
        |  SELECT split, ${(0 until NovK).foldLeft("CAST(0 AS BIGINT)") {
             (acc, j) =>
-              s"(($acc * $NovB + ord(substr(n, CAST(i AS INTEGER) + $j, 1)))" +
-                s" % $NovM)"
+              s"(($acc * $RkBase + ord(substr(n, CAST(i AS INTEGER) + $j, 1)))" +
+                s" % $RkMod)"
           }} AS g
        |  FROM (SELECT split, n,
        |          unnest(range(1, len(n) - ${NovK - 2})) AS i
@@ -1641,39 +1645,76 @@ object CorpusOps {
 
   /** q215 — content-defined chunking dedup audit (the Rabin/FastCDC
     * family, as in LBFS/restic/training-data blob stores): a chunk
-    * boundary falls after position i wherever the hash of the
-    * trailing 8-char window hits a 1-in-16 target (md5's first hex
-    * digit = '0' — md5 so the oracle computes identical boundaries;
-    * production swaps in a rolling Rabin hash, SAME plan shape), plus
-    * a forced boundary at end-of-document. Identical byte runs then
-    * chunk identically REGARDLESS of their offset in the containing
-    * document — the insertion-shift robustness that fixed-size
-    * blocking lacks and the reason every dedup store chunks this way.
-    * Output: per-source chunk counts, distinct-chunk counts, and the
-    * byte volume a content-addressed store would not re-write.
+    * boundary falls after position i wherever the RABIN POLYNOMIAL of
+    * the trailing 8-char window hits a 1-in-16 target (window key
+    * ≡ 0 mod 16), plus a forced boundary at end-of-document.
+    * Identical byte runs then chunk identically REGARDLESS of their
+    * offset in the containing document — the insertion-shift
+    * robustness that fixed-size blocking lacks and the reason every
+    * dedup store chunks this way. Output: per-source chunk counts,
+    * distinct-chunk counts, and the byte volume a content-addressed
+    * store would not re-write.
+    *
+    * The boundary hash HISTORY — a measured negative result worth
+    * keeping: rounds 8-9 used md5 of the window (first hex digit =
+    * '0') and documented "a rolling Rabin hash would cut the constant
+    * ~10× but has no DuckDB spelling". The q230 work found the
+    * spelling (per-step ord()/ascii() polynomial, identical pmod
+    * arithmetic on both engines), so that trade was finally testable
+    * — and the premise was WRONG: the digest was never the
+    * bottleneck. Three shapes measured at sf0.1: md5-per-window
+    * 3.2 s; the polynomial with the code-point array carried through
+    * the position explode 58 s (Generate materializes the array per
+    * output row — payload columns through an explode are quadratic);
+    * the polynomial as a filter HOF over a localCheckpointed
+    * code-point array (this form) 2.8-3.2 s — the cost is the
+    * 1.45M-position stream itself (interpreted lambda per element;
+    * HOFs sit outside whole-stage codegen), not the hash inside it.
+    * The Rabin form is kept: equal cost, integer-exact on both
+    * engines, and the boundary rule now IS the Rabin-family window
+    * key the CDC literature assumes.
     *
     * Scale shape: boundary detection is embarrassingly parallel
-    * (position explode → codegen'd md5 — no interpreted lambda per
-    * the r8 HOF lesson); boundary rows carry (doc_id, i) ONLY — the
-    * text amplification of carrying documents through the per-doc
-    * window shuffle is deliberately avoided, text moves once in the
-    * final span join. The chunk-hash groupBy shuffles 16-byte keys,
-    * high-cardinality and uniform. Each stage survives 100 TB. */
+    * (position explode → codegen'd integer ops — no interpreted
+    * lambda per the r8 HOF lesson); boundary rows carry (doc_id, i)
+    * ONLY — the text amplification of carrying documents through the
+    * per-doc window shuffle is deliberately avoided, text moves once
+    * in the final span join. The chunk-hash groupBy shuffles 16-byte
+    * keys, high-cardinality and uniform. Each stage survives
+    * 100 TB. */
   /** The chunker itself, reusable over any (doc_id, source, text)
     * frame — q215 aggregates it; the spec re-runs it on shifted text
     * to pin the offset-robustness property. */
   private[graft] def cdcChunkFrame(docs0: DataFrame): DataFrame = {
     val docs = docs0.filter(length(col("text")) >= 1)
       .select(col("doc_id"), col("source"), col("text"))
-    val pos = docs
-      .select(col("doc_id"), col("text"),
-        explode(when(length(col("text")) >= CdcWindow,
-          sequence(lit(CdcWindow), length(col("text"))))
-          .otherwise(array())).as("i"))
-    val bnd = pos
-      .filter(substring(md5(col("text").substr(
-        col("i") - lit(CdcWindow - 1), lit(CdcWindow))), 1, 1) === "0")
-      .select(col("doc_id"), col("i"))
+    // Boundary detection stays INSIDE the array world: the per-doc
+    // code-point array is materialized once (localCheckpoint — the
+    // frame is doc-count-sized, and the barrier stops CollapseProject
+    // from inlining the split/transform into the filter lambda, where
+    // it would re-evaluate per POSITION — the r8 HOF lesson), then a
+    // filter HOF keeps only boundary positions. Nothing doc-sized is
+    // ever exploded: the generate emits the ~len/16 boundary list,
+    // not len positions each dragging a payload column through the
+    // Generate's row materialization (measured 58 s in that shape).
+    def winKey(i: Column) = (0 until CdcWindow).foldLeft(lit(0L)) {
+      (acc, j) =>
+        pmod(acc * lit(RkBase) +
+          element_at(col("cp"), i - lit(CdcWindow - 1) + lit(j)),
+          lit(RkMod))
+    }
+    val cps = docs
+      .select(col("doc_id"), length(col("text")).as("n"),
+        transform(split(col("text"), ""), c => ascii(c).cast(LongType))
+          .as("cp"))
+      .localCheckpoint()
+    val bnd = cps
+      .select(col("doc_id"),
+        explode(filter(
+          when(col("n") >= CdcWindow,
+            sequence(lit(CdcWindow), col("n"))).otherwise(array()),
+          i => pmod(winKey(i), lit(16L)) === 0L)).as("i"))
+      .select(col("doc_id"), col("i").cast(IntegerType).as("i"))
       .union(docs.select(col("doc_id"), length(col("text")).as("i")))
       .distinct()
     val w = Window.partitionBy("doc_id").orderBy("i")
@@ -1710,8 +1751,12 @@ object CorpusOps {
        |  FROM d WHERE n >= $CdcWindow),
        |bnd AS (
        |  SELECT doc_id, i FROM pos
-       |  WHERE substr(md5(substr(text, i - ${CdcWindow - 1}, $CdcWindow)),
-       |    1, 1) = '0'
+       |  WHERE (${(0 until CdcWindow).foldLeft("CAST(0 AS BIGINT)") {
+              (acc, j) =>
+                s"(($acc * $RkBase + ord(substr(text, " +
+                  s"CAST(i - ${CdcWindow - 1 - j} AS INTEGER), 1)))" +
+                  s" % $RkMod)"
+            }}) % 16 = 0
        |  UNION
        |  SELECT doc_id, n AS i FROM d),
        |sp AS (
