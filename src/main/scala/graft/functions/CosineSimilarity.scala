@@ -476,7 +476,9 @@ object GraftFunctions {
     ("bmp_stats", classOf[BmpStats].getName,
       children => BmpStats(children(0))),
     ("winnow_fingerprints", classOf[WinnowFingerprints].getName,
-      children => WinnowFingerprints(children(0), children(1), children(2))))
+      children => WinnowFingerprints(children(0), children(1), children(2))),
+    ("rabin_boundaries", classOf[RabinBoundaries].getName,
+      children => RabinBoundaries(children(0), children(1), children(2))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, cls, builder) =>

@@ -1667,10 +1667,13 @@ object CorpusOps {
     * the position explode 58 s (Generate materializes the array per
     * output row — payload columns through an explode are quadratic);
     * the polynomial as a filter HOF over a localCheckpointed
-    * code-point array (this form) 2.8-3.2 s — the cost is the
-    * 1.45M-position stream itself (interpreted lambda per element;
-    * HOFs sit outside whole-stage codegen), not the hash inside it.
-    * The Rabin form is kept: equal cost, integer-exact on both
+    * code-point array 2.8-3.2 s — the cost is the 1.45M-position
+    * stream itself (interpreted lambda per element; HOFs sit outside
+    * whole-stage codegen), not the hash inside it; the native
+    * [[graft.functions.RabinBoundaries]] kernel (one codegen'd
+    * O(len) rolling pass per document, bit-equality-spec'd against
+    * the HOF twin incl. CJK/astral) 1.1 s. The kernel is the
+    * production path: 3x under the md5 rule, integer-exact on both
     * engines, and the boundary rule now IS the Rabin-family window
     * key the CDC literature assumes.
     *
@@ -1682,39 +1685,49 @@ object CorpusOps {
     * in the final span join. The chunk-hash groupBy shuffles 16-byte
     * keys, high-cardinality and uniform. Each stage survives
     * 100 TB. */
-  /** The chunker itself, reusable over any (doc_id, source, text)
-    * frame — q215 aggregates it; the spec re-runs it on shifted text
-    * to pin the offset-robustness property. */
-  private[graft] def cdcChunkFrame(docs0: DataFrame): DataFrame = {
+  /** The DECLARATIVE twin of the [[graft.functions.RabinBoundaries]]
+    * kernel — the filter-HOF polynomial over a split code-point
+    * array. Exists for the bit-equality spec only (the kernel is the
+    * production path): (doc_id, boundary-position) rows. */
+  private[graft] def cdcBoundariesDeclarative(docs0: DataFrame): DataFrame = {
     val docs = docs0.filter(length(col("text")) >= 1)
-      .select(col("doc_id"), col("source"), col("text"))
-    // Boundary detection stays INSIDE the array world: the per-doc
-    // code-point array is materialized once (localCheckpoint — the
-    // frame is doc-count-sized, and the barrier stops CollapseProject
-    // from inlining the split/transform into the filter lambda, where
-    // it would re-evaluate per POSITION — the r8 HOF lesson), then a
-    // filter HOF keeps only boundary positions. Nothing doc-sized is
-    // ever exploded: the generate emits the ~len/16 boundary list,
-    // not len positions each dragging a payload column through the
-    // Generate's row materialization (measured 58 s in that shape).
     def winKey(i: Column) = (0 until CdcWindow).foldLeft(lit(0L)) {
       (acc, j) =>
         pmod(acc * lit(RkBase) +
           element_at(col("cp"), i - lit(CdcWindow - 1) + lit(j)),
           lit(RkMod))
     }
-    val cps = docs
+    docs
       .select(col("doc_id"), length(col("text")).as("n"),
         transform(split(col("text"), ""), c => ascii(c).cast(LongType))
           .as("cp"))
-      .localCheckpoint()
-    val bnd = cps
+      .localCheckpoint(eager = false) // CollapseProject barrier (r8 HOF lesson)
       .select(col("doc_id"),
         explode(filter(
-          when(col("n") >= CdcWindow,
-            sequence(lit(CdcWindow), col("n"))).otherwise(array()),
+          when(size(col("cp")) >= CdcWindow,
+            sequence(lit(CdcWindow), size(col("cp")))).otherwise(array()),
           i => pmod(winKey(i), lit(16L)) === 0L)).as("i"))
       .select(col("doc_id"), col("i").cast(IntegerType).as("i"))
+  }
+
+  /** The chunker itself, reusable over any (doc_id, source, text)
+    * frame — q215 aggregates it; the spec re-runs it on shifted text
+    * to pin the offset-robustness property. */
+  private[graft] def cdcChunkFrame(docs0: DataFrame): DataFrame = {
+    val docs = docs0.filter(length(col("text")) >= 1)
+      .select(col("doc_id"), col("source"), col("text"))
+    // Boundary detection is the native one-pass rolling kernel
+    // ([[graft.functions.RabinBoundaries]] — O(1) per character,
+    // codegen'd): the generate emits only the ~len/16 boundary list,
+    // never len positions, and no payload column rides through it.
+    // The declarative twin (filter HOF over a split code-point array)
+    // is bit-equality-spec'd against the kernel in LlmOpsSpec and
+    // kept there as [[cdcBoundariesDeclarative]].
+    graft.functions.GraftFunctions.register(docs0.sparkSession)
+    val bnd = docs
+      .select(col("doc_id"),
+        explode(call_function("rabin_boundaries", col("text"),
+          lit(CdcWindow), lit(16))).as("i"))
       .union(docs.select(col("doc_id"), length(col("text")).as("i")))
       .distinct()
     val w = Window.partitionBy("doc_id").orderBy("i")

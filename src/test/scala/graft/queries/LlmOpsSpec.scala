@@ -948,4 +948,42 @@ class LlmOpsSpec extends SparkTestBase {
     val (v2, l2) = VectorOps.topPrincipalComponent(spark, Sf)
     assert(v.toSeq == v2.toSeq && lambda == l2)
   }
+
+  test("rabin_boundaries kernel is bit-identical to the declarative " +
+    "filter-HOF polynomial (corpus + edge cases)") {
+    graft.functions.GraftFunctions.register(spark)
+    def viaKernel(df: org.apache.spark.sql.DataFrame) = df
+      .filter(length(col("text")) >= 1)
+      .select(col("doc_id"),
+        explode(call_function("rabin_boundaries", col("text"),
+          lit(8), lit(16))).as("i"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    def viaTwin(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.cdcBoundariesDeclarative(df)
+        .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val docs = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text"))
+    val k = viaKernel(docs)
+    assert(k === viaTwin(docs), "corpus boundary mismatch")
+    assert(k.nonEmpty, "fixture corpus should produce some boundaries")
+    // edge cases: shorter than the window (no hash boundaries),
+    // exactly the window, a boundary-free long run, accented/CJK/
+    // astral code points (split("") cuts per code point and ascii()
+    // returns the TRUE code point \u2014 the kernel decodes UTF-8 to the
+    // same units), and a repeated pattern (identical windows ->
+    // aligned boundaries). Non-ASCII is CONSTRUCTED from code points
+    // so no editor/pipe encoding can corrupt the fixture.
+    import spark.implicits._
+    val cafe = "caf" + 0xe9.toChar + " au lait, "
+    val cjk = ("one" + 0x4e2d.toChar + 0x6587.toChar + "two") * 5
+    val astral = ("ab" + new String(Character.toChars(0x1F600)) + "cd") * 6
+    val edges = Seq(
+      (0L, "short"), (1L, "12345678"), (2L, "a" * 200),
+      (3L, cafe * 3 + "end!"),
+      (4L, ("the quick brown fox. " * 20)),
+      (5L, cjk), (6L, astral)).toDF("doc_id", "text")
+    assert(viaKernel(edges) === viaTwin(edges), "edge-case mismatch")
+    // the kernel agrees with itself across partitionings (pure per-row)
+    assert(viaKernel(edges.repartition(7)) === viaKernel(edges))
+  }
 }
