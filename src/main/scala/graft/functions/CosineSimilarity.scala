@@ -478,7 +478,9 @@ object GraftFunctions {
     ("winnow_fingerprints", classOf[WinnowFingerprints].getName,
       children => WinnowFingerprints(children(0), children(1), children(2))),
     ("rabin_boundaries", classOf[RabinBoundaries].getName,
-      children => RabinBoundaries(children(0), children(1), children(2))))
+      children => RabinBoundaries(children(0), children(1), children(2))),
+    ("rabin_gram_keys", classOf[RabinGramKeys].getName,
+      children => RabinGramKeys(children(0), children(1))))
 
   def register(spark: SparkSession): Unit =
     all.foreach { case (name, cls, builder) =>

@@ -134,3 +134,96 @@ case class RabinBoundaries(first: Expression, second: Expression,
   override protected def withNewChildrenInternal(f: Expression, s: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
 }
+
+/** ALL k-gram Rabin keys of a string, one per window (n−k+1 entries,
+  * empty when n < k), in one codegen'd rolling pass — the gram-key
+  * producer for q230's novelty anti-join: `explode(rabin_gram_keys(n,
+  * k))` emits bare BIGINTs with no payload column riding the
+  * Generate, replacing the split-array + element_at chain (whose
+  * per-gram lambda work and array-through-explode costs PERF.md
+  * documents). Unit semantics, base, and modulus are identical to
+  * [[RabinBoundaries]] — and to the declarative ascii()-polynomial
+  * twin, which stays as the oracle spelling and the bit-equality
+  * spec. */
+case class RabinGramKeys(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (org.apache.spark.sql.types.StringType, IntegerType)
+        if right.foldable => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"rabin_gram_keys expects (string, foldable int), got ($l, $r)")
+    }
+
+  private lazy val k: Int = right.eval().asInstanceOf[Int]
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def nullIntolerant: Boolean = true
+
+  override def prettyName: String = "rabin_gram_keys"
+
+  private val B = 2097143L      // CorpusOps.RkBase
+  private val M = 1L << 41      // CorpusOps.RkMod
+  private lazy val bPow: Long = {
+    var p = 1L
+    var j = 1
+    while (j < k) { p = (p * B) & (M - 1); j += 1 }
+    p
+  }
+
+  /** Per-row kernel — also the codegen target. */
+  def compute(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    val nb = u.numBytes()
+    val units = new Array[Int](nb)
+    var n = 0
+    var i = 0
+    while (i < nb) {
+      val b0 = u.getByte(i) & 0xff
+      val step = org.apache.spark.unsafe.types.UTF8String
+        .numBytesForFirstByte(u.getByte(i))
+      units(n) =
+        if (step == 1 || i + step > nb) b0
+        else if (step == 2)
+          ((b0 & 0x1f) << 6) | (u.getByte(i + 1) & 0x3f)
+        else if (step == 3)
+          ((b0 & 0x0f) << 12) | ((u.getByte(i + 1) & 0x3f) << 6) |
+            (u.getByte(i + 2) & 0x3f)
+        else
+          ((b0 & 0x07) << 18) | ((u.getByte(i + 1) & 0x3f) << 12) |
+            ((u.getByte(i + 2) & 0x3f) << 6) | (u.getByte(i + 3) & 0x3f)
+      n += 1
+      i += step
+    }
+    if (n < k) return new GenericArrayData(Array.empty[Long])
+    val out = new Array[Long](n - k + 1)
+    var key = 0L
+    var j = 0
+    while (j < k) { key = ((key * B) + units(j)) & (M - 1); j += 1 }
+    out(0) = key
+    j = k
+    while (j < n) {
+      key = (((key - units(j - k) * bPow) & (M - 1)) * B + units(j)) &
+        (M - 1)
+      out(j - k + 1) = key
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    compute(a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, _) => {
+      val ref = ctx.addReferenceObj("rabinGramKeys", this,
+        classOf[RabinGramKeys].getName)
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) " +
+        s"$ref.compute($a);"
+    })
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): Expression = copy(left = l, right = r)
+}

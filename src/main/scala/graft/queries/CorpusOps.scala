@@ -886,17 +886,39 @@ object CorpusOps {
     * key is NOT the raw gram string but a Rabin–Karp polynomial over
     * its code points as a BIGINT: every downstream exchange ships
     * 8-byte longs instead of variable-length strings, the
-    * distinct/anti-join compare fixed-width integers, and the key is
-    * five array-lookup+multiply-add integer ops, all codegen'd.
-    * Measured at sf0.1: 1.2 s, vs 3.5 s for raw 5-char string keys
-    * (r9) and 5.7 s for a 60-bit md5-prefix key (one digest + hex
-    * parse per gram instance — hash cost swamped the shuffle-width
-    * saving, so md5 was rejected on measurement). The
+    * distinct/anti-join compare fixed-width integers, and the keys
+    * come from the native rolling kernel (one codegen'd O(len) pass
+    * per doc; the explode emits bare BIGINTs). Measured at sf0.1:
+    * 0.9-1.3 s via the kernel, vs 1.2-1.7 s for the declarative
+    * split-array + element_at polynomial, 3.5 s for raw 5-char
+    * string keys (r9), and 5.7 s for a 60-bit md5-prefix key (one
+    * digest + hex parse per gram instance — hash cost swamped the
+    * shuffle-width saving, so md5 was rejected on measurement). The
     * base is a prime above the Unicode ceiling (no two code points
     * alias within a step) and the 41-bit modulus keeps every
     * intermediate below 2⁶³; ~10⁶ distinct grams expect <1 colliding
     * pair, the oracle computes the identical polynomial, so
     * verification stays exact. */
+  /** The DECLARATIVE twin of [[graft.functions.RabinGramKeys]] — the
+    * element_at polynomial over a split code-point array. Exists for
+    * the bit-equality spec only: (value) rows of gram keys for any
+    * single-text-column frame. */
+  private[graft] def noveltyGramsDeclarative(texts: DataFrame): DataFrame = {
+    val gramKey = (0 until NovK).foldLeft(lit(0L)) { (acc, j) =>
+      pmod(acc * lit(RkBase) +
+        element_at(col("cp"), col("i") + lit(j)),
+        lit(RkMod))
+    }
+    texts
+      .select(transform(split(col("text"), ""), c => ascii(c).cast(LongType))
+        .as("cp"))
+      .select(explode(when(size(col("cp")) >= NovK,
+        sequence(lit(1), size(col("cp")) - lit(NovK - 1)))
+        .otherwise(array())).as("i"),
+        col("cp"))
+      .select(gramKey.as("g"))
+  }
+
   def q230NoveltyRate(s: SparkSession, dir: String): DataFrame = {
     val fp = md5(norm(col("text")))
     val h = md5Hash32(concat(lit("split:"), fp)) % 100L
@@ -905,29 +927,18 @@ object CorpusOps {
         when(h < 80, "train").when(h < 90, "val").otherwise("test")
           .as("split"),
         norm(col("text")).as("n"))
-    // gram key: (((c0·B + c1) % M)·B + c2) % M … — B prime above the
-    // Unicode ceiling (0x10FFFF) so code points never alias within a
-    // step; M·B < 2^63 keeps every intermediate in range, hence the
-    // per-step mod. The code points come from ONE split pass per
-    // document into an array — substr(n, i+j, 1) per gram char would
-    // re-walk the string from its start every call (code-point
-    // indexing), turning each document quadratic; element_at on the
-    // materialized array is O(1).
-    val gramKey = (0 until NovK).foldLeft(lit(0L)) { (acc, j) =>
-      pmod(acc * lit(RkBase) +
-        element_at(col("cp"), col("i") + lit(j)),
-        lit(RkMod))
-    }
+    // gram key: (((c0·B + c1) % M)·B + c2) % M … via the native
+    // rolling kernel ([[graft.functions.RabinGramKeys]] — one
+    // codegen'd O(len) pass per doc emitting the full key array, so
+    // the explode carries bare BIGINTs and no payload column). The
+    // declarative split-array + element_at twin stays as
+    // [[noveltyGramsDeclarative]] for the bit-equality spec and the
+    // oracle spelling.
+    graft.functions.GraftFunctions.register(s)
     val grams = docs
       .select(col("split"),
-        transform(split(col("n"), ""), c => ascii(c).cast(LongType))
-          .as("cp"))
-      .select(col("split"),
-        explode(when(size(col("cp")) >= NovK,
-          sequence(lit(1), size(col("cp")) - lit(NovK - 1)))
-          .otherwise(array())).as("i"),
-        col("cp"))
-      .select(col("split"), gramKey.as("g"))
+        explode(call_function("rabin_gram_keys", col("n"), lit(NovK)))
+          .as("g"))
     val trainSet = grams.filter(col("split") === "train")
       .select("g").distinct()
     val held = grams.filter(col("split") =!= "train")

@@ -986,4 +986,31 @@ class LlmOpsSpec extends SparkTestBase {
     // the kernel agrees with itself across partitionings (pure per-row)
     assert(viaKernel(edges.repartition(7)) === viaKernel(edges))
   }
+
+  test("rabin_gram_keys kernel is bit-identical to the declarative " +
+    "element_at polynomial (corpus + edge cases)") {
+    graft.functions.GraftFunctions.register(spark)
+    def viaKernel(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(call_function("rabin_gram_keys", col("text"),
+        lit(5))).as("g"))
+      .collect().map(_.getLong(0)).sorted.toSeq
+    def viaTwin(df: org.apache.spark.sql.DataFrame) =
+      CorpusOps.noveltyGramsDeclarative(df)
+        .collect().map(_.getLong(0)).sorted.toSeq
+    val docs = graft.Tables.documents(spark, Sf)
+      .filter(col("text").isNotNull).select(col("text"))
+    val k = viaKernel(docs)
+    assert(k === viaTwin(docs), "corpus gram-key mismatch")
+    assert(k.nonEmpty)
+    import spark.implicits._
+    val cafe = "caf" + 0xe9.toChar + " au lait, "
+    val cjk = ("one" + 0x4e2d.toChar + 0x6587.toChar + "two") * 5
+    val astral = ("ab" + new String(Character.toChars(0x1F600)) + "cd") * 6
+    val edges = Seq("tiny", "12345", "z" * 40, cafe * 3, cjk, astral)
+      .toDF("text")
+    assert(viaKernel(edges) === viaTwin(edges), "edge-case mismatch")
+    // exactly n-k+1 keys per doc, none for shorter-than-k
+    assert(viaKernel(Seq("abcd").toDF("text")).isEmpty)
+    assert(viaKernel(Seq("abcde").toDF("text")).length === 1)
+  }
 }
