@@ -52,7 +52,11 @@ case class RabinBoundaries(first: Expression, second: Expression,
           s"got ($a, $b, $c)")
     }
 
-  private lazy val window: Int = second.eval().asInstanceOf[Int]
+  private lazy val window: Int = {
+    val w = second.eval().asInstanceOf[Int]
+    require(w >= 1, s"rabin_boundaries window must be >= 1, got $w")
+    w
+  }
   private lazy val mask: Long = {
     val m = third.eval().asInstanceOf[Int].toLong
     require(m > 0 && (m & (m - 1)) == 0,
@@ -156,7 +160,11 @@ case class RabinGramKeys(left: Expression, right: Expression)
         s"rabin_gram_keys expects (string, foldable int), got ($l, $r)")
     }
 
-  private lazy val k: Int = right.eval().asInstanceOf[Int]
+  private lazy val k: Int = {
+    val v = right.eval().asInstanceOf[Int]
+    require(v >= 1, s"rabin_gram_keys k must be >= 1, got $v")
+    v
+  }
 
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
