@@ -6,6 +6,17 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
 
+/** The Rabin rolling-polynomial constants — ONE definition shared by
+  * the kernels here and every declarative/oracle spelling
+  * (`CorpusOps` q230 gram keys, q215 CDC boundaries): base prime
+  * ABOVE the Unicode ceiling (0x10FFFF) so no two code points alias
+  * within a step; modulus a power of two with base·modulus < 2^63,
+  * so every intermediate fits a long and each mod is a mask. */
+object RabinHash {
+  val Base = 2097143L
+  val Mod = 1L << 41
+}
+
 /** Content-defined chunk boundaries by a ROLLING Rabin window
   * polynomial, in one codegen'd pass per document: returns the
   * 1-based character positions `i` (window END positions, `i` in
@@ -35,10 +46,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * mojibake chars and makes ascii() look like it returns U+FFFD —
   * that cost this kernel two wrong decode designs before the
   * escape-constructed probe settled it.) The kernel decodes UTF-8
-  * in place, one unit per code point. The modulus M = 2^41 and base
-  * B = 2097143 are `CorpusOps.{RkMod, RkBase}`; B·M < 2^63 bounds
-  * every intermediate and the power-of-two M turns each mod into a
-  * mask. */
+  * in place, one unit per code point. Base and modulus come from the
+  * shared [[RabinHash]] definition. */
 case class RabinBoundaries(first: Expression, second: Expression,
     third: Expression) extends TernaryExpression {
 
@@ -70,8 +79,8 @@ case class RabinBoundaries(first: Expression, second: Expression,
 
   override def prettyName: String = "rabin_boundaries"
 
-  private val B = 2097143L      // CorpusOps.RkBase
-  private val M = 1L << 41      // CorpusOps.RkMod (power of 2 => mask)
+  private val B = RabinHash.Base
+  private val M = RabinHash.Mod // power of 2 => mod is a mask
   private lazy val bPow: Long = {         // B^(window-1) mod M
     var p = 1L
     var j = 1
@@ -173,8 +182,8 @@ case class RabinGramKeys(left: Expression, right: Expression)
 
   override def prettyName: String = "rabin_gram_keys"
 
-  private val B = 2097143L      // CorpusOps.RkBase
-  private val M = 1L << 41      // CorpusOps.RkMod
+  private val B = RabinHash.Base
+  private val M = RabinHash.Mod
   private lazy val bPow: Long = {
     var p = 1L
     var j = 1

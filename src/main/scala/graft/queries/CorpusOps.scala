@@ -864,12 +864,12 @@ object CorpusOps {
   // ------------------------------------------- q230 novelty rate
 
   private val NovK = 5   // char-gram length for the novelty measure
-  // Rabin-Karp rolling-polynomial constants, shared by the q230 gram
-  // keys and the q215 CDC boundary rule: base prime ABOVE the Unicode
-  // ceiling (0x10FFFF) so no two code points alias within a step;
-  // modulus * base < 2^63 keeps every intermediate in range.
-  private[queries] val RkBase = 2097143L
-  private[queries] val RkMod = 1L << 41
+  // Rabin-Karp rolling-polynomial constants — aliases of the ONE
+  // definition next to the kernels ([[graft.functions.RabinHash]]),
+  // so the declarative twins and oracle spellings can never drift
+  // from the native code paths.
+  private[queries] val RkBase = graft.functions.RabinHash.Base
+  private[queries] val RkMod = graft.functions.RabinHash.Mod
 
   /** q230 — held-out n-gram novelty rate: what fraction of the
     * val/test splits' 5-gram instances (and distinct 5-grams) never
