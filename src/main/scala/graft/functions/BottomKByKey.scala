@@ -30,7 +30,13 @@ case class BottomKByKey(k: Int)
   require(k > 0, "k must be positive")
 
   private def beats(a: KeyedId, b: KeyedId): Boolean = {
-    val c = a.key.compareTo(b.key)
+    // UTF-8 byte order (Spark ORDER BY / DuckDB binary collation), not
+    // Java String.compareTo's UTF-16 code-unit order — the two diverge
+    // for supplementary-plane keys (U+E000–U+FFFF vs astral), and this
+    // aggregator is documented as a generic lexicographic sibling, not
+    // an md5-hex-only one.
+    val c = org.apache.spark.unsafe.types.UTF8String.fromString(a.key)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.key))
     c < 0 || (c == 0 && a.id < b.id)
   }
 

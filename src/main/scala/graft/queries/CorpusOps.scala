@@ -177,19 +177,32 @@ object CorpusOps {
     * Natural corpora run slope ≈ −1; a flat slope flags synthetic or
     * templated text, a cliff flags boilerplate domination — a one-row-
     * per-language corpus-health gauge. Shape: word count (map-side
-    * combined) → per-lang top-k window (k rows survive per lang) →
+    * combined) → per-lang top-1000 via the
+    * [[graft.functions.TopKByScoreKey]] bounded-heap aggregate →
     * closed-form regression from integer sufficient statistics (the
-    * quantized-ln idiom, same shape as q97). */
+    * quantized-ln idiom, same shape as q97).
+    *
+    * The heap, not a `row_number OVER (PARTITION BY lang)` window: a
+    * ~5-value partition key hashes the whole vocabulary-sized count
+    * frame (billions of rows at 100 TB) into ~5 single-task sorts,
+    * while the aggregate ships ≤1000 rows per lang per map task and
+    * merges associatively — exact under the (c DESC, t ASC UTF-8)
+    * total order, so rank = explode position + 1 is bit-identical to
+    * the window form the oracle runs. */
   def q104ZipfFit(s: SparkSession, dir: String): DataFrame = {
     val d = (c: Column) => c.cast(DoubleType)
     val lnQ = (c: Column) => floor(log(d(c)) * 1e6).cast(LongType)
+    val topk = udaf(graft.functions.TopKByScoreKey(1000),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.ScoredKey]())
     val ranked = Tables.documents(s, dir)
       .select(col("lang"), explode(split(norm(col("text")), " ")).as("t"))
       .groupBy("lang", "t").agg(count(lit(1)).as("c"))
-      .withColumn("r", row_number().over(
-        Window.partitionBy("lang").orderBy(col("c").desc, col("t"))))
-      .filter(col("r") <= 1000)
-      .select(col("lang"), lnQ(col("r")).as("x"), lnQ(col("c")).as("y"))
+      .groupBy("lang")
+      .agg(topk(col("c"), col("t")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos0", "e")))
+      .select(col("lang"), lnQ(col("pos0") + 1).as("x"),
+        lnQ(col("e.score")).as("y"))
     val det = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
     val cov = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
     ranked.groupBy("lang")
@@ -214,18 +227,32 @@ object CorpusOps {
     * documents proportionally more likely, yet the sample is a pure
     * function of content (reproducible across runs/clusters, stable
     * under repartitioning — the property `sample(fraction)` cannot
-    * give). Per-lang top-k window; at 100 TB swap the window for the
-    * same key into a per-partition top-k + merge (q18's
-    * TakeOrderedAndProject shape) — the key stays identical. */
+    * give).
+    *
+    * The per-lang smallest-5 cut is the
+    * [[graft.functions.BottomKByScore]] bounded-heap aggregate, NOT a
+    * `row_number OVER (PARTITION BY lang)` window — a ~5-value
+    * partition key would hash ALL documents into ~5 single-task
+    * sorts, while the heap ships ≤5 rows per lang per map task and
+    * merges associatively (exact under the (key ASC, doc_id ASC)
+    * total order, so the DuckDB window oracle is unchanged). NULL
+    * keys (n_chars = 0) map to −∞, reproducing Spark's NULLS FIRST
+    * ascending window order; n_chars rides the heap entry as payload
+    * so no join back to documents is needed. */
   def q105WeightedSample(s: SparkSession, dir: String): DataFrame = {
     val u = (md5Hash32(norm(col("text"))) + 1).cast(DoubleType) / lit(4294967296.0)
     val key = -log(u) / nullif(col("n_chars"), lit(0L)).cast(DoubleType)
+    val bottomk = udaf(graft.functions.BottomKByScore(5),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.ScoredRow]())
     Tables.documents(s, dir)
       .select(col("lang"), col("doc_id"), col("n_chars"), key.as("k"))
-      .withColumn("rank", row_number().over(
-        Window.partitionBy("lang").orderBy(col("k"), col("doc_id"))))
-      .filter(col("rank") <= 5)
-      .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"))
+      .groupBy("lang")
+      .agg(bottomk(coalesce(col("k"), lit(Double.NegativeInfinity)),
+        col("doc_id"), col("n_chars")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos0", "e")))
+      .select(col("lang"), (col("pos0") + 1).as("rank"),
+        col("e.id").as("doc_id"), col("e.payload").as("n_chars"))
       .orderBy("lang", "rank")
   }
 
@@ -329,22 +356,36 @@ object CorpusOps {
     * pipeline whether a language's token budget is concentrated in a
     * few giant documents (gini→1) or spread evenly (gini→0). Ranks
     * tie-break on doc_id, but tied lengths contribute the same Σr·x
-    * under any tie order, so the value is tie-order-independent.
-    * Scale shape: per-language rank windows (range-partitioned sorts
-    * per group — never a global sort) into one group-sized aggregate;
-    * every sum is an exact BIGINT (Σ rank·x overflows only past
-    * ~10¹⁸ — beyond any per-language corpus at 100 TB with chunked
-    * docs), and the one double division runs on integer totals. */
+    * under any tie order, so the value is tie-order-independent —
+    * and that independence makes the rank window REMOVABLE: for the
+    * c tied rows at length x starting at rank s, Σ r·x =
+    * x·(c·s + c(c−1)/2), so Σ rank·x aggregates from the per-(lang,
+    * length) histogram alone.
+    *
+    * Scale shape: one (lang, n_chars) count aggregate (map-side
+    * combined — the only pass over the corpus), then a running-count
+    * window over THAT frame, whose size is bounded by the distinct
+    * document lengths per language (value-domain-sized, orders of
+    * magnitude below the corpus) — never a per-language sort of every
+    * document, which with a ~5-value partition key would collapse to
+    * ~5 single-task corpus-sized sorts. Every sum is an exact BIGINT
+    * (Σ rank·x overflows only past ~10¹⁸ — beyond any per-language
+    * corpus at 100 TB with chunked docs), and the one double division
+    * runs on integer totals; the oracle keeps the per-document window
+    * spelling, which this equals bit-for-bit. */
   def q161GiniLengths(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("x", "doc_id")
-    Tables.documents(s, dir)
-      .select(col("lang"), col("doc_id"),
-        col("n_chars").cast(LongType).as("x"))
-      .select(col("lang"), col("x"),
-        row_number().over(w).cast(LongType).as("rk"))
+    val byLen = Tables.documents(s, dir)
+      .select(col("lang"), col("n_chars").cast(LongType).as("x"))
+      .groupBy("lang", "x").agg(count(lit(1)).as("c"))
+    val wRun = Window.partitionBy("lang").orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byLen
+      .withColumn("s", coalesce(sum(col("c")).over(wRun), lit(0L)) + 1L)
       .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("total_chars"),
-        sum(col("rk") * col("x")).as("srx"))
+      .agg(sum(col("c")).as("n_docs"),
+        sum(col("x") * col("c")).as("total_chars"),
+        sum(col("x") * (col("c") * col("s")
+          + expr("(c * (c - 1)) div 2"))).as("srx"))
       .select(col("lang"), col("n_docs"), col("total_chars"),
         ((lit(2L) * col("srx")
           - (col("n_docs") + 1L) * col("total_chars")).cast(DoubleType)

@@ -668,17 +668,44 @@ object TextOps {
     * context-window bins (512 tokens) per language stream, in doc_id
     * order — the batch-construction step ahead of tokenized training.
     * Fixed-boundary streaming pack (bin = floor(preceding-cumsum /
-    * capacity)): one window over the per-lang partition, no driver
-    * loop; the exact greedy-reset variant needs sequential state — at
-    * scale that is a `flatMapGroupsWithState` per stream, this
-    * approximation is what high-throughput packers actually run. */
+    * capacity)); the exact greedy-reset variant needs sequential
+    * state — at scale that is a `flatMapGroupsWithState` per stream,
+    * this approximation is what high-throughput packers actually run.
+    *
+    * Scale shape: the per-language running sum is the standard
+    * TWO-PHASE prefix sum, not one `sum OVER (PARTITION BY lang)`
+    * window — a ~5-value partition key would hash every document into
+    * ~5 single-task sorts. Documents are bucketed by deterministic
+    * equal-width doc_id ranges (buckets scale with the cluster:
+    * 2×defaultParallelism), phase 1 computes per-(lang, bucket) token
+    * totals (map-side combined, L×B rows), a tiny window over that
+    * aggregated frame turns them into exclusive per-bucket offsets
+    * (broadcast back), and phase 2 runs the running sum inside each
+    * (lang, bucket) — L×B-way parallel, each task sorting 1/B of one
+    * language. cum = offset + local cum is exactly the global prefix
+    * sum, so the DuckDB window oracle is unchanged bit-for-bit. */
   def q72SequencePacking(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy("lang").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, dir)
+    val base = Tables.documents(s, dir)
       .select(col("lang"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("tok"))
-      .withColumn("cum", sum(col("tok")).over(w))
+    val nBuckets = s.sparkContext.defaultParallelism.max(16) * 2
+    // 1-row stats pass: doc_id span → deterministic bucket width. The
+    // head() is bounded model state (one row), same discipline as the
+    // MlOps centroid reads; null max = empty input → any width works.
+    val mx = base.agg(max(col("doc_id"))).head()
+    val step = math.max(1L,
+      ((if (mx.isNullAt(0)) 0L else mx.getLong(0)) + 1L) / nBuckets)
+    val bucketed = base.withColumn("bkt", expr(s"doc_id div ${step}L"))
+    val offs = bucketed.groupBy("lang", "bkt")
+      .agg(sum(col("tok")).as("bsum"))
+      .withColumn("off", coalesce(sum(col("bsum")).over(
+        Window.partitionBy("lang").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("bkt"), col("off"))
+    val wLocal = Window.partitionBy("lang", "bkt").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed.join(broadcast(offs), Seq("lang", "bkt"))
+      .withColumn("cum", col("off") + sum(col("tok")).over(wLocal))
       .select(col("lang"), col("doc_id"), col("tok"), col("cum"),
         floor((col("cum") - col("tok")) / 512).as("pack_id"))
       .orderBy("lang", "doc_id")
@@ -804,19 +831,31 @@ object TextOps {
     * bounded by an oracle-green frame rather than by unit fixtures
     * alone. At 100 TB the exact form is one vocabulary-sized shuffle
     * (fine); MG remains the bounded-state fallback when per-group
-    * vocabularies don't. */
+    * vocabularies don't.
+    *
+    * Scale shape: the top-8 cut is the [[graft.functions.TopKByScoreKey]]
+    * bounded-heap aggregate, NOT `row_number() OVER (PARTITION BY
+    * lang ...)` — a ~5-value partition key would hash the entire
+    * vocabulary-sized count frame (billions of rows at 100 TB) into
+    * ~5 single-task sorts. The heap combines map-side (≤8 rows per
+    * lang per task) and merges associatively; (cnt DESC, token ASC
+    * in UTF-8 byte order) is a total order, so the result is
+    * bit-identical to the window form the DuckDB oracle runs. */
   def q210HeavyHittersExact(s: SparkSession, dir: String): DataFrame = {
     val counts = Tables.documents(s, dir)
       .select(col("lang"), explode(tokens(lower(col("text")))).as("token"))
       .filter(col("token") =!= "")
       .groupBy("lang", "token")
       .agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy("lang")
-      .orderBy(col("cnt").desc, col("token"))
+    val topk = udaf(graft.functions.TopKByScoreKey(8),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.ScoredKey]())
     counts
-      .withColumn("rank", row_number().over(w).cast(LongType))
-      .filter(col("rank") <= 8)
-      .select("lang", "rank", "token", "cnt")
+      .groupBy("lang")
+      .agg(topk(col("cnt"), col("token")).as("top"))
+      .select(col("lang"), posexplode(col("top")).as(Seq("pos0", "e")))
+      .select(col("lang"), (col("pos0") + 1).cast(LongType).as("rank"),
+        col("e.key").as("token"), col("e.score").as("cnt"))
       .orderBy("lang", "rank")
   }
 

@@ -294,26 +294,71 @@ object WarehouseOps {
     * layout's skip fraction is the measured I/O saved at scan time,
     * the data-layout ROI metric a 100 TB lakehouse tracks per table.
     *
-    * Scale shape: each layout is one global sort (exactly the
-    * repartitionByRange a real layout rewrite performs — the cost
-    * being audited) followed by a map-side block aggregate; the block
-    * stats frame is rows/1000 — three orders of magnitude smaller than
-    * the data — and the predicate cross join is blocks × 4. In
-    * production the stats come free from file footers at write time;
-    * this operator is the audit that reads them. All counts and the
-    * ppm ratio are exact integers — bit-exact cross-engine. */
+    * Scale shape: each layout needs a GLOBAL row number over the full
+    * fact table in the layout's sort order — but `row_number OVER
+    * (ORDER BY …)` is a partition-less window ("Moving all data to a
+    * single partition"), the worst possible plan at 100 TB. Instead
+    * the global index is TWO-PHASE: rows are bucketed by a
+    * deterministic equal-width split of the layout's LEADING key (a
+    * 1-row min/max stats pass fixes the bucket width; buckets scale
+    * with the cluster at 2×defaultParallelism, and equal keys always
+    * share a bucket, so bucket order refines the sort order), bucket
+    * row counts (a tiny aggregated frame) turn into exclusive
+    * prefix-count offsets via a window over that bucket-sized frame,
+    * and each bucket ranks locally in parallel — rn = offset +
+    * local row_number is exactly the global row number, so the
+    * oracle's single-window spelling is unchanged bit-for-bit. The
+    * block stats frame is rows/1000 and the predicate cross join is
+    * blocks × 4. In production the stats come free from file footers
+    * at write time; this operator is the audit that reads them. All
+    * counts and the ppm ratio are exact integers — bit-exact
+    * cross-engine. */
   def q195Zonemap(s: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
-    def blocks(layout: String, ord: Seq[Column]) = li
-      .withColumn("rn", row_number().over(Window.orderBy(ord: _*)))
-      .withColumn("blk", expr(s"(rn - 1) div $ZonemapRowsPerBlock"))
-      .groupBy("blk")
-      .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"),
-        count(lit(1)).as("n_rows"))
-      .withColumn("layout", lit(layout))
-    val stats = blocks("natural", Seq(col("l_orderkey"), col("l_linenumber")))
+    val nBuckets = s.sparkContext.defaultParallelism.max(16) * 2
+    // 1-row stats pass shared by both layouts' bucket maps (bounded
+    // model state, the MlOps-centroid discipline); nulls = empty input,
+    // where any bucket width is correct.
+    val st = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
+      min(unix_date(col("l_shipdate").cast("date"))),
+      max(unix_date(col("l_shipdate").cast("date")))).head()
+    def statAt(idx: Int): Long = // l_orderkey stats are LONG, day stats INT
+      st.getAs[java.lang.Number](idx).longValue()
+    def width(loIdx: Int, hiIdx: Int): Long =
+      if (st.isNullAt(loIdx)) 1L
+      else math.max(1L, (statAt(hiIdx) - statAt(loIdx) + 1L) / nBuckets)
+    def bucketOf(c: Column, loIdx: Int, hiIdx: Int): Column = {
+      val lo = if (st.isNullAt(loIdx)) 0L else statAt(loIdx)
+      // (c − lo) < 2^53, so the double quotient is exact enough to
+      // stay monotone; truncation toward zero = floor for ≥ 0 input
+      ((c - lit(lo)).cast("double") / lit(width(loIdx, hiIdx).toDouble))
+        .cast("long")
+    }
+    def blocks(layout: String, bkt: Column, ord: Seq[Column]) = {
+      val bucketed = li.withColumn("bkt", bkt)
+      val offs = bucketed.groupBy("bkt").agg(count(lit(1)).as("bn"))
+        // partition-less window, but over the aggregated bucket-count
+        // frame (≈2×parallelism rows) — the phase-2 boundary metadata
+        // of any distributed sort, constant-sized at every SF
+        .withColumn("off", coalesce(sum(col("bn")).over(
+          Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select(col("bkt"), col("off"))
+      bucketed.join(broadcast(offs), "bkt")
+        .withColumn("rn",
+          col("off") + row_number().over(
+            Window.partitionBy("bkt").orderBy(ord: _*)))
+        .withColumn("blk", expr(s"(rn - 1) div $ZonemapRowsPerBlock"))
+        .groupBy("blk")
+        .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"),
+          count(lit(1)).as("n_rows"))
+        .withColumn("layout", lit(layout))
+    }
+    val stats = blocks("natural", bucketOf(col("l_orderkey"), 0, 1),
+      Seq(col("l_orderkey"), col("l_linenumber")))
       .unionByName(blocks("clustered",
+        bucketOf(unix_date(col("l_shipdate").cast("date")), 2, 3),
         Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))))
     val preds = s.range(1).select(explode(array(ZonemapPreds.map {
       case (n, lo, hi) => struct(lit(n).as("pred"),
