@@ -30,8 +30,13 @@ case class BottomKByScore(k: Int)
 
   require(k > 0, "k must be positive")
 
+  // payload is the LAST tie-break, purely to keep the order total:
+  // with duplicate (score, id) inputs a preorder would make the
+  // surviving payload partition-order-dependent (q105's ids are
+  // unique per group, so this leg never decides there)
   private def beats(a: ScoredRow, b: ScoredRow): Boolean =
-    a.score < b.score || (a.score == b.score && a.id < b.id)
+    a.score < b.score || (a.score == b.score &&
+      (a.id < b.id || (a.id == b.id && a.payload < b.payload)))
 
   override def zero: Seq[ScoredRow] = Vector.empty
 

@@ -1,0 +1,148 @@
+package graft.queries
+
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Range => LRange, Window => LWindow}
+
+import graft.SparkTestBase
+
+/** The window-partition census as a GUARD (r10 verdict item 4): the
+  * q228 precedent says a registered query must not ride a
+  * low-parallelism window — `X OVER (PARTITION BY k ...)` where k has
+  * a handful of values hash-partitions the whole frame into that many
+  * single-task sorts, and a partition-less window moves ALL data to
+  * one partition. Round 10's census convicted six queries
+  * (q195/q105/q210/q104/q72/q161 — all reworked in round 11); this
+  * spec mechanizes the census over EVERY registered query's optimized
+  * plan so the pattern cannot come back unaudited.
+  *
+  * Rule, per logical Window node:
+  *   - OK if any partition column is entity/bucket-grain (not in the
+  *     known low-cardinality name set) — the frame splits O(data) ways;
+  *   - OK if an Aggregate (or a bounded Range/LocalRelation) sits
+  *     below the window — the frame is aggregated/report-sized, the
+  *     same class as a distributed sort's phase-2 boundary metadata;
+  *   - otherwise the query must carry an explicit entry in
+  *     [[WindowCensusSpec.Cleared]], which pins the r10 verdict's
+  *     reviewed exceptions. A NEW offender fails this spec.
+  *
+  * (The aggregate-below check is a may-find — an Aggregate anywhere
+  * under the window passes — so it is a census heuristic, not a
+  * proof; the per-query plan specs below pin the six reworked shapes
+  * exactly.) */
+class WindowCensusSpec extends SparkTestBase {
+
+  /** Partition-key names with O(1) distinct values at any data scale.
+    * A window partitioned ONLY by these collapses to O(1) tasks. */
+  private val LowCard = Set(
+    "lang", "epoch", "fold", "arm", "flag", "event_type",
+    "o_orderpriority", "p_brand", "source", "i", "dow", "m",
+    "layout", "pred", "l_returnflag", "l_linestatus", "rep", "split",
+    "band")
+
+  /** r10-verdict-reviewed exceptions: low-card windows whose frames
+    * were judged acceptable (dimension-/metadata-/showcase-sized), each
+    * with the reviewed reason. Adding a query here requires the same
+    * review the verdict applied — see PERF.md round-11 census table. */
+  private val Cleared: Map[String, String] = Map(
+    "q56_window_distribution" ->
+      ("SQL-surface showcase of distribution window fns over orders; " +
+        "per-priority frames are orders/5 (flagged as the next rework " +
+        "candidate if the surface ever leaves showcase duty)"),
+    "q153_quantile_norm" ->
+      ("partitioned by embedding dimension index (64 groups of n_vecs " +
+        "rows); the frame is the vector table transposed, and the " +
+        "group count grows with dims, not data"),
+    "q155_roc_auc" ->
+      ("per-fold ROC sweep; folds are O(1) but the windowed frame is " +
+        "the per-fold score distribution the AUC definition needs in " +
+        "total order — two-phase ranking is the 100 TB form"),
+    "q175_compaction_plan" ->
+      ("per-source greedy bin-pack over the FILE INVENTORY (metadata " +
+        "frame, ~data/target_file_size rows — 3+ orders below data)"),
+    "q180_skyline" ->
+      ("per-brand Pareto frontier over the part DIMENSION table (25 " +
+        "brands of a catalog-bounded frame)"))
+
+  test("window census: every registered query is free of " +
+    "low-parallelism window shapes (q228 precedent, r10 verdict)") {
+    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        val plan = fn(spark, Sf).queryExecution.optimizedPlan
+        plan.collect {
+          case w: LWindow =>
+            val parts = w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
+            val highCard = parts.exists(p => !LowCard.contains(p))
+            val aggBelow =
+              w.child.collectFirst { case a: Aggregate => a }.isDefined
+            val boundedBelow = w.child.collectFirst {
+              case r: LRange if r.numElements.isValidLong &&
+                r.numElements.longValue <= 100000 => r
+              case l: LocalRelation => l
+            }.isDefined
+            if (highCard || aggBelow || boundedBelow || Cleared.contains(name))
+              None
+            else Some(s"$name: Window partitioned by " +
+              s"[${parts.mkString(",")}] over a non-aggregated frame")
+        }.flatten
+    }
+    assert(offenders.isEmpty,
+      "low-parallelism window(s) reintroduced — rework per the q228 " +
+        "precedent (bounded-heap top-k / two-phase prefix) or review + " +
+        s"add to Cleared with a reason:\n${offenders.mkString("\n")}")
+  }
+
+  test("cleared list carries no stale entries") {
+    val names = graft.SparkEntry.queries.keySet
+    val stale = Cleared.keySet.diff(names)
+    assert(stale.isEmpty, s"Cleared entries for unregistered queries: $stale")
+  }
+
+  // ---- the six round-11 reworks, pinned exactly (q228 spec pattern)
+
+  private def executed(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("q104/q105/q210 rank through bounded-heap aggregates — no " +
+    "window operator anywhere in the plan") {
+    val plans = Map(
+      "q104" -> executed(CorpusOps.q104ZipfFit(spark, Sf)),
+      "q105" -> executed(CorpusOps.q105WeightedSample(spark, Sf)),
+      "q210" -> executed(TextOps.q210HeavyHittersExact(spark, Sf)))
+    plans.foreach { case (n, p) =>
+      assert(!p.contains("Window"), s"$n must not rank via a window: $p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$n must aggregate through the typed heap udaf: $p")
+    }
+    assert(plans("q104").contains("topkbyscorekey"))
+    assert(plans("q210").contains("topkbyscorekey"))
+    assert(plans("q105").contains("bottomkbyscore"))
+  }
+
+  test("q195/q72 window shapes: data-sized windows ride the bucket " +
+    "key; partition-less/low-card windows ride aggregated frames only") {
+    def census(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect { case w: LWindow =>
+        (w.partitionSpec.flatMap(_.references.toSeq.map(_.name)),
+          w.child.collectFirst { case a: Aggregate => a }.isDefined)
+      }
+    val z = census(WarehouseOps.q195Zonemap(spark, Sf))
+    assert(z.size == 4, s"q195: expected 2 layouts x (offsets+rank): $z")
+    z.foreach { case (parts, aggBelow) =>
+      if (parts.isEmpty) assert(aggBelow,
+        s"q195: partition-less window must ride the bucket-count frame")
+      else assert(parts == Seq("bkt"),
+        s"q195: the data-sized rank window must partition by bkt: $parts")
+    }
+    val p = census(TextOps.q72SequencePacking(spark, Sf))
+    assert(p.size == 2, s"q72: expected offsets + local-cumsum windows: $p")
+    p.foreach { case (parts, aggBelow) =>
+      if (parts == Seq("lang")) assert(aggBelow,
+        "q72: the lang-only offsets window must ride the partials frame")
+      else assert(parts.contains("bkt"),
+        s"q72: the per-document cumsum window must partition by bkt: $parts")
+    }
+    val g = census(CorpusOps.q161GiniLengths(spark, Sf))
+    assert(g.nonEmpty && g.forall(_._2),
+      s"q161: every window must ride the (lang, distinct-length) " +
+        s"aggregated frame: $g")
+  }
+}
