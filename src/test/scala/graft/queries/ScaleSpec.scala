@@ -409,6 +409,105 @@ class ScaleSpec extends SparkTestBase {
         s"(+<=${9L * nq1 * nq1} query-replica slack)")
     assert(sc10 < n10 * nq10,
       "probing must never degrade to a per-query full scan")
+    // ---- round-11 additions: the six reworked window plans (q228
+    // precedent — two-phase row numbering / prefix sums and
+    // bounded-heap top-k) run at 10x with exact replica invariants.
+    // q210: replicas multiply every (lang, token) count by exactly 10,
+    // so the heap leaderboard is IDENTICAL with cnt scaled 10x
+    val hh1 = TextOps.q210HeavyHittersExact(spark, base).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("rank")) ->
+        (r.getAs[String]("token"), r.getAs[Long]("cnt"))).toMap
+    val hh10 = timed("q210")(
+      TextOps.q210HeavyHittersExact(spark, dir).collect())
+    assert(hh10.length === hh1.size)
+    hh10.foreach { r =>
+      val (t1, c1) = hh1((r.getAs[String]("lang"), r.getAs[Long]("rank")))
+      assert(r.getAs[String]("token") === t1,
+        "replicas must not reorder the exact top-8")
+      assert(r.getAs[Long]("cnt") === 10L * c1)
+    }
+    // q104: the Zipf head's ranks are count-scale-invariant, so
+    // n_terms is unchanged and the slope moves only by the
+    // floor(ln·1e6) quantization of the 10x counts
+    val zf1 = CorpusOps.q104ZipfFit(spark, base).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val zf10 = timed("q104")(CorpusOps.q104ZipfFit(spark, dir).collect())
+    zf10.foreach { r =>
+      val b = zf1(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_terms") === b.getAs[Long]("n_terms"))
+      assert(math.abs(r.getAs[Double]("slope") - b.getAs[Double]("slope"))
+        < 1e-4, s"${r.getAs[String]("lang")}: slope moved beyond " +
+          "quantization noise")
+    }
+    // q105: every replica carries its original's A-ES key (key is a
+    // pure function of text and n_chars), originals win ties on
+    // doc_id — so rank 1 is the SAME document, and every 10x winner
+    // is a copy of a 1x winner
+    val ws1 = CorpusOps.q105WeightedSample(spark, base).collect()
+    val ws10 = timed("q105")(
+      CorpusOps.q105WeightedSample(spark, dir).collect())
+    val win1 = ws1.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).toSet).toMap
+    val rank1 = ws1.filter(_.getAs[Int]("rank") == 1)
+      .map(r => r.getAs[String]("lang") -> r.getAs[Long]("doc_id")).toMap
+    ws10.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      assert(win1(lang).contains(r.getAs[Long]("doc_id") % maxDoc),
+        s"$lang: a 10x winner is not a copy of any 1x winner")
+      if (r.getAs[Int]("rank") == 1)
+        assert(r.getAs[Long]("doc_id") === rank1(lang),
+          s"$lang: the global-min key must keep winning at 10x")
+    }
+    // q72: replicas append after the originals in doc_id order, so
+    // the original ids' prefix sums are bit-identical and each lang's
+    // final cumulative token count is exactly 10x
+    val sp1 = TextOps.q72SequencePacking(spark, base).collect()
+    val sp10 = timed("q72")(TextOps.q72SequencePacking(spark, dir))
+    val cum1 = sp1.map(r => (r.getAs[String]("lang"),
+      r.getAs[Long]("doc_id")) -> r.getAs[Long]("cum")).toMap
+    val orig10 = sp10.filter(col("doc_id") < maxDoc).collect()
+    assert(orig10.length === sp1.length)
+    orig10.foreach { r =>
+      assert(r.getAs[Long]("cum") ===
+        cum1((r.getAs[String]("lang"), r.getAs[Long]("doc_id"))),
+        "replica suffix must not disturb the original prefix sums")
+    }
+    val tot1 = sp1.groupBy(_.getAs[String]("lang"))
+      .view.mapValues(_.map(_.getAs[Long]("cum")).max).toMap
+    sp10.groupBy("lang").agg(max("cum").as("m")).collect().foreach { r =>
+      assert(r.getAs[Long]("m") === 10L * tot1(r.getAs[String]("lang")))
+    }
+    // q161: counts scale 10x exactly; the Gini of a 10x-replicated
+    // distribution moves only by the discrete n -> 10n correction
+    val gi1 = CorpusOps.q161GiniLengths(spark, base).collect()
+      .map(r => r.getAs[String]("lang") -> r).toMap
+    val gi10 = timed("q161")(CorpusOps.q161GiniLengths(spark, dir).collect())
+    gi10.foreach { r =>
+      val b = gi1(r.getAs[String]("lang"))
+      assert(r.getAs[Long]("n_docs") === 10L * b.getAs[Long]("n_docs"))
+      assert(r.getAs[Long]("total_chars") === 10L * b.getAs[Long]("total_chars"))
+      assert(math.abs(r.getAs[Double]("gini") - b.getAs[Double]("gini"))
+        < 0.01)
+    }
+    // q195: two-phase row numbering must produce a gap-free global
+    // index at 10x — every block except the last holds exactly 1000
+    // rows, so n_blocks = ceil(rows/1000) exactly; the clustered
+    // layout's skip ratios move only by block-boundary effects
+    val zm1 = WarehouseOps.q195Zonemap(spark, base).collect()
+      .map(r => (r.getAs[String]("layout"), r.getAs[String]("pred")) -> r)
+      .toMap
+    val zm10 = timed("q195")(WarehouseOps.q195Zonemap(spark, dir).collect())
+    zm10.foreach { r =>
+      val b = zm1((r.getAs[String]("layout"), r.getAs[String]("pred")))
+      val total10 = r.getAs[Long]("rows_total")
+      assert(total10 === 10L * b.getAs[Long]("rows_total"))
+      assert(r.getAs[Long]("n_blocks") === (total10 + 999L) / 1000L,
+        "global row numbers must stay gap-free (exactly-1000-row blocks)")
+      assert(math.abs(r.getAs[Long]("skip_ppm") -
+        b.getAs[Long]("skip_ppm")) <= 5000L,
+        s"${r.getAs[String]("layout")}/${r.getAs[String]("pred")}: skip " +
+          "ratio moved beyond block-boundary noise")
+    }
   }
 
   test("pipeline fails fast on missing input (documented divergence)") {
