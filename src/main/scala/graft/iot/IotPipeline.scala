@@ -103,7 +103,17 @@ object IotPipeline {
     * refresh. Idempotent by construction: any rerun — including a
     * retry after a partial failure — leaves the table equal to the
     * source frame, never appended or doubled; that is the property
-    * that makes the DAG's daily refresh safe to re-run. */
+    * that makes the DAG's daily refresh safe to re-run.
+    *
+    * NON-transactional, like the reference DAG's two-task cycle (a
+    * fidelity choice): between the TRUNCATE and the completed load,
+    * concurrent readers observe an empty or partially-loaded table,
+    * and a crash in that window leaves the table empty UNTIL the
+    * rerun — "idempotent" covers completed reruns, not mid-refresh
+    * visibility. A refresh that must stay atomic for readers would
+    * load into a staging table and swap names (or use
+    * `insertInto(table, overwrite = true)` to collapse the two steps
+    * into one job). */
   def refreshServing(spark: SparkSession, df: DataFrame,
       table: String): Unit = {
     if (!spark.catalog.tableExists(table))

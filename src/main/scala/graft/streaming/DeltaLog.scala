@@ -21,8 +21,15 @@ import org.apache.spark.sql.streaming.DataStreamWriter
   * ([[compact]]).
   *
   * Compaction is CRASH-ATOMIC via a marker protocol (all file ops on
-  * the Hadoop `FileSystem` API, so the log works unchanged on
-  * HDFS/S3A, not just `file://`):
+  * the Hadoop `FileSystem` API). The commit point is a RENAME, so the
+  * protocol's atomicity holds exactly where rename is atomic:
+  * `file://` and HDFS. S3A's rename is client-side copy+delete — NOT
+  * atomic — so on S3A a crash mid-commit can leave both the tmp and
+  * the marker visible; the marker content is empty and its NAME is
+  * the commit, so the worst case there is a committed marker plus a
+  * stale `.tmp` (cleaned by the next compaction's GC), but the
+  * one-shot commit guarantee itself needs a conditional-put object
+  * store or an HDFS-class filesystem:
   *
   *   1. the folded prefix is written to the side directory
   *      `_compacted/<upTo>/` — invisible to the partitioned raw scan
@@ -62,6 +69,16 @@ object DeltaLog {
   private def fileSystem(s: SparkSession, dir: String): (FileSystem, Path) = {
     val p = new Path(dir)
     (p.getFileSystem(s.sessionState.newHadoopConf()), p)
+  }
+
+  /** Committed compaction high-water mark of a store: max over marker
+    * files, -1 if never compacted. Public so as-of callers (sketch
+    * audits, time-travel reads) can check whether a historical batch
+    * is still below the retention horizon BEFORE asking [[readAsOf]],
+    * which throws below it. */
+  def committedHighWaterMark(s: SparkSession, storeDir: String): Long = {
+    val (fs, root) = fileSystem(s, storeDir)
+    committedHwm(fs, root)
   }
 
   /** Committed compaction high-water mark: max over marker files, -1
@@ -133,16 +150,27 @@ object DeltaLog {
     readAsOf(s, storeDir, Long.MaxValue)
 
   /** Time travel: the log as it stood after batch `batchId` committed.
-    * Below the compaction high-water mark the compacted state is the
-    * oldest view available (the usual table-format retention trade);
-    * everywhere else, because every batch owns exactly its `_batch_id`
-    * partition and partition pruning turns the predicate into a
-    * directory skip, any monitor's fold over [[readAsOf]] IS its
-    * historical state — no snapshot files, no extra bookkeeping; the
-    * log's layout already encodes its own history. */
+    * Because every batch owns exactly its `_batch_id` partition and
+    * partition pruning turns the predicate into a directory skip, any
+    * monitor's fold over [[readAsOf]] IS its historical state — no
+    * snapshot files, no extra bookkeeping; the log's layout already
+    * encodes its own history.
+    *
+    * Batches BELOW the compaction high-water mark are gone — folded
+    * into the base (the usual table-format retention trade) — so
+    * asking for them THROWS rather than silently answering with the
+    * newer hwm state (an as-of audit quietly reading the wrong
+    * snapshot is strictly worse than failing). Callers that prefer
+    * clamp-to-oldest semantics can check [[committedHighWaterMark]]
+    * first. `batchId == hwm` is exact and fine. */
   def readAsOf(s: SparkSession, storeDir: String, batchId: Long): DataFrame = {
     val (fs, root) = fileSystem(s, storeDir)
     val hwm = committedHwm(fs, root)
+    if (batchId < hwm)
+      throw new IllegalArgumentException(
+        s"readAsOf($batchId): state below the committed compaction " +
+          s"high-water mark $hwm was folded away (one-generation " +
+          "retention); check committedHighWaterMark before time-traveling")
     if (hwm < 0)
       rawRead(s, storeDir).filter(col("_batch_id") <= batchId)
     else {
@@ -197,6 +225,13 @@ object DeltaLog {
     rawIds(fs, root).filter(_ <= prev).foreach { id =>
       fs.delete(new Path(root, s"_batch_id=$id"), true)
     }
+    // stale `.{marker}.tmp` files from CRASHED commit attempts (ours
+    // renamed away above; any survivor is an orphan no reader looks at)
+    fs.listStatus(root).iterator.map(_.getPath)
+      .filter { p =>
+        p.getName.startsWith(s".$MarkerPrefix") && p.getName.endsWith(".tmp")
+      }
+      .foreach(p => fs.delete(p, false))
     if (prev >= 0) {
       fs.listStatus(new Path(root, CompactedDir)).iterator
         .map(_.getPath).filter(_.getName.toLong < prev)

@@ -464,6 +464,41 @@ class RetrievalOpsSpec extends SparkTestBase {
     }
   }
 
+  test("q230 Rabin gram identity is collision-free on the sf0.01 " +
+    "corpus: distinct 41-bit keys == distinct string grams") {
+    // r10 ADVICE: the 41-bit polynomial replacing the gram STRING as
+    // the distinct/anti-join identity means a collision would
+    // silently merge two distinct grams — and the oracle computes the
+    // same polynomial, so the gate could never see it. This
+    // cross-checks the key against raw string grams on the real
+    // sf0.01 corpus (~1M+ gram instances): any collision shows up as
+    // distinct(keys) < distinct(grams). The documented expectation is
+    // <1 colliding pair at this scale; if corpus growth ever trips
+    // this, widen the key (pair the polynomial with an independent
+    // second hash) per the q230 docstring.
+    val dir = "/root/testdata/sf0.01"
+    graft.functions.GraftFunctions.register(spark)
+    val n = graft.queries.TextOps.normText(col("text"))
+    val docs = graft.Tables.documents(spark, dir)
+      .filter(col("text").isNotNull).select(n.as("n"))
+    val byKey = docs.select(
+        explode(call_function("rabin_gram_keys", col("n"), lit(5)))
+          .as("g"))
+      .agg(countDistinct(col("g")), count(lit(1))).head()
+    val byStr = docs
+      .select(explode(when(length(col("n")) >= 5,
+        sequence(lit(1), length(col("n")) - lit(4)))
+        .otherwise(array())).as("i"), col("n"))
+      .select(col("n").substr(col("i"), lit(5)).as("gram"))
+      .agg(countDistinct(col("gram")), count(lit(1))).head()
+    assert(byKey.getLong(1) === byStr.getLong(1),
+      "kernel must emit exactly one key per gram instance")
+    assert(byKey.getLong(0) === byStr.getLong(0),
+      s"41-bit Rabin keys collided on the sf0.01 corpus: " +
+        s"${byKey.getLong(0)} distinct keys vs ${byStr.getLong(0)} " +
+        "distinct grams — widen the q230 key")
+  }
+
   test("q231 geo grid join: the grid finds EVERY brute-force epsilon " +
     "pair (no false negatives) with a bounded candidate blowup") {
     val r = WarehouseOps.q231GeoGridJoin(spark, Sf).collect()

@@ -147,6 +147,10 @@ class AggMaintenanceSpec extends SparkTestBase {
       new java.io.File(s"$store/_compacted/1").isDirectory,
       s"the superseded generation must survive one cycle for " +
         s"in-flight hwm=1 readers: ${n2.mkString(",")}")
+    // a crashed commit attempt's orphan `.tmp` marker is settled by
+    // the next compaction's GC (r10 ADVICE: it previously leaked
+    // forever)
+    new java.io.File(s"$store/._compact_hwm_9.tmp").createNewFile()
     // one more generation retires gen 1 entirely
     AggMaintenance.compactThrough(spark, store, 3L)
     assert(viewCounts() === before)
@@ -156,6 +160,19 @@ class AggMaintenanceSpec extends SparkTestBase {
       !new java.io.File(s"$store/_compacted/1").exists() &&
       n3.contains("_compact_hwm_2") && n3.contains("_compact_hwm_3"),
       s"second-cycle GC incomplete: ${n3.mkString(",")}")
+    assert(!n3.contains("._compact_hwm_9.tmp"),
+      "stale crashed-commit tmp marker must be collected")
+    // time travel below the committed hwm must FAIL, not silently
+    // answer with the newer compacted state (r10 ADVICE); the hwm is
+    // discoverable so callers can clamp deliberately
+    assert(DeltaLog.committedHighWaterMark(spark, store) === 3L)
+    intercept[IllegalArgumentException] {
+      DeltaLog.readAsOf(spark, store, 1L)
+    }
+    // as-of exactly the hwm is the exact compacted state — still fine
+    assert(AggMaintenance.viewAsOf(spark, store, 3L).collect()
+      .map(r => r.getAs[Long]("n_events") -> r.getAs[Long]("sum_fp"))
+      .toSeq === before)
   }
 
   test("a replayed batch overwrites its own delta (no double count)") {
