@@ -451,20 +451,49 @@ object MlOps {
     * how either engine breaks equal scores: avg-rank of a tied group
     * starting at rank r with c members is r+(c−1)/2, so 2·avgrank =
     * 2·rank()+count(same score)−1 stays an exact BIGINT; the one
-    * double division happens on integer totals. Scale shape: rank
-    * windows are PARTITIONED per fold (each window sorts 1/5 of the
-    * data — at cluster scale, per-fold range-partitioned sorts, never
-    * one global window), then one 5-row aggregate. */
+    * double division happens on integer totals.
+    *
+    * Scale shape: a per-fold rank window would hash ALL scored rows
+    * into ~5 single-task sorts (the low-parallelism window collapse
+    * the q228 precedent bans), so the per-fold rank is TWO-PHASE,
+    * exactly the q195 recipe: deterministic equal-width buckets on
+    * the score (1-row min/max stats pass; equal scores always share
+    * a bucket, so min-rank tie groups never span buckets and
+    * rank = offset + local rank holds exactly), per-(fold, bucket)
+    * counts turned into broadcast exclusive offsets by a window over
+    * that aggregated frame, and `rank()` runs inside each (fold,
+    * bucket) — fold×bucket-way parallel. The tie-count window
+    * partitions by (fold, x) — score-grain, O(data) partitions. The
+    * DuckDB oracle keeps the one-window spelling, which this equals
+    * bit-for-bit. */
   def q155RocAuc(s: SparkSession, dir: String): DataFrame = {
     val scored = Tables.embeddings(s, dir)
       .select((col("vec_id") % 5).cast("int").as("fold"),
         element_at(col("embedding"), 1).cast(DoubleType).as("x"),
         (col("label").cast("int") >= 5).cast("long").as("y"))
-    val wRank = Window.partitionBy("fold").orderBy("x")
+    val nBuckets = s.sparkContext.defaultParallelism.max(16) * 2
+    val st = scored.agg(min(col("x")), max(col("x"))).head()
+    val (xLo, xHi) =
+      if (st.isNullAt(0)) (0.0, 1.0)
+      else (st.getDouble(0), st.getDouble(1))
+    val w = (xHi - xLo) / nBuckets
+    val bkt = // IEEE division/floor are monotone, so bucket order
+      // refines score order; the top edge clamps into the last bucket
+      if (w > 0) least(floor((col("x") - lit(xLo)) / lit(w)),
+        lit(nBuckets - 1L)).cast("long")
+      else lit(0L)
+    val bucketed = scored.withColumn("bkt", bkt)
+    val offs = bucketed.groupBy("fold", "bkt")
+      .agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum(col("bn")).over(
+        Window.partitionBy("fold").orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("fold"), col("bkt"), col("off"))
+    val wRank = Window.partitionBy("fold", "bkt").orderBy("x")
     val wTies = Window.partitionBy("fold", "x")
-    scored
+    bucketed.join(broadcast(offs), Seq("fold", "bkt"))
       .select(col("fold"), col("y"),
-        (lit(2L) * rank().over(wRank)
+        (lit(2L) * (col("off") + rank().over(wRank))
           + count(lit(1)).over(wTies) - 1).as("ar2"))
       .groupBy("fold")
       .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),

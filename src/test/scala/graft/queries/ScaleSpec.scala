@@ -508,6 +508,18 @@ class ScaleSpec extends SparkTestBase {
         s"${r.getAs[String]("layout")}/${r.getAs[String]("pred")}: skip " +
           "ratio moved beyond block-boundary noise")
     }
+    // q155: two-phase bucketed ranking completes at 10x; replica
+    // vec_ids reshuffle fold membership, so per-fold AUC is a fresh
+    // 10x-size sample of the same score/label population — it must
+    // stay near the 1x value (population AUC), not exactly equal
+    val auc1 = MlOps.q155RocAuc(spark, base).collect()
+      .map(r => r.getAs[Int]("fold") -> r.getAs[Double]("auc")).toMap
+    val auc10 = timed("q155")(MlOps.q155RocAuc(spark, dir).collect())
+    assert(auc10.length === 5)
+    auc10.foreach { r =>
+      assert(math.abs(r.getAs[Double]("auc") -
+        auc1(r.getAs[Int]("fold"))) < 0.05)
+    }
   }
 
   test("pipeline fails fast on missing input (documented divergence)") {

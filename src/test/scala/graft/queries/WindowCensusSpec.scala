@@ -47,14 +47,6 @@ class WindowCensusSpec extends SparkTestBase {
       ("SQL-surface showcase of distribution window fns over orders; " +
         "per-priority frames are orders/5 (flagged as the next rework " +
         "candidate if the surface ever leaves showcase duty)"),
-    "q153_quantile_norm" ->
-      ("partitioned by embedding dimension index (64 groups of n_vecs " +
-        "rows); the frame is the vector table transposed, and the " +
-        "group count grows with dims, not data"),
-    "q155_roc_auc" ->
-      ("per-fold ROC sweep; folds are O(1) but the windowed frame is " +
-        "the per-fold score distribution the AUC definition needs in " +
-        "total order — two-phase ranking is the 100 TB form"),
     "q175_compaction_plan" ->
       ("per-source greedy bin-pack over the FILE INVENTORY (metadata " +
         "frame, ~data/target_file_size rows — 3+ orders below data)"),
@@ -144,5 +136,25 @@ class WindowCensusSpec extends SparkTestBase {
     assert(g.nonEmpty && g.forall(_._2),
       s"q161: every window must ride the (lang, distinct-length) " +
         s"aggregated frame: $g")
+    // q155 and q153 (reworked in round 11 after the census pinned them
+    // as the Cleared entries with a known fix shape — the q195 bucketed
+    // two-phase rank): data-sized rank windows ride (group, bkt) or
+    // score grain; offsets windows ride aggregated bucket-count frames
+    val a = census(MlOps.q155RocAuc(spark, Sf))
+    assert(a.size == 3, s"q155: expected offsets + rank + ties: $a")
+    a.foreach { case (parts, aggBelow) =>
+      if (parts == Seq("fold")) assert(aggBelow,
+        "q155: the fold-only offsets window must ride the bucket counts")
+      else assert(parts.contains("bkt") || parts.contains("x"),
+        s"q155: data-sized windows must ride bucket/score grain: $parts")
+    }
+    val qn = census(VectorOps.q153QuantileNorm(spark, Sf))
+    assert(qn.size == 2, s"q153: expected offsets + rank windows: $qn")
+    qn.foreach { case (parts, aggBelow) =>
+      if (parts == Seq("i")) assert(aggBelow,
+        "q153: the dim-only offsets window must ride the bucket counts")
+      else assert(parts.contains("bkt"),
+        s"q153: the per-dim rank window must ride the bucket grain: $parts")
+    }
   }
 }
