@@ -1,0 +1,209 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+
+import graft.{SparkTestBase, Tables}
+
+/** In-Spark A/B twins for the round-11 two-phase reworks: each
+  * registered query's scalable plan (bucketed two-phase ranking /
+  * prefix sums / bounded heaps / histogram identities) is compared
+  * ROW-FOR-ROW against the superseded single-window spelling, built
+  * inline here exactly as the query used to be written. The DuckDB
+  * oracle already proves cross-engine equality at sf0.01; this spec
+  * pins the intra-Spark claim the rework rests on — "offset + local
+  * rank IS the global rank", "the heap equals the window under the
+  * total order", "Σ rank·x aggregates from the histogram" — against
+  * the window semantics themselves, including every tie the corpus
+  * produces. All comparisons are exact (the derived doubles are
+  * functions of identical integers on both sides). */
+class TwoPhaseTwinSpec extends SparkTestBase {
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).toSeq
+
+  private def assertTwin(name: String, reworked: DataFrame,
+      windowed: DataFrame): Unit = {
+    val a = rows(reworked)
+    val b = rows(windowed)
+    assert(a == b, s"$name: two-phase result diverged from its " +
+      s"single-window twin\n  two-phase: ${a.take(5)}\n  window: ${b.take(5)}")
+    assert(a.nonEmpty, s"$name: twin comparison ran on empty output")
+  }
+
+  test("q195 two-phase global row numbering equals the partition-less " +
+    "window form (both layouts, all predicates)") {
+    val li = Tables.lineitem(spark, Sf)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
+    def blocks(layout: String, ord: Seq[org.apache.spark.sql.Column]) = li
+      .withColumn("rn", row_number().over(Window.orderBy(ord: _*)))
+      .withColumn("blk", expr("(rn - 1) div 1000"))
+      .groupBy("blk")
+      .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("layout", lit(layout))
+    val stats = blocks("natural", Seq(col("l_orderkey"), col("l_linenumber")))
+      .unionByName(blocks("clustered",
+        Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))))
+    val preds = Seq(
+      ("p1_1996h1", "1996-01-01", "1996-07-01"),
+      ("p2_1997jan", "1997-01-01", "1997-02-01"),
+      ("p3_1995q1", "1995-01-01", "1995-04-01"),
+      ("p4_2001", "2001-01-01", "2002-01-01"))
+    val predDf = spark.range(1).select(explode(array(preds.map {
+      case (n, lo, hi) => struct(lit(n).as("pred"),
+        lit(lo).cast("timestamp").as("plo"),
+        lit(hi).cast("timestamp").as("phi"))
+    }: _*)).as("pr")).select(col("pr.*"))
+    val skipped = col("hi") < col("plo") || col("lo") >= col("phi")
+    val windowed = stats.crossJoin(broadcast(predDf))
+      .groupBy("layout", "pred")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(skipped, 1L).otherwise(0L)).as("blocks_skipped"),
+        sum(when(skipped, col("n_rows")).otherwise(0L)).as("rows_skipped"),
+        sum(col("n_rows")).as("rows_total"))
+      .withColumn("skip_ppm", expr("rows_skipped * 1000000 div rows_total"))
+      .orderBy("layout", "pred")
+    assertTwin("q195", WarehouseOps.q195Zonemap(spark, Sf), windowed)
+  }
+
+  test("q104 heap-ranked Zipf head equals the per-lang window form") {
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val lnQ = (c: org.apache.spark.sql.Column) =>
+      floor(log(d(c)) * 1e6).cast(LongType)
+    val norm = (c: org.apache.spark.sql.Column) =>
+      trim(regexp_replace(lower(c), "\\s+", " "))
+    val ranked = Tables.documents(spark, Sf)
+      .select(col("lang"), explode(split(norm(col("text")), " ")).as("t"))
+      .groupBy("lang", "t").agg(count(lit(1)).as("c"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("t"))))
+      .filter(col("r") <= 1000)
+      .select(col("lang"), lnQ(col("r")).as("x"), lnQ(col("c")).as("y"))
+    val det = d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))
+    val cov = d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))
+    val windowed = ranked.groupBy("lang")
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"), sum(col("x") * col("x")).as("sxx"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("lang"), col("n").as("n_terms"),
+        (cov / nullif(det, lit(0.0))).as("slope"),
+        ((d(col("sy")) - (cov / nullif(det, lit(0.0))) * d(col("sx"))) /
+          d(col("n"))).as("intercept"),
+        ((cov * cov) / nullif(det *
+          (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy"))),
+          lit(0.0))).as("r2"))
+      .orderBy("lang")
+    assertTwin("q104", CorpusOps.q104ZipfFit(spark, Sf), windowed)
+  }
+
+  test("q105 heap-selected weighted sample equals the per-lang window " +
+    "form") {
+    val norm = (c: org.apache.spark.sql.Column) =>
+      trim(regexp_replace(lower(c), "\\s+", " "))
+    val u = (conv(substring(md5(norm(col("text"))), 1, 8), 16, 10)
+      .cast(LongType) + 1).cast(DoubleType) / lit(4294967296.0)
+    val key = -log(u) / nullif(col("n_chars"), lit(0L)).cast(DoubleType)
+    val windowed = Tables.documents(spark, Sf)
+      .select(col("lang"), col("doc_id"), col("n_chars"), key.as("k"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("lang").orderBy(col("k"), col("doc_id"))))
+      .filter(col("rank") <= 5)
+      .select(col("lang"), col("rank"), col("doc_id"), col("n_chars"))
+      .orderBy("lang", "rank")
+    assertTwin("q105", CorpusOps.q105WeightedSample(spark, Sf), windowed)
+  }
+
+  test("q210 heap-ranked heavy hitters equal the per-lang window form") {
+    val counts = Tables.documents(spark, Sf)
+      .select(col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val windowed = counts
+      .withColumn("rank", row_number().over(Window.partitionBy("lang")
+        .orderBy(col("cnt").desc, col("token"))).cast(LongType))
+      .filter(col("rank") <= 8)
+      .select("lang", "rank", "token", "cnt")
+      .orderBy("lang", "rank")
+    assertTwin("q210", TextOps.q210HeavyHittersExact(spark, Sf), windowed)
+  }
+
+  test("q72 two-phase prefix sums equal the per-lang window cumsum") {
+    val w = Window.partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowed = Tables.documents(spark, Sf)
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("long").as("tok"))
+      .withColumn("cum", sum(col("tok")).over(w))
+      .select(col("lang"), col("doc_id"), col("tok"), col("cum"),
+        floor((col("cum") - col("tok")) / 512).as("pack_id"))
+      .orderBy("lang", "doc_id")
+    assertTwin("q72", TextOps.q72SequencePacking(spark, Sf), windowed)
+  }
+
+  test("q161 histogram-identity Gini equals the per-document rank " +
+    "window form") {
+    val w = Window.partitionBy("lang").orderBy("x", "doc_id")
+    val windowed = Tables.documents(spark, Sf)
+      .select(col("lang"), col("doc_id"),
+        col("n_chars").cast(LongType).as("x"))
+      .select(col("lang"), col("x"),
+        row_number().over(w).cast(LongType).as("rk"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("x")).as("total_chars"),
+        sum(col("rk") * col("x")).as("srx"))
+      .select(col("lang"), col("n_docs"), col("total_chars"),
+        ((lit(2L) * col("srx")
+          - (col("n_docs") + 1L) * col("total_chars")).cast(DoubleType)
+          / (col("n_docs") * col("total_chars"))).as("gini"))
+      .orderBy("lang")
+    assertTwin("q161", CorpusOps.q161GiniLengths(spark, Sf), windowed)
+  }
+
+  test("q155 bucketed two-phase AUC ranks equal the per-fold window " +
+    "form") {
+    val scored = Tables.embeddings(spark, Sf)
+      .select((col("vec_id") % 5).cast("int").as("fold"),
+        element_at(col("embedding"), 1).cast(DoubleType).as("x"),
+        (col("label").cast("int") >= 5).cast("long").as("y"))
+    val wRank = Window.partitionBy("fold").orderBy("x")
+    val wTies = Window.partitionBy("fold", "x")
+    val windowed = scored
+      .select(col("fold"), col("y"),
+        (lit(2L) * rank().over(wRank)
+          + count(lit(1)).over(wTies) - 1).as("ar2"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"),
+        sum(when(col("y") === 1, col("ar2")).otherwise(0L)).as("sum2_pos"))
+      .select(col("fold"), col("n"), col("n_pos"), col("sum2_pos"),
+        ((col("sum2_pos") - col("n_pos") * (col("n_pos") + 1))
+          .cast(DoubleType)
+          / (lit(2.0) * col("n_pos") * (col("n") - col("n_pos"))))
+          .as("auc"))
+      .orderBy("fold")
+    assertTwin("q155", MlOps.q155RocAuc(spark, Sf), windowed)
+  }
+
+  test("q153 bucketed two-phase quantile ranks equal the per-dim " +
+    "window form") {
+    val n = Tables.embeddings(spark, Sf).count()
+    val el = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+    val w = Window.partitionBy("i").orderBy(col("x"), col("vec_id"))
+    val windowed = el
+      .select(col("vec_id"), (rank().over(w) - 1).cast("long").as("rk"))
+      .groupBy("vec_id")
+      .agg(sum(col("rk")).as("sum_rank"),
+        min(col("rk")).as("min_rank"), max(col("rk")).as("max_rank"))
+      .select(col("vec_id"), col("sum_rank"), col("min_rank"),
+        col("max_rank"),
+        (col("sum_rank").cast(DoubleType) / lit(64.0)
+          / lit((n - 1).toDouble)).as("mean_quantile"))
+      .orderBy("vec_id")
+    assertTwin("q153", VectorOps.q153QuantileNorm(spark, Sf), windowed)
+  }
+}
