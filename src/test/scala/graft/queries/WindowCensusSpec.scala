@@ -44,9 +44,10 @@ class WindowCensusSpec extends SparkTestBase {
     * review the verdict applied — see PERF.md round-11 census table. */
   private val Cleared: Map[String, String] = Map(
     "q56_window_distribution" ->
-      ("SQL-surface showcase of distribution window fns over orders; " +
-        "per-priority frames are orders/5 (flagged as the next rework " +
-        "candidate if the surface ever leaves showcase duty)"),
+      ("SQL-surface showcase of distribution window fns; the frame is " +
+        "the FIXED 100-customer cohort's orders (1,009 rows at sf0.01 " +
+        "- see WINDOW_CENSUS.md), a cohort report, not the orders " +
+        "table; an unfiltered form would need the two-phase rank"),
     "q175_compaction_plan" ->
       ("per-source greedy bin-pack over the FILE INVENTORY (metadata " +
         "frame, ~data/target_file_size rows — 3+ orders below data)"),
