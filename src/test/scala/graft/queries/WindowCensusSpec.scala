@@ -158,4 +158,36 @@ class WindowCensusSpec extends SparkTestBase {
         s"q153: the per-dim rank window must ride the bucket grain: $parts")
     }
   }
+
+  test("new heap aggregators are physical-partitioning-invariant " +
+    "end-to-end (the q228 run(1)===run(7) pattern)") {
+    import org.apache.spark.sql.functions._
+    val counts = graft.Tables.documents(spark, Sf)
+      .select(col("lang"),
+        explode(split(lower(col("text")), "\\s+")).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("lang", "token").agg(count(lit(1)).as("cnt"))
+    val topk = udaf(graft.functions.TopKByScoreKey(8),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.ScoredKey]())
+    def runTop(parts: Int) = counts.repartition(parts)
+      .groupBy("lang").agg(topk(col("cnt"), col("token")).as("top"))
+      .collect().map(r => r.getAs[String]("lang") ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.toString).mkString(","))
+      .toMap
+    assert(runTop(1) === runTop(7))
+    val bottomk = udaf(graft.functions.BottomKByScore(5),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.ScoredRow]())
+    def runBottom(parts: Int) = graft.Tables.documents(spark, Sf)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        (col("n_chars") % 97).cast("double").as("k")) // tie-heavy scores
+      .repartition(parts)
+      .groupBy("lang")
+      .agg(bottomk(col("k"), col("doc_id"), col("n_chars")).as("bot"))
+      .collect().map(r => r.getAs[String]("lang") ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(_.toString).mkString(","))
+      .toMap
+    assert(runBottom(1) === runBottom(7))
+  }
 }
