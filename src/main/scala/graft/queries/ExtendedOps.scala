@@ -515,10 +515,13 @@ object ExtendedOps {
     * running max of size decides dominance — m1 (max size strictly
     * cheaper) kills rows a cheaper-larger part dominates, m2 (max size
     * at ≤ price, peers included) kills rows an equal-price-larger part
-    * dominates. O(n log n) per brand vs the O(n²) nested-loop form,
-    * and the windows are PARTITIONED by brand — range-partitioned
-    * per-group sorts, never a global single-partition window. Prices
-    * quantize to integer cents (q125's idiom) → bit-exact. */
+    * dominates. O(n log n) per brand vs the O(n²) nested-loop form.
+    * The windows partition by brand — HASH-partitioned into ~25
+    * per-brand sorts, acceptable here because the frame is the part
+    * DIMENSION table (catalog-bounded, the window-census-pinned
+    * ground; a fact-sized frame would need the q195-style two-phase
+    * rank). Prices quantize to integer cents (q125's idiom) →
+    * bit-exact. */
   def q180Skyline(s: SparkSession, dir: String): DataFrame = {
     val p = Tables.part(s, dir).select(col("p_brand"), col("p_partkey"),
       floor(col("p_retailprice") * 100).cast("long").as("price_c"),
