@@ -457,7 +457,8 @@ object MlOps {
     * into ~5 single-task sorts (the low-parallelism window collapse
     * the q228 precedent bans), so the per-fold rank is TWO-PHASE,
     * exactly the q195 recipe: deterministic equal-width buckets on
-    * the score (1-row min/max stats pass; equal scores always share
+    * the score (the min/max stats ride in-plan as a 1-row broadcast,
+    * the q153 shape — no driver round-trip; equal scores always share
     * a bucket, so min-rank tie groups never span buckets and
     * rank = offset + local rank holds exactly), per-(fold, bucket)
     * counts turned into broadcast exclusive offsets by a window over
@@ -472,17 +473,20 @@ object MlOps {
         element_at(col("embedding"), 1).cast(DoubleType).as("x"),
         (col("label").cast("int") >= 5).cast("long").as("y"))
     val nBuckets = s.sparkContext.defaultParallelism.max(16) * 2
-    val st = scored.agg(min(col("x")), max(col("x"))).head()
-    val (xLo, xHi) =
-      if (st.isNullAt(0)) (0.0, 1.0)
-      else (st.getDouble(0), st.getDouble(1))
-    val w = (xHi - xLo) / nBuckets
-    val bkt = // IEEE division/floor are monotone, so bucket order
-      // refines score order; the top edge clamps into the last bucket
-      if (w > 0) least(floor((col("x") - lit(xLo)) / lit(w)),
-        lit(nBuckets - 1L)).cast("long")
-      else lit(0L)
-    val bucketed = scored.withColumn("bkt", bkt)
+    // bucket-map stats ride IN-PLAN as a 1-row broadcast (the q153
+    // shape): a deterministic min/max aggregate, so every consumer
+    // computes the identical bucket map — no driver round-trip, and
+    // empty input needs no special case (empty crossJoin is empty)
+    val st = scored.agg(min(col("x")).as("xlo"), max(col("x")).as("xhi"))
+    val w = (col("xhi") - col("xlo")) / nBuckets
+    // IEEE division/floor are monotone, so bucket order refines score
+    // order; the top edge clamps into the last bucket, and a
+    // single-valued score column degenerates to one bucket
+    val bkt = when(col("xhi") > col("xlo"),
+      least(floor((col("x") - col("xlo")) / w), lit(nBuckets - 1L)))
+      .otherwise(lit(0L)).cast("long")
+    val bucketed = scored.crossJoin(broadcast(st)).withColumn("bkt", bkt)
+      .select("fold", "x", "y", "bkt")
     val offs = bucketed.groupBy("fold", "bkt")
       .agg(count(lit(1)).as("bn"))
       .withColumn("off", coalesce(sum(col("bn")).over(

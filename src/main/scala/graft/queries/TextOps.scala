@@ -689,13 +689,15 @@ object TextOps {
       .select(col("lang"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("tok"))
     val nBuckets = s.sparkContext.defaultParallelism.max(16) * 2
-    // 1-row stats pass: doc_id span → deterministic bucket width. The
-    // head() is bounded model state (one row), same discipline as the
-    // MlOps centroid reads; null max = empty input → any width works.
-    val mx = base.agg(max(col("doc_id"))).head()
-    val step = math.max(1L,
-      ((if (mx.isNullAt(0)) 0L else mx.getLong(0)) + 1L) / nBuckets)
-    val bucketed = base.withColumn("bkt", expr(s"doc_id div ${step}L"))
+    // doc_id-span stats ride IN-PLAN as a 1-row broadcast (the q153
+    // shape): a deterministic max aggregate, so both consumers of the
+    // bucket map compute it identically — no driver round-trip, and
+    // empty input needs no special case (empty crossJoin is empty)
+    val st = base.agg(max(col("doc_id")).as("mx"))
+    val bucketed = base.crossJoin(broadcast(st))
+      .withColumn("bkt",
+        expr(s"doc_id div greatest((mx + 1) div $nBuckets, 1L)"))
+      .select("lang", "doc_id", "tok", "bkt")
     val offs = bucketed.groupBy("lang", "bkt")
       .agg(sum(col("tok")).as("bsum"))
       .withColumn("off", coalesce(sum(col("bsum")).over(

@@ -299,11 +299,13 @@ object WarehouseOps {
     * (ORDER BY …)` is a partition-less window ("Moving all data to a
     * single partition"), the worst possible plan at 100 TB. Instead
     * the global index is TWO-PHASE: rows are bucketed by a
-    * deterministic equal-width split of the layout's LEADING key (a
-    * 1-row min/max stats pass fixes the bucket width; buckets scale
-    * with the cluster at 2×defaultParallelism, and equal keys always
-    * share a bucket, so bucket order refines the sort order), bucket
-    * row counts (a tiny aggregated frame) turn into exclusive
+    * deterministic equal-width split of the layout's LEADING key (the
+    * min/max stats ride IN-PLAN as a 1-row broadcast, the q153 shape —
+    * a deterministic aggregate, so every consumer computes the
+    * identical bucket map and there is no driver round-trip; buckets
+    * scale with the cluster at 2×defaultParallelism, and equal keys
+    * always share a bucket, so bucket order refines the sort order),
+    * bucket row counts (a tiny aggregated frame) turn into exclusive
     * prefix-count offsets via a window over that bucket-sized frame,
     * and each bucket ranks locally in parallel — rn = offset +
     * local row_number is exactly the global row number, so the
@@ -317,26 +319,25 @@ object WarehouseOps {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"))
     val nBuckets = s.sparkContext.defaultParallelism.max(16) * 2
-    // 1-row stats pass shared by both layouts' bucket maps (bounded
-    // model state, the MlOps-centroid discipline); nulls = empty input,
-    // where any bucket width is correct.
-    val st = li.agg(min(col("l_orderkey")), max(col("l_orderkey")),
-      min(unix_date(col("l_shipdate").cast("date"))),
-      max(unix_date(col("l_shipdate").cast("date")))).head()
-    def statAt(idx: Int): Long = // l_orderkey stats are LONG, day stats INT
-      st.getAs[java.lang.Number](idx).longValue()
-    def width(loIdx: Int, hiIdx: Int): Long =
-      if (st.isNullAt(loIdx)) 1L
-      else math.max(1L, (statAt(hiIdx) - statAt(loIdx) + 1L) / nBuckets)
-    def bucketOf(c: Column, loIdx: Int, hiIdx: Int): Column = {
-      val lo = if (st.isNullAt(loIdx)) 0L else statAt(loIdx)
-      // (c − lo) < 2^53, so the double quotient is exact enough to
-      // stay monotone; truncation toward zero = floor for ≥ 0 input
-      ((c - lit(lo)).cast("double") / lit(width(loIdx, hiIdx).toDouble))
-        .cast("long")
-    }
-    def blocks(layout: String, bkt: Column, ord: Seq[Column]) = {
-      val bucketed = li.withColumn("bkt", bkt)
+    val dayOf = unix_date(col("l_shipdate").cast("date")).cast("long")
+    // both layouts' bucket-map stats ride IN-PLAN as one 1-row
+    // broadcast (the q153 shape): deterministic min/max, so every
+    // consumer derives the identical bucket map with no driver
+    // round-trip, and an empty input needs no special case — the
+    // crossJoin of an empty fact side is empty
+    val st = li.agg(min(col("l_orderkey")).as("klo"),
+      max(col("l_orderkey")).as("khi"),
+      min(dayOf).as("dlo"), max(dayOf).as("dhi"))
+    def blocks(layout: String, key: Column, lo: String, hi: String,
+        ord: Seq[Column]) = {
+      val bucketed = li.crossJoin(broadcast(st))
+        .withColumn("k0", key)
+        // exact integer bucket map: monotone in the key and equal keys
+        // share a bucket, so bucket order refines the sort order
+        .withColumn("bkt", expr(
+          s"(k0 - $lo) div greatest(($hi - $lo + 1) div $nBuckets, 1L)"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          col("bkt"))
       val offs = bucketed.groupBy("bkt").agg(count(lit(1)).as("bn"))
         // partition-less window, but over the aggregated bucket-count
         // frame (≈2×parallelism rows) — the phase-2 boundary metadata
@@ -355,10 +356,9 @@ object WarehouseOps {
           count(lit(1)).as("n_rows"))
         .withColumn("layout", lit(layout))
     }
-    val stats = blocks("natural", bucketOf(col("l_orderkey"), 0, 1),
+    val stats = blocks("natural", col("l_orderkey"), "klo", "khi",
       Seq(col("l_orderkey"), col("l_linenumber")))
-      .unionByName(blocks("clustered",
-        bucketOf(unix_date(col("l_shipdate").cast("date")), 2, 3),
+      .unionByName(blocks("clustered", dayOf, "dlo", "dhi",
         Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))))
     val preds = s.range(1).select(explode(array(ZonemapPreds.map {
       case (n, lo, hi) => struct(lit(n).as("pred"),
