@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Range => LRange, Window => LWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
 
 import graft.SparkTestBase
 
@@ -57,25 +57,13 @@ class WindowCensusSpec extends SparkTestBase {
 
   test("window census: every registered query is free of " +
     "low-parallelism window shapes (q228 precedent, r10 verdict)") {
+    // same detector the runtime WindowGuardRule runs — the test-time
+    // census and the in-optimizer guard cannot drift
     val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
-        val plan = fn(spark, Sf).queryExecution.optimizedPlan
-        plan.collect {
-          case w: LWindow =>
-            val parts = w.partitionSpec.flatMap(_.references.toSeq.map(_.name))
-            val highCard = parts.exists(p => !LowCard.contains(p))
-            val aggBelow =
-              w.child.collectFirst { case a: Aggregate => a }.isDefined
-            val boundedBelow = w.child.collectFirst {
-              case r: LRange if r.numElements.isValidLong &&
-                r.numElements.longValue <= 100000 => r
-              case l: LocalRelation => l
-            }.isDefined
-            if (highCard || aggBelow || boundedBelow || Cleared.contains(name))
-              None
-            else Some(s"$name: Window partitioned by " +
-              s"[${parts.mkString(",")}] over a non-aggregated frame")
-        }.flatten
+        if (Cleared.contains(name)) Nil
+        else graft.plans.WindowGuard.audit(fn(spark, Sf), LowCard)
+          .map(f => s"$name: ${f.describe}")
     }
     assert(offenders.isEmpty,
       "low-parallelism window(s) reintroduced — rework per the q228 " +
