@@ -497,6 +497,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     }
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsofJoinPushdown)
-    ext.injectOptimizerRule(s => graft.plans.WindowGuardRule(s))
+    ext.injectOptimizerRule(_ => graft.plans.WindowGuardRule)
   }
 }

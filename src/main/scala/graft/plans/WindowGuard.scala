@@ -94,9 +94,10 @@ object WindowGuard {
   * `off` disables. A no-op rule reaches fixed point immediately, so
   * the audit runs once per optimization, not once per optimizer
   * iteration. */
-case class WindowGuardRule(session: org.apache.spark.sql.SparkSession)
-    extends Rule[LogicalPlan] {
+object WindowGuardRule extends Rule[LogicalPlan] {
 
+  // Rule.conf is the ACTIVE session's SQLConf, so the mode is
+  // per-session even though the rule itself is stateless
   private def mode: String =
     conf.getConfString("spark.graft.windowGuard", "warn")
 

@@ -61,7 +61,7 @@ class WindowGuardSpec extends SparkTestBase {
 
   test("rule modes: warn passes the plan through, fail throws on the " +
     "collapse and stays quiet on clean plans, off disables") {
-    val rule = WindowGuardRule(spark)
+    val rule = WindowGuardRule
     val bad = collapsed.queryExecution.optimizedPlan
     val clean = docs.groupBy("lang").agg(count(lit(1)).as("n"))
       .queryExecution.optimizedPlan
