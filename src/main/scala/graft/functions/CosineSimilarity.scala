@@ -497,6 +497,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     }
     ext.injectPlannerStrategy(_ => graft.plans.AsofJoinStrategy)
     ext.injectOptimizerRule(_ => graft.plans.AsofJoinPushdown)
-    ext.injectOptimizerRule(_ => graft.plans.WindowGuardRule)
+    // pre-CBO, not injectOptimizerRule: the Pre CBO batch runs ONCE per
+    // query after the operator-optimization fixed point, so the lint
+    // sees the post-pushdown plan and never re-logs per iteration
+    ext.injectPreCBORule(_ => graft.plans.WindowGuardRule)
   }
 }

@@ -91,9 +91,11 @@ object WindowGuard {
   * `spark.graft.windowGuard` — `warn` logs one line per finding,
   * `fail` throws (CI strict mode: the collapse becomes a build error
   * the way `WindowCensusSpec` makes it one for registered queries),
-  * `off` disables. A no-op rule reaches fixed point immediately, so
-  * the audit runs once per optimization, not once per optimizer
-  * iteration. */
+  * `off` disables. Registered via `injectPreCBORule` — a Once batch
+  * that runs after the operator-optimization fixed point — so the
+  * audit sees the post-pushdown frame and runs exactly once per
+  * query; inside a fixed-point batch a never-rewriting rule would be
+  * re-invoked (and re-log) on every iteration the OTHER rules force. */
 object WindowGuardRule extends Rule[LogicalPlan] {
 
   // Rule.conf is the ACTIVE session's SQLConf, so the mode is

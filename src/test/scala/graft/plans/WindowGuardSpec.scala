@@ -13,9 +13,10 @@ import graft.{SparkTestBase, Tables}
   * boundary exactly — what must flag, what must stay quiet — and the
   * rule's three modes. The rule is exercised by direct invocation
   * (its registration seam, `GraftExtensions`, is the same
-  * `injectOptimizerRule` path `AsofJoinPushdown` already covers in
-  * `AsofJoinSpec`); the conf key is scoped to this suite and read by
-  * nothing else. */
+  * extensions path `AsofJoinPushdown` already covers in
+  * `AsofJoinSpec`; the rule itself rides `injectPreCBORule`, a
+  * once-per-query batch); the conf key is scoped to this suite and
+  * read by nothing else. */
 class WindowGuardSpec extends SparkTestBase {
 
   private def docs: DataFrame = Tables.documents(spark, Sf)
