@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DoubleType
+
+/** EXACT interpolated quantiles at scale — the two-phase replacement
+  * for Spark's sort-based `percentile(col, p)` / `median(col)`.
+  *
+  * Why this exists: Spark's exact `Percentile` is an imperative
+  * aggregate whose buffer is an in-memory map of EVERY DISTINCT VALUE
+  * in the group (plus its count). That state is invisible at test
+  * scale and catastrophic at 100 TB — `df.agg(percentile(x, 0.5))`
+  * funnels every distinct double in the dataset into one aggregation
+  * buffer on one task; `groupBy(status).agg(percentile(price, p))`
+  * does the same per handful-of-values group. It is the
+  * aggregation-BUFFER analog of the low-parallelism window collapse
+  * the round-10 census convicted (see `plans/WindowGuard.scala` and
+  * PERF.md "Round-11 notes"): correct, fast on a laptop, and the
+  * worst plan on a cluster. `approx_percentile` fixes the state but
+  * changes the answer; this operator keeps the answer bit-for-bit and
+  * fixes the state.
+  *
+  * Shape (every step data-parallel, no value-sized task state):
+  *   1. value histogram: `groupBy(group, value).count()` — key
+  *      cardinality GROWS with data, so this shuffle parallelizes;
+  *      per-task state after map-side combine is the task's distinct
+  *      values, not the group's.
+  *   2. per-group span stats (min/max/counts) — one tiny aggregated
+  *      frame, broadcast back in-plan (the q72/q153 bounded-model-
+  *      state shape; aggregates are deterministic, so every consumer
+  *      computes the same bucket map).
+  *   3. two-phase global rank of each distinct value inside its
+  *      group: deterministic equal-width value buckets (equal values
+  *      always share a bucket), per-(group, bucket) counts → exclusive
+  *      offsets via a window over that AGGREGATED frame, then a
+  *      per-(group, bucket) cumulative count. offset + local cum is
+  *      exactly the global 0-based rank span `[start, start+cnt)` of
+  *      each distinct value — the same recipe PERF.md documents for
+  *      the round-11 two-phase rank reworks.
+  *   4. bracket + interpolate: Spark computes
+  *      `pos = p * (n - 1); lo = floor(pos); hi = ceil(pos)` and
+  *      returns `v_lo` when `lo == hi` OR when both positions land in
+  *      one distinct value's tie span (no self-interpolation — it can
+  *      be 1 ULP off v), else
+  *      `(hi - pos) * v_lo + (pos - lo) * v_hi` — replicated here
+  *      term-for-term in the same IEEE doubles, so results are
+  *      BIT-IDENTICAL to the built-in (pinned by
+  *      `ExactQuantilesSpec`, including ties, n = 1, and the
+  *      interpolation-free grid points). The bracket rows (≤ 2 per
+  *      group × quantile) come from one broadcast join against the
+  *      rank spans.
+  *
+  * Differences from the built-in, by design:
+  *   - empty input yields ZERO rows (a global `.agg(percentile)`
+  *     yields one NULL row); callers here consume the result via
+  *     broadcast joins, where the two are equivalent downstream.
+  *   - values are ranked as doubles (the built-in buffers the native
+  *     type and converts at the end) — exact for longs |v| < 2^53,
+  *     which every call site satisfies. NaN and -0.0/0.0 mixtures are
+  *     out of contract (the built-in's map treats -0.0 != 0.0; plan
+  *     grouping normalizes them — no caller produces either).
+  *
+  * Skew note: equal-width value buckets degrade (not collapse) under
+  * extreme value concentration — the floor is one task per
+  * (group, distinct-value-dense bucket), still histogram-grain, never
+  * row-grain. Sampled quantile boundaries would equalize buckets at
+  * the cost of a nondeterministic bucket map; deterministic wins here
+  * because the bucket map must be identical across the plan's
+  * branches and across reruns (oracle + replay discipline).
+  */
+object ExactQuantiles {
+
+  /** One row per group present in `df` (group columns preserved),
+    * with one DoubleType column per `(name, p)` in `ps` — each
+    * bit-identical to `percentile(valueCol, p)` within the group —
+    * plus `exq_rows` (= `count(*)`, nulls included; rename or drop).
+    * `p` values must lie in [0, 1]; `valueCol` must be numeric.
+    *
+    * For a GLOBAL quantile pass `groupCols = Nil` — the result is one
+    * row (zero on empty input, see class doc). */
+  def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame =
+    build(df, groupCols, valueCol, ps, discrete = false)
+
+  /** The `percentile_disc` sibling: each quantile column is the
+    * smallest group value whose cumulative distribution reaches `p` —
+    * the value at 1-based rank `max(ceil(p * n), 1)`, an ACTUAL data
+    * value, never interpolated (verified against the built-in's
+    * observed semantics incl. tie runs and grid points in
+    * `ExactQuantilesSpec`). Same two-phase shape, same `exq_rows`. */
+  def quantilesDisc(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[(String, Double)]): DataFrame =
+    build(df, groupCols, valueCol, ps, discrete = true)
+
+  private def build(df: DataFrame, groupCols: Seq[String], valueCol: String,
+      ps: Seq[(String, Double)], discrete: Boolean): DataFrame = {
+    require(ps.nonEmpty, "at least one (name, p) quantile required")
+    require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      s"quantile fractions must be in [0, 1]: $ps")
+    val s = df.sparkSession
+    // bucket count scales with the cluster, like every two-phase rework
+    val nBuckets = s.sparkContext.defaultParallelism.max(16) * 2
+
+    // global quantiles ride a constant group key (dropped at the end)
+    // so one code path serves both; the key is a literal, so the extra
+    // column never shuffles wider than the row it annotates
+    val g = if (groupCols.isEmpty) Seq("exq_g") else groupCols
+    val base0 = if (groupCols.isEmpty) df.withColumn("exq_g", lit(1)) else df
+
+    // 1. value histogram — nulls kept as their own row so exq_rows can
+    // be count(*) while ranks use the non-null count, like the built-in
+    val hist = base0
+      .groupBy((g.map(col) :+ col(valueCol).cast(DoubleType).as("exq_v")): _*)
+      .agg(count(lit(1)).as("exq_c"))
+
+    // 2. per-group span + counts (aggregated frame, broadcast back)
+    val st = hist.groupBy(g.map(col): _*)
+      .agg(sum(col("exq_c")).as("exq_rows"),
+        sum(when(col("exq_v").isNotNull, col("exq_c"))
+          .otherwise(lit(0L))).as("exq_n"),
+        min(col("exq_v")).as("exq_mn"), max(col("exq_v")).as("exq_mx"))
+
+    // 3. two-phase global rank span of each distinct value
+    val vals = hist.filter(col("exq_v").isNotNull)
+      .join(broadcast(st.select((g.map(col) :+ col("exq_mn") :+
+        col("exq_mx")): _*)), g)
+      .withColumn("exq_bkt", when(col("exq_mx") > col("exq_mn"),
+        least(greatest(floor((col("exq_v") - col("exq_mn")) * nBuckets /
+          (col("exq_mx") - col("exq_mn"))), lit(0L)), lit(nBuckets - 1L)))
+        .otherwise(lit(0L)))
+      .select((g.map(col) :+ col("exq_v") :+ col("exq_c") :+
+        col("exq_bkt")): _*)
+    val offs = vals.groupBy((g :+ "exq_bkt").map(col): _*)
+      .agg(sum(col("exq_c")).as("exq_bc"))
+      .withColumn("exq_off", coalesce(sum(col("exq_bc")).over(
+        Window.partitionBy(g.map(col): _*).orderBy("exq_bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(((g :+ "exq_bkt").map(col) :+ col("exq_off")): _*)
+    val wLocal = Window.partitionBy((g :+ "exq_bkt").map(col): _*)
+      .orderBy("exq_v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = vals.join(broadcast(offs), g :+ "exq_bkt")
+      .withColumn("exq_cum", col("exq_off") + sum(col("exq_c")).over(wLocal))
+      .withColumn("exq_start", col("exq_cum") - col("exq_c"))
+
+    // 4. bracket rows + Spark's interpolation, term for term.
+    // Discrete mode targets ONE 0-based rank — max(ceil(p*n), 1) - 1,
+    // the smallest value whose cume_dist reaches p — so exq_klo ==
+    // exq_khi and the interpolation short-circuit returns the actual
+    // data value untouched.
+    val targets = st
+      .select((g.map(col) :+ col("exq_rows") :+ explode(array(ps.map {
+        case (name, p) => struct(lit(name).as("exq_pn"),
+          (lit(p) * (col("exq_n") - 1L).cast(DoubleType)).as("exq_pos"),
+          (greatest(ceil(lit(p) * col("exq_n").cast(DoubleType)), lit(1L))
+            - 1L).as("exq_kd"))
+      }: _*)).as("exq_t")): _*)
+      .select((g.map(col) :+ col("exq_rows") :+
+        col("exq_t.exq_pn").as("exq_pn") :+
+        col("exq_t.exq_pos").as("exq_pos") :+
+        col("exq_t.exq_kd").as("exq_kd")): _*)
+      .withColumn("exq_klo",
+        if (discrete) col("exq_kd") else floor(col("exq_pos")))
+      .withColumn("exq_khi",
+        if (discrete) col("exq_kd") else ceil(col("exq_pos")))
+      .drop("exq_kd")
+    def holds(k: Column) =
+      k.between(col("exq_start"), col("exq_cum") - 1L)
+    val interp =
+      when(col("exq_klo") === col("exq_khi"), col("exq_vlo"))
+        // the built-in also skips interpolation when both bracket
+        // positions land inside ONE distinct value's tie span —
+        // interpolating v with itself can differ from v by 1 ULP
+        .when(col("exq_vlo") === col("exq_vhi"), col("exq_vlo"))
+        .otherwise(
+          (col("exq_khi").cast(DoubleType) - col("exq_pos")) * col("exq_vlo")
+            + (col("exq_pos") - col("exq_klo").cast(DoubleType))
+            * col("exq_vhi"))
+    val perQuantile = ranked.join(broadcast(targets), g)
+      .filter(holds(col("exq_klo")) || holds(col("exq_khi")))
+      .groupBy((g.map(col) :+ col("exq_rows") :+ col("exq_pn") :+
+        col("exq_pos") :+ col("exq_klo") :+ col("exq_khi")): _*)
+      .agg(min(when(holds(col("exq_klo")), col("exq_v"))).as("exq_vlo"),
+        min(when(holds(col("exq_khi")), col("exq_v"))).as("exq_vhi"))
+      .select((g.map(col) :+ col("exq_rows") :+ col("exq_pn") :+
+        interp.as("exq_q")): _*)
+
+    // pivot the ≤ |groups| x |ps| frame back to one row per group;
+    // the value list is static, so no distinct-scan planning job
+    val out = perQuantile
+      .groupBy((g.map(col) :+ col("exq_rows")): _*)
+      .pivot("exq_pn", ps.map(_._1))
+      .agg(first(col("exq_q")))
+    if (groupCols.isEmpty) out.drop("exq_g") else out
+  }
+}

@@ -462,25 +462,31 @@ object EventOps {
     * metric stream needs (a single spike inflates a stddev fence and
     * hides later spikes; the median fence doesn't move). Values
     * quantize to integer cents first (q125's idiom); both medians are
-    * the sort-based exact `percentile` (hash-proven ≡ DuckDB
-    * `quantile_cont`), and the fence constant is spelled as the same
-    * 3·1.4826 product in both engines so the comparison sees identical
-    * bits. Shape: two per-type percentile aggregates with the
-    * group-sized result broadcast back between them — never a global
-    * sort; the deviation frame re-derives from one checkpointed scan. */
+    * EXACT (hash-proven ≡ DuckDB `quantile_cont`) but computed
+    * two-phase via [[graft.operators.ExactQuantiles]] — the built-in
+    * `percentile` would buffer every distinct cent value per
+    * handful-of-values event_type group in one aggregation buffer,
+    * value-domain-sized state that grows with the metric's range. The
+    * fence constant is spelled as the same 3·1.4826 product in both
+    * engines so the comparison sees identical bits. Shape: two
+    * per-type median passes with the group-sized result broadcast
+    * back between them — never a global sort; the deviation frame
+    * re-derives from one checkpointed scan. */
   def q160RobustOutliers(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
       .filter(col("value").isNotNull)
       .select(col("event_type"),
         floor(col("value") * 100).cast("long").as("fv"))
       .localCheckpoint() // consumers: median agg + two deviation passes
-    val med = ev.groupBy("event_type")
-      .agg(expr("percentile(fv, 0.5)").as("med"))
+    val med = graft.operators.ExactQuantiles
+      .quantiles(ev, Seq("event_type"), "fv", Seq("med" -> 0.5))
+      .select("event_type", "med")
     val dev = ev.join(broadcast(med), "event_type")
       .select(col("event_type"), col("med"),
         abs(col("fv").cast(DoubleType) - col("med")).as("dev"))
-    val mad = dev.groupBy("event_type")
-      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    val mad = graft.operators.ExactQuantiles
+      .quantiles(dev, Seq("event_type"), "dev", Seq("mad" -> 0.5))
+      .select("event_type", "mad")
     dev.join(broadcast(mad), "event_type")
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),

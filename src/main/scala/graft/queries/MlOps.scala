@@ -595,8 +595,11 @@ object MlOps {
     * threshold: the confusion-matrix report that closes the eval
     * family (q154 calibration, q155 AUC). Same setup as both: score =
     * feature dim 0, outcome = label ≥ 5; the classifier predicts
-    * positive above the corpus median (the q50 sort-based
-    * `percentile`, hash-proven ≡ DuckDB `quantile_cont`). One
+    * positive above the corpus median — computed two-phase via
+    * [[graft.operators.ExactQuantiles]] (a GLOBAL exact `percentile`
+    * buffers every distinct score in ONE aggregation buffer — the
+    * worst case of the collapse ExactQuantiles exists for), still
+    * bit-identical to DuckDB `quantile_cont`. One
     * distributed pass folds all four confusion cells (map-side
     * combined conditional aggregates — never one pass per cell); the
     * two class rows are projections of that single row (class 0's
@@ -606,7 +609,8 @@ object MlOps {
     val scored = Tables.embeddings(s, dir)
       .select(element_at(col("embedding"), 1).cast(DoubleType).as("x"),
         (col("label").cast("int") >= 5).cast("int").as("y"))
-    val thr = scored.agg(expr("percentile(x, 0.5)").as("thr"))
+    val thr = graft.operators.ExactQuantiles
+      .quantiles(scored, Nil, "x", Seq("thr" -> 0.5)).select("thr")
     val cells = scored.crossJoin(broadcast(thr))
       .select(col("y"), (col("x") > col("thr")).cast("int").as("p"))
       .agg(

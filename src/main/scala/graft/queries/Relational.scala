@@ -441,17 +441,22 @@ object Relational {
     s.sql(SqlSurfaceText)
   }
 
-  /** q50 — exact interpolated percentiles (sort-based aggregate) +
-    * median per group. Uses `expr` so the same `percentile` the SQL
-    * surface exposes is exercised. */
+  /** q50 — exact interpolated percentiles + median per group,
+    * bit-identical to the built-in `percentile`/`median` aggregates
+    * but computed through [[graft.operators.ExactQuantiles]]. The
+    * built-in is a single-buffer aggregate holding EVERY distinct
+    * o_totalprice per 3-value status group — the aggregation-buffer
+    * analog of the low-parallelism window collapse, invisible at test
+    * scale and an executor OOM at 100 TB. The two-phase form ranks
+    * the (status, price) histogram with bucketed prefix sums and
+    * interpolates from the two bracket rows; `ExactQuantilesSpec`
+    * pins bit-equality against the superseded aggregate spelling. */
   def q50Percentiles(s: SparkSession, dir: String): DataFrame =
-    Tables.orders(s, dir)
-      .groupBy("o_orderstatus")
-      .agg(expr("percentile(o_totalprice, 0.25)").as("p25"),
-        expr("percentile(o_totalprice, 0.5)").as("p50"),
-        expr("percentile(o_totalprice, 0.75)").as("p75"),
-        expr("median(o_totalprice)").as("med"),
-        count(lit(1)).as("n"))
+    graft.operators.ExactQuantiles.quantiles(
+      Tables.orders(s, dir), Seq("o_orderstatus"), "o_totalprice",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "med" -> 0.5))
+      .select(col("o_orderstatus"), col("p25"), col("p50"), col("p75"),
+        col("med"), col("exq_rows").as("n"))
       .orderBy("o_orderstatus")
 
   /** q54 — pivot: status columns from row values (explicit value list

@@ -415,10 +415,16 @@ object SqlOps {
     * outlier-robust preprocessing a feature pipeline runs before
     * normalization. percentile_disc picks ACTUAL data values (q112's
     * discipline), so the clamped column contains only original
-    * doubles and the fixed-point mean is bit-exact cross-engine. ONE
-    * SQL text through both engines. Shape: a 5-row percentile frame
-    * joined back (broadcast), then one aggregate — two passes over
-    * the narrow (type, value) projection. */
+    * doubles and the fixed-point mean is bit-exact cross-engine.
+    * The oracle keeps the original SQL text; the Spark side computes
+    * the two cut points via
+    * [[graft.operators.ExactQuantiles.quantilesDisc]] — the built-in
+    * `percentile_disc` buffers every distinct value per
+    * handful-of-values event_type group in one aggregation buffer
+    * (the agg-state collapse, see `plans/AggStateGuard`); the
+    * two-phase form is bit-identical (`TwoPhaseTwinSpec`). Shape: a
+    * per-type cut-point frame joined back (broadcast), then one
+    * aggregate — two passes over the narrow (type, value) projection. */
   val WinsorizeSql: String =
     """WITH f AS (SELECT event_type, value FROM events WHERE value IS NOT NULL),
       |p AS (SELECT event_type,
@@ -438,8 +444,36 @@ object SqlOps {
       |    / 1e6 / count(*) AS w_mean
       |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin
 
-  def q132Winsorize(s: SparkSession, dir: String): DataFrame =
+  /** The superseded single-SQL-text spelling (the oracle's exact
+    * text, run by Spark) — the A/B twin seam for `TwoPhaseTwinSpec`,
+    * NOT registered: its percentile_disc is the value-sized
+    * aggregation buffer q132 reworked away. */
+  private[graft] def q132WinsorizeSqlForm(s: SparkSession,
+      dir: String): DataFrame =
     withViews(s, dir).sql(WinsorizeSql)
+
+  def q132Winsorize(s: SparkSession, dir: String): DataFrame = {
+    val f = Tables.events(s, dir).filter(col("value").isNotNull)
+      .select(col("event_type"), col("value"))
+    val p = graft.operators.ExactQuantiles.quantilesDisc(
+      f, Seq("event_type"), "value",
+      Seq("p05" -> 0.05, "p95" -> 0.95))
+      .select(col("event_type"), col("p05"), col("p95"))
+    val fp = floor(col("wv") * lit(1e6)).cast("long")
+    f.join(broadcast(p), "event_type")
+      .select(col("event_type"),
+        when(col("value") < col("p05"), col("p05"))
+          .when(col("value") > col("p95"), col("p95"))
+          .otherwise(col("value")).as("wv"),
+        when(col("value") < col("p05"), 1).otherwise(0).as("lo"),
+        when(col("value") > col("p95"), 1).otherwise(0).as("hi"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("lo")).as("n_lo"), sum(col("hi")).as("n_hi"),
+        sum(fp).as("wsum_fp"),
+        (sum(fp).cast("double") / lit(1e6) / count(lit(1))).as("w_mean"))
+      .orderBy("event_type")
+  }
 
   /** q133 — χ² independence test between event type and 6-hour
     * time-of-day bucket (the drift/association check a data-quality

@@ -188,6 +188,105 @@ class TwoPhaseTwinSpec extends SparkTestBase {
     assertTwin("q155", MlOps.q155RocAuc(spark, Sf), windowed)
   }
 
+  // ---- round-11 follow-through: the exact-percentile reworks
+  // (single-buffer aggregate → ExactQuantiles two-phase histogram
+  // ranks). ExactQuantilesSpec pins the operator's formula-level
+  // bit-equality; these twins pin each REGISTERED query end-to-end
+  // against its superseded single-buffer spelling.
+
+  test("q50 two-phase exact percentiles equal the single-buffer " +
+    "aggregate form") {
+    val windowed = Tables.orders(spark, Sf)
+      .groupBy("o_orderstatus")
+      .agg(expr("percentile(o_totalprice, 0.25)").as("p25"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.75)").as("p75"),
+        expr("median(o_totalprice)").as("med"),
+        count(lit(1)).as("n"))
+      .orderBy("o_orderstatus")
+    assertTwin("q50", Relational.q50Percentiles(spark, Sf), windowed)
+  }
+
+  test("q154 decile bins off two-phase boundaries equal the " +
+    "array-percentile aggregate form") {
+    val scored = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"),
+        element_at(col("embedding"), 1).cast(DoubleType).as("x"),
+        (col("label").cast("int") >= 5).cast("int").as("y"))
+    val bounds = scored.agg(expr(
+      "percentile(x, array(0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9))").as("bs"))
+    val windowed = scored.crossJoin(broadcast(bounds))
+      .select(col("y"),
+        aggregate(col("bs"), lit(0),
+          (acc, b) => acc + when(col("x") > b, 1).otherwise(0)).as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        (col("n_pos").cast(DoubleType) / col("n")).as("pos_rate"))
+      .orderBy("bin")
+    assertTwin("q154", VectorOps.q154Calibration(spark, Sf), windowed)
+  }
+
+  test("q159 confusion cells off the two-phase median equal the " +
+    "single-buffer form") {
+    val scored = Tables.embeddings(spark, Sf)
+      .select(element_at(col("embedding"), 1).cast(DoubleType).as("x"),
+        (col("label").cast("int") >= 5).cast("int").as("y"))
+    val thr = scored.agg(expr("percentile(x, 0.5)").as("thr"))
+    val cells = scored.crossJoin(broadcast(thr))
+      .select(col("y"), (col("x") > col("thr")).cast("int").as("p"))
+      .agg(
+        sum(when(col("y") === 1 && col("p") === 1, 1L).otherwise(0L)).as("tp1"),
+        sum(when(col("y") === 0 && col("p") === 1, 1L).otherwise(0L)).as("fp1"),
+        sum(when(col("y") === 1 && col("p") === 0, 1L).otherwise(0L)).as("fn1"),
+        sum(when(col("y") === 0 && col("p") === 0, 1L).otherwise(0L)).as("tn1"))
+    val pos = cells.select(lit(1).as("cls"), col("tp1").as("tp"),
+      col("fp1").as("fp"), col("fn1").as("fn"))
+    val neg = cells.select(lit(0).as("cls"), col("tn1").as("tp"),
+      col("fn1").as("fp"), col("fp1").as("fn"))
+    val d = (c: org.apache.spark.sql.Column) => c.cast(DoubleType)
+    val windowed = pos.unionAll(neg)
+      .select(col("cls"), col("tp"), col("fp"), col("fn"),
+        (d(col("tp")) / (col("tp") + col("fp"))).as("precision"),
+        (d(col("tp")) / (col("tp") + col("fn"))).as("recall"),
+        (lit(2.0) * (d(col("tp")) / (col("tp") + col("fp")))
+          * (d(col("tp")) / (col("tp") + col("fn")))
+          / ((d(col("tp")) / (col("tp") + col("fp")))
+            + (d(col("tp")) / (col("tp") + col("fn"))))).as("f1"))
+      .orderBy("cls")
+    assertTwin("q159", MlOps.q159ClassMetrics(spark, Sf), windowed)
+  }
+
+  test("q132 winsorization off two-phase disc cut points equals the " +
+    "single-SQL-text form (the oracle's exact text, run by Spark)") {
+    val windowed = SqlOps.q132WinsorizeSqlForm(spark, Sf)
+    assertTwin("q132", SqlOps.q132Winsorize(spark, Sf), windowed)
+  }
+
+  test("q160 MAD fences off two-phase medians equal the single-buffer " +
+    "form") {
+    val ev = Tables.events(spark, Sf)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        floor(col("value") * 100).cast("long").as("fv"))
+    val med = ev.groupBy("event_type")
+      .agg(expr("percentile(fv, 0.5)").as("med"))
+    val dev = ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), col("med"),
+        abs(col("fv").cast(DoubleType) - col("med")).as("dev"))
+    val mad = dev.groupBy("event_type")
+      .agg(expr("percentile(dev, 0.5)").as("mad"))
+    val windowed = dev.join(broadcast(mad), "event_type")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count_if(col("dev") > lit(3.0) * lit(1.4826) * col("mad"))
+          .as("n_outliers"),
+        (min(col("med")) / 1e2).as("median_value"),
+        (min(col("mad")) / 1e2).as("mad_value"))
+      .orderBy("event_type")
+    assertTwin("q160", EventOps.q160RobustOutliers(spark, Sf), windowed)
+  }
+
   test("q153 bucketed two-phase quantile ranks equal the per-dim " +
     "window form") {
     val n = Tables.embeddings(spark, Sf).count()

@@ -27,7 +27,15 @@ import graft.SparkTestBase
   * (The aggregate-below check is a may-find — an Aggregate anywhere
   * under the window passes — so it is a census heuristic, not a
   * proof; the per-query plan specs below pin the six reworked shapes
-  * exactly.) */
+  * exactly.)
+  *
+  * The same walk now also runs the AGG-STATE census
+  * (`plans/AggStateGuard`): value-sized aggregation buffers — exact
+  * percentile/median/mode/collect_* — over low-card/global groups are
+  * the same collapse relocated from the sort to the hash-aggregate
+  * buffer; q50/q154/q159/q160 reworked onto
+  * `operators/ExactQuantiles`, bounded-domain survivors pinned in
+  * [[WindowCensusSpec.AggCleared]]. */
 class WindowCensusSpec extends SparkTestBase {
 
   /** Partition-key names with O(1) distinct values at any data scale.
@@ -55,25 +63,72 @@ class WindowCensusSpec extends SparkTestBase {
       ("per-brand Pareto frontier over the part DIMENSION table (25 " +
         "brands of a catalog-bounded frame)"))
 
+  /** Reviewed exceptions for the AGG-STATE census (the window
+    * collapse's aggregation-buffer sibling, round-11 follow-through):
+    * value-sized-state aggregates over low-card/global groups whose
+    * buffered VALUE DOMAIN is itself O(1), or whose point is the SQL
+    * surface. Exact quantiles over unbounded domains get NO pin —
+    * they rework onto `ExactQuantiles` (q50/q154/q159/q160 did). */
+  private val AggCleared: Map[String, String] = Map(
+    "q74_decontaminate" ->
+      ("global collect_set of the BENCHMARK's distinct gram hashes " +
+        "(~8 bytes/gram): the collected domain is benchmark-suite-" +
+        "sized by definition, not corpus-sized — the corpus side " +
+        "never aggregates; TextOps.decontaminateAgainst documents " +
+        "the join-shape fallback for 100M+-gram benchmarks"),
+    "q64_collect_agg" ->
+      ("collection-aggregate capability row; the collected domain is " +
+        "the 3-value o_orderstatus enum — set state is O(|domain|), " +
+        "not O(rows), at any scale"),
+    "q112_mode_pdisc" ->
+      ("ordered-set/inverse-distribution SQL-surface showcase (mode + " +
+        "percentile_disc WITHIN GROUP, identical SQL both engines); " +
+        "mode's domain is the 3-value status enum; the scalable exact- " +
+        "quantile form is ExactQuantiles (q50), kept distinct so the " +
+        "SQL surface stays a registered capability"))
+
+  /** Both censuses off ONE plan walk per query (optimizing 235 plans
+    * dominates; the audits are collect()s over the same tree). */
+  private lazy val census: (Seq[String], Seq[String]) = {
+    val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
+      case (name, fn) =>
+        val plan = fn(spark, Sf).queryExecution.optimizedPlan
+        val w = if (Cleared.contains(name)) Nil
+          else graft.plans.WindowGuard.audit(plan, LowCard)
+            .map(f => s"$name: ${f.describe}")
+        val ag = if (AggCleared.contains(name)) Nil
+          else graft.plans.AggStateGuard.audit(plan, LowCard)
+            .map(f => s"$name: ${f.describe}")
+        (w, ag)
+    }
+    (results.flatMap(_._1), results.flatMap(_._2))
+  }
+
   test("window census: every registered query is free of " +
     "low-parallelism window shapes (q228 precedent, r10 verdict)") {
     // same detector the runtime WindowGuardRule runs — the test-time
     // census and the in-optimizer guard cannot drift
-    val offenders = graft.SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
-      case (name, fn) =>
-        if (Cleared.contains(name)) Nil
-        else graft.plans.WindowGuard.audit(fn(spark, Sf), LowCard)
-          .map(f => s"$name: ${f.describe}")
-    }
+    val offenders = census._1
     assert(offenders.isEmpty,
       "low-parallelism window(s) reintroduced — rework per the q228 " +
         "precedent (bounded-heap top-k / two-phase prefix) or review + " +
         s"add to Cleared with a reason:\n${offenders.mkString("\n")}")
   }
 
-  test("cleared list carries no stale entries") {
+  test("agg-state census: every registered query is free of value-sized " +
+    "aggregation buffers over low-card/global groups (round-11 " +
+    "follow-through on the q228 precedent)") {
+    val offenders = census._2
+    assert(offenders.isEmpty,
+      "value-sized aggregation buffer(s) reintroduced — rework exact " +
+        "quantiles onto ExactQuantiles.quantiles (two-phase histogram " +
+        "ranks) or review + add to AggCleared with a bounded-domain " +
+        s"reason:\n${offenders.mkString("\n")}")
+  }
+
+  test("cleared lists carry no stale entries") {
     val names = graft.SparkEntry.queries.keySet
-    val stale = Cleared.keySet.diff(names)
+    val stale = (Cleared.keySet ++ AggCleared.keySet).diff(names)
     assert(stale.isEmpty, s"Cleared entries for unregistered queries: $stale")
   }
 
