@@ -22,15 +22,19 @@ import org.apache.spark.sql.types.DoubleType
   * changes the answer; this operator keeps the answer bit-for-bit and
   * fixes the state.
   *
-  * Shape (every step data-parallel, no value-sized task state):
+  * Shape (every step data-parallel, no value-sized task state; the
+  * input is scanned exactly ONCE):
   *   1. value histogram: `groupBy(group, value).count()` — key
   *      cardinality GROWS with data, so this shuffle parallelizes;
   *      per-task state after map-side combine is the task's distinct
-  *      values, not the group's.
+  *      values, not the group's. Cached (persist): five consumers
+  *      with differing prunings would otherwise each re-scan the
+  *      input (exchange reuse never fires across them — measured 12
+  *      scans on the global-median shape); the cache keeps lineage,
+  *      so executor loss recomputes rather than fails.
   *   2. per-group span stats (min/max/counts) — one tiny aggregated
-  *      frame, broadcast back in-plan (the q72/q153 bounded-model-
-  *      state shape; aggregates are deterministic, so every consumer
-  *      computes the same bucket map).
+  *      frame (≤|groups| rows, also materialized), broadcast back
+  *      in-plan, so every consumer sees the identical bucket map.
   *   3. two-phase global rank of each distinct value inside its
   *      group: deterministic equal-width value buckets (equal values
   *      always share a bucket), per-(group, bucket) counts → exclusive
@@ -94,15 +98,29 @@ object ExactQuantiles {
       valueCol: String, ps: Seq[(String, Double)]): DataFrame =
     build(df, groupCols, valueCol, ps, discrete = true)
 
+  /** For inputs ALREADY reduced to a (group, value, count) histogram —
+    * one row per distinct (group, value), `countCol` its multiplicity.
+    * Lets a caller that needs several quantile passes over derived
+    * value spaces (q160: the deviation histogram is a fold of the
+    * value histogram — counts at med±d merge) pay for ONE scan of the
+    * data and stay in histogram space for everything after. Null
+    * `valueCol` rows are allowed and count toward `exq_rows` only.
+    * Callers should `persist()` a histogram they also consume
+    * elsewhere — this path adds no caching of its own. */
+  def quantilesOfHist(hist: DataFrame, groupCols: Seq[String],
+      valueCol: String, countCol: String, ps: Seq[(String, Double)],
+      discrete: Boolean = false): DataFrame = {
+    val g = if (groupCols.isEmpty) Seq("exq_g") else groupCols
+    val base = if (groupCols.isEmpty) hist.withColumn("exq_g", lit(1))
+      else hist
+    core(base.select((g.map(col) :+
+      col(valueCol).cast(DoubleType).as("exq_v") :+
+      col(countCol).cast("long").as("exq_c")): _*),
+      groupCols, g, ps, discrete)
+  }
+
   private def build(df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[(String, Double)], discrete: Boolean): DataFrame = {
-    require(ps.nonEmpty, "at least one (name, p) quantile required")
-    require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
-      s"quantile fractions must be in [0, 1]: $ps")
-    val s = df.sparkSession
-    // bucket count scales with the cluster, like every two-phase rework
-    val nBuckets = s.sparkContext.defaultParallelism.max(16) * 2
-
     // global quantiles ride a constant group key (dropped at the end)
     // so one code path serves both; the key is a literal, so the extra
     // column never shuffles wider than the row it annotates
@@ -110,17 +128,41 @@ object ExactQuantiles {
     val base0 = if (groupCols.isEmpty) df.withColumn("exq_g", lit(1)) else df
 
     // 1. value histogram — nulls kept as their own row so exq_rows can
-    // be count(*) while ranks use the non-null count, like the built-in
+    // be count(*) while ranks use the non-null count, like the built-in.
+    // CACHED (persist, not localCheckpoint): the histogram feeds five
+    // consumers below (span stats, bucket join, offsets, ranks) whose
+    // prunings differ, so exchange reuse never fires — uncached, Spark
+    // re-scans the INPUT once per consumer (measured 12 scans on
+    // q159's shape). The CacheManager substitutes the one in-memory
+    // histogram into every branch lazily (no blocking side job, one
+    // scan of the data), and unlike localCheckpoint the lineage
+    // survives executor loss — on a real cluster a lost block
+    // recomputes instead of failing the query. Callers' harnesses
+    // clear the cache between queries (Bench/Verify discipline).
     val hist = base0
       .groupBy((g.map(col) :+ col(valueCol).cast(DoubleType).as("exq_v")): _*)
       .agg(count(lit(1)).as("exq_c"))
+      .persist()
+    core(hist, groupCols, g, ps, discrete)
+  }
 
-    // 2. per-group span + counts (aggregated frame, broadcast back)
+  private def core(hist: DataFrame, groupCols: Seq[String], g: Seq[String],
+      ps: Seq[(String, Double)], discrete: Boolean): DataFrame = {
+    require(ps.nonEmpty, "at least one (name, p) quantile required")
+    require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      s"quantile fractions must be in [0, 1]: $ps")
+    // bucket count scales with the cluster, like every two-phase rework
+    val nBuckets =
+      hist.sparkSession.sparkContext.defaultParallelism.max(16) * 2
+
+    // 2. per-group span + counts (aggregated frame, broadcast back;
+    // cached too — ≤|groups| rows, consumed twice)
     val st = hist.groupBy(g.map(col): _*)
       .agg(sum(col("exq_c")).as("exq_rows"),
         sum(when(col("exq_v").isNotNull, col("exq_c"))
           .otherwise(lit(0L))).as("exq_n"),
         min(col("exq_v")).as("exq_mn"), max(col("exq_v")).as("exq_mx"))
+      .persist()
 
     // 3. two-phase global rank span of each distinct value
     val vals = hist.filter(col("exq_v").isNotNull)
@@ -145,54 +187,57 @@ object ExactQuantiles {
       .withColumn("exq_cum", col("exq_off") + sum(col("exq_c")).over(wLocal))
       .withColumn("exq_start", col("exq_cum") - col("exq_c"))
 
-    // 4. bracket rows + Spark's interpolation, term for term.
-    // Discrete mode targets ONE 0-based rank — max(ceil(p*n), 1) - 1,
-    // the smallest value whose cume_dist reaches p — so exq_klo ==
-    // exq_khi and the interpolation short-circuit returns the actual
-    // data value untouched.
-    val targets = st
-      .select((g.map(col) :+ col("exq_rows") :+ explode(array(ps.map {
-        case (name, p) => struct(lit(name).as("exq_pn"),
-          (lit(p) * (col("exq_n") - 1L).cast(DoubleType)).as("exq_pos"),
-          (greatest(ceil(lit(p) * col("exq_n").cast(DoubleType)), lit(1L))
-            - 1L).as("exq_kd"))
-      }: _*)).as("exq_t")): _*)
-      .select((g.map(col) :+ col("exq_rows") :+
-        col("exq_t.exq_pn").as("exq_pn") :+
-        col("exq_t.exq_pos").as("exq_pos") :+
-        col("exq_t.exq_kd").as("exq_kd")): _*)
-      .withColumn("exq_klo",
-        if (discrete) col("exq_kd") else floor(col("exq_pos")))
-      .withColumn("exq_khi",
-        if (discrete) col("exq_kd") else ceil(col("exq_pos")))
-      .drop("exq_kd")
+    // 4. bracket + interpolate — Spark's formula, term for term.
+    // All per-quantile target ranks ride as COLUMNS of the stats frame
+    // (no explode, so rank rows are never multiplied |ps|-fold), the
+    // bracket filter keeps rows holding ANY target rank (≤ 2|ps| per
+    // group), and ONE conditional aggregation per group yields every
+    // bracket value — no per-quantile shuffle, no pivot. Discrete mode
+    // targets ONE 0-based rank — max(ceil(p*n), 1) - 1, the smallest
+    // value whose cume_dist reaches p — so lo == hi and the
+    // interpolation short-circuit returns the actual data value.
+    val kcols = ps.zipWithIndex.flatMap { case ((_, p), i) =>
+      val pos = lit(p) * (col("exq_n") - 1L).cast(DoubleType)
+      val kd = greatest(ceil(lit(p) * col("exq_n").cast(DoubleType)),
+        lit(1L)) - 1L
+      if (discrete)
+        Seq(kd.as(s"exq_klo_$i"), kd.as(s"exq_khi_$i"),
+          lit(0.0).as(s"exq_pos_$i"))
+      else
+        Seq(floor(pos).as(s"exq_klo_$i"), ceil(pos).as(s"exq_khi_$i"),
+          pos.as(s"exq_pos_$i"))
+    }
+    val stT = st.select((g.map(col) :+ col("exq_rows")) ++ kcols: _*)
     def holds(k: Column) =
       k.between(col("exq_start"), col("exq_cum") - 1L)
-    val interp =
-      when(col("exq_klo") === col("exq_khi"), col("exq_vlo"))
+    val anyHold = ps.indices
+      .map(i => holds(col(s"exq_klo_$i")) || holds(col(s"exq_khi_$i")))
+      .reduce(_ || _)
+    // targets/positions are group constants — min() re-emits them
+    val aggs = ps.indices.flatMap { i => Seq(
+      min(when(holds(col(s"exq_klo_$i")), col("exq_v"))).as(s"exq_vlo_$i"),
+      min(when(holds(col(s"exq_khi_$i")), col("exq_v"))).as(s"exq_vhi_$i"),
+      min(col(s"exq_klo_$i")).as(s"exq_klo_$i"),
+      min(col(s"exq_khi_$i")).as(s"exq_khi_$i"),
+      min(col(s"exq_pos_$i")).as(s"exq_pos_$i")) }
+    def interp(i: Int): Column =
+      when(col(s"exq_klo_$i") === col(s"exq_khi_$i"), col(s"exq_vlo_$i"))
         // the built-in also skips interpolation when both bracket
         // positions land inside ONE distinct value's tie span —
         // interpolating v with itself can differ from v by 1 ULP
-        .when(col("exq_vlo") === col("exq_vhi"), col("exq_vlo"))
+        .when(col(s"exq_vlo_$i") === col(s"exq_vhi_$i"), col(s"exq_vlo_$i"))
         .otherwise(
-          (col("exq_khi").cast(DoubleType) - col("exq_pos")) * col("exq_vlo")
-            + (col("exq_pos") - col("exq_klo").cast(DoubleType))
-            * col("exq_vhi"))
-    val perQuantile = ranked.join(broadcast(targets), g)
-      .filter(holds(col("exq_klo")) || holds(col("exq_khi")))
-      .groupBy((g.map(col) :+ col("exq_rows") :+ col("exq_pn") :+
-        col("exq_pos") :+ col("exq_klo") :+ col("exq_khi")): _*)
-      .agg(min(when(holds(col("exq_klo")), col("exq_v"))).as("exq_vlo"),
-        min(when(holds(col("exq_khi")), col("exq_v"))).as("exq_vhi"))
-      .select((g.map(col) :+ col("exq_rows") :+ col("exq_pn") :+
-        interp.as("exq_q")): _*)
-
-    // pivot the ≤ |groups| x |ps| frame back to one row per group;
-    // the value list is static, so no distinct-scan planning job
-    val out = perQuantile
+          (col(s"exq_khi_$i").cast(DoubleType) - col(s"exq_pos_$i"))
+            * col(s"exq_vlo_$i")
+            + (col(s"exq_pos_$i") - col(s"exq_klo_$i").cast(DoubleType))
+            * col(s"exq_vhi_$i"))
+    val out = ranked.join(broadcast(stT), g)
+      .filter(anyHold)
       .groupBy((g.map(col) :+ col("exq_rows")): _*)
-      .pivot("exq_pn", ps.map(_._1))
-      .agg(first(col("exq_q")))
+      .agg(aggs.head, aggs.tail: _*)
+      .select((g.map(col) :+ col("exq_rows")) ++
+        ps.zipWithIndex.map { case ((name, _), i) =>
+          interp(i).as(name) }: _*)
     if (groupCols.isEmpty) out.drop("exq_g") else out
   }
 }

@@ -468,30 +468,38 @@ object EventOps {
     * handful-of-values event_type group in one aggregation buffer,
     * value-domain-sized state that grows with the metric's range. The
     * fence constant is spelled as the same 3·1.4826 product in both
-    * engines so the comparison sees identical bits. Shape: two
-    * per-type median passes with the group-sized result broadcast
-    * back between them — never a global sort; the deviation frame
-    * re-derives from one checkpointed scan. */
+    * engines so the comparison sees identical bits. Shape: ONE scan
+    * of events builds the per-(type, cents) value histogram; every
+    * later step is histogram-space — the deviation histogram is a
+    * FOLD of the value histogram (counts at med±d merge under
+    * |v−med|), and n/n_outliers are count sums over it, so neither
+    * median pass nor the fence count ever touches the event rows
+    * again. */
   def q160RobustOutliers(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(s, dir)
+    val hist = Tables.events(s, dir)
       .filter(col("value").isNotNull)
       .select(col("event_type"),
         floor(col("value") * 100).cast("long").as("fv"))
-      .localCheckpoint() // consumers: median agg + two deviation passes
+      .groupBy(col("event_type"), col("fv").cast(DoubleType).as("v"))
+      .agg(count(lit(1)).as("c"))
+      .persist() // consumers: median core + the deviation fold
     val med = graft.operators.ExactQuantiles
-      .quantiles(ev, Seq("event_type"), "fv", Seq("med" -> 0.5))
+      .quantilesOfHist(hist, Seq("event_type"), "v", "c",
+        Seq("med" -> 0.5))
       .select("event_type", "med")
-    val dev = ev.join(broadcast(med), "event_type")
-      .select(col("event_type"), col("med"),
-        abs(col("fv").cast(DoubleType) - col("med")).as("dev"))
+    val devHist = hist.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"), abs(col("v") - col("med")).as("dev"))
+      .agg(sum(col("c")).as("c"), min(col("med")).as("med"))
+      .persist() // consumers: MAD core + the fence count
     val mad = graft.operators.ExactQuantiles
-      .quantiles(dev, Seq("event_type"), "dev", Seq("mad" -> 0.5))
+      .quantilesOfHist(devHist, Seq("event_type"), "dev", "c",
+        Seq("mad" -> 0.5))
       .select("event_type", "mad")
-    dev.join(broadcast(mad), "event_type")
+    devHist.join(broadcast(mad), "event_type")
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"),
-        count_if(col("dev") > lit(3.0) * lit(1.4826) * col("mad"))
-          .as("n_outliers"),
+      .agg(sum(col("c")).as("n"),
+        sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"),
+          col("c")).otherwise(lit(0L))).as("n_outliers"),
         (min(col("med")) / 1e2).as("median_value"),
         (min(col("mad")) / 1e2).as("mad_value"))
       .orderBy("event_type")

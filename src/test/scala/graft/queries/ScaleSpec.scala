@@ -520,6 +520,50 @@ class ScaleSpec extends SparkTestBase {
       assert(math.abs(r.getAs[Double]("auc") -
         auc1(r.getAs[Int]("fold"))) < 0.05)
     }
+    // ExactQuantiles (round-11 addendum — the agg-state rework): a
+    // 10x-replicated multiset has identical cume_dist steps, so
+    // DISCRETE cut points are exactly replication-invariant (q132's
+    // p05/p95 must be bit-equal), row counts scale exactly 10x, and
+    // interpolated medians can move only within one distinct-value
+    // step around the 1x value. No buffer holds more than the task's
+    // histogram slice at any size — the property the rework bought.
+    spark.read.parquet(s"$base/events.parquet").crossJoin(reps).drop("rep")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val w1 = SqlOps.q132Winsorize(spark, base).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val w10 = timed("q132")(SqlOps.q132Winsorize(spark, dir).collect())
+    w10.foreach { r =>
+      val b = w1(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") === 10L * b.getAs[Long]("n"))
+      assert(r.getAs[Long]("n_lo") === 10L * b.getAs[Long]("n_lo"),
+        "disc p05 cut must be exactly replication-invariant")
+      assert(r.getAs[Long]("n_hi") === 10L * b.getAs[Long]("n_hi"),
+        "disc p95 cut must be exactly replication-invariant")
+    }
+    val q50b = Relational.q50Percentiles(spark, base).collect()
+      .map(r => r.getAs[String]("o_orderstatus") -> r).toMap
+    val q50s = timed("q50")(Relational.q50Percentiles(spark, dir).collect())
+    q50s.foreach { r =>
+      val b = q50b(r.getAs[String]("o_orderstatus"))
+      assert(r.getAs[Long]("n") === 10L * b.getAs[Long]("n"))
+      Seq("p25", "p50", "p75", "med").foreach { c =>
+        val d = math.abs(r.getAs[Double](c) - b.getAs[Double](c))
+        assert(d <= math.abs(b.getAs[Double](c)) * 1e-3 + 1.0,
+          s"$c moved beyond one distinct-price step under replication: $d")
+      }
+    }
+    val m1 = EventOps.q160RobustOutliers(spark, base).collect()
+      .map(r => r.getAs[String]("event_type") -> r).toMap
+    val m10 = timed("q160")(EventOps.q160RobustOutliers(spark, dir).collect())
+    m10.foreach { r =>
+      val b = m1(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n") === 10L * b.getAs[Long]("n"))
+      assert(math.abs(r.getAs[Double]("median_value") -
+        b.getAs[Double]("median_value")) <= 0.01,
+        "median can move at most one cent under exact replication")
+      assert(math.abs(r.getAs[Double]("mad_value") -
+        b.getAs[Double]("mad_value")) <= 0.01)
+    }
   }
 
   test("pipeline fails fast on missing input (documented divergence)") {
