@@ -1050,25 +1050,31 @@ object CorpusOps {
     * a stored sample table.
     *
     * Scale shape: anchors broadcast against one candidate scan (the
-    * q40 discipline); the per-anchor top-3 keeps the window input at
-    * (anchors × candidates) rows of 3 integers — at real scale the
-    * q227 bounded-heap aggregate replaces the window, same semantics. */
+    * q40 discipline); the per-anchor bottom-3 rides the
+    * [[graft.functions.BottomKByKeyRow]] bounded heap (cand_label as
+    * the payload) — a per-anchor window would hash every eligible
+    * candidate into 20 single-task sorts (the round-11 census
+    * collapse); the heap ships ≤3 rows per anchor per map task. */
   def q229NegativeSampling(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val anchors = emb.filter(col("vec_id") < 20)
       .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"))
     val cands = emb.select(col("vec_id").as("cand_id"),
       col("label").as("cand_label"))
+    val bottomk = udaf(graft.functions.BottomKByKeyRow(3),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.KeyedRow]())
     cands.crossJoin(broadcast(anchors))
       .filter(col("cand_label") =!= col("anchor_label"))
       .withColumn("sk", md5(concat(col("anchor_id").cast("string"),
         lit(":"), col("cand_id").cast("string"))))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy("anchor_id").orderBy(col("sk"), col("cand_id")))
-        .cast(LongType))
-      .filter(col("rk") <= 3)
-      .select(col("anchor_id"), col("rk"), col("cand_id"),
-        col("cand_label"))
+      .groupBy("anchor_id")
+      .agg(bottomk(col("sk"), col("cand_id"),
+        col("cand_label").cast(LongType)).as("neg"))
+      .select(col("anchor_id"), posexplode(col("neg")).as(Seq("pos0", "e")))
+      .select(col("anchor_id"), (col("pos0") + 1).cast(LongType).as("rk"),
+        col("e.id").as("cand_id"),
+        col("e.payload").cast("int").as("cand_label"))
       .orderBy("anchor_id", "rk")
   }
 

@@ -48,25 +48,66 @@ object VectorOps {
     call_function("cosine_sim", a, b)
   }
 
+  /** Per-query exact top-k by (`scoreCol` DESC, `idCol` ASC) through
+    * the [[graft.functions.TopKByScoreRow]] bounded heap — the
+    * window-free ANN re-rank idiom (round-11 census follow-through).
+    * `row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, id)`
+    * with a handful of queries hash-partitions EVERY scored candidate
+    * into one single-task sort per query; the heap ships ≤k rows per
+    * query per map task and merges associatively — bit-identical to
+    * the window under the total order (ids unique per query). Emits
+    * (groupCol, rk, id, score, payload); callers rename/drop. */
+  private[queries] def topKPerGroup(scored: DataFrame, k: Int,
+      groupCol: String, scoreCol: String, idCol: String,
+      payload: Column): DataFrame = {
+    val heap = udaf(graft.functions.TopKByScoreRow(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.ScoredRow]())
+    scored.groupBy(groupCol)
+      .agg(heap(col(scoreCol).cast(DoubleType), col(idCol).cast(LongType),
+        payload.cast(LongType)).as("topk"))
+      .select(col(groupCol), posexplode(col("topk")).as(Seq("pos0", "e")))
+      .select(col(groupCol), (col("pos0") + 1).as("rk"),
+        col("e.id").as(idCol), col("e.score").as(scoreCol),
+        col("e.payload").as("exq_payload"))
+  }
+
+  /** Ascending sibling of [[topKPerGroup]] (distance metrics:
+    * Hamming, L2) through [[graft.functions.BottomKByScore]]. */
+  private[queries] def bottomKPerGroup(scored: DataFrame, k: Int,
+      groupCol: String, scoreCol: String, idCol: String,
+      payload: Column): DataFrame = {
+    val heap = udaf(graft.functions.BottomKByScore(k),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.ScoredRow]())
+    scored.groupBy(groupCol)
+      .agg(heap(col(scoreCol).cast(DoubleType), col(idCol).cast(LongType),
+        payload.cast(LongType)).as("botk"))
+      .select(col(groupCol), posexplode(col("botk")).as(Seq("pos0", "e")))
+      .select(col(groupCol), (col("pos0") + 1).as("rk"),
+        col("e.id").as(idCol), col("e.score").as(scoreCol),
+        col("e.payload").as("exq_payload"))
+  }
+
   /** q40 — brute-force cosine top-k: queries = vec_id < 5, candidates =
     * the rest; top-10 per query by similarity (tie-broken on cand_id).
     * The query side is broadcast, so the candidate scan is one narrow
-    * pass however large the corpus; the per-query top-k window shuffles
-    * only (n_queries × n_candidates-surviving) rows. */
+    * pass however large the corpus; the per-query top-k rides the
+    * [[graft.functions.TopKByScoreRow]] bounded heap (label as the
+    * payload), NOT a window — a 5-value partition key would sort every
+    * scored candidate in 5 single-task frames at 100 TB. */
   def q40CosineTopK(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
     val cands = emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("cand_id"), col("label"), col("embedding").as("c_emb"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("cand_id"))
-    cands.crossJoin(broadcast(queries))
+    val scored = cands.crossJoin(broadcast(queries))
       .select(col("query_id"), col("cand_id"), col("label"),
         cosineNative(s, col("q_emb"), col("c_emb")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
-      .select("query_id", "rk", "cand_id", "label", "sim")
+    topKPerGroup(scored, 10, "query_id", "sim", "cand_id", col("label"))
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        col("exq_payload").cast("int").as("label"), col("sim"))
       .orderBy("query_id", "rk")
   }
 
@@ -118,13 +159,13 @@ object VectorOps {
     val cands = emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
         col("bucket"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("cand_id"))
-    cands.join(broadcast(queries), Seq("bucket"))
+    val scored = cands.join(broadcast(queries), Seq("bucket"))
       .select(col("query_id"), col("cand_id"),
         cosineNative(s, col("q_emb"), col("c_emb")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    // bounded-heap top-k, not a per-query window: the probed candidate
+    // volume grows with the corpus (O(n·probes/2^bits)) while query_id
+    // has a handful of values — the round-11 census collapse
+    topKPerGroup(scored, k, "query_id", "sim", "cand_id", lit(0L))
       .select("query_id", "rk", "cand_id", "sim")
       .orderBy("query_id", "rk")
   }
@@ -188,23 +229,23 @@ object VectorOps {
       .groupBy("cand_id")
       .agg(max_by(col("cent_id"), struct(col("csim"), col("cent_id") * -1)).as("cent_id"),
         first(col("c_emb")).as("c_emb"))
-    // the (tiny) query side probes its nprobe nearest lists via a window
-    val probed = emb.filter(col("vec_id") < 5)
+    // the (tiny) query side probes its nprobe nearest lists through
+    // the bounded heap — the centroid frame grows ~n/127 with the
+    // corpus while query_id has a handful of values, so a crk window
+    // here is the same census collapse as the re-rank's
+    val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(centroids))
-      .select(col("query_id"), col("q_emb"), col("cent_id"),
+    val probeScores = queries.crossJoin(broadcast(centroids))
+      .select(col("query_id"), col("cent_id"),
         cosineNative(s, col("q_emb"), col("cent_vec")).as("csim"))
-      .withColumn("crk", row_number().over(
-        Window.partitionBy("query_id").orderBy(col("csim").desc, col("cent_id"))))
-      .filter(col("crk") <= nprobe)
-      .drop("csim", "crk")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("cand_id"))
-    lists.join(broadcast(probed), Seq("cent_id"))
+    val probed = topKPerGroup(probeScores, nprobe, "query_id", "csim",
+      "cent_id", lit(0L))
+      .select(col("query_id"), col("cent_id"))
+      .join(broadcast(queries), Seq("query_id"))
+    val scored = lists.join(broadcast(probed), Seq("cent_id"))
       .select(col("query_id"), col("cand_id"),
         cosineNative(s, col("q_emb"), col("c_emb")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    topKPerGroup(scored, k, "query_id", "sim", "cand_id", lit(0L))
       .select("query_id", "rk", "cand_id", "sim")
       .orderBy("query_id", "rk")
   }
@@ -370,17 +411,26 @@ object VectorOps {
     val queries = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         proj(col("embedding")).as("qp"))
-    val wCand = Window.partitionBy("query_id")
-      .orderBy(col("simp").desc, col("cand_id"))
-    val wFinal = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("cand_id"))
-    cands.join(broadcast(queries), lit(true))
-      .withColumn("simp", cosineNative(s, col("qp"), col("cp")))
-      .withColumn("rkp", row_number().over(wCand))
-      .filter(col("rkp") <= nCand)
-      .withColumn("sim", cosineNative(s, col("q_emb"), col("c_emb")))
-      .withColumn("rk", row_number().over(wFinal))
-      .filter(col("rk") <= k)
+    // both rankings ride the bounded heap (round-11 census): the old
+    // per-query windows carried BOTH full embeddings for every scored
+    // candidate into 5 single-task sorts; the heap ships ≤nCand ids,
+    // and the full-precision re-rank re-reads only the shortlist rows
+    // from one more narrow scan (a second columnar scan beats hauling
+    // 256-byte embeddings through a corpus-sized shuffle at any scale)
+    val reduced = cands.select(col("cand_id"), col("cp"))
+      .join(broadcast(queries.select(col("query_id"), col("qp"))), lit(true))
+      .select(col("query_id"), col("cand_id"),
+        cosineNative(s, col("qp"), col("cp")).as("simp"))
+    val shortlist = topKPerGroup(reduced, nCand, "query_id", "simp",
+      "cand_id", lit(0L))
+      .select(col("query_id"), col("cand_id"))
+    val scored = cands.select(col("cand_id"), col("c_emb"))
+      .join(broadcast(shortlist), Seq("cand_id"))
+      .join(broadcast(queries.select(col("query_id"), col("q_emb"))),
+        Seq("query_id"))
+      .select(col("query_id"), col("cand_id"),
+        cosineNative(s, col("q_emb"), col("c_emb")).as("sim"))
+    topKPerGroup(scored, k, "query_id", "sim", "cand_id", lit(0L))
       .select("query_id", "rk", "cand_id", "sim")
       .orderBy("query_id", "rk")
   }
@@ -413,15 +463,15 @@ object VectorOps {
         col("lo").as("q_lo"), col("hi").as("q_hi"))
     val cands = sigs.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("cand_id"), col("lo"), col("hi"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("hamming"), col("cand_id"))
-    cands.crossJoin(broadcast(queries))
+    val scored = cands.crossJoin(broadcast(queries))
       .select(col("query_id"), col("cand_id"),
         (bit_count(col("q_lo").bitwiseXOR(col("lo")))
           + bit_count(col("q_hi").bitwiseXOR(col("hi")))).as("hamming"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
-      .select("query_id", "rk", "cand_id", "hamming")
+    // ascending bounded heap (Hamming ≤ 128 is exact in double), not a
+    // per-query window — the round-11 census collapse
+    bottomKPerGroup(scored, 10, "query_id", "hamming", "cand_id", lit(0L))
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        col("hamming").cast("int").as("hamming"))
       .orderBy("query_id", "rk")
   }
 
@@ -621,13 +671,12 @@ object VectorOps {
     val cands16 = emb.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("cand_id"),
         slice(col("embedding"), 1, MatryoshkaDims).as("c_emb"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("cand_id"))
-    val trunc = cands16.crossJoin(broadcast(queries16))
+    val scored16 = cands16.crossJoin(broadcast(queries16))
       .select(col("query_id"), col("cand_id"),
         cosineNative(s, col("q_emb"), col("c_emb")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= 10)
+    // the truncated ranking rides the same bounded heap as q40's
+    val trunc = topKPerGroup(scored16, 10, "query_id", "sim", "cand_id",
+      lit(0L))
       .select(col("query_id"), col("cand_id"), col("rk").as("rk_trunc"))
     full.join(trunc, Seq("query_id", "cand_id"), "left")
       .groupBy("query_id")

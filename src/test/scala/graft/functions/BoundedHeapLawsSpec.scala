@@ -199,6 +199,80 @@ class BoundedHeapLawsSpec extends AnyFunSuite {
     })
   }
 
+  // ---- the two round-11-addendum members (ANN-family rework)
+
+  private def refTopRow(xs: Seq[ScoredRow], k: Int): Seq[ScoredRow] =
+    xs.sortWith((a, b) => a.score > b.score || (a.score == b.score &&
+      (a.id < b.id || (a.id == b.id && a.payload < b.payload)))).take(k)
+
+  private val keyedRow: Gen[KeyedRow] = for {
+    k <- Gen.oneOf("a", "b", "ba", "ab", "z", "", "aa", "b0")
+    id <- Gen.chooseNum(0L, 40L)
+    p <- Gen.chooseNum(-3L, 3L)
+  } yield KeyedRow(k, id, p)
+
+  private def refBottomKeyRow(xs: Seq[KeyedRow], k: Int): Seq[KeyedRow] =
+    xs.sortBy(x => (x.key, x.id, x.payload)).take(k)
+
+  test("TopKByScoreRow: reduce-fold equals the reference sort-take " +
+    "(doubles desc, tie-heavy)") {
+    check("fold=ref")(Prop.forAll(Gen.listOf(scoredRow),
+      Gen.chooseNum(1, 7)) { (xs, k) =>
+      val agg = TopKByScoreRow(k)
+      xs.foldLeft(agg.zero)(agg.reduce) == refTopRow(xs, k)
+    })
+  }
+
+  test("TopKByScoreRow: merge of any split equals the unsplit fold, " +
+    "commutes, and zero is identity") {
+    check("merge laws")(Prop.forAll(Gen.listOf(scoredRow),
+      Gen.chooseNum(0, 100), Gen.chooseNum(1, 7)) { (xs, cut, k) =>
+      val agg = TopKByScoreRow(k)
+      val (l, r) = xs.splitAt(cut % (xs.size + 1))
+      val lf = l.foldLeft(agg.zero)(agg.reduce)
+      val rf = r.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(lf, rf)
+      merged == xs.foldLeft(agg.zero)(agg.reduce) &&
+        agg.merge(rf, lf) == merged &&
+        agg.merge(merged, agg.zero) == merged &&
+        agg.merge(agg.zero, merged) == merged
+    })
+  }
+
+  test("BottomKByKeyRow: reduce-fold equals the UTF-8-ordered " +
+    "reference sort-take") {
+    check("fold=ref")(Prop.forAll(Gen.listOf(keyedRow),
+      Gen.chooseNum(1, 7)) { (xs, k) =>
+      val agg = BottomKByKeyRow(k)
+      xs.foldLeft(agg.zero)(agg.reduce) == refBottomKeyRow(xs, k)
+    })
+  }
+
+  test("BottomKByKeyRow: merge of any split equals the unsplit fold, " +
+    "commutes, and zero is identity") {
+    check("merge laws")(Prop.forAll(Gen.listOf(keyedRow),
+      Gen.chooseNum(0, 100), Gen.chooseNum(1, 7)) { (xs, cut, k) =>
+      val agg = BottomKByKeyRow(k)
+      val (l, r) = xs.splitAt(cut % (xs.size + 1))
+      val lf = l.foldLeft(agg.zero)(agg.reduce)
+      val rf = r.foldLeft(agg.zero)(agg.reduce)
+      val merged = agg.merge(lf, rf)
+      merged == xs.foldLeft(agg.zero)(agg.reduce) &&
+        agg.merge(rf, lf) == merged &&
+        agg.merge(merged, agg.zero) == merged &&
+        agg.merge(agg.zero, merged) == merged
+    })
+  }
+
+  test("BottomKByKeyRow: UTF-8 key order holds across the astral/BMP " +
+    "boundary (family discipline)") {
+    val astral = KeyedRow(astralKey, 1L, 0L)
+    val pua = KeyedRow(puaKey, 2L, 0L)
+    val agg = BottomKByKeyRow(1)
+    assert(Seq(pua, astral).foldLeft(agg.zero)(agg.reduce) == Seq(pua))
+    assert(Seq(astral, pua).foldLeft(agg.zero)(agg.reduce) == Seq(pua))
+  }
+
   test("BottomKByKey: UTF-8 key order holds across the astral/BMP " +
     "boundary (the r10 ADVICE divergence case)") {
     // U+10000 (astral) must sort BELOW U+E000 under UTF-8 bytes even

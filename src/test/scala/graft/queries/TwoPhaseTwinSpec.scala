@@ -188,6 +188,80 @@ class TwoPhaseTwinSpec extends SparkTestBase {
     assertTwin("q155", MlOps.q155RocAuc(spark, Sf), windowed)
   }
 
+  // ---- round-11 follow-through: the ANN-family rank reworks (the
+  // census's last standing collapse — per-query_id/anchor_id windows
+  // over corpus-sized scored-candidate frames). One twin per heap
+  // path: TopKByScoreRow (q40, shared by q41/q51/q110/q207 via
+  // topKPerGroup), BottomKByScore-per-group (q148), BottomKByKeyRow
+  // (q229).
+
+  test("q40 heap-ranked cosine top-10 equals the per-query window form") {
+    val emb = Tables.embeddings(spark, Sf)
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val cands = emb.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("label"),
+        col("embedding").as("c_emb"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    val windowed = cands.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("cand_id"), col("label"),
+        VectorOps.cosineNative(spark, col("q_emb"), col("c_emb")).as("sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("query_id", "rk", "cand_id", "label", "sim")
+      .orderBy("query_id", "rk")
+    assertTwin("q40", VectorOps.q40CosineTopK(spark, Sf), windowed)
+  }
+
+  test("q148 heap-ranked Hamming bottom-10 equals the per-query " +
+    "window form") {
+    def half(lo: Int): org.apache.spark.sql.Column =
+      (0 until 32).map(i =>
+        when(element_at(col("embedding"), lo + i + 1) >= 0f,
+          lit(1L << i)).otherwise(lit(0L)))
+        .reduce((a, b) => a.bitwiseOR(b))
+    val sigs = Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+    val queries = sigs.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("query_id"),
+        col("lo").as("q_lo"), col("hi").as("q_hi"))
+    val cands = sigs.filter(col("vec_id") >= 5)
+      .select(col("vec_id").as("cand_id"), col("lo"), col("hi"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("hamming"), col("cand_id"))
+    val windowed = cands.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("cand_id"),
+        (bit_count(col("q_lo").bitwiseXOR(col("lo")))
+          + bit_count(col("q_hi").bitwiseXOR(col("hi")))).as("hamming"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 10)
+      .select("query_id", "rk", "cand_id", "hamming")
+      .orderBy("query_id", "rk")
+    assertTwin("q148", VectorOps.q148HammingTopK(spark, Sf), windowed)
+  }
+
+  test("q229 heap-selected negatives equal the per-anchor window form") {
+    val emb = Tables.embeddings(spark, Sf)
+    val anchors = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("anchor_id"),
+        col("label").as("anchor_label"))
+    val cands = emb.select(col("vec_id").as("cand_id"),
+      col("label").as("cand_label"))
+    val windowed = cands.crossJoin(broadcast(anchors))
+      .filter(col("cand_label") =!= col("anchor_label"))
+      .withColumn("sk", md5(concat(col("anchor_id").cast("string"),
+        lit(":"), col("cand_id").cast("string"))))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("anchor_id").orderBy(col("sk"), col("cand_id")))
+        .cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("anchor_id"), col("rk"), col("cand_id"),
+        col("cand_label"))
+      .orderBy("anchor_id", "rk")
+    assertTwin("q229", CorpusOps.q229NegativeSampling(spark, Sf), windowed)
+  }
+
   // ---- round-11 follow-through: the exact-percentile reworks
   // (single-buffer aggregate → ExactQuantiles two-phase histogram
   // ranks). ExactQuantilesSpec pins the operator's formula-level

@@ -39,12 +39,17 @@ import graft.SparkTestBase
 class WindowCensusSpec extends SparkTestBase {
 
   /** Partition-key names with O(1) distinct values at any data scale.
-    * A window partitioned ONLY by these collapses to O(1) tasks. */
+    * A window partitioned ONLY by these collapses to O(1) tasks.
+    * query_id/anchor_id/tok_id joined the set late in round 11: the
+    * ANN family's FIXED query/anchor sets (5–20 ids) partition
+    * corpus-sized scored-candidate frames — nine rank windows were
+    * convicted and reworked onto the bounded-heap family
+    * (q40/q41/q51/q110×2/q148/q207/q213/q229). */
   private val LowCard = Set(
     "lang", "epoch", "fold", "arm", "flag", "event_type",
     "o_orderpriority", "p_brand", "source", "i", "dow", "m",
     "layout", "pred", "l_returnflag", "l_linestatus", "rep", "split",
-    "band")
+    "band", "query_id", "anchor_id", "tok_id")
 
   /** r10-verdict-reviewed exceptions: low-card windows whose frames
     * were judged acceptable (dimension-/metadata-/showcase-sized), each
@@ -200,6 +205,27 @@ class WindowCensusSpec extends SparkTestBase {
       else assert(parts.contains("bkt"),
         s"q153: the per-dim rank window must ride the bucket grain: $parts")
     }
+  }
+
+  test("ANN-family rankings ride bounded heaps — no window operator " +
+    "anywhere in their plans (round-11 addendum)") {
+    val plans = Map(
+      "q40" -> executed(VectorOps.q40CosineTopK(spark, Sf)),
+      "q41" -> executed(VectorOps.q41AnnLsh(spark, Sf)),
+      "q51" -> executed(VectorOps.q51AnnIvf(spark, Sf)),
+      "q110" -> executed(VectorOps.q110AnnPca(spark, Sf)),
+      "q148" -> executed(VectorOps.q148HammingTopK(spark, Sf)),
+      "q207" -> executed(VectorOps.q207MatryoshkaRecall(spark, Sf)),
+      "q213" -> executed(VectorOps.q213Ndcg(spark, Sf)),
+      "q229" -> executed(CorpusOps.q229NegativeSampling(spark, Sf)))
+    plans.foreach { case (n, p) =>
+      assert(!p.contains("Window"), s"$n must not rank via a window: $p")
+      assert(p.contains("ObjectHashAggregate"),
+        s"$n must aggregate through a typed heap udaf: $p")
+    }
+    assert(plans("q40").contains("topkbyscorerow"))
+    assert(plans("q148").contains("bottomkbyscore"))
+    assert(plans("q229").contains("bottomkbykeyrow"))
   }
 
   test("new heap aggregators are physical-partitioning-invariant " +
