@@ -25,7 +25,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * check is a may-find heuristic, not a proof — it keeps the guard
   * quiet on the offset-window idiom while still catching every shape
   * the r10 census convicted; pin exact plans in per-query specs where
-  * it matters (`WindowCensusSpec`).
+  * it matters (`WindowCensusSpec`). Known false-negative class: an
+  * Aggregate grouped by a HIGH-cardinality key (per-candidate argmax,
+  * per-(query, candidate) ADC sums) emits a data-sized frame that
+  * this escape wrongly clears — the round-11 ANN audit caught
+  * q139/q150/q162 that way by manual sweep; when auditing by hand,
+  * check what the Aggregate below actually groups by.
   *
   * [[WindowGuardRule]] runs the partition-less half of the audit
   * inside the optimizer for EVERY query of an extensions-enabled

@@ -222,13 +222,15 @@ object MlOps {
           .orderBy(col("csim").desc, col("cent_id"))))
       .filter(col("crk") <= nprobe)
       .drop("csim", "crk")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("cand_id"))
-    lists.join(broadcast(probed), Seq("cent_id"))
+    // the probed-list frame is corpus-sized (≈ nprobe/K of all
+    // candidates per query) — the re-rank rides the bounded heap, not
+    // a per-query window (round-11 census; the probe window above is
+    // fine: its frame is the K=8 model-sized centroid set)
+    val scored = lists.join(broadcast(probed), Seq("cent_id"))
       .select(col("query_id"), col("cand_id"),
         cos(col("q_emb"), col("c_emb")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    VectorOps.topKPerGroup(scored, k, "query_id", "sim", "cand_id",
+      lit(0L))
       .select("query_id", "rk", "cand_id", "sim")
       .orderBy("query_id", "rk")
   }
@@ -325,26 +327,27 @@ object MlOps {
         VectorOps.pqSqDist.as("d"))
     // 2d. probe filter FIRST, then ADC: only candidates in probed
     // lists are ever scored — the plan's corpus-sized side ends here
-    val short = codes
+    val adc = codes
       .join(broadcast(probed), Seq("cent_id"))
       .join(broadcast(dtable), Seq("query_id", "m", "k"))
       .groupBy("query_id", "cand_id")
       .agg(sum(col("d")).as("adc_dist"))
-      .withColumn("srk", row_number().over(
-        Window.partitionBy("query_id")
-          .orderBy(col("adc_dist"), col("cand_id"))))
-      .filter(col("srk") <= shortlist)
+    // ADC scores one row per (query, probed candidate) — corpus-sized,
+    // so the shortlist selection rides the ascending bounded heap
+    // (round-11 census), never a per-query window
+    val short = VectorOps.bottomKPerGroup(adc, shortlist, "query_id",
+      "adc_dist", "cand_id", lit(0L))
       .select("query_id", "cand_id")
-    // 3. exact re-rank of the (queries × shortlist)-sized survivors
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("sim").desc, col("cand_id"))
-    lists.select("cand_id", "c_emb")
+    // 3. exact re-rank of the (queries × shortlist)-sized survivors —
+    // a bounded frame, but the ranking rides the same heap as every
+    // other member of the family (one idiom, no window to re-audit)
+    val rescored = lists.select("cand_id", "c_emb")
       .join(broadcast(short), Seq("cand_id"))
       .join(broadcast(queriesF), Seq("query_id"))
       .select(col("query_id"), col("cand_id"),
         cos(col("q_emb"), col("c_emb")).as("sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
+    VectorOps.topKPerGroup(rescored, k, "query_id", "sim", "cand_id",
+      lit(0L))
       .select("query_id", "rk", "cand_id", "sim")
       .orderBy("query_id", "rk")
   }

@@ -542,14 +542,15 @@ object VectorOps {
       .join(broadcast(codebook), Seq("m"))
       .select(col("vec_id").as("query_id"), col("m"), col("k"),
         sqDist.as("d"))
-    val wTop = Window.partitionBy("query_id")
-      .orderBy(col("adc_dist"), col("cand_id"))
-    codes.join(dtable, Seq("m", "k"))
+    val scored = codes.join(dtable, Seq("m", "k"))
       .groupBy("query_id", "cand_id")
       .agg(sum(col("d")).as("adc_dist"))
-      .withColumn("rk", row_number().over(wTop))
-      .filter(col("rk") <= 10)
-      .select("query_id", "rk", "cand_id", "adc_dist")
+    // the ADC frame is one row per (query, candidate) — corpus-sized,
+    // so the top-10 rides the ascending bounded heap, not a per-query
+    // window (ADC distances < 2^53, exact in the heap's double)
+    bottomKPerGroup(scored, 10, "query_id", "adc_dist", "cand_id", lit(0L))
+      .select(col("query_id"), col("rk"), col("cand_id"),
+        col("adc_dist").cast(LongType).as("adc_dist"))
       .orderBy("query_id", "rk")
   }
 

@@ -226,6 +226,18 @@ class WindowCensusSpec extends SparkTestBase {
     assert(plans("q40").contains("topkbyscorerow"))
     assert(plans("q148").contains("bottomkbyscore"))
     assert(plans("q229").contains("bottomkbykeyrow"))
+    // the trained-IVF/PQ tier: data-sized rankings (re-rank, ADC
+    // top-k, ADC shortlist) ride heaps; the one window q139/q162 keep
+    // is the probe rank over the K=8 MODEL-SIZED centroid
+    // LocalRelation — bounded below, which the main census verifies
+    val pq = Map(
+      "q139" -> executed(MlOps.q139AnnIvfTrained(spark, Sf)),
+      "q150" -> executed(VectorOps.q150PqAnn(spark, Sf)),
+      "q162" -> executed(MlOps.q162IvfPqAnn(spark, Sf)))
+    assert(pq("q139").contains("topkbyscorerow"))
+    assert(pq("q150").contains("bottomkbyscore"))
+    assert(pq("q162").contains("bottomkbyscore") &&
+      pq("q162").contains("topkbyscorerow"))
   }
 
   test("new heap aggregators are physical-partitioning-invariant " +
