@@ -551,9 +551,18 @@ object CorpusOps {
     * never matters. Docs pruned to nothing survive via the left join.
     *
     * Shape at scale: one posexplode → a vocabulary-sized df aggregate
-    * (broadcast back) → one doc_id-keyed regroup. The rewrite stays
-    * two shuffles however large the corpus; only the vocabulary frame
-    * is ever broadcast. */
+    * → the STOPLIST (words with df ≥ 79% of docs) broadcast back as a
+    * LEFT ANTI join → one doc_id-keyed regroup. The stoplist — unlike
+    * the full vocabulary, which GROWS with the corpus and must never
+    * carry a hard broadcast() (round-11 broadcast census;
+    * `plans/BroadcastGuard`) — is PROVABLY bounded at any scale:
+    * Σ_w df_w = Σ_docs |distinct tokens in doc|, so
+    * #{w : df_w ≥ 0.79·N} ≤ avg-distinct-tokens-per-doc / 0.79,
+    * a per-document quantity independent of corpus size. The anti
+    * join is equivalent to the inner-join-plus-keep filter because
+    * dfreq is computed FROM toks — every token has a df row — and it
+    * keeps the corpus-sized token stream stationary (no shuffle for
+    * the join; two shuffles total however large the corpus). */
   def q134StopwordPrune(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), split(norm(col("text")), " ").as("t"))
@@ -561,9 +570,9 @@ object CorpusOps {
       posexplode(col("t")).as(Seq("pos", "w")))
     val dfreq = toks.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val pruned = toks.join(broadcast(dfreq), "w")
-      .crossJoin(broadcast(n))
-      .filter(col("df") * 100 < col("n_docs") * 79)
+    val stop = dfreq.crossJoin(broadcast(n))
+      .filter(col("df") * 100 >= col("n_docs") * 79).select("w")
+    val pruned = toks.join(broadcast(stop), Seq("w"), "left_anti")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_kept"),
         concat_ws(" ", transform(

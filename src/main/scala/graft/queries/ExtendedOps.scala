@@ -309,8 +309,15 @@ object ExtendedOps {
     * ulp differs between libm implementations, which would break
     * cross-engine bit-equality (monotonically equivalent for ranking).
     * Shape at scale: one token explode feeding two word-count-style
-    * aggregates; the df side is vocabulary-sized (≪ corpus) so its
-    * join back broadcasts. */
+    * aggregates. The broadcast side is the PROBE side — tf restricted
+    * to the fixed 25-doc report set (bounded rows at any corpus size),
+    * NOT the document-frequency table: vocabulary GROWS with the
+    * corpus (Heaps' law — hundreds of millions of distinct terms with
+    * df >= 25 at 100 TB), so a hard broadcast() of dfreq is an OOM at
+    * the target scale (round-11 broadcast census; `plans/
+    * BroadcastGuard`). Broadcasting the bounded tf side keeps the
+    * vocabulary-sized dfreq stationary: it never shuffles for the
+    * join at all. */
   def q62Tfidf(s: SparkSession, dir: String): DataFrame = {
     val td = Tables.documents(s, dir)
       .select(col("doc_id"), explode(split(lower(col("text")), "\\s+")).as("term"))
@@ -318,9 +325,9 @@ object ExtendedOps {
     val tf = td.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfreq = td.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     val n = Tables.documents(s, dir).agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(dfreq.filter(col("df") >= 25)), Seq("term"))
+    broadcast(tf.filter(col("doc_id") < 25))
+      .join(dfreq.filter(col("df") >= 25), Seq("term"))
       .crossJoin(broadcast(n))
-      .filter(col("doc_id") < 25)
       .select(col("doc_id"), col("term"), col("tf"), col("df"),
         (col("tf").cast(DoubleType) *
           (col("n_docs").cast(DoubleType) / col("df").cast(DoubleType)))

@@ -25,9 +25,14 @@ import graft.Tables
   *
   * Scale posture (100 TB): every query is a declarative DataFrame plan —
   * filters/projections reach the parquet scan (PushedFilters verified in
-  * RelationalSpec), small dims are `broadcast()` so the big fact side
-  * never shuffles for those joins, fact-fact joins shuffle on their join
-  * key only, and aggregates use partial (map-side) combine automatically.
+  * RelationalSpec), fact-fact joins shuffle on their join key only, and
+  * aggregates use partial (map-side) combine automatically. Broadcast
+  * hints follow the round-11 census rule (`plans/BroadcastGuard`): only
+  * FIXED-cardinality frames (nation 25 / region 5 rows at every SF, and
+  * aggregated/report-sized frames) carry a hard `broadcast()`; dims
+  * that scale with SF (customer/part/supplier — billions of rows at the
+  * 100 TB target despite being "small" next to lineitem) are unhinted,
+  * so AQE makes the broadcast-vs-shuffle call from runtime sizes.
   * AQE (on by default in Spark 4) handles skew and partition coalescing.
   */
 object Relational {
@@ -77,12 +82,21 @@ object Relational {
 
   // ---------------------------------------------------------------- joins
 
-  /** q03 — star join with explicit broadcast of the small dims: at 100 TB
-    * the orders fact never shuffles for customer/nation; only the final
-    * 25-row aggregate does. */
+  /** q03 — star join with the broadcast decision split by how each dim
+    * SCALES, not how it compares to the fact: nation is
+    * FIXED-cardinality (25 rows at every SF) so it carries a hard
+    * `broadcast()` — that hint is a fact about the schema. customer is
+    * small RELATIVE to orders but grows WITH SF (SF x 150k rows — at
+    * the 100 TB target it is billions of rows), so a hard hint there
+    * is a forced driver/executor OOM; it gets NO hint and the
+    * customer join is AQE's runtime size call — broadcast at bench
+    * scale (where it is kilobytes), shuffle hash/merge on o_custkey at
+    * cluster scale. Either way the only other shuffle is the final
+    * 25-row aggregate. (Round-11 broadcast census; the same rule fixed
+    * q85/q86/q62/q134 — see `plans/BroadcastGuard`.) */
   def q03JoinBroadcast(s: SparkSession, dir: String): DataFrame =
     Tables.orders(s, dir)
-      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .groupBy("n_name")
       .agg(count(lit(1)).as("order_cnt"), dsum(col("o_totalprice")).as("revenue"))
@@ -501,15 +515,19 @@ object Relational {
   }
 
   /** q85 — part/supplier star join (TPC-H Q9-flavored brand revenue by
-    * supplier nation): the lineitem fact joins three broadcast dims
-    * (part, supplier, nation — all tiny relative to the fact at any
-    * scale factor), so at 100 TB the fact side never shuffles for the
-    * dims; the only shuffle is the final (n_name, p_brand) aggregate,
+    * supplier nation). Only nation keeps a hard `broadcast()` — it is
+    * FIXED at 25 rows. part and supplier are dims relative to lineitem
+    * but SCALE with SF (SF x 200k / SF x 10k rows; tens of billions at
+    * the 100 TB target), so hard hints there would force an OOM; they
+    * are unhinted and AQE makes the runtime size call per join —
+    * broadcast at bench scale, shuffle on the key at cluster scale
+    * (the fact side hash-partitions on l_partkey/l_suppkey, which AQE
+    * skew-splits if needed). The final (n_name, p_brand) aggregate is
     * bounded by |nations|·|brands| groups after map-side combine. */
   def q85PartSupplierStar(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(s, dir)), col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey"))
       .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
       .groupBy("n_name", "p_brand")
       .agg(count(lit(1)).as("line_cnt"),
@@ -521,12 +539,15 @@ object Relational {
     * conditional aggregate per ship month. Numerator and denominator
     * both go through the fixed-point sum, so the final share is one
     * double multiply + divide of identical operands on both engines.
-    * part is broadcast; one shuffle on the month key. */
+    * The part join is unhinted (part scales with SF — a hard
+    * broadcast() would OOM at 100 TB; AQE broadcasts it at small SF
+    * and shuffles on l_partkey at scale); the month aggregate is the
+    * one guaranteed shuffle, |months|-bounded after map-side combine. */
   def q86PromoShare(s: SparkSession, dir: String): DataFrame = {
     val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
     val promo = when(col("p_type") === "PROMO", disc).otherwise(lit(0.0))
     Tables.lineitem(s, dir)
-      .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+      .join(Tables.part(s, dir), col("l_partkey") === col("p_partkey"))
       .groupBy(date_trunc("month", col("l_shipdate")).as("ship_month"))
       .agg(count(lit(1)).as("line_cnt"),
         dsum(promo, 4).as("promo_revenue"),

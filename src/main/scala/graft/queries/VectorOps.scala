@@ -215,9 +215,19 @@ object VectorOps {
     * does the candidate cut. */
   def annIvf(s: SparkSession, dir: String, nprobe: Int, k: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // K ≈ n/127 ~ √n at these corpus sizes — real IVF sizes K ~ √n
+    // the quantizer is MODEL state and must stay broadcastable at any
+    // corpus size, so the deterministic sample is CAPPED: %127 alone
+    // grows K linearly with n, and broadcasting a data-sized centroid
+    // frame is the round-11 broadcast-census collapse (a trained IVF
+    // sizes K by model capacity, not corpus size — q139's k-means
+    // path). orderBy+limit executes as TakeOrderedAndProject (a
+    // per-partition heap + driver merge of 64 rows, never a global
+    // sort), and the Limit is what proves the frame bounded to
+    // BroadcastGuard. At the test SFs (≤ 2000 vectors → ≤ 16
+    // candidates) the cap never binds, so results are unchanged.
     val centroids = emb.filter(col("vec_id") % 127 === 7)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cent_vec"))
+      .orderBy("cent_id").limit(64)
     // corpus assignment is argmax-by-aggregation (max_by), NOT a window
     // rank: a window would shuffle all n×K scored rows to rank them; the
     // aggregate combines map-side, so only one row per vector survives

@@ -92,9 +92,53 @@ class WindowCensusSpec extends SparkTestBase {
         "quantile form is ExactQuantiles (q50), kept distinct so the " +
         "SQL surface stays a registered capability"))
 
-  /** Both censuses off ONE plan walk per query (optimizing 235 plans
-    * dominates; the audits are collect()s over the same tree). */
-  private lazy val census: (Seq[String], Seq[String]) = {
+  /** Column names with O(1)-or-O(cluster) distinct values for the
+    * BROADCAST census: grouping an aggregate by only these bounds its
+    * output. A superset of [[LowCard]] — bucket keys (`bkt`, 2x
+    * parallelism values) are deliberately data-sized for the WINDOW
+    * census (a window over them is the scalable shape) yet bounded
+    * for broadcast purposes, and ExactQuantiles' internal keys
+    * (`exq_g` literal group, `exq_bkt` buckets, `exq_rows` per-group
+    * scalar) ride its per-group broadcast frames. */
+  private val BcastBounded = LowCard ++ Set(
+    "bkt", "exq_bkt", "exq_rows", "exq_g", "b", "cent_id",
+    "cluster_id", "k", "digit", "o_orderstatus")
+
+  /** Probe-set key columns for the broadcast census: a literal
+    * equality/range/IN filter on one of these marks a fixed
+    * query/anchor/report probe set (`vec_id < 20`, `doc_id < 25`,
+    * `term IN (fixed BM25 list)`). */
+  private val BcastProbe = Set(
+    "vec_id", "doc_id", "term", "query_id", "anchor_id")
+
+  /** Reviewed exceptions for the BROADCAST census
+    * (`plans/BroadcastGuard`, round-11 follow-through): hard
+    * broadcast() hints whose frames ARE bounded, but by evidence the
+    * recursive shape test cannot see. The census already fixed five
+    * registered queries (q03/q85/q86 dropped scaling-dim hints for
+    * AQE; q62 broadcasts the 25-doc probe tf instead of the
+    * vocabulary-sized df table; q51 capped its quantizer sample with
+    * orderBy+limit; q134 reshaped the vocabulary broadcast onto the
+    * stoplist) — these three carry proofs instead: */
+  private val BcastCleared: Map[String, String] = Map(
+    "q131_bm25" ->
+      ("the broadcast df frame groups by term over postings ALREADY " +
+        "filtered to the fixed Bm25Terms probe list; the " +
+        "localCheckpoint (LogicalRDD) hides that bounding filter " +
+        "from the census"),
+    "q134_stopword_prune" ->
+      ("the broadcast stoplist is bounded by MATH, not shape: " +
+        "sum_w df_w = sum_docs |distinct tokens per doc|, so #{w : " +
+        "df_w >= 0.79 N} <= avg-distinct-tokens-per-doc / 0.79 at " +
+        "any corpus size (see q134StopwordPrune scaladoc)"),
+    "q209_bpe_fertility" ->
+      ("the three broadcast frames are q149's 1-row best-pair " +
+        "merge rules, localCheckpointed (LogicalRDD) between BPE " +
+        "rounds — each is limit(1)-shaped upstream of the checkpoint"))
+
+  /** All three censuses off ONE plan walk per query (optimizing 235
+    * plans dominates; the audits are collect()s over the same tree). */
+  private lazy val census: (Seq[String], Seq[String], Seq[String]) = {
     val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val plan = fn(spark, Sf).queryExecution.optimizedPlan
@@ -104,9 +148,13 @@ class WindowCensusSpec extends SparkTestBase {
         val ag = if (AggCleared.contains(name)) Nil
           else graft.plans.AggStateGuard.audit(plan, LowCard)
             .map(f => s"$name: ${f.describe}")
-        (w, ag)
+        val bc = if (BcastCleared.contains(name)) Nil
+          else graft.plans.BroadcastGuard.audit(plan,
+            graft.plans.BroadcastGuard.FixedCardTables, BcastBounded,
+            BcastProbe).map(f => s"$name: ${f.describe}")
+        (w, ag, bc)
     }
-    (results.flatMap(_._1), results.flatMap(_._2))
+    (results.flatMap(_._1), results.flatMap(_._2), results.flatMap(_._3))
   }
 
   test("window census: every registered query is free of " +
@@ -131,9 +179,58 @@ class WindowCensusSpec extends SparkTestBase {
         s"reason:\n${offenders.mkString("\n")}")
   }
 
+  test("broadcast census: every registered query is free of hard " +
+    "broadcast() hints over data-scaling frames (round-11 " +
+    "follow-through — the exchange-side sibling of the q228 collapse)") {
+    val offenders = census._3
+    assert(offenders.isEmpty,
+      "scaling broadcast hint(s) reintroduced — drop the hint (AQE " +
+        "decides from runtime sizes), broadcast the bounded side, " +
+        "reshape onto a bounded frame, or review + add to " +
+        s"BcastCleared with a boundedness proof:\n${offenders.mkString("\n")}")
+  }
+
+  test("broadcast census controls: the detector still fires on the " +
+    "pre-fix q03/q62 shapes and stays quiet on fixed-card dims") {
+    import org.apache.spark.sql.functions._
+    // positive control 1: hard broadcast of an SF-scaling dim (the
+    // exact shape q03 carried before round 11)
+    val dim = graft.Tables.customer(spark, Sf)
+    val bad = graft.Tables.orders(spark, Sf)
+      .join(broadcast(dim), col("o_custkey") === col("c_custkey"))
+    val hits = graft.plans.BroadcastGuard.audit(
+      bad.queryExecution.optimizedPlan,
+      graft.plans.BroadcastGuard.FixedCardTables, BcastBounded, BcastProbe)
+    assert(hits.size == 1 && hits.head.leaves == Seq("customer"), s"$hits")
+    // positive control 2: broadcast of a vocabulary-sized aggregate
+    // (pre-fix q62 shape) — the blanket any-Aggregate-below escape
+    // would clear this; the recursive grouping-key test must not
+    val td = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        explode(split(lower(col("text")), "\\s+")).as("term"))
+      .filter(col("term") =!= "")
+    val dfreq = td.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+    val bad2 = td.join(broadcast(dfreq.filter(col("df") >= 25)), Seq("term"))
+    val hits2 = graft.plans.BroadcastGuard.audit(
+      bad2.queryExecution.optimizedPlan,
+      graft.plans.BroadcastGuard.FixedCardTables, BcastBounded, BcastProbe)
+    assert(hits2.size == 1 && hits2.head.leaves == Seq("documents"), s"$hits2")
+    // negative control: nation (fixed 25 rows) broadcast is clear
+    val good = graft.Tables.orders(spark, Sf)
+      .join(graft.Tables.customer(spark, Sf),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(graft.Tables.nation(spark, Sf)),
+        col("c_nationkey") === col("n_nationkey"))
+    assert(graft.plans.BroadcastGuard.audit(
+      good.queryExecution.optimizedPlan,
+      graft.plans.BroadcastGuard.FixedCardTables, BcastBounded,
+      BcastProbe).isEmpty)
+  }
+
   test("cleared lists carry no stale entries") {
     val names = graft.SparkEntry.queries.keySet
-    val stale = (Cleared.keySet ++ AggCleared.keySet).diff(names)
+    val stale = (Cleared.keySet ++ AggCleared.keySet ++
+      BcastCleared.keySet).diff(names)
     assert(stale.isEmpty, s"Cleared entries for unregistered queries: $stale")
   }
 
