@@ -501,5 +501,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // query after the operator-optimization fixed point, so the lint
     // sees the post-pushdown plan and never re-logs per iteration
     ext.injectPreCBORule(_ => graft.plans.WindowGuardRule)
+    // same once-per-query batch; default-off (see BroadcastGuardRule
+    // scaladoc for the warn-vs-off asymmetry with the window rule)
+    ext.injectPreCBORule(_ => graft.plans.BroadcastGuardRule)
   }
 }

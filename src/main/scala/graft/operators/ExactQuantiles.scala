@@ -66,6 +66,18 @@ import org.apache.spark.sql.types.DoubleType
   *     out of contract (the built-in's map treats -0.0 != 0.0; plan
   *     grouping normalizes them — no caller produces either).
   *
+  * Group-cardinality contract: the per-group stats and bucket-offset
+  * frames (steps 2-3) are |groups| and |groups|·buckets rows and ride
+  * hard broadcast() hints — sized for the LOW-cardinality/global
+  * groups this operator exists for (the agg-state census's collapse
+  * is precisely a value-sized buffer over such groups; see
+  * `plans/AggStateGuard`). For DATA-sized group keys the built-in
+  * `percentile` is already scale-safe — each group's buffer holds
+  * only that group's few values — and is the right call; this
+  * operator's broadcasts would become data-sized there (the
+  * broadcast census, `plans/BroadcastGuard`, judges its internal
+  * frames by exactly this contract via the `exq_*` key names).
+  *
   * Skew note: equal-width value buckets degrade (not collapse) under
   * extreme value concentration — the floor is one task per
   * (group, distinct-value-dense bucket), still histogram-grain, never

@@ -184,3 +184,39 @@ object BroadcastGuard {
     audit(df.queryExecution.optimizedPlan, fixedTables, boundedCardKeys,
       probeKeys)
 }
+
+/** The in-optimizer broadcast lint, the exchange-side sibling of
+  * [[WindowGuardRule]]: audits (never rewrites) each plan's hard
+  * broadcast hints with the domain-knowledge-free defaults (fixed
+  * tables = nation/region; no bounded-key or probe-key knowledge) and
+  * reports per `spark.graft.broadcastGuard` — `warn` logs one line
+  * per finding, `fail` throws, `off` disables.
+  *
+  * Default is OFF, unlike the window rule's `warn`: a partition-less
+  * window over raw data is near-certainly wrong, but a hard broadcast
+  * of a non-fixed table is often justified by domain knowledge the
+  * session rule cannot have (a genuinely bounded config/model table
+  * the caller knows is small at every scale). Turning the lint on is
+  * a per-session CI choice; the registered-query census in
+  * `WindowCensusSpec` runs the FULL audit (with this repo's bounded
+  * keys, probe keys, and reviewed pins) regardless. Registered via
+  * `injectPreCBORule` for the same once-per-query/post-pushdown
+  * reasons as [[WindowGuardRule]]. */
+object BroadcastGuardRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  private def mode: String =
+    conf.getConfString("spark.graft.broadcastGuard", "off")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val m = mode
+    if (m != "off") {
+      val findings = BroadcastGuard.audit(plan)
+      if (findings.nonEmpty && m == "fail")
+        throw new IllegalStateException(
+          "BroadcastGuard: " + findings.map(_.describe).mkString("; "))
+      findings.foreach(f => logWarning(s"BroadcastGuard: ${f.describe}"))
+    }
+    plan
+  }
+}
