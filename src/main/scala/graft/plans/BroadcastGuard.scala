@@ -116,9 +116,16 @@ object BroadcastGuard {
   def audit(plan: LogicalPlan,
       fixedTables: Set[String] = FixedCardTables,
       boundedCardKeys: Set[String] = Set.empty,
-      probeKeys: Set[String] = Set.empty): Seq[Finding] = {
+      probeKeys: Set[String] = Set.empty): Seq[Finding] =
+    auditBroadcast(plan,
+      unboundedLeaves(fixedTables, boundedCardKeys, probeKeys))
 
-    // Nil = bounded; non-empty = the unbounded leaves found
+  /** The recursive boundedness test shared by the broadcast and
+    * cartesian censuses: Nil = the subtree is bounded by
+    * construction; non-empty = the unbounded leaf names found. */
+  private def unboundedLeaves(fixedTables: Set[String],
+      boundedCardKeys: Set[String], probeKeys: Set[String])(
+      p: LogicalPlan): Seq[String] = {
     def unb(p: LogicalPlan): Seq[String] = p match {
       case a: Aggregate =>
         val gks = a.groupingExpressions.flatMap(_.references.toSeq.map(_.name))
@@ -157,7 +164,38 @@ object BroadcastGuard {
       case leaf if leaf.children.isEmpty => Seq(leaf.nodeName)
       case other => other.children.flatMap(unb)
     }
+    unb(p)
+  }
 
+  /** Census of `plan`: every CROSS join (explicit `crossJoin` /
+    * condition-less join) where BOTH sides are unbounded — an
+    * O(n·m) row blow-up no partitioning hides. A cross with one
+    * bounded side is linear (a spine/epoch/offset fan-out or a
+    * 1-row stats attach — the legitimate idiom all 9 of this repo's
+    * unhinted crossJoin sites use); a cross of two data-sized frames
+    * survives test scale and detonates at 100 TB. Theta joins
+    * (condition present, no equi keys) are out of scope here —
+    * they reduce to the same physical nested loop but carry
+    * intent a shape test cannot judge (q77's is nation x nation,
+    * reviewed). */
+  def auditCartesian(plan: LogicalPlan,
+      fixedTables: Set[String] = FixedCardTables,
+      boundedCardKeys: Set[String] = Set.empty,
+      probeKeys: Set[String] = Set.empty): Seq[Finding] = {
+    val unb = unboundedLeaves(fixedTables, boundedCardKeys, probeKeys) _
+    plan.collect {
+      case j: Join if j.condition.isEmpty &&
+          j.joinType == org.apache.spark.sql.catalyst.plans.Cross =>
+        val l = unb(j.left)
+        val r = unb(j.right)
+        if (l.nonEmpty && r.nonEmpty)
+          Some(Finding((l ++ r).distinct, "cartesian"))
+        else None
+    }.flatten
+  }
+
+  private def auditBroadcast(plan: LogicalPlan,
+      unb: LogicalPlan => Seq[String]): Seq[Finding] = {
     plan.collect {
       case j: Join =>
         val sides =

@@ -69,6 +69,25 @@ class BroadcastGuardSpec extends SparkTestBase {
       bad.toString)
   }
 
+  test("cartesian census: flags a cross of two unbounded frames, " +
+    "stays quiet when one side is bounded (the spine/stats idiom)") {
+    def cart(df: DataFrame) = BroadcastGuard.auditCartesian(
+      df.queryExecution.optimizedPlan)
+    // two data-sized frames with no condition: the O(n*m) detonation
+    val bad = cart(docs.select(col("doc_id").as("a"))
+      .crossJoin(docs.select(col("doc_id").as("b"))))
+    assert(bad.size == 1 && bad.head.leaves == Seq("documents") &&
+      bad.head.side == "cartesian", bad.toString)
+    // 1-row stats attach: linear, the legitimate idiom
+    assert(cart(docs.crossJoin(docs.agg(count(lit(1)).as("n")))).isEmpty)
+    // fixed-card x fixed-card (q08's shape)
+    assert(cart(Tables.region(spark, Sf)
+      .crossJoin(Tables.nation(spark, Sf))).isEmpty)
+    // small-spine fan-out (epoch/offset idiom)
+    assert(cart(docs.crossJoin(
+      spark.range(9).select(col("id").as("off")))).isEmpty)
+  }
+
   test("rule modes: default OFF (the warn-vs-off asymmetry with the " +
     "window rule), warn passes through, fail throws") {
     val rule = BroadcastGuardRule

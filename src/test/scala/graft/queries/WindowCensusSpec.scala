@@ -152,7 +152,15 @@ class WindowCensusSpec extends SparkTestBase {
           else graft.plans.BroadcastGuard.audit(plan,
             graft.plans.BroadcastGuard.FixedCardTables, BcastBounded,
             BcastProbe).map(f => s"$name: ${f.describe}")
-        (w, ag, bc)
+        // the cartesian census shares BcastCleared: both audits run
+        // the same boundedness test, so a checkpoint-hidden bounded
+        // frame (q209's 1-row best-pair LogicalRDDs) blinds both the
+        // same way and one reviewed proof covers both readings
+        val cx = if (BcastCleared.contains(name)) Nil
+          else graft.plans.BroadcastGuard.auditCartesian(plan,
+            graft.plans.BroadcastGuard.FixedCardTables, BcastBounded,
+            BcastProbe).map(f => s"$name: ${f.describe}")
+        (w, ag, bc ++ cx)
     }
     (results.flatMap(_._1), results.flatMap(_._2), results.flatMap(_._3))
   }
