@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType}
 
 import graft.Tables
+import graft.operators.IterBarrierSyntax.BarrierOps
 
 /** Extended operator surface (round 3): grouping sets, exact
   * statistical aggregates, vocabulary/TF-IDF text analytics,
@@ -381,15 +382,18 @@ object ExtendedOps {
     * for every id appearing in a pair.
     *
     * Fault-tolerance: the default per-round barrier is
-    * `localCheckpoint`, whose truncated lineage dies with an executor —
-    * fine single-node and fastest. Pass `checkpointDir` (a reliable
-    * store: HDFS/object storage on a cluster) to use RELIABLE
-    * checkpoints instead, so a 100 TB run survives executor loss
-    * mid-loop at the cost of one write+read of the (small) label table
-    * per round. The session's previous checkpoint dir is restored on
-    * exit; the CALLER owns the directory's lifecycle (each round
-    * leaves one label-table checkpoint behind — delete the dir after
-    * consuming the result, or run with
+    * [[graft.operators.IterBarrier]] — `localCheckpoint` (fastest,
+    * single-node) unless the session sets
+    * `spark.graft.checkpointDir`, which upgrades the whole iterative
+    * family to RELIABLE checkpoints. The explicit `checkpointDir`
+    * parameter predates the conf and wins for this call when passed
+    * (a reliable store: HDFS/object storage on a cluster), so a
+    * 100 TB run survives executor loss mid-loop at the cost of one
+    * write+read of the (small) label table per round. The session's
+    * previous checkpoint dir is restored on exit; the CALLER owns the
+    * directory's lifecycle (each round leaves one label-table
+    * checkpoint behind — delete the dir after consuming the result,
+    * or run with
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true`). */
   private[graft] def connectedComponents(pairs: DataFrame,
       checkpointDir: Option[String] = None): DataFrame = {
@@ -397,7 +401,8 @@ object ExtendedOps {
     val prevCkptDir = sc.getCheckpointDir
     checkpointDir.foreach(sc.setCheckpointDir)
     def barrier(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+      if (checkpointDir.isDefined) df.checkpoint()
+      else graft.operators.IterBarrier(df)
     try {
     // Iterated graph CONTRACTION, not fixed-graph label propagation:
     // each round computes l(v) = min(v, neighbors), pointer-jumps once
@@ -588,17 +593,17 @@ object ExtendedOps {
       .filter(call_function("jaro_winkler", col("name_a"), col("name_b"))
         >= ErThreshold)
       .select(col("id_a"), col("id_b"))
-      .localCheckpoint() // und + node seed both read it
+      .iterBarrier() // und + node seed both read it
     val und = matches.select(col("id_a").as("n"), col("id_b").as("nbr"))
       .unionAll(matches.select(col("id_b").as("n"), col("id_a").as("nbr")))
     val nodes = und.select("n").distinct()
     // self-loop: each node always sees its own current label
     val undSelf = und.unionAll(nodes.withColumn("nbr", col("n")))
-    var lbl = nodes.withColumn("lbl", col("n")).localCheckpoint()
+    var lbl = nodes.withColumn("lbl", col("n")).iterBarrier()
     for (_ <- 1 to ErRounds) {
       lbl = undSelf.join(lbl.withColumnRenamed("n", "nbr"), "nbr")
         .groupBy("n").agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .iterBarrier()
     }
     lbl.groupBy(col("lbl").as("cluster_id"))
       .agg(count(lit(1)).as("n_members"), max(col("n")).as("max_id"))

@@ -7,6 +7,7 @@ import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types._
 
 import graft.Tables
+import graft.operators.IterBarrierSyntax.BarrierOps
 
 /** Distributed unsupervised learning over the embedding corpus —
   * k-means (Lloyd's algorithm), the workhorse behind IVF index
@@ -87,9 +88,10 @@ object MlOps {
     var cents: Array[Array[Long]] =
       initRows.map(_.getSeq[Long](0).toArray)
     // quantized corpus feeds every round (Rounds assignment passes +
-    // Rounds-1 update aggregates): checkpoint so parquet decode +
-    // quantization is paid once — at 100 TB, persist(DISK_ONLY)
-    val q = emb.localCheckpoint()
+    // Rounds-1 update aggregates): barriered so parquet decode +
+    // quantization is paid once — with spark.graft.checkpointDir set
+    // the frame survives executor loss for the whole loop (IterBarrier)
+    val q = emb.iterBarrier()
     for (_ <- 1 until Rounds) {
       val asg = q.select(nearest(col("q"), cids, cents).as("nc"), col("q"))
       // k·d-key aggregate, map-side combined: one 512-row partial per
@@ -148,7 +150,7 @@ object MlOps {
             StructField("dist", LongType, nullable = false))))))))
     var cids: Array[Int] = initRows.indices.toArray
     var cents: Array[Array[Long]] = initRows.map(_.getSeq[Long](0).toArray)
-    val q = emb.localCheckpoint()
+    val q = emb.iterBarrier()
     for (_ <- 1 until rounds) {
       val asg = q.select(nearest(col("q"), cids, cents).as("nc"), col("q"))
       val upd = asg

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.IterBarrierSyntax.BarrierOps
 
 /** Warehouse-maintenance and iterative-analytics operators: fixed-point
   * PageRank over a co-purchase graph (q114), SCD2 dimension upsert
@@ -62,7 +63,7 @@ object WarehouseOps {
       .filter(col("src") =!= col("dst"))
       .select("src", "dst")
       .distinct()
-      .localCheckpoint() // consumers: outdeg + every iteration join
+      .iterBarrier() // consumers: outdeg + every iteration join
     (edges, edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
   }
 
@@ -120,11 +121,11 @@ object WarehouseOps {
       epsFp: Long = 1000000L, maxIters: Int = 50): (DataFrame, Int) = {
     val (edges, deg) = coPurchaseGraph(s, dir)
     var ranks = deg.select(col("src").as("id"), lit(1000000000L).as("r"))
-      .localCheckpoint()
+      .iterBarrier()
     var iters = 0
     var delta = Long.MaxValue
     while (delta >= epsFp && iters < maxIters) {
-      val next = pageRankStep(edges, deg, ranks).localCheckpoint()
+      val next = pageRankStep(edges, deg, ranks).iterBarrier()
       delta = next.join(ranks.select(col("id"), col("r").as("r0")), "id")
         .agg(max(abs(col("r") - col("r0"))).as("d"))
         .head().getLong(0)
@@ -188,7 +189,7 @@ object WarehouseOps {
         col("o_orderkey") === col("l_orderkey"))
       .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .distinct()
-      .localCheckpoint() // 2·iters consumers re-read the edge blocks
+      .iterBarrier() // 2·iters consumers re-read the edge blocks
 
   /** ONE full HITS iteration (auth half-step then hub half-step, each
     * max-normalized) — shared verbatim by the bounded q192 and
@@ -239,14 +240,14 @@ object WarehouseOps {
     val edges = hitsEdges(s, dir)
     var hubs = edges.select(col("c")).distinct()
       .select(col("c"), lit(1000000L).as("h"))
-      .localCheckpoint()
+      .iterBarrier()
     var auths: DataFrame = null
     var iters = 0
     var delta = Long.MaxValue
     while (delta >= epsFp && iters < maxIters) {
       val (a, nh) = hitsRound(edges, hubs)
-      val nextAuths = a.localCheckpoint()
-      hubs = nh.localCheckpoint()
+      val nextAuths = a.iterBarrier()
+      hubs = nh.iterBarrier()
       delta =
         if (auths == null) Long.MaxValue
         else nextAuths.join(auths.withColumnRenamed("a", "a0"), "p")
@@ -507,7 +508,7 @@ object WarehouseOps {
         col("o_orderkey") === col("l_orderkey"))
       .groupBy(col("o_custkey").as("c"), col("l_partkey").as("p"))
       .agg(sum(floor(col("l_quantity")).cast("long")).as("r"))
-      .localCheckpoint() // 2 alternation consumers
+      .iterBarrier() // 2 alternation consumers
     val u = ratings.withColumn("v", lit(AlsS))
       .groupBy("c").agg(sum(col("r") * col("v")).as("num"),
         sum(col("v") * col("v")).as("den"))
@@ -620,7 +621,7 @@ object WarehouseOps {
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val sets = li.groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
-      .localCheckpoint() // pair explode + triple explode
+      .iterBarrier() // pair explode + triple explode
     val pairs = sets.select(explode(expr(
         """flatten(transform(ps, (x, i) ->
           |  transform(slice(ps, i + 2, size(ps)), y ->
@@ -970,7 +971,7 @@ object WarehouseOps {
       .filter(col("src") < col("dst")) // oriented: one row per edge
       .select("src", "dst")
       .distinct()
-      .localCheckpoint()
+      .iterBarrier()
   }
 
   def q122Triangles(s: SparkSession, dir: String): DataFrame = {
@@ -1064,7 +1065,7 @@ object WarehouseOps {
     var rounds = 0
     var changed = true
     while (changed && rounds < maxRounds) {
-      val next = kcorePeelStep(edges).localCheckpoint()
+      val next = kcorePeelStep(edges).iterBarrier()
       val m = next.count()
       changed = m != n
       if (changed) { edges = next; n = m; rounds += 1 }
@@ -1131,7 +1132,7 @@ object WarehouseOps {
       .unionAll(edges.select(col("dst").as("n"), col("src").as("nbr")))
     val labels = und.select(col("n")).distinct()
       .withColumn("lbl", col("n"))
-      .localCheckpoint()
+      .iterBarrier()
     (und, labels)
   }
 
@@ -1146,7 +1147,7 @@ object WarehouseOps {
     val (und, init) = labelPropInit(s, dir)
     var labels = init
     for (_ <- 1 to rounds)
-      labels = labelPropStep(und, labels).localCheckpoint()
+      labels = labelPropStep(und, labels).iterBarrier()
     labels
   }
 
@@ -1168,7 +1169,7 @@ object WarehouseOps {
     var rounds = 0
     var changed = Long.MaxValue
     while (changed > 0 && rounds < maxRounds) {
-      val next = labelPropStep(und, labels).localCheckpoint()
+      val next = labelPropStep(und, labels).iterBarrier()
       changed = next.join(labels.select(col("n"), col("lbl").as("prev")), "n")
         .filter(col("lbl") =!= col("prev")).count()
       labels = next
@@ -1297,9 +1298,9 @@ object WarehouseOps {
   private[queries] def bfsHopsAfter(s: SparkSession, dir: String,
       rounds: Int): DataFrame = {
     val und = bfsUndirected(s, dir)
-    var dist = bfsSeeds(und).localCheckpoint()
+    var dist = bfsSeeds(und).iterBarrier()
     for (_ <- 1 to rounds)
-      dist = bfsStep(und, dist).localCheckpoint()
+      dist = bfsStep(und, dist).iterBarrier()
     dist
   }
 
@@ -1321,11 +1322,11 @@ object WarehouseOps {
   def bfsFixpoint(s: SparkSession, dir: String,
       maxRounds: Int = 50): (DataFrame, Int) = {
     val und = bfsUndirected(s, dir)
-    var dist = bfsSeeds(und).localCheckpoint()
+    var dist = bfsSeeds(und).iterBarrier()
     var rounds = 0
     var changed = Long.MaxValue
     while (changed > 0 && rounds < maxRounds) {
-      val next = bfsStep(und, dist).localCheckpoint()
+      val next = bfsStep(und, dist).iterBarrier()
       changed = next
         .join(dist.withColumnRenamed("hop", "h0"), Seq("n"), "left")
         .filter(col("h0").isNull || col("h0") =!= col("hop"))
@@ -1385,7 +1386,7 @@ object WarehouseOps {
       .filter(col("src") < col("dst"))
       .groupBy("src", "dst").agg(count(lit(1)).as("cnt"))
       .select(col("src"), col("dst"), expr("1000000 div cnt").as("w"))
-      .localCheckpoint()
+      .iterBarrier()
     edges.select(col("src").as("n"), col("dst").as("nbr"), col("w"))
       .unionAll(edges.select(col("dst").as("n"), col("src").as("nbr"),
         col("w")))
@@ -1408,9 +1409,9 @@ object WarehouseOps {
   private[queries] def ssspCostsAfter(s: SparkSession, dir: String,
       rounds: Int): DataFrame = {
     val und = ssspUndirected(s, dir)
-    var dist = ssspSeeds(und).localCheckpoint()
+    var dist = ssspSeeds(und).iterBarrier()
     for (_ <- 1 to rounds)
-      dist = ssspStep(und, dist).localCheckpoint()
+      dist = ssspStep(und, dist).iterBarrier()
     dist
   }
 
@@ -1431,11 +1432,11 @@ object WarehouseOps {
   def ssspFixpoint(s: SparkSession, dir: String,
       maxRounds: Int = 100): (DataFrame, Int) = {
     val und = ssspUndirected(s, dir)
-    var dist = ssspSeeds(und).localCheckpoint()
+    var dist = ssspSeeds(und).iterBarrier()
     var rounds = 0
     var changed = Long.MaxValue
     while (changed > 0 && rounds < maxRounds) {
-      val next = ssspStep(und, dist).localCheckpoint()
+      val next = ssspStep(und, dist).iterBarrier()
       changed = next
         .join(dist.withColumnRenamed("cost", "c0"), Seq("n"), "left")
         .filter(col("c0").isNull || col("c0") =!= col("cost"))
