@@ -42,7 +42,7 @@ object CurationPipeline {
     // materialized once: the exact-dedup survivor set feeds the pair
     // stage, the component-label join AND the final chunking pass —
     // without the barrier each consumer re-runs scan+filter+dedup
-    val exact = quality.join(keepIds, Seq("doc_id")).localCheckpoint()
+    val exact = quality.join(keepIds, Seq("doc_id")).persist()
     // near-dup clusters over the exact-dedup survivors: same pair
     // stage as q45 but restricted to survivors, then q67's component
     // labels; a doc survives iff it is its cluster's min-id rep (or

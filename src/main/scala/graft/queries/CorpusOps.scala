@@ -287,7 +287,7 @@ object CorpusOps {
           (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
       .select(col("doc_id"), col("lang"),
         col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .localCheckpoint()
+      .persist()
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val c1 = bi.groupBy("w1").agg(count(lit(1)).as("c1"))
     bi.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -332,7 +332,7 @@ object CorpusOps {
         slice(col("t"), lit(2), size(col("t")) - 1),
         (x, y) => struct(x.as("w1"), y.as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-      .localCheckpoint() // 4 consumers: N + pair counts + both marginals
+      .persist() // 4 consumers: N + pair counts + both marginals
     val n = bi.agg(count(lit(1)).as("n_pairs"))
     val c12 = bi.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= CollocMinSupport)
@@ -428,14 +428,16 @@ object CorpusOps {
     // both derived frames are tiny relative to the corpus (dl is two
     // columns, td only the query's terms) and each has 2 consumers
     // whose aggregate shapes differ (no exchange reuse possible) —
-    // checkpointing cuts 4 corpus scans+explodes to 2. q134 makes the
-    // OPPOSITE call: its token stream is corpus-sized, so re-scanning
-    // columnar parquet beats materializing it.
+    // one materialization cuts 4 corpus scans+explodes to 2 (persist,
+    // not localCheckpoint: measured faster and lineage-safe — PERF.md
+    // round-11 addendum 5). q134 makes the OPPOSITE call: its token
+    // stream is corpus-sized, so re-scanning columnar parquet beats
+    // materializing it.
     val dl = docs.select(col("doc_id"), size(col("t")).as("dl"))
-      .localCheckpoint()
+      .persist()
     val td = docs.select(col("doc_id"), explode(col("t")).as("term"))
       .filter(col("term").isin(Bm25Terms: _*))
-      .localCheckpoint()
+      .persist()
     val tf = td.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val dfr = td.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
@@ -479,7 +481,7 @@ object CorpusOps {
     * cross-engine; ties break on doc_id inside each ranker. */
   def q179RankFusion(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perTerm = bm25PerTerm(s, dir).localCheckpoint() // 2 rankers
+    val perTerm = bm25PerTerm(s, dir).persist() // 2 rankers
     val topA = perTerm.groupBy("doc_id")
       .agg(sum(col("contrib_fp")).as("score_a"))
       .orderBy(col("score_a").desc, col("doc_id")).limit(RrfDepth)
@@ -1452,7 +1454,7 @@ object CorpusOps {
       .agg(count(lit(1)).as("n"))
       // 3 consumers (target LM, raw LM, scoring join): pay the
       // corpus-sized explode+shuffle once; the frame is ≤256 rows/doc
-      .localCheckpoint()
+      .persist()
     // bucket LMs: 256-key aggregates of the per-doc frame (never a
     // second corpus scan); missing buckets smooth to ln(1)
     val buckets = s.range(B).select(col("id").as("b"))
@@ -1668,7 +1670,7 @@ object CorpusOps {
         explode(call_function("sorted_gram_hashes", col("n"), lit(5)))
           .as("h"))
       .distinct()
-      .localCheckpoint() // sizes aggregate + both pair-join sides
+      .persist() // sizes aggregate + both pair-join sides
     val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
     grams.as("a").join(grams.as("b"),
         col("a.h") === col("b.h") && col("a.source") =!= col("b.source"))

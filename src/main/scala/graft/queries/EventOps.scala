@@ -1055,7 +1055,7 @@ object EventOps {
       .filter(col("prev_type").isNotNull)
       .select(col("prev_type"), col("event_type").as("next_type"),
         (col("ts") < cut).as("is_train"))
-      .localCheckpoint() // train aggregate + test aggregate
+      .persist() // train aggregate + test aggregate
     val model = pairs.filter(col("is_train"))
       .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
       .withColumn("rn", row_number().over(Window.partitionBy("prev_type")

@@ -184,20 +184,22 @@ object TextOps {
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
 
-  /** Signature frame feeding [[minhashBanded]] (localCheckpointed —
-    * it is consumed by banding AND both sides of the re-join). */
+  /** Signature frame feeding [[minhashBanded]] (persisted — it is
+    * consumed by banding AND both sides of the re-join; persist over
+    * localCheckpoint per the round-11 A/B: ~6% faster on this exact
+    * shape AND the lineage survives executor loss at scale). */
   private[queries] def minhashDocs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     normDocs(s, dir)
       .select(col("doc_id"),
         call_function("minhash_sigs", col("norm"), lit(5), lit(MinhashN))
           .as("sig"))
-      .localCheckpoint()
+      .persist()
   }
 
   def q37MinhashPairs(s: SparkSession, dir: String): DataFrame = {
     val numHashes = MinhashN
-    // signatures materialized ONCE (localCheckpoint): they feed the
+    // signatures materialized ONCE (persist): they feed the
     // banding stage AND both sides of the signature re-join below
     val docs = minhashDocs(s, dir)
     val banded = minhashBanded(docs)
@@ -344,7 +346,7 @@ object TextOps {
   def q87SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     // signatures feed the banding stage AND both re-join sides —
     // materialize once (same three-consumer shape as q37's docs)
-    val sigs = simhashSigs(s, dir).localCheckpoint()
+    val sigs = simhashSigs(s, dir).persist()
     simhashNearPairs(sigs, sigs, maxHamming = 3, selfJoin = true)
       .orderBy("id_a", "id_b")
   }
@@ -1200,7 +1202,7 @@ object TextOps {
       .filter(length(col("n")) >= WinnowK)
       .select(col("doc_id"), explode(call_function("winnow_fingerprints",
         col("n"), lit(WinnowK), lit(WinnowW))).as("fh"))
-      .localCheckpoint() // df aggregate + both pair-join sides
+      .persist() // df aggregate + both pair-join sides
     val rare = selected.join(
       selected.groupBy("fh").agg(count(lit(1)).as("df"))
         .filter(col("df") <= WinnowMaxDf).select("fh"),
@@ -1277,7 +1279,7 @@ object TextOps {
     * merge leaves set sizes unchanged (xxhash64 injective on a ~2k
     * universe in practice; the q45/q37 discipline, spec-checked
     * against brute force over strings). */
-  /** q198's gram-hash doc frame (stage 0) — localCheckpointed; it is
+  /** q198's gram-hash doc frame (stage 0) — persisted; it is
     * consumed by the freq explode + the 2 verify joins. */
   private def prefixJoinDocs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
@@ -1295,7 +1297,7 @@ object TextOps {
       .select(col("doc_id"), col("lang"),
         call_function("sorted_gram_hashes", col("n"), lit(5)).as("sh"))
       .withColumn("len", size(col("sh")).cast("long"))
-      .localCheckpoint()
+      .persist()
   }
 
   /** q198's candidate groups BEFORE the count filter: one row per
@@ -1373,10 +1375,10 @@ object TextOps {
   private[queries] def prefixJoinFunnel(s: SparkSession,
       dir: String): (Long, Long, Long, Long) = {
     val docs = prefixJoinDocs(s, dir)
-    val groups = prefixJoinCandGroups(docs).localCheckpoint()
+    val groups = prefixJoinCandGroups(docs).persist()
     val multiplicity = groups.agg(coalesce(sum(col("ov")), lit(0L)))
       .head().getLong(0)
-    val survivors = prefixJoinCountFilter(groups).localCheckpoint()
+    val survivors = prefixJoinCountFilter(groups).persist()
     val nSurvivors = survivors.count()
     val nResult = prefixJoinVerify(docs, survivors).count()
     (multiplicity, nSurvivors, nResult, docs.count())
@@ -1438,7 +1440,7 @@ object TextOps {
       .select(col("doc_id"), (col("pos") + 1).cast("long").as("p"),
         col("col").as("tok"))
       .filter(col("tok").isin(queryVocab: _*))
-      .localCheckpoint() // three probe joins re-read the postings
+      .persist() // three probe joins re-read the postings
     val phrases = s.range(1).select(explode(array(PhraseQueries.map { ph =>
       val Array(w1, w2, w3) = ph.split(" ")
       struct(lit(ph).as("phrase"), lit(w1).as("w1"), lit(w2).as("w2"),
@@ -1510,7 +1512,7 @@ object TextOps {
       .select(col("doc_id"), expr(s"doc_id div $HeapsBucket").as("bkt"),
         call_function("sorted_gram_hashes", col("n"), lit(5)).as("gh"),
         (length(col("n")) - 4).cast("long").as("n_grams"))
-      .localCheckpoint() // totals aggregate + first-occurrence explode
+      .persist() // totals aggregate + first-occurrence explode
     val perBktTotals = docs.groupBy("bkt")
       .agg(sum(col("n_grams")).as("bkt_n"))
     val firstSeen = docs.select(col("bkt"), explode(col("gh")).as("h"))

@@ -123,9 +123,9 @@ class WindowCensusSpec extends SparkTestBase {
   private val BcastCleared: Map[String, String] = Map(
     "q131_bm25" ->
       ("the broadcast df frame groups by term over postings ALREADY " +
-        "filtered to the fixed Bm25Terms probe list; the " +
-        "localCheckpoint (LogicalRDD) hides that bounding filter " +
-        "from the census"),
+        "filtered to the fixed Bm25Terms probe list; the persisted " +
+        "frame (InMemoryRelation — its cached plan is a filter, not " +
+        "an aggregate) hides that bounding filter from the census"),
     "q134_stopword_prune" ->
       ("the broadcast stoplist is bounded by MATH, not shape: " +
         "sum_w df_w = sum_docs |distinct tokens per doc|, so #{w : " +
