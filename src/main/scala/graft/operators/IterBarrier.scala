@@ -46,8 +46,11 @@ object IterBarrier {
         val sc = df.sparkSession.sparkContext
         // (re)point the context at the configured store unless it
         // already resolves there — a stale dir from an earlier caller
-        // must not capture this loop's checkpoints
-        if (!sc.getCheckpointDir.exists(_.contains(dir)))
+        // must not capture this loop's checkpoints. setCheckpointDir
+        // appends a UUID subdir, so the resolved dir always continues
+        // "<configured>/"; the separator suffix keeps a configured
+        // "/ck" from false-matching a resolved ".../ck2/<uuid>"
+        if (!sc.getCheckpointDir.exists(_.contains(dir.stripSuffix("/") + "/")))
           sc.setCheckpointDir(dir)
         df.checkpoint()
       case None => df.localCheckpoint()
