@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.collection.mutable
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -56,6 +58,16 @@ import org.apache.spark.sql.types.DoubleType
   *      group × quantile) come from one broadcast join against the
   *      rank spans.
   *
+  * Group identity rides ONE struct column (`exq_k = struct(group
+  * cols)`) through every internal join/aggregate/window: Spark's
+  * struct equality compares fields with null-safe ORDERING semantics
+  * (a null field equals a null field), so a NULL-keyed group — which
+  * `groupBy` keeps, like the built-in — survives the joins too. Plain
+  * multi-column `join(..., groupCols)` equality is null-UNSAFE and
+  * would silently drop that group from the output (the round-11
+  * ADVICE finding); parity with the built-in on NULL group keys is
+  * pinned in `ExactQuantilesSpec`.
+  *
   * Differences from the built-in, by design:
   *   - empty input yields ZERO rows (a global `.agg(percentile)`
   *     yields one NULL row); callers here consume the result via
@@ -65,6 +77,17 @@ import org.apache.spark.sql.types.DoubleType
   *     which every call site satisfies. NaN and -0.0/0.0 mixtures are
   *     out of contract (the built-in's map treats -0.0 != 0.0; plan
   *     grouping normalizes them — no caller produces either).
+  *
+  * Cache lifecycle: [[quantiles]]/[[quantilesDisc]]/[[quantilesOfHist]]
+  * leave their internal frames persisted — a lazily consumed plan
+  * cannot know when its last action ran, and the Bench/Verify
+  * harnesses clear the cache between queries anyway. A LIBRARY caller
+  * running many quantile passes in one long session accumulates one
+  * input-sized histogram InMemoryRelation (plus a group-sized stats
+  * one) per call until storage pressure evicts them; such callers
+  * should use [[quantilesReleased]], which pays one blocking job to
+  * materialize the group-sized result and drops the internal caches
+  * before returning.
   *
   * Group-cardinality contract: the per-group stats and bucket-offset
   * frames (steps 2-3) are |groups| and |groups|·buckets rows and ride
@@ -88,8 +111,9 @@ import org.apache.spark.sql.types.DoubleType
   */
 object ExactQuantiles {
 
-  /** One row per group present in `df` (group columns preserved),
-    * with one DoubleType column per `(name, p)` in `ps` — each
+  /** One row per group present in `df` (group columns preserved,
+    * including a NULL-keyed group if present — see class doc), with
+    * one DoubleType column per `(name, p)` in `ps` — each
     * bit-identical to `percentile(valueCol, p)` within the group —
     * plus `exq_rows` (= `count(*)`, nulls included; rename or drop).
     * `p` values must lie in [0, 1]; `valueCol` must be numeric.
@@ -98,7 +122,8 @@ object ExactQuantiles {
     * row (zero on empty input, see class doc). */
   def quantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
       ps: Seq[(String, Double)]): DataFrame =
-    build(df, groupCols, valueCol, ps, discrete = false)
+    build(df, groupCols, valueCol, ps, discrete = false,
+      mutable.Buffer.empty[DataFrame])
 
   /** The `percentile_disc` sibling: each quantile column is the
     * smallest group value whose cumulative distribution reaches `p` —
@@ -108,7 +133,28 @@ object ExactQuantiles {
     * `ExactQuantilesSpec`). Same two-phase shape, same `exq_rows`. */
   def quantilesDisc(df: DataFrame, groupCols: Seq[String],
       valueCol: String, ps: Seq[(String, Double)]): DataFrame =
-    build(df, groupCols, valueCol, ps, discrete = true)
+    build(df, groupCols, valueCol, ps, discrete = true,
+      mutable.Buffer.empty[DataFrame])
+
+  /** As [[quantiles]] (`discrete = false`) / [[quantilesDisc]]
+    * (`true`), but EAGERLY materializes the group-sized result and
+    * releases the operator's internal caches before returning — the
+    * long-session variant (class doc, "Cache lifecycle"). Costs one
+    * blocking job; the returned frame is itself persisted (≤|groups|
+    * rows — never data-sized under the group-cardinality contract)
+    * and is the caller's to unpersist when consumed. Lineage is
+    * intact either way: a lost cached block of the result recomputes
+    * from the input. */
+  def quantilesReleased(df: DataFrame, groupCols: Seq[String],
+      valueCol: String, ps: Seq[(String, Double)],
+      discrete: Boolean = false): DataFrame = {
+    val caches = mutable.Buffer.empty[DataFrame]
+    val out = build(df, groupCols, valueCol, ps, discrete, caches)
+    val snap = out.persist()
+    snap.count()
+    caches.foreach(_.unpersist(blocking = false))
+    snap
+  }
 
   /** For inputs ALREADY reduced to a (group, value, count) histogram —
     * one row per distinct (group, value), `countCol` its multiplicity.
@@ -118,7 +164,9 @@ object ExactQuantiles {
     * data and stay in histogram space for everything after. Null
     * `valueCol` rows are allowed and count toward `exq_rows` only.
     * Callers should `persist()` a histogram they also consume
-    * elsewhere — this path adds no caching of its own. */
+    * elsewhere — this path adds no caching of the histogram, but the
+    * internal group-sized stats frame IS persisted and stays so
+    * (class doc, "Cache lifecycle"). */
   def quantilesOfHist(hist: DataFrame, groupCols: Seq[String],
       valueCol: String, countCol: String, ps: Seq[(String, Double)],
       discrete: Boolean = false): DataFrame = {
@@ -128,11 +176,12 @@ object ExactQuantiles {
     core(base.select((g.map(col) :+
       col(valueCol).cast(DoubleType).as("exq_v") :+
       col(countCol).cast("long").as("exq_c")): _*),
-      groupCols, g, ps, discrete)
+      groupCols, g, ps, discrete, mutable.Buffer.empty[DataFrame])
   }
 
   private def build(df: DataFrame, groupCols: Seq[String], valueCol: String,
-      ps: Seq[(String, Double)], discrete: Boolean): DataFrame = {
+      ps: Seq[(String, Double)], discrete: Boolean,
+      caches: mutable.Buffer[DataFrame]): DataFrame = {
     // global quantiles ride a constant group key (dropped at the end)
     // so one code path serves both; the key is a literal, so the extra
     // column never shuffles wider than the row it annotates
@@ -150,52 +199,60 @@ object ExactQuantiles {
     // scan of the data), and unlike localCheckpoint the lineage
     // survives executor loss — on a real cluster a lost block
     // recomputes instead of failing the query. Callers' harnesses
-    // clear the cache between queries (Bench/Verify discipline).
+    // clear the cache between queries (Bench/Verify discipline);
+    // long-session library callers: see quantilesReleased.
     val hist = base0
       .groupBy((g.map(col) :+ col(valueCol).cast(DoubleType).as("exq_v")): _*)
       .agg(count(lit(1)).as("exq_c"))
       .persist()
-    core(hist, groupCols, g, ps, discrete)
+    caches += hist
+    core(hist, groupCols, g, ps, discrete, caches)
   }
 
-  private def core(hist: DataFrame, groupCols: Seq[String], g: Seq[String],
-      ps: Seq[(String, Double)], discrete: Boolean): DataFrame = {
+  private def core(hist0: DataFrame, groupCols: Seq[String], g: Seq[String],
+      ps: Seq[(String, Double)], discrete: Boolean,
+      caches: mutable.Buffer[DataFrame]): DataFrame = {
     require(ps.nonEmpty, "at least one (name, p) quantile required")
     require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
       s"quantile fractions must be in [0, 1]: $ps")
     // bucket count scales with the cluster, like every two-phase rework
     val nBuckets =
-      hist.sparkSession.sparkContext.defaultParallelism.max(16) * 2
+      hist0.sparkSession.sparkContext.defaultParallelism.max(16) * 2
+
+    // group identity as ONE struct column from here on: struct
+    // equality is null-safe per field (class doc), so NULL-keyed
+    // groups flow through the joins below exactly like the built-in
+    val hist = hist0.withColumn("exq_k", struct(g.map(col): _*))
 
     // 2. per-group span + counts (aggregated frame, broadcast back;
     // cached too — ≤|groups| rows, consumed twice)
-    val st = hist.groupBy(g.map(col): _*)
+    val st = hist.groupBy(col("exq_k"))
       .agg(sum(col("exq_c")).as("exq_rows"),
         sum(when(col("exq_v").isNotNull, col("exq_c"))
           .otherwise(lit(0L))).as("exq_n"),
         min(col("exq_v")).as("exq_mn"), max(col("exq_v")).as("exq_mx"))
       .persist()
+    caches += st
 
     // 3. two-phase global rank span of each distinct value
     val vals = hist.filter(col("exq_v").isNotNull)
-      .join(broadcast(st.select((g.map(col) :+ col("exq_mn") :+
-        col("exq_mx")): _*)), g)
+      .join(broadcast(st.select(col("exq_k"), col("exq_mn"),
+        col("exq_mx"))), "exq_k")
       .withColumn("exq_bkt", when(col("exq_mx") > col("exq_mn"),
         least(greatest(floor((col("exq_v") - col("exq_mn")) * nBuckets /
           (col("exq_mx") - col("exq_mn"))), lit(0L)), lit(nBuckets - 1L)))
         .otherwise(lit(0L)))
-      .select((g.map(col) :+ col("exq_v") :+ col("exq_c") :+
-        col("exq_bkt")): _*)
-    val offs = vals.groupBy((g :+ "exq_bkt").map(col): _*)
+      .select(col("exq_k"), col("exq_v"), col("exq_c"), col("exq_bkt"))
+    val offs = vals.groupBy(col("exq_k"), col("exq_bkt"))
       .agg(sum(col("exq_c")).as("exq_bc"))
       .withColumn("exq_off", coalesce(sum(col("exq_bc")).over(
-        Window.partitionBy(g.map(col): _*).orderBy("exq_bkt")
+        Window.partitionBy(col("exq_k")).orderBy("exq_bkt")
           .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(((g :+ "exq_bkt").map(col) :+ col("exq_off")): _*)
-    val wLocal = Window.partitionBy((g :+ "exq_bkt").map(col): _*)
+      .select(col("exq_k"), col("exq_bkt"), col("exq_off"))
+    val wLocal = Window.partitionBy(col("exq_k"), col("exq_bkt"))
       .orderBy("exq_v")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val ranked = vals.join(broadcast(offs), g :+ "exq_bkt")
+    val ranked = vals.join(broadcast(offs), Seq("exq_k", "exq_bkt"))
       .withColumn("exq_cum", col("exq_off") + sum(col("exq_c")).over(wLocal))
       .withColumn("exq_start", col("exq_cum") - col("exq_c"))
 
@@ -219,7 +276,7 @@ object ExactQuantiles {
         Seq(floor(pos).as(s"exq_klo_$i"), ceil(pos).as(s"exq_khi_$i"),
           pos.as(s"exq_pos_$i"))
     }
-    val stT = st.select((g.map(col) :+ col("exq_rows")) ++ kcols: _*)
+    val stT = st.select((col("exq_k") :: col("exq_rows") :: Nil) ++ kcols: _*)
     def holds(k: Column) =
       k.between(col("exq_start"), col("exq_cum") - 1L)
     val anyHold = ps.indices
@@ -243,11 +300,12 @@ object ExactQuantiles {
             * col(s"exq_vlo_$i")
             + (col(s"exq_pos_$i") - col(s"exq_klo_$i").cast(DoubleType))
             * col(s"exq_vhi_$i"))
-    val out = ranked.join(broadcast(stT), g)
+    val out = ranked.join(broadcast(stT), Seq("exq_k"))
       .filter(anyHold)
-      .groupBy((g.map(col) :+ col("exq_rows")): _*)
+      .groupBy(col("exq_k"), col("exq_rows"))
       .agg(aggs.head, aggs.tail: _*)
-      .select((g.map(col) :+ col("exq_rows")) ++
+      .select((g.map(n => col("exq_k").getField(n).as(n)) :+
+        col("exq_rows")) ++
         ps.zipWithIndex.map { case ((name, _), i) =>
           interp(i).as(name) }: _*)
     if (groupCols.isEmpty) out.drop("exq_g") else out

@@ -148,6 +148,52 @@ class ExactQuantilesSpec extends SparkTestBase {
     assert(ours.nonEmpty)
   }
 
+  test("NULL group keys form their own group, like the built-in " +
+    "(struct join keys are null-safe — the round-11 ADVICE finding)") {
+    val df = Seq(("a", 1.0), ("a", 3.0), (null, 2.0), (null, 6.0),
+      (null, 10.0), ("b", 5.0)).toDF("g", "v")
+    val ours = ExactQuantiles.quantiles(df, Seq("g"), "v", Ps)
+    assert(ours.filter(col("g").isNull).count() == 1,
+      "the NULL-keyed group must survive the internal joins")
+    assertSame(ours, builtin(df, Seq("g"), "v"), Seq("g"))
+    // and with a multi-column group key, nulls in either position
+    val df2 = Seq(("a", "x", 1.0), ("a", null, 2.0), ("a", null, 4.0),
+      (null, "x", 3.0), (null, null, 8.0)).toDF("g1", "g2", "v")
+    assertSame(ExactQuantiles.quantiles(df2, Seq("g1", "g2"), "v", Ps),
+      builtin(df2, Seq("g1", "g2"), "v"), Seq("g1", "g2"))
+  }
+
+  test("quantilesReleased matches quantiles and drops the internal " +
+    "caches, leaving only the persisted group-sized result") {
+    val orders = Tables.orders(spark, Sf)
+    // absolute counts: earlier tests' by-design cache leaks are
+    // GC-collected by the ContextCleaner at arbitrary times, so a
+    // before/after delta races — start from a cleared cache instead
+    // (unpersistRDD drops the persistentRdds entry synchronously)
+    spark.catalog.clearCache()
+    val snap = ExactQuantiles.quantilesReleased(orders,
+      Seq("o_orderstatus"), "o_totalprice", Ps)
+    // the eager count inside quantilesReleased already materialized
+    // every cache that will ever exist; only the snapshot may remain
+    assert(spark.sparkContext.getPersistentRDDs.size == 1,
+      "internal histogram/stats caches must be unpersisted")
+    assertSame(snap, builtin(orders, Seq("o_orderstatus"),
+      "o_totalprice"), Seq("o_orderstatus"))
+    // discrete flag routes to the percentile_disc semantics (twin is
+    // the built-in so this leg adds no caches of its own)
+    val d = ExactQuantiles.quantilesReleased(orders, Seq("o_orderstatus"),
+      "o_totalprice", Seq("p50" -> 0.5), discrete = true)
+    val dt = orders.groupBy("o_orderstatus").agg(expr(
+      "percentile_disc(0.5d) WITHIN GROUP (ORDER BY o_totalprice)").as("p50"),
+      count(lit(1)).as("exq_rows"))
+    val cols = Seq("o_orderstatus", "p50", "exq_rows")
+    assert(d.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq
+      == dt.select(cols.map(col): _*).collect().map(_.toString).sorted.toSeq)
+    snap.unpersist(blocking = true)
+    d.unpersist(blocking = true)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty)
+  }
+
   test("result is invariant to physical partitioning (run(1) === run(8))") {
     val base = Tables.documents(spark, Sf)
       .select(col("lang"), col("n_chars").cast("double").as("v"))

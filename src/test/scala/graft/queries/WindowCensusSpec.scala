@@ -98,10 +98,11 @@ class WindowCensusSpec extends SparkTestBase {
     * parallelism values) are deliberately data-sized for the WINDOW
     * census (a window over them is the scalable shape) yet bounded
     * for broadcast purposes, and ExactQuantiles' internal keys
-    * (`exq_g` literal group, `exq_bkt` buckets, `exq_rows` per-group
+    * (`exq_k` null-safe struct group key, `exq_g` literal group,
+    * `exq_bkt` buckets, `exq_rows` per-group
     * scalar) ride its per-group broadcast frames. */
   private val BcastBounded = LowCard ++ Set(
-    "bkt", "exq_bkt", "exq_rows", "exq_g", "b", "cent_id",
+    "bkt", "exq_bkt", "exq_rows", "exq_g", "exq_k", "b", "cent_id",
     "cluster_id", "k", "digit", "o_orderstatus")
 
   /** Probe-set key columns for the broadcast census: a literal
