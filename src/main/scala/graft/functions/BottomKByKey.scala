@@ -2,7 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Encoder
 
-/** One (key, id) entry of a [[BottomKByKey]] summary. */
+/** One (key, id) entry of a [[BottomKByKey]] summary. Fields are
+  * non-null by the bounded-heap family's input contract — see
+  * [[ScoredRow]]. */
 case class KeyedId(key: String, id: Long)
 
 /** Exact bounded-heap bottom-k per group by a STRING sort key — the

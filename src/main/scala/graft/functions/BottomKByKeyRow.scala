@@ -3,7 +3,9 @@ package graft.functions
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** One (key, id, payload) entry of a [[BottomKByKeyRow]] summary. */
+/** One (key, id, payload) entry of a [[BottomKByKeyRow]] summary.
+  * Fields are non-null by the bounded-heap family's input contract —
+  * see [[ScoredRow]]. */
 case class KeyedRow(key: String, id: Long, payload: Long)
 
 /** [[BottomKByKey]] with a payload column riding along — bottom-k per

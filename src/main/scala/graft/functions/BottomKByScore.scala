@@ -3,9 +3,23 @@ package graft.functions
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 
-/** One (score, id, payload) entry of a [[BottomKByScore]] summary.
-  * `payload` rides along un-ordered (q105 carries `n_chars`) so the
-  * winners need no join back to the source frame. */
+/** One (score, id, payload) entry of a [[BottomKByScore]] /
+  * [[TopKByScoreRow]] summary. `payload` rides along un-ordered (q105
+  * carries `n_chars`) so the winners need no join back to the source
+  * frame.
+  *
+  * NON-NULL input contract (whole bounded-heap family — ScoredRow,
+  * ScoredId, ScoredKey, KeyedId, KeyedRow): entry fields are
+  * primitives, and the udaf input deserializer reads a NULL slot of a
+  * primitive field as 0/0.0 — SILENTLY, fabricating a rank or payload
+  * with no error anywhere (measured, not assumed: pinned in
+  * CorpusOpsSpec "heap family null contract"; a NULL STRING key would
+  * instead NPE inside the UTF-8 compare). Callers therefore own the
+  * null mapping at the call site: coalesce a NULLable sort key to the
+  * order's sentinel (±Infinity / "" reproduce Spark's NULLS FIRST
+  * window order for the respective directions), and ride a NULLable
+  * payload behind an out-of-domain sentinel restored via nullif on
+  * output (q105's Long.MinValue idiom). */
 case class ScoredRow(score: Double, id: Long, payload: Long)
 
 /** Exact bounded-heap bottom-k per group by (double score ASC, id

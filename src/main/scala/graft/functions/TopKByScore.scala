@@ -3,7 +3,9 @@ package graft.functions
 import org.apache.spark.sql.{Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 
-/** One (score, id) entry of a [[TopKByScore]] summary. */
+/** One (score, id) entry of a [[TopKByScore]] summary. Fields are
+  * non-null by the bounded-heap family's input contract — see
+  * [[ScoredRow]]. */
 case class ScoredId(score: Long, id: Long)
 
 /** Exact bounded-heap top-k per group as a typed [[Aggregator]] — the

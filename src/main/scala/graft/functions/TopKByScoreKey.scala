@@ -4,7 +4,9 @@ import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.unsafe.types.UTF8String
 
-/** One (score, key) entry of a [[TopKByScoreKey]] summary. */
+/** One (score, key) entry of a [[TopKByScoreKey]] summary. Fields
+  * are non-null by the bounded-heap family's input contract — see
+  * [[ScoredRow]]. */
 case class ScoredKey(score: Long, key: String)
 
 /** Exact bounded-heap top-k per group by (score DESC, string key ASC)

@@ -47,11 +47,23 @@ object IterBarrier {
         // (re)point the context at the configured store unless it
         // already resolves there — a stale dir from an earlier caller
         // must not capture this loop's checkpoints. setCheckpointDir
-        // appends a UUID subdir, so the resolved dir always continues
-        // "<configured>/"; the separator suffix keeps a configured
-        // "/ck" from false-matching a resolved ".../ck2/<uuid>"
-        if (!sc.getCheckpointDir.exists(_.contains(dir.stripSuffix("/") + "/")))
-          sc.setCheckpointDir(dir)
+        // appends a UUID subdir, so the resolved dir is exactly
+        // "<configured-qualified>/<uuid>": compare the resolved dir's
+        // PARENT against the scheme-qualified configured path (a
+        // substring test false-matches whenever the configured path is
+        // a path-suffix of a different root — "/data/ck" inside a
+        // stale "file:/backup/data/ck/<uuid>" — and misreads relative
+        // configured paths; qualifying both sides through the
+        // configured path's FileSystem resolves scheme, authority,
+        // and working directory the same way setCheckpointDir does)
+        val p = new org.apache.hadoop.fs.Path(dir)
+        val fs = p.getFileSystem(sc.hadoopConfiguration)
+        val qualified = fs.makeQualified(p)
+        val already = sc.getCheckpointDir.exists { resolved =>
+          val parent = new org.apache.hadoop.fs.Path(resolved).getParent
+          parent != null && fs.makeQualified(parent) == qualified
+        }
+        if (!already) sc.setCheckpointDir(dir)
         df.checkpoint()
       case None => df.localCheckpoint()
     }

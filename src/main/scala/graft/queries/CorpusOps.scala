@@ -238,7 +238,14 @@ object CorpusOps {
     * total order, so the DuckDB window oracle is unchanged). NULL
     * keys (n_chars = 0) map to −∞, reproducing Spark's NULLS FIRST
     * ascending window order; n_chars rides the heap entry as payload
-    * so no join back to documents is needed. */
+    * so no join back to documents is needed. The heap's entry fields
+    * are primitive, and a NULL slot crossing the udaf boundary is
+    * silently read as 0 (see [[graft.functions.ScoredRow]]'s null
+    * contract) — so the payload crosses behind a Long.MinValue
+    * sentinel and NULL is restored on output, making a NULL n_chars
+    * row rank and surface exactly as the superseded window form
+    * passed it through (n_chars is never Long.MinValue; pinned in
+    * CorpusOpsSpec). */
   def q105WeightedSample(s: SparkSession, dir: String): DataFrame = {
     val u = (md5Hash32(norm(col("text"))) + 1).cast(DoubleType) / lit(4294967296.0)
     val key = -log(u) / nullif(col("n_chars"), lit(0L)).cast(DoubleType)
@@ -249,10 +256,12 @@ object CorpusOps {
       .select(col("lang"), col("doc_id"), col("n_chars"), key.as("k"))
       .groupBy("lang")
       .agg(bottomk(coalesce(col("k"), lit(Double.NegativeInfinity)),
-        col("doc_id"), col("n_chars")).as("top"))
+        col("doc_id"),
+        coalesce(col("n_chars"), lit(Long.MinValue))).as("top"))
       .select(col("lang"), posexplode(col("top")).as(Seq("pos0", "e")))
       .select(col("lang"), (col("pos0") + 1).as("rank"),
-        col("e.id").as("doc_id"), col("e.payload").as("n_chars"))
+        col("e.id").as("doc_id"),
+        nullif(col("e.payload"), lit(Long.MinValue)).as("n_chars"))
       .orderBy("lang", "rank")
   }
 

@@ -42,6 +42,43 @@ class IterBarrierSpec extends SparkTestBase {
     }
   }
 
+  test("stale-dir detection compares the resolved dir's parent — a " +
+    "configured path that is a path-SUFFIX of a stale root must not " +
+    "false-match (round-11 ADVICE)") {
+    val base = Files.createTempDirectory("graft_ckpt_sfx_")
+    val configured = base.resolve("A/ck")
+    // stale root embeds the configured path as a strict suffix:
+    // ".../B<configured>" — resolved stale checkpoints live at
+    // ".../B<configured>/<uuid>", which CONTAINS "<configured>/" and
+    // so defeated the old substring test
+    val stale = Paths.get(base.toString + "/B" + configured.toString)
+    Files.createDirectories(configured)
+    Files.createDirectories(stale)
+    val sc = spark.sparkContext
+    sc.setCheckpointDir(stale.toString)
+    val staleResolved = sc.getCheckpointDir.get
+    assert(staleResolved.contains(configured.toString + "/"),
+      "fixture must reproduce the substring false-match shape")
+    spark.conf.set(IterBarrier.ConfKey, configured.toString)
+    try {
+      IterBarrier(Tables.nation(spark, Sf)).count()
+      val resolved = sc.getCheckpointDir.get
+      assert(resolved != staleResolved,
+        "the stale dir must not capture this loop's checkpoints")
+      assert(new org.apache.hadoop.fs.Path(resolved).getParent
+        .toUri.getPath == configured.toString,
+        s"checkpoints must land under the configured dir: $resolved")
+      // and a matching dir is NOT re-pointed (each setCheckpointDir
+      // mints a fresh UUID subdir — pointless churn between rounds)
+      IterBarrier(Tables.nation(spark, Sf)).count()
+      assert(sc.getCheckpointDir.get == resolved)
+    } finally {
+      spark.conf.unset(IterBarrier.ConfKey)
+      Files.walk(base).sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("default mode stays localCheckpoint (no checkpoint dir required)") {
     // would throw SparkException("Checkpoint directory has not been
     // set") if the default path ever called reliable checkpoint()

@@ -83,6 +83,42 @@ class CorpusOpsSpec extends SparkTestBase {
     }
   }
 
+  test("heap family null contract: q105's sentinel idiom round-trips a " +
+    "NULL payload; a raw NULL payload silently reads as 0 (the hazard)") {
+    import spark.implicits._
+    val bottomk = udaf(graft.functions.BottomKByScore(3),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[graft.functions.ScoredRow]())
+    val df = Seq(("en", 1L, Some(10L), 0.3), ("en", 2L, None, 0.1),
+      ("en", 3L, Some(30L), 0.2), ("en", 4L, Some(5L), 0.9))
+      .toDF("lang", "doc_id", "n_chars", "k")
+    // the registered q105 shape: payload behind Long.MinValue, NULL
+    // restored on output — ranks exactly like the window twin that
+    // passed nulls through
+    val out = df.groupBy("lang")
+      .agg(bottomk(col("k"), col("doc_id"),
+        coalesce(col("n_chars"), lit(Long.MinValue))).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos0", "e")))
+      .select((col("pos0") + 1).as("rank"), col("e.id").as("doc_id"),
+        nullif(col("e.payload"), lit(Long.MinValue)).as("n_chars"))
+      .orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(2L, 3L, 1L))
+    assert(out(0).isNullAt(2), "NULL payload must round-trip as NULL")
+    assert(out.drop(1).map(_.getLong(2)).toSeq == Seq(30L, 10L))
+    // contract half: a raw NULL slot under a primitive entry field is
+    // read as 0 — SILENTLY (no error anywhere) — which is exactly why
+    // the family's scaladoc makes null mapping the caller's job
+    // (ScoredRow doc); pin the hazard so it can't be re-discovered
+    val raw = df.groupBy("lang")
+      .agg(bottomk(col("k"), col("doc_id"), col("n_chars")).as("top"))
+      .select(explode(col("top")).as("e"))
+      .filter(col("e.id") === 2L).select(col("e.payload")).collect()
+    assert(raw.map(_.getLong(0)).toSeq == Seq(0L),
+      "a raw NULL payload silently deserializes to 0 — callers must " +
+        "sentinel-coalesce (this pin failing means Spark's encoder " +
+        "behavior changed: revisit the family contract)")
+  }
+
   test("q107 cross-entropy is non-negative and repetition scores lowest") {
     val rows = CorpusOps.q107BigramLm(spark, Sf)
       .select("doc_id", "n_bigrams", "xent").collect()
