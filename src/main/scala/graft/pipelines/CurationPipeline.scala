@@ -41,8 +41,15 @@ object CurationPipeline {
       .select("doc_id")
     // materialized once: the exact-dedup survivor set feeds the pair
     // stage, the component-label join AND the final chunking pass —
-    // without the barrier each consumer re-runs scan+filter+dedup
-    val exact = quality.join(keepIds, Seq("doc_id")).persist()
+    // without the barrier each consumer re-runs scan+filter+dedup.
+    // Pruned to the union of the consumers' columns BEFORE the
+    // persist: a cache stores every column it is handed (the width
+    // census, plans/WidthGuard), and the raw join would drag the full
+    // `text` body plus `source` into the cache for nobody — at corpus
+    // scale that cache is ~2× the survivors' text for zero reads
+    val exact = quality.join(keepIds, Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("norm"))
+      .persist()
     // near-dup clusters over the exact-dedup survivors: same pair
     // stage as q45 but restricted to survivors, then q67's component
     // labels; a doc survives iff it is its cluster's min-id rep (or

@@ -490,7 +490,13 @@ object CorpusOps {
     * cross-engine; ties break on doc_id inside each ranker. */
   def q179RankFusion(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val perTerm = bm25PerTerm(s, dir).persist() // 2 rankers
+    // pruned to the two rankers' column union before the persist (the
+    // width census, plans/WidthGuard): the raw per-term frame carries
+    // 5 more columns (term, dl, sum_dl, idf_fp, tfn) that neither
+    // ranker reads — the cache would store them anyway
+    val perTerm = bm25PerTerm(s, dir)
+      .select("doc_id", "tf", "df", "n_docs", "contrib_fp")
+      .persist() // 2 rankers
     val topA = perTerm.groupBy("doc_id")
       .agg(sum(col("contrib_fp")).as("score_a"))
       .orderBy(col("score_a").desc, col("doc_id")).limit(RrfDepth)

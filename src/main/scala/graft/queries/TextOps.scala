@@ -1509,7 +1509,11 @@ object TextOps {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), normText(col("text")).as("n"))
       .filter(length(col("n")) >= 5)
-      .select(col("doc_id"), expr(s"doc_id div $HeapsBucket").as("bkt"),
+      // doc_id is consumed HERE (the bucket id) and deliberately not
+      // cached: both consumers read only (bkt, gh, n_grams), and a
+      // persist stores every column it is handed (width census,
+      // plans/WidthGuard)
+      .select(expr(s"doc_id div $HeapsBucket").as("bkt"),
         call_function("sorted_gram_hashes", col("n"), lit(5)).as("gh"),
         (length(col("n")) - 4).cast("long").as("n_grams"))
       .persist() // totals aggregate + first-occurrence explode

@@ -621,6 +621,11 @@ object WarehouseOps {
       .select(col("l_orderkey"), col("l_partkey")).distinct()
     val sets = li.groupBy("l_orderkey")
       .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+      // the basket KEY dies here: both consumers explode ps only, and
+      // the barrier materializes every column it is handed (width
+      // census, plans/WidthGuard) — don't store an 8-byte key per
+      // basket for nobody
+      .select("ps")
       .iterBarrier() // pair explode + triple explode
     val pairs = sets.select(explode(expr(
         """flatten(transform(ps, (x, i) ->
