@@ -3,9 +3,10 @@ package graft.plans
 import scala.collection.mutable
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.logical.{Generate, LogicalPlan}
 import org.apache.spark.sql.execution.LogicalRDD
 import org.apache.spark.sql.execution.columnar.InMemoryRelation
+import org.apache.spark.sql.types.{ArrayType, BinaryType, MapType}
 
 /** Materialization-WIDTH census — the fourth member of the census
   * family ([[WindowGuard]]: low-parallelism window sorts;
@@ -99,4 +100,40 @@ object WidthGuard {
 
   def audit(df: DataFrame): Seq[Finding] =
     audit(df.queryExecution.optimizedPlan)
+
+  /** One wide Generate passthrough: `generator` names the exploding
+    * expression, `carried` the container-typed columns it multiplies. */
+  case class GenFinding(generator: String, carried: Seq[String]) {
+    def describe: String =
+      s"Generate[$generator] carries container column(s) " +
+        s"[${carried.mkString(", ")}] through the explode: Generate " +
+        "copies every passthrough column into EVERY output row, so an " +
+        "array/map/binary payload riding a per-element explode costs " +
+        "O(elements x payload) per input row — quadratic in document " +
+        "length for a token/code-point array riding its own position " +
+        "stream (the round-10 q215 measurement: 58 s vs 3 s at sf0.1). " +
+        "Build the exploded value inside the generator (transform + " +
+        "explode), emit ids and join back, or use a native kernel"
+  }
+
+  /** The multiplying sibling of the materialization audit: every
+    * `Generate` (explode/posexplode/inline) whose REQUIRED CHILD
+    * OUTPUT — the columns carried into each generated row — includes
+    * an array/map/binary column. Scalar strings are deliberately out
+    * of scope (the repo's passthroughs there are 2-char lang codes and
+    * single tokens; a text-BODY string rides no explode here, and
+    * judging string width is a review call, not a shape test —
+    * round-10's manual audit and PERF.md lesson cover it). May-find:
+    * a BOUNDED exploded frame (q41's 5-query probe set x 9 masks)
+    * multiplies its payload by a constant — reviewed pins, as with the
+    * sibling censuses. */
+  def auditGenerate(plan: LogicalPlan): Seq[GenFinding] = plan.collect {
+    case g: Generate =>
+      val wide = g.requiredChildOutput.filter(a => a.dataType match {
+        case _: ArrayType | _: MapType | BinaryType => true
+        case _ => false
+      })
+      if (wide.isEmpty) None
+      else Some(GenFinding(g.generator.prettyName, wide.map(_.name)))
+  }.flatten
 }

@@ -624,10 +624,17 @@ object CorpusOps {
     Tables.documents(s, dir)
       .select(col("doc_id"), split(norm(col("text")), " ").as("toks"))
       .filter(size(col("toks")) >= W)
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")) - (W - 1))).as("i"))
-      .select(col("doc_id"),
-        concat_ws(" ", slice(col("toks"), col("i"), lit(W))).as("span"))
+      // spans are built INSIDE the generator (transform over the
+      // position sequence), so the token array never rides the
+      // explode as a passthrough payload — Generate copies carried
+      // columns into every output row, which is quadratic in document
+      // length (the round-10 q215 lesson, mechanized by the round-12
+      // Generate-payload census in plans/WidthGuard); the per-doc
+      // intermediate is the linear span array, and measured at sf0.1
+      // this form is also slightly faster (0.19 vs 0.23 s)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(toks) - ${W - 1}), " +
+          s"i -> concat_ws(' ', slice(toks, i, $W)))")).as("span"))
       .groupBy("span")
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"), min(col("doc_id")).as("min_doc"))

@@ -158,7 +158,18 @@ class WindowCensusSpec extends SparkTestBase {
         "merge rules whose pair_cnt column exists for sibling q149's " +
         "output — zero width at any scale"))
 
-  /** All four censuses off ONE plan walk per query (optimizing 235
+  /** Reviewed exceptions for the GENERATE-payload census
+    * (`plans/WidthGuard.auditGenerate`, round 12): container columns
+    * that DO ride an explode, but over a bounded frame where the
+    * multiplier is a constant, not the data. */
+  private val GenCleared: Map[String, String] = Map(
+    "q41_ann_lsh" ->
+      ("q_emb (64 floats) rides the probe-mask explode of the FIXED " +
+        "5-query frame (vec_id < 5 probe filter) x 9 Hamming-1 masks " +
+        "= 45 rows total at any corpus scale — the multiplied side is " +
+        "the bounded probe set, never the corpus"))
+
+  /** All five censuses off ONE plan walk per query (optimizing 235
     * plans dominates; the audits are collect()s over the same tree). */
   private lazy val census
       : (Seq[String], Seq[String], Seq[String], Seq[String]) = {
@@ -186,7 +197,12 @@ class WindowCensusSpec extends SparkTestBase {
         val wd = if (WidthCleared.contains(name)) Nil
           else graft.plans.WidthGuard.audit(plan)
             .map(f => s"$name: ${f.describe}")
-        (w, ag, bc ++ cx, wd)
+        // the Generate-payload census shares the width family's walk:
+        // materialized width and multiplied width are the same waste
+        val gn = if (GenCleared.contains(name)) Nil
+          else graft.plans.WidthGuard.auditGenerate(plan)
+            .map(f => s"$name: ${f.describe}")
+        (w, ag, bc ++ cx, wd ++ gn)
     }
     (results.flatMap(_._1), results.flatMap(_._2), results.flatMap(_._3),
       results.flatMap(_._4))
@@ -277,8 +293,9 @@ class WindowCensusSpec extends SparkTestBase {
   }
 
   test("width census controls: the detector fires on an over-wide " +
-    "checkpoint and an over-wide cache, stays quiet when every column " +
-    "is read somewhere, and unions usage across self-join branches") {
+    "checkpoint, an over-wide cache, and a container payload riding an " +
+    "explode; stays quiet when columns are read, spans are built " +
+    "in-generator, or usage unions across self-join branches") {
     import org.apache.spark.sql.functions._
     val base = spark.range(8).selectExpr("id", "id*2 AS a", "id*3 AS b")
     // positive: checkpointed frame whose a/b nobody reads
@@ -297,12 +314,33 @@ class WindowCensusSpec extends SparkTestBase {
         .union(ck.selectExpr("a + b AS id"))
       assert(graft.plans.WidthGuard.audit(both).isEmpty)
     } finally p.unpersist()
+    // Generate census controls: the pre-fix q136 shape (token array
+    // riding its own position explode) fires; the in-generator
+    // transform form is quiet
+    // toks must be data-DEPENDENT: a literal array constant-folds
+    // into the generator and nothing rides the explode at all
+    val docs = spark.range(4).selectExpr("id",
+      "transform(sequence(1, 9), x -> concat('t', x, '_', id)) AS toks")
+    val carried = docs
+      .select(col("id"), col("toks"),
+        explode(expr("sequence(1, size(toks) - 7)")).as("i"))
+      .select(col("id"),
+        expr("concat_ws(' ', slice(toks, i, 8))").as("span"))
+    val gh = graft.plans.WidthGuard.auditGenerate(
+      carried.queryExecution.optimizedPlan)
+    assert(gh.map(_.carried) == Seq(Seq("toks")), s"$gh")
+    val inGen = docs.select(col("id"), explode(expr(
+      "transform(sequence(1, size(toks) - 7), " +
+        "i -> concat_ws(' ', slice(toks, i, 8)))")).as("span"))
+    assert(graft.plans.WidthGuard.auditGenerate(
+      inGen.queryExecution.optimizedPlan).isEmpty)
   }
 
   test("cleared lists carry no stale entries") {
     val names = graft.SparkEntry.queries.keySet
     val stale = (Cleared.keySet ++ AggCleared.keySet ++
-      BcastCleared.keySet ++ WidthCleared.keySet).diff(names)
+      BcastCleared.keySet ++ WidthCleared.keySet ++
+      GenCleared.keySet).diff(names)
     assert(stale.isEmpty, s"Cleared entries for unregistered queries: $stale")
   }
 
