@@ -953,10 +953,13 @@ object CorpusOps {
     * novelty quantifies how much of the eval signal is actually new.
     * Complements q219 (pair-level near-dup leakage) at token grain.
     *
-    * Scale shape: one distinct over train grams (high-cardinality,
-    * uniform keys), then a hash LEFT ANTI join of held-out gram
-    * instances against it; gram generation is the codegen'd
-    * position-explode (never a per-token lambda). The join/distinct
+    * Scale shape: gram instances collapse to the (split, g, count)
+    * histogram in ONE map-side-combined aggregate off ONE corpus scan
+    * (round 12 — the prior per-consumer spelling re-ran the scan and
+    * kernel six times), then a hash LEFT ANTI join at DISTINCT-gram
+    * grain recovers instance counts via the weights; gram generation
+    * is the codegen'd position-explode (never a per-token lambda).
+    * The join/distinct
     * key is NOT the raw gram string but a Rabin–Karp polynomial over
     * its code points as a BIGINT: every downstream exchange ships
     * 8-byte longs instead of variable-length strings, the
@@ -1009,23 +1012,32 @@ object CorpusOps {
     // [[noveltyGramsDeclarative]] for the bit-equality spec and the
     // oracle spelling.
     graft.functions.GraftFunctions.register(s)
-    val grams = docs
+    // ONE corpus pass: gram instances collapse to the (split, g,
+    // count) histogram immediately (map-side combined), and that
+    // narrow distinct-gram-sized frame — persisted for its three
+    // consumers — carries every downstream statistic by the weight
+    // identity: instance counts are Σ c, distinct counts are row
+    // counts. The previous spelling re-derived the instance frame
+    // per consumer (measured: SIX text scans + six Rabin kernel
+    // passes + two instance-grain anti-joins in the executed plan —
+    // the round-12 scan-multiplicity probe); this one scans text
+    // once, runs the kernel once, and anti-joins once at gram grain.
+    val gcnt = docs
       .select(col("split"),
         explode(call_function("rabin_gram_keys", col("n"), lit(NovK)))
           .as("g"))
-    val trainSet = grams.filter(col("split") === "train")
-      .select("g").distinct()
-    val held = grams.filter(col("split") =!= "train")
+      .groupBy("split", "g").agg(count(lit(1)).as("c"))
+      .persist()
+    val trainSet = gcnt.filter(col("split") === "train").select("g")
+    val held = gcnt.filter(col("split") =!= "train")
     val novel = held.join(trainSet, Seq("g"), "left_anti")
-    val inst = held.groupBy("split").agg(count(lit(1)).as("n_grams"))
-    val novInst = novel.groupBy("split").agg(count(lit(1)).as("n_novel"))
-    val dist = held.groupBy("split")
-      .agg(countDistinct(col("g")).as("n_distinct"))
-    val novDist = novel.groupBy("split")
-      .agg(countDistinct(col("g")).as("n_distinct_novel"))
-    inst.join(novInst, Seq("split"), "left")
-      .join(dist, Seq("split"), "left")
-      .join(novDist, Seq("split"), "left")
+    val heldStats = held.groupBy("split")
+      .agg(sum(col("c")).as("n_grams"),
+        count(lit(1)).as("n_distinct"))
+    val novelStats = novel.groupBy("split")
+      .agg(sum(col("c")).as("n_novel"),
+        count(lit(1)).as("n_distinct_novel"))
+    heldStats.join(novelStats, Seq("split"), "left")
       .select(col("split"), col("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
         col("n_distinct"),

@@ -295,6 +295,13 @@ object MlOps {
       .agg(max_by(col("cent_id"),
         struct(col("csim"), col("cent_id") * -1)).as("cent_id"),
         first(col("c_emb")).as("c_emb"))
+      // the materialized inverted-list index: PQ-encode (2a) and the
+      // exact refine (3) both consume the coarse assignment —
+      // un-cached, each re-runs the corpus scan + K-centroid argmax
+      // (the round-12 scan probe counted 7 embedding scans here). In
+      // production this frame IS the index, written partitioned by
+      // cent_id; the in-session persist is the same build-once story
+      .persist()
     // 2a. PQ-encode the listed candidates; cent_id rides the explode so
     // the probe join needs no corpus-sized re-join. min_by aggregation
     // (map-side combined), not a window — 16 codes collapse per key.

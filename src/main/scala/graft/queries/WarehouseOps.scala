@@ -699,6 +699,12 @@ object WarehouseOps {
     val batchTs = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
     val base = Tables.customer(s, dir)
       .select(col("c_custkey"), col("c_mktsegment").as("segment"))
+      // one-shot multi-consumer persist (round-11 discipline): the
+      // close/keep/insert branches plus the two change derivations
+      // otherwise re-scan customer — 8 physical scans in the executed
+      // plan (round-12 scan-multiplicity probe); the cached frame is
+      // the 2-column pruned projection, so one scan serves all
+      .persist()
     val changes = base.filter(col("c_custkey") % 7 === 3)
       .select(col("c_custkey"), lit("PROMO").as("segment"))
       .unionByName(base.filter(col("c_custkey") % 31 === 0)

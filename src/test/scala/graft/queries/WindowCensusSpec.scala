@@ -108,9 +108,12 @@ class WindowCensusSpec extends SparkTestBase {
   /** Probe-set key columns for the broadcast census: a literal
     * equality/range/IN filter on one of these marks a fixed
     * query/anchor/report probe set (`vec_id < 20`, `doc_id < 25`,
-    * `term IN (fixed BM25 list)`). */
+    * `term IN (fixed BM25 list)`). `cand_id` joined in round 12:
+    * q162's PQ codebook seeds (`cand_id < 21`) filter the persisted
+    * inverted-list cache, whose boundary stops the filter from
+    * pushing down to the scan where the column is still `vec_id`. */
   private val BcastProbe = Set(
-    "vec_id", "doc_id", "term", "query_id", "anchor_id")
+    "vec_id", "cand_id", "doc_id", "term", "query_id", "anchor_id")
 
   /** Reviewed exceptions for the BROADCAST census
     * (`plans/BroadcastGuard`, round-11 follow-through): hard
