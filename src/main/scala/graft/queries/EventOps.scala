@@ -482,7 +482,13 @@ object EventOps {
         floor(col("value") * 100).cast("long").as("fv"))
       .groupBy(col("event_type"), col("fv").cast(DoubleType).as("v"))
       .agg(count(lit(1)).as("c"))
-      .persist() // consumers: median core + the deviation fold
+      // consumers: median core + the deviation fold. Lifecycle note
+      // (ADVICE r11): stays persisted like every one-shot
+      // multi-consumer cache here — the harnesses clear the cache
+      // between queries; a long-session library caller follows the
+      // ExactQuantiles "Cache lifecycle" doc (unpersist after the
+      // action, or quantilesReleased for the operator's own caches)
+      .persist()
     val med = graft.operators.ExactQuantiles
       .quantilesOfHist(hist, Seq("event_type"), "v", "c",
         Seq("med" -> 0.5))
