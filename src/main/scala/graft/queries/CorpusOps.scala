@@ -583,6 +583,15 @@ object CorpusOps {
   def q134StopwordPrune(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
       .select(col("doc_id"), split(norm(col("text")), " ").as("t"))
+      // one-shot multi-consumer persist: the doc count, the token
+      // explode (itself read by the df aggregate AND the prune
+      // regroup) and the final n_tokens projection otherwise
+      // re-tokenize text once each — 3 text scans in the executed
+      // plan (round-12 scan audit). Caching at ARRAY grain wins
+      // (sf0.1 A/B min-of-3: 1.01 s vs 1.41 un-cached); caching the
+      // exploded token grain instead measured neutral (1.43) — the
+      // per-row overhead of corpus x tokens rows eats the saving
+      .persist()
     val toks = docs.select(col("doc_id"),
       posexplode(col("t")).as(Seq("pos", "w")))
     val dfreq = toks.groupBy("w").agg(countDistinct(col("doc_id")).as("df"))
@@ -686,6 +695,9 @@ object CorpusOps {
       .select(col("doc_id"),
         when(h < 80, "train").when(h < 90, "val").otherwise("test")
           .as("split"))
+      // both pair-side joins consume the assignment — un-cached, each
+      // re-scans text and re-runs the double md5 (round-12 scan audit)
+      .persist()
     val pairs = TextOps.ngramJaccardPairs(s, dir, 0.5)
       .select(col("id_a"), col("id_b"))
     pairs

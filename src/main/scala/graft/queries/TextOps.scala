@@ -576,15 +576,20 @@ object TextOps {
     // sort_array(array_distinct(transform(<windows>, xxhash64))) but
     // without per-element lambda frames (see SortedGramHashes)
     val grams = call_function("sorted_gram_hashes", col("norm"), lit(3))
-    // NOT checkpointed: the two join sides do recompute the gram chain,
-    // but the recompute runs fully parallel while a materialization
-    // barrier serializes — measured slightly slower with a checkpoint.
+    // persist()ed for the two join sides (round 12): the round-9 note
+    // here said "measured slightly slower with a checkpoint" — true of
+    // localCheckpoint's eager row-serialized barrier, but the lazy
+    // columnar cache measured FASTER (sf0.1 alternating min-of-5:
+    // 1.79 s vs 2.07 s un-cached), consistent with the round-11
+    // persist-over-localCheckpoint finding; one text scan + one gram
+    // pass instead of two of each, and lineage survives executor loss.
     // The repartition is the anti-CollapseProject barrier (see
     // normDocs) so the norm chain runs once per doc, not per shingle.
     val docs = docsNorm.repartition(col("doc_id"))
       .select(col("doc_id"), col("lang"),
         floor(col("n_chars") / 64).as("szbucket"), grams.as("g"))
       .withColumn("sz", size(col("g")))
+      .persist()
     val a = docs.select(col("lang"), col("szbucket"),
       col("doc_id").as("id_a"), col("g").as("g_a"), col("sz").as("sz_a"))
     val b = docs.select(col("lang"), col("szbucket"),
