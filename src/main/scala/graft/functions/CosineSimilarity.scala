@@ -504,5 +504,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // same once-per-query batch; default-off (see BroadcastGuardRule
     // scaladoc for the warn-vs-off asymmetry with the window rule)
     ext.injectPreCBORule(_ => graft.plans.BroadcastGuardRule)
+    // materialization-width + Generate-payload lint; default-off (a
+    // session rule can't see cross-query cache consumers — see
+    // WidthGuardRule scaladoc)
+    ext.injectPreCBORule(_ => graft.plans.WidthGuardRule)
   }
 }

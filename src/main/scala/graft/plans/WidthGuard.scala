@@ -116,6 +116,11 @@ object WidthGuard {
         "explode), emit ids and join back, or use a native kernel"
   }
 
+  /** Both width audits over one plan, as one description list —
+    * what [[WidthGuardRule]] reports. */
+  def auditAll(plan: LogicalPlan): Seq[String] =
+    audit(plan).map(_.describe) ++ auditGenerate(plan).map(_.describe)
+
   /** The multiplying sibling of the materialization audit: every
     * `Generate` (explode/posexplode/inline) whose REQUIRED CHILD
     * OUTPUT — the columns carried into each generated row — includes
@@ -136,4 +141,41 @@ object WidthGuard {
       if (wide.isEmpty) None
       else Some(GenFinding(g.generator.prettyName, wide.map(_.name)))
   }.flatten
+}
+
+/** The in-optimizer width lint — the materialization-side member of
+  * the rule trio ([[WindowGuardRule]]: sort collapse, default `warn`;
+  * [[BroadcastGuardRule]]: exchange collapse, default `off`): audits
+  * (never rewrites) each plan's checkpoint/cache leaves for
+  * never-referenced columns and its Generates for container
+  * passthroughs, reporting per `spark.graft.widthGuard` — `warn`
+  * logs one line per finding, `fail` throws, `off` disables.
+  *
+  * Default is OFF, like the broadcast rule and for the analogous
+  * reason plus a sharper one: the audit sees ONE query's plan, but a
+  * cached frame may serve OTHER queries in the session whose usage
+  * this plan cannot show (the registered-query census sidesteps that
+  * because each registered query builds its own frames — a session
+  * rule cannot assume it). Nested eager materializations widen the
+  * may-find the same way (the census's reviewed q80/q209 pins).
+  * The full audit with this repo's pins runs in `WindowCensusSpec`
+  * regardless. Registered via `injectPreCBORule` for the same
+  * once-per-query/post-pushdown reasons as the siblings. */
+object WidthGuardRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  private def mode: String =
+    conf.getConfString("spark.graft.widthGuard", "off")
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val m = mode
+    if (m != "off") {
+      val findings = WidthGuard.auditAll(plan)
+      if (findings.nonEmpty && m == "fail")
+        throw new IllegalStateException(
+          "WidthGuard: " + findings.mkString("; "))
+      findings.foreach(f => logWarning(s"WidthGuard: $f"))
+    }
+    plan
+  }
 }
