@@ -185,9 +185,17 @@ object EventStream {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
     import org.apache.spark.sql.{Encoders, Row}
     val enc = Encoders.product[UserTotal]
+    // Catalyst cannot prune columns through the typed-state closure
+    // (its Row deserializer references every field it is handed), so
+    // anything not projected here — notably the free-form `props`
+    // payload — would ride the hash shuffle and the per-key grouping
+    // sort at full width. Project the closure's exact read-set first
+    // (the streaming sibling of the width census's select-before-
+    // persist discipline; StreamStateCensusSpec pins this set).
+    val slim = stream.select(col("user_id"), col("ts"), col("value"))
     implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
-      org.apache.spark.sql.Encoders.row(stream.schema)
-    val withWm = stream.withWatermark("ts", "10 minutes")
+      org.apache.spark.sql.Encoders.row(slim.schema)
+    val withWm = slim.withWatermark("ts", "10 minutes")
     withWm.groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
       .flatMapGroupsWithState[UserTotal, UserTotal](
         OM.Update(), GroupStateTimeout.EventTimeTimeout()) {
@@ -238,11 +246,13 @@ object EventStream {
     import org.apache.spark.sql.Encoders
     val outEnc = Encoders.product[UserStage]
     val stEnc = Encoders.product[FunnelState]
+    // exact closure read-set — see statefulUserTotals' pruning note
+    val slim = stream.select(col("user_id"), col("ts"), col("event_type"))
     implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
-      Encoders.row(stream.schema)
+      Encoders.row(slim.schema)
     val DayUs = 86400L * 1000000L
     val kinds = Map("signup" -> 0, "view" -> 1, "click" -> 2, "purchase" -> 3)
-    stream.withWatermark("ts", "10 minutes")
+    slim.withWatermark("ts", "10 minutes")
       .groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
       .flatMapGroupsWithState[FunnelState, UserStage](
         OM.Update(), GroupStateTimeout.EventTimeTimeout()) {
@@ -423,11 +433,13 @@ object EventStream {
   def streamingFunnelV2(stream: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.TimeMode
     import org.apache.spark.sql.Encoders
+    // exact closure read-set — see statefulUserTotals' pruning note
+    val slim = stream.select(col("user_id"), col("ts"), col("event_type"))
     implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
-      Encoders.row(stream.schema)
+      Encoders.row(slim.schema)
     implicit val outEnc: org.apache.spark.sql.Encoder[UserStage] =
       Encoders.product[UserStage]
-    stream.withWatermark("ts", "10 minutes")
+    slim.withWatermark("ts", "10 minutes")
       .groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
       .transformWithState(new FunnelProcessor, TimeMode.EventTime(),
         OutputMode.Update())
@@ -438,11 +450,13 @@ object EventStream {
   def statefulUserTotalsV2(stream: DataFrame): DataFrame = {
     import org.apache.spark.sql.streaming.TimeMode
     import org.apache.spark.sql.Encoders
+    // exact closure read-set — see statefulUserTotals' pruning note
+    val slim = stream.select(col("user_id"), col("ts"), col("value"))
     implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
-      Encoders.row(stream.schema)
+      Encoders.row(slim.schema)
     implicit val outEnc: org.apache.spark.sql.Encoder[UserTotal] =
       Encoders.product[UserTotal]
-    stream.withWatermark("ts", "10 minutes")
+    slim.withWatermark("ts", "10 minutes")
       .groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
       // EventTime mode drives the eviction timers off the watermark
       .transformWithState(new UserTotalProcessor, TimeMode.EventTime(),
