@@ -120,10 +120,11 @@ object BroadcastGuard {
     auditBroadcast(plan,
       unboundedLeaves(fixedTables, boundedCardKeys, probeKeys))
 
-  /** The recursive boundedness test shared by the broadcast and
-    * cartesian censuses: Nil = the subtree is bounded by
-    * construction; non-empty = the unbounded leaf names found. */
-  private def unboundedLeaves(fixedTables: Set[String],
+  /** The recursive boundedness test shared by the broadcast,
+    * cartesian, and shuffle-key ([[ShuffleKeyGuard]]) censuses: Nil =
+    * the subtree is bounded by construction; non-empty = the unbounded
+    * leaf names found. */
+  private[plans] def unboundedLeaves(fixedTables: Set[String],
       boundedCardKeys: Set[String], probeKeys: Set[String])(
       p: LogicalPlan): Seq[String] = {
     def unb(p: LogicalPlan): Seq[String] = p match {

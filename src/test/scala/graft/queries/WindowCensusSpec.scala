@@ -172,10 +172,20 @@ class WindowCensusSpec extends SparkTestBase {
         "= 45 rows total at any corpus scale — the multiplied side is " +
         "the bounded probe set, never the corpus"))
 
-  /** All five censuses off ONE plan walk per query (optimizing 235
+  /** Reviewed exceptions for the SHUFFLE-KEY census
+    * (`plans/ShuffleKeyGuard`, round 12): equi-joins/repartitions
+    * keyed only on O(1)-cardinality columns over two data-scaling
+    * sides, or typed mapGroups/cogroup (whose serialized closure key
+    * hides its grain from any plan walk). The round-12 sweep found
+    * ZERO sites — every low-card join in the repo has a bounded
+    * (aggregated/fixed-dim) side that AQE broadcasts; the map stays
+    * as the pin mechanism should a future query need one. */
+  private val ShuffleCleared: Map[String, String] = Map.empty
+
+  /** All six censuses off ONE plan walk per query (optimizing 235
     * plans dominates; the audits are collect()s over the same tree). */
   private lazy val census
-      : (Seq[String], Seq[String], Seq[String], Seq[String]) = {
+      : (Seq[String], Seq[String], Seq[String], Seq[String], Seq[String]) = {
     val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val plan = fn(spark, Sf).queryExecution.optimizedPlan
@@ -205,10 +215,14 @@ class WindowCensusSpec extends SparkTestBase {
         val gn = if (GenCleared.contains(name)) Nil
           else graft.plans.WidthGuard.auditGenerate(plan)
             .map(f => s"$name: ${f.describe}")
-        (w, ag, bc ++ cx, wd ++ gn)
+        val sk = if (ShuffleCleared.contains(name)) Nil
+          else graft.plans.ShuffleKeyGuard.audit(plan, LowCard,
+            graft.plans.BroadcastGuard.FixedCardTables, BcastBounded,
+            BcastProbe).map(f => s"$name: ${f.describe}")
+        (w, ag, bc ++ cx, wd ++ gn, sk)
     }
     (results.flatMap(_._1), results.flatMap(_._2), results.flatMap(_._3),
-      results.flatMap(_._4))
+      results.flatMap(_._4), results.flatMap(_._5))
   }
 
   test("window census: every registered query is free of " +
@@ -339,11 +353,58 @@ class WindowCensusSpec extends SparkTestBase {
       inGen.queryExecution.optimizedPlan).isEmpty)
   }
 
+  test("shuffle-key census: every registered query is free of " +
+    "equi-joins/repartitions keyed only on O(1)-cardinality columns " +
+    "over scaling sides, and of opaque typed group ops (round 12 — " +
+    "the exchange-key sibling of the q228 collapse)") {
+    val offenders = census._5
+    assert(offenders.isEmpty,
+      "collapsed shuffle key(s) introduced — broadcast the bounded " +
+        "side, aggregate before joining, add an entity/bucket key, or " +
+        "review + add to ShuffleCleared with the key-grain " +
+        s"proof:\n${offenders.mkString("\n")}")
+  }
+
+  test("shuffle-key census controls: the detector fires on a " +
+    "lang-only corpus self-join, a lang repartition, and a typed " +
+    "mapGroups; stays quiet on bounded-side and entity-keyed joins") {
+    import org.apache.spark.sql.functions._
+    def audit(df: org.apache.spark.sql.DataFrame) =
+      graft.plans.ShuffleKeyGuard.audit(df.queryExecution.optimizedPlan,
+        LowCard, graft.plans.BroadcastGuard.FixedCardTables, BcastBounded,
+        BcastProbe)
+    val d = graft.Tables.documents(spark, Sf)
+    // positive 1: two corpus-sized sides equi-joined on lang alone —
+    // the full corpus funnels through a ~5-task exchange
+    val h1 = audit(d.select(col("doc_id"), col("lang"))
+      .join(d.select(col("doc_id").as("d2"), col("lang")), Seq("lang")))
+    assert(h1.map(f => (f.kind, f.keys)) ==
+      Seq(("Inner equi-join", Seq("lang"))), s"$h1")
+    // positive 2: explicit low-card repartition of a scaling frame
+    val h2 = audit(d.repartition(col("lang")))
+    assert(h2.map(_.kind) == Seq("repartition"), s"$h2")
+    // positive 3: typed mapGroups — the serialized closure key hides
+    // its grain, so scaling input alone convicts (pin-or-rework rule)
+    import spark.implicits._
+    val h3 = audit(d.select(col("lang"), col("n_chars"))
+      .as[(String, Long)].groupByKey(_._1)
+      .mapGroups((k, it) => (k, it.size)).toDF())
+    assert(h3.map(_.kind) == Seq("typed mapGroups"), s"$h3")
+    // negative 1: per-lang stats joined back — the aggregated side is
+    // bounded (lang ∈ BcastBounded), AQE broadcasts it at any scale
+    val st = d.groupBy("lang").agg(avg("n_chars").as("mu"))
+    assert(audit(d.join(st, Seq("lang"))).isEmpty)
+    // negative 2: entity key present — O(data) exchange partitions
+    assert(audit(d.select(col("doc_id"), col("lang"))
+      .join(d.select(col("doc_id"), col("lang").as("l2")),
+        Seq("doc_id"))).isEmpty)
+  }
+
   test("cleared lists carry no stale entries") {
     val names = graft.SparkEntry.queries.keySet
     val stale = (Cleared.keySet ++ AggCleared.keySet ++
       BcastCleared.keySet ++ WidthCleared.keySet ++
-      GenCleared.keySet).diff(names)
+      GenCleared.keySet ++ ShuffleCleared.keySet).diff(names)
     assert(stale.isEmpty, s"Cleared entries for unregistered queries: $stale")
   }
 
