@@ -1,6 +1,8 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.plans.logical.{FlatMapGroupsWithState, Join, LogicalPlan, TransformWithState}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual, SessionWindow, TimeWindow}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Deduplicate, DeduplicateWithinWatermark, EventTimeWatermark, FlatMapGroupsWithState, Join, LogicalPlan, TransformWithState}
+import org.apache.spark.sql.streaming.GroupStateTimeout
 
 /** STREAMING-STATE width census — the sixth member of the census family
   * ([[WindowGuard]]: low-parallelism window sorts; [[AggStateGuard]]:
@@ -87,4 +89,114 @@ object StreamStateGuard {
       val excess = si.data.filterNot(needed)
       if (excess.isEmpty) None else Some(Finding(si.kind, excess))
     }
+
+  /** One state-LIFETIME hazard: a stateful streaming operator whose
+    * per-key state is never evicted, so the store grows with the
+    * key domain forever — bounded at test scale, unbounded on an
+    * infinite stream (the width census's other axis: columns × keys
+    * = store size; [[audit]] bounds the columns, this bounds the
+    * keys). */
+  case class LifetimeFinding(kind: String, reason: String) {
+    def describe: String =
+      s"$kind: $reason — state is never evicted and the store grows " +
+        "with the key domain; bound it with a watermark + " +
+        "window/session grouping, an event-time/processing-time " +
+        "timeout, dropDuplicatesWithinWatermark, or a watermark-range " +
+        "join condition"
+  }
+
+  private def hasWatermark(p: LogicalPlan): Boolean =
+    p.collectFirst { case _: EventTimeWatermark => () }.isDefined
+
+  private def windowed(groupingExprs: Seq[Expression]): Boolean =
+    groupingExprs.exists(_.exists {
+      case _: TimeWindow | _: SessionWindow => true
+      // post-analysis the window expression may already be resolved
+      // to its struct output attribute
+      case a: Attribute => a.name == "window" || a.name == "session_window"
+      case _ => false
+    })
+
+  /** A join-condition conjunct that bounds the buffered range: a
+    * non-equality comparison whose two sides reference opposite join
+    * inputs (the `click_ts BETWEEN view_ts AND view_ts + 30 min`
+    * idiom) — with both sides watermarked, Spark derives state
+    * eviction bounds from it. */
+  private def timeRangeBound(j: Join): Boolean =
+    j.condition.toSeq.flatMap(splitConjuncts).exists { c =>
+      val sides = c match {
+        case GreaterThan(l, r) => Some((l, r))
+        case GreaterThanOrEqual(l, r) => Some((l, r))
+        case LessThan(l, r) => Some((l, r))
+        case LessThanOrEqual(l, r) => Some((l, r))
+        case _ => None
+      }
+      sides.exists { case (l, r) =>
+        val (lr, rr) = (l.references, r.references)
+        lr.nonEmpty && rr.nonEmpty &&
+          ((lr.subsetOf(j.left.outputSet) && rr.subsetOf(j.right.outputSet)) ||
+            (lr.subsetOf(j.right.outputSet) && rr.subsetOf(j.left.outputSet)))
+      }
+    }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case x => Seq(x)
+  }
+
+  /** State-lifetime census of a streaming plan (analyzed): flags
+    * every stateful operator with no eviction path. Sketch/serving
+    * maintenance tables whose state IS the product (bounded by the
+    * sketch's own contract, not by time) carry reviewed pins in the
+    * spec instead. */
+  def auditLifetime(plan: LogicalPlan): Seq[LifetimeFinding] = plan.collect {
+    case a: Aggregate if a.child.isStreaming &&
+        !(windowed(a.groupingExpressions) && hasWatermark(a.child)) =>
+      Seq(LifetimeFinding("streaming Aggregate",
+        if (!hasWatermark(a.child)) "no watermark below the aggregate"
+        else "grouping has no time/session window — per-key state " +
+          "lives forever even under a watermark"))
+    case f: FlatMapGroupsWithState if f.child.isStreaming =>
+      if (f.timeout == GroupStateTimeout.NoTimeout)
+        Seq(LifetimeFinding("FlatMapGroupsWithState",
+          "GroupStateTimeout.NoTimeout — idle keys are never expired"))
+      else if (f.timeout == GroupStateTimeout.EventTimeTimeout &&
+          !hasWatermark(f.child))
+        Seq(LifetimeFinding("FlatMapGroupsWithState",
+          "EventTimeTimeout with no watermark — timers never fire"))
+      else Nil
+    case t: TransformWithState if t.child.isStreaming =>
+      // TimeMode.None: the processor has no timer surface at all, so
+      // nothing inside it can ever expire state; EventTime needs the
+      // watermark that drives the timers
+      if (t.timeMode == org.apache.spark.sql.streaming.TimeMode.None)
+        Seq(LifetimeFinding("TransformWithState",
+          "TimeMode.None — the processor has no timers to expire state"))
+      else if (t.timeMode == org.apache.spark.sql.streaming.TimeMode.EventTime
+          && !hasWatermark(t.child))
+        Seq(LifetimeFinding("TransformWithState",
+          "EventTime timers with no watermark — timers never fire"))
+      else Nil
+    case d: Deduplicate if d.child.isStreaming =>
+      // plain dropDuplicates buffers every key forever unless an
+      // event-time column is part of the dedup key under a watermark
+      val eventTimeKey = d.keys.exists(_.metadata.contains(
+        EventTimeWatermark.delayKey))
+      if (eventTimeKey && hasWatermark(d.child)) Nil
+      else Seq(LifetimeFinding("streaming Deduplicate",
+        "dropDuplicates without a watermarked event-time key — use " +
+          "dropDuplicatesWithinWatermark"))
+    case d: DeduplicateWithinWatermark if d.child.isStreaming &&
+        !hasWatermark(d.child) =>
+      Seq(LifetimeFinding("DeduplicateWithinWatermark",
+        "no watermark below — nothing defines the eviction horizon"))
+    case j: Join if j.left.isStreaming && j.right.isStreaming &&
+        !(hasWatermark(j.left) && hasWatermark(j.right) &&
+          timeRangeBound(j)) =>
+      Seq(LifetimeFinding("stream-stream Join",
+        "both sides buffer in the state store; without watermarks on " +
+          "both inputs AND an inter-side time-range condition the " +
+          "buffers are never cleared"))
+  }.flatten
 }

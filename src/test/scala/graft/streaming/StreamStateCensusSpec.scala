@@ -79,6 +79,69 @@ class StreamStateCensusSpec extends SparkTestBase {
       s"right side buffers ${joins.head.right}")
   }
 
+  test("state-lifetime census: every streaming head has an eviction " +
+    "path — watermarked windows, timeouts, watermark dedup, or a " +
+    "time-range join bound (width bounds the columns; this bounds " +
+    "the keys)") {
+    val heads: Map[String, org.apache.spark.sql.DataFrame] = Map(
+      "tumblingHourly" -> EventStream.tumblingHourly(events()),
+      "slidingCounts" -> EventStream.slidingCounts(events()),
+      "sessionCounts" -> EventStream.sessionCounts(events()),
+      "dedup" -> EventStream.dedup(events()),
+      "statefulUserTotals" -> EventStream.statefulUserTotals(events()),
+      "streamingFunnel" -> EventStream.streamingFunnel(events()),
+      "statefulUserTotalsV2" -> EventStream.statefulUserTotalsV2(events()),
+      "streamingFunnelV2" -> EventStream.streamingFunnelV2(events()),
+      "viewClickJoin" -> EventStream.viewClickJoin(events(), events()))
+    heads.foreach { case (name, df) =>
+      val findings = StreamStateGuard.auditLifetime(
+        df.queryExecution.analyzed)
+      assert(findings.isEmpty,
+        s"$name grows state without bound:\n" +
+          findings.map(_.describe).mkString("\n"))
+    }
+  }
+
+  test("state-lifetime census controls: each unbounded shape fires — " +
+    "keyed agg without a window, windowed agg without a watermark, " +
+    "plain streaming dropDuplicates, NoTimeout typed state, and a " +
+    "stream-stream join with no time-range bound") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode => OM}
+    def kinds(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      StreamStateGuard.auditLifetime(df.queryExecution.analyzed).map(_.kind)
+    // per-user running agg: watermark alone never evicts non-windowed
+    // group state — the key domain grows forever
+    assert(kinds(events().withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id")).count()) == Seq("streaming Aggregate"))
+    // windowed agg without a watermark: windows never close
+    assert(kinds(events().groupBy(window(col("ts"), "1 hour")).count()) ==
+      Seq("streaming Aggregate"))
+    // plain dropDuplicates buffers every key forever
+    assert(kinds(events().dropDuplicates("event_id")) ==
+      Seq("streaming Deduplicate"))
+    // typed state with NoTimeout: idle keys are never expired
+    val slim = events().select(col("user_id"), col("ts"), col("value"))
+    implicit val rowEnc: org.apache.spark.sql.Encoder[Row] =
+      Encoders.row(slim.schema)
+    val noTimeout = slim.withWatermark("ts", "10 minutes")
+      .groupByKey((r: Row) => r.getAs[Long]("user_id"))(Encoders.scalaLong)
+      .flatMapGroupsWithState[UserTotal, UserTotal](
+        OM.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Row], state: GroupState[UserTotal]) =>
+          Iterator.single(UserTotal(uid, rows.size.toLong, 0.0))
+      }(Encoders.product[UserTotal], Encoders.product[UserTotal])
+    assert(kinds(noTimeout.toDF()) == Seq("FlatMapGroupsWithState"))
+    // equi-only stream-stream join: both watermarked, but no
+    // inter-side time-range condition bounds the buffers
+    val v = events().withWatermark("ts", "10 minutes")
+    val c = events().withWatermark("ts", "10 minutes")
+      .select(col("user_id").as("u2"), col("ts").as("ts2"))
+    assert(kinds(v.join(c, col("user_id") === col("u2"))) ==
+      Seq("stream-stream Join"))
+  }
+
   test("streaming-state census controls: the pre-fix full-width shape " +
     "fires naming the payload; declarative heads self-prune without pins") {
     import org.apache.spark.sql.functions._
