@@ -508,5 +508,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // session rule can't see cross-query cache consumers — see
     // WidthGuardRule scaladoc)
     ext.injectPreCBORule(_ => graft.plans.WidthGuardRule)
+    // shuffle-key lint; default-off, low-card keys declared per
+    // session via spark.graft.shuffleKeyGuard.keys (the typed
+    // mapGroups/cogroup half is domain-free and runs without keys)
+    ext.injectPreCBORule(_ => graft.plans.ShuffleKeyGuardRule)
   }
 }

@@ -132,3 +132,38 @@ object ShuffleKeyGuard {
     }.flatten
   }
 }
+
+/** The in-optimizer shuffle-key lint, completing the guard family's
+  * extensions seam ([[WindowGuardRule]] warn-default,
+  * [[BroadcastGuardRule]] / [[WidthGuardRule]] off-default): audits
+  * (never rewrites) each plan per `spark.graft.shuffleKeyGuard` —
+  * `warn` logs one line per finding, `fail` throws, `off` (default)
+  * disables. The low-card key set is domain knowledge the rule cannot
+  * infer, so users declare it once per session via
+  * `spark.graft.shuffleKeyGuard.keys` (comma-separated column names);
+  * with no keys declared only the domain-free half runs (typed
+  * mapGroups/cogroup over scaling input, whose serialized closure key
+  * no plan walk can judge). Registered via `injectPreCBORule` for the
+  * same once-per-query/post-pushdown reasons as the siblings. */
+object ShuffleKeyGuardRule
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+
+  private def mode: String =
+    conf.getConfString("spark.graft.shuffleKeyGuard", "off")
+
+  private def keys: Set[String] =
+    conf.getConfString("spark.graft.shuffleKeyGuard.keys", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    val m = mode
+    if (m != "off") {
+      val findings = ShuffleKeyGuard.audit(plan, keys)
+      if (findings.nonEmpty && m == "fail")
+        throw new IllegalStateException(
+          "ShuffleKeyGuard: " + findings.map(_.describe).mkString("; "))
+      findings.foreach(f => logWarning(s"ShuffleKeyGuard: ${f.describe}"))
+    }
+    plan
+  }
+}
