@@ -108,6 +108,53 @@ class EventStreamSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("event-time timeout EVICTS idle users' state — the store " +
+    "shrinks once the watermark passes the horizon (v1 fMGWS and v2 " +
+    "transformWithState; the behavioral proof behind the lifetime " +
+    "census's shape audit)") {
+    import spark.implicits._
+    def stateRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+    def peakRows(q: org.apache.spark.sql.streaming.StreamingQuery): Long =
+      q.recentProgress.flatMap(_.stateOperators.map(_.numRowsTotal)).max
+    // rowsPerKey: fMGWS stores one row per key; transformWithState
+    // reports one row per state CELL, and UserTotalProcessor keeps
+    // two ValueStates (running total + timer bookkeeping) per user
+    def run(head: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+        name: String, rowsPerKey: Int): Unit = {
+      val mem = MemoryStream[Ev](spark)
+      val q = head(mem.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        mem.addData(Ev(1, ts("2024-01-01 10:00:00"), 1L, "click", 2.0, "{}"))
+        q.processAllAvailable()
+        // user 2 three hours later: the post-batch watermark (12:50)
+        // passes user 1's eviction timer (last event + 1h = 11:00)
+        mem.addData(Ev(2, ts("2024-01-01 13:00:00"), 2L, "view", 1.0, "{}"))
+        q.processAllAvailable()
+        mem.addData(Ev(3, ts("2024-01-01 13:01:00"), 2L, "view", 1.0, "{}"))
+        q.processAllAvailable()
+        assert(peakRows(q) >= 2L * rowsPerKey,
+          s"$name: both users' state must coexist before eviction")
+        val removed =
+          q.recentProgress.flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+        assert(removed >= rowsPerKey,
+          s"$name: the expired timer must REMOVE user 1's state rows")
+        assert(stateRows(q) == rowsPerKey,
+          s"$name: only user 2's state may remain once the watermark " +
+            s"passes user 1's timer — store holds ${stateRows(q)} rows")
+      } finally q.stop()
+    }
+    run(EventStream.statefulUserTotals, "evict_v1", rowsPerKey = 1)
+    val saved = spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try run(EventStream.statefulUserTotalsV2, "evict_v2", rowsPerKey = 2)
+    finally spark.conf.set(
+      "spark.sql.streaming.stateStore.providerClass", saved)
+  }
+
   test("stream-stream join matches clicks within 30 min of a view") {
     import spark.implicits._
     val views = MemoryStream[Ev](spark)
