@@ -470,10 +470,12 @@ object TextOps {
       .select(explode(split(normText(col("text")), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("cnt"))
-      // "abc" -> "a<sep>b<sep>c": separator after every char, trailing
-      // one trimmed — avoids split("")'s trailing-empty-symbol edge
+      // "abc" -> "a<sep>b<sep>c": separator after every char that has
+      // a successor (lookahead), so no trailing one ever exists —
+      // avoids split("")'s trailing-empty-symbol edge AND the
+      // two-parameter rtrim signature Spark 4 deprecates
       .select(col("w"),
-        rtrim(regexp_replace(col("w"), "(.)", "$1" + sep), sep)
+        regexp_replace(col("w"), "(.)(?=.)", "$1" + sep)
           .as("syms"), col("cnt"))
       // materialize ONCE: the corpus-scale token explode feeds all
       // three rounds (b1, v1->b2, v2->b3 would each recompute it)
