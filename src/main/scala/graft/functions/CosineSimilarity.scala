@@ -512,5 +512,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // session via spark.graft.shuffleKeyGuard.keys (the typed
     // mapGroups/cogroup half is domain-free and runs without keys)
     ext.injectPreCBORule(_ => graft.plans.ShuffleKeyGuardRule)
+    // skew (key-multiplicity) lint; default-off, entity/bounded key
+    // names declared per session via spark.graft.skewGuard.entityKeys
+    // / .boundedKeys (without them every untraceable raw×raw content
+    // join lints)
+    ext.injectPreCBORule(_ => graft.plans.SkewGuardRule)
   }
 }

@@ -180,17 +180,54 @@ object VectorOps {
 
   /** q47 — embedding-cosine near-duplicate detection: pairs whose
     * cosine exceeds a threshold, candidates generated ONLY within equal
-    * 8-bit random-hyperplane buckets (high-cosine pairs land in the
-    * same bucket with high probability; multi-probe neighboring
-    * signatures raises recall at scale). The full-corpus variant of
-    * q41's query-probe shape — the embedding-space dedup a training
-    * pipeline runs before training. Rows-only (hash-parameterized). */
+    * random-hyperplane buckets (high-cosine pairs land in the same
+    * bucket with high probability; multi-probe neighboring signatures
+    * raises recall at scale). The full-corpus variant of q41's
+    * query-probe shape — the embedding-space dedup a training pipeline
+    * runs before training. Rows-only (hash-parameterized).
+    *
+    * Skew/scale shape (round-12 skew census): a FIXED signature width
+    * makes the expected bucket n/2^bits, so the bucket self-join's pair
+    * mass is n²/2^bits — quadratic at any fixed width. Two bounds fix
+    * the mass:
+    *   - ADAPTIVE width: bits = max(8, ⌈log₂(n/64)⌉) keeps the
+    *     expected bucket ≤ 64 vectors, so expected pair mass is
+    *     O(n·64) — linear at any corpus size (bits is derived from a
+    *     1-row count, the bounded-model-state precedent; at the test
+    *     SFs n ≤ 2000 so the max(8, ·) floor binds and results are
+    *     byte-identical to the fixed-8-bit form). The recall cost of
+    *     narrower buckets is the standard LSH tradeoff the dochead
+    *     notes — production multi-probes neighboring signatures, as
+    *     q41's probe-mask machinery already demonstrates.
+    *   - a DEGENERATE-BUCKET cap (the q37/q87/q197 guard): real
+    *     embedding corpora are clustered, not uniform — a dense
+    *     near-identical cluster shares one signature regardless of
+    *     width, and joining inside it costs |cluster|² for pairs
+    *     SemDeDup-style clustering (q211) already handles. Buckets
+    *     above [[NeardupMaxBucket]] are carved out in-plan, bounding
+    *     worst-case per-key mass ≤ cap² even on adversarial data
+    *     (never binds at the test SFs: max bucket ≈ 20).
+    * The signature frame is persisted: the 8×64-term signature
+    * arithmetic is expensive per row and feeds the bucket stats AND
+    * both join sides (the round-12 persist-boundary rule). */
+  private val NeardupMaxBucket = 1024L
+
   def q47EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
-    val emb = Tables.embeddings(s, dir)
-      .withColumn("bucket", rhpSignature(col("embedding"), 8))
-    val a = emb.select(col("bucket"), col("vec_id").as("id_a"),
+    val base = Tables.embeddings(s, dir)
+    val nVec = base.agg(count(lit(1))).head().getLong(0)
+    val bits = math.max(8,
+      math.ceil(math.log(math.max(1.0, nVec / 64.0)) / math.log(2.0)).toInt)
+    val emb = base
+      .select(col("vec_id"), col("embedding"),
+        rhpSignature(col("embedding"), bits).as("bucket"))
+      .persist()
+    val okBuckets = emb.groupBy("bucket")
+      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= NeardupMaxBucket)
+      .select("bucket")
+    val pruned = emb.join(okBuckets, Seq("bucket"))
+    val a = pruned.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").as("e_a"))
-    val b = emb.select(col("bucket"), col("vec_id").as("id_b"),
+    val b = pruned.select(col("bucket"), col("vec_id").as("id_b"),
       col("embedding").as("e_b"))
     a.join(b.hint("SHUFFLE_HASH"), Seq("bucket"))
       .filter(col("id_a") < col("id_b"))

@@ -103,7 +103,11 @@ class WindowCensusSpec extends SparkTestBase {
     * scalar) ride its per-group broadcast frames. */
   private val BcastBounded = LowCard ++ Set(
     "bkt", "exq_bkt", "exq_rows", "exq_g", "exq_k", "b", "cent_id",
-    "cluster_id", "k", "digit", "o_orderstatus")
+    "cluster_id", "k", "digit", "o_orderstatus",
+    // round-12 skew census additions — all O(1) domains the earlier
+    // censuses never needed named: embedding class labels, the 0..63
+    // dimension index, and q203's event_type renames
+    "label", "dim", "prev_type", "next_type")
 
   /** Probe-set key columns for the broadcast census: a literal
     * equality/range/IN filter on one of these marks a fixed
@@ -182,10 +186,107 @@ class WindowCensusSpec extends SparkTestBase {
     * as the pin mechanism should a future query need one. */
   private val ShuffleCleared: Map[String, String] = Map.empty
 
-  /** All six censuses off ONE plan walk per query (optimizing 235
+  /** Synthetic per-entity identifiers for the SKEW census
+    * (`plans/SkewGuard`, round 12): join keys whose per-key row
+    * multiplicity is bounded by the DATA CONTRACT rather than the
+    * distribution — TPC-H primary/foreign keys (an orderkey holds ≤ 7
+    * lineitems, a custkey's orders are generator-uniform), unique
+    * document/vector/event ids, and the id_a/id_b pair-output columns
+    * (distinct-pair grain). A key set containing any of these inherits
+    * the finest component's bound. */
+  private val EntityKeys = Set(
+    "l_orderkey", "o_orderkey", "c_custkey", "o_custkey", "s_suppkey",
+    "l_suppkey", "p_partkey", "l_partkey", "c_nationkey", "s_nationkey",
+    "n_nationkey", "n_regionkey", "r_regionkey",
+    "doc_id", "vec_id", "event_id", "id_a", "id_b")
+
+  /** Reviewed exceptions for the SKEW census: raw×raw equi-joins on
+    * content-derived keys where a hot key's output is quadratic in its
+    * multiplicity — each pin names the IN-PLAN or BY-CONTRACT
+    * multiplicity bound (SKEW_CENSUS.md holds the measurements). The
+    * census cleared the rest of the repo mechanically: entity-keyed
+    * self-joins, enrichment joins onto key-grain aggregates (AQE
+    * skew-split handles the raw side), bounded sides, semi/anti
+    * (linear), and broadcast-hinted joins (no key exchange at all). */
+  private val SkewCleared: Map[String, String] = Map(
+    "q37_minhash_pairs" ->
+      ("the pair join rides ONLY cap-pruned buckets: okBuckets " +
+        "(bsz <= 64) bounds per-(band,bucket) multiplicity in-plan, so " +
+        "hot-bucket pair mass <= 64^2; cap MEASURED firing at 10x " +
+        "(3 -> 142 capped buckets, ScaleSpec)"),
+    "q87_simhash_pairs" ->
+      ("same in-plan 64-doc bucket cap (simhashNearPairs maxBucket) " +
+        "as q37 — degenerate boilerplate buckets are carved out " +
+        "before the pair join"),
+    "q47_embedding_neardup" ->
+      ("adaptive signature width (bits = max(8, ceil(log2(n/64)))) " +
+        "keeps E[bucket] <= 64 so expected pair mass is O(64n); " +
+        "NeardupMaxBucket = 1024 carves adversarial dense buckets " +
+        "in-plan (worst-case per-key mass <= cap^2) — both round-12 " +
+        "skew-census fixes, behavior pinned in SkewCensusSpec"),
+    "q197_winnowing" ->
+      ("fingerprints with df > WinnowMaxDf(100) drop before the pair " +
+        "join — per-fh multiplicity capped in-plan; measured at " +
+        "sf0.1: hottest fh in 3889/5000 docs, pair multiplicity 296M " +
+        "uncapped -> 146k capped (WinnowMaxDf scaladoc)"),
+    "q198_prefix_join" ->
+      ("PPJoin prefix keys are each doc's RAREST tokens (ascending " +
+        "global frequency order), excluding hot tokens from the key " +
+        "domain by construction; 10x funnel measured 90.1M -> 328.6k " +
+        "candidate multiplicity (ScaleSpec)"),
+    "q45_ngram_jaccard" ->
+      ("the exact-Jaccard tier is quadratic within its " +
+        "(lang, szbucket) length-block BY CONTRACT — blocks prune " +
+        "(J >= 0.8 bounds the size ratio), they are not the scale " +
+        "path; corpus-scale near-dup composes the q37 LSH / q198 " +
+        "PPJoin tiers (block mass measured in SkewCensusSpec)"),
+    "q219_split_leakage" ->
+      ("same ngramJaccardPairsOf block contract as q45 (the leakage " +
+        "matrix reuses the pair stage across split boundaries)"),
+    "q211_semdedup" ->
+      ("cluster-local pairwise IS SemDeDup's algorithm: sum of " +
+        "|cluster|^2 with upstream clustering sized (~sqrt(n) " +
+        "clusters) to keep it near-linear; label stands in for the " +
+        "k-means cluster id (q135/q139 hold that machinery) — " +
+        "documented in the query scaladoc"),
+    "q165_jaro_winkler" ->
+      ("record-linkage blocking contract (the q63/q143 posture): " +
+        "candidates only within (brand, size) catalog blocks; " +
+        "narrower blocking keys (name prefix) are the documented " +
+        "scale knob — block mass measured in SkewCensusSpec"),
+    "q231_geo_grid_join" ->
+      ("spatial grid-cell join: per-cell mass = density x cell area; " +
+        "the query REPORTS max_cell as its own skew diagnostic, and " +
+        "production sizes GeoBins to the density target (adaptive " +
+        "cell splitting is the standard escalation)"),
+    "q121_binned_range_join" ->
+      ("bin = calendar DAY: per-bin mass is the uniform date share " +
+        "of lineitem plus the sampled windows covering that day — " +
+        "binning IS the rewrite that turned an interval nested-loop " +
+        "into a balanced equi-join; bin granularity is the knob"),
+    "q122_triangles" ->
+      ("the 2-path stage's per-key mass is deg(b)^2 — the documented " +
+        "sum-deg^2 contract of distributed triangle counting; the " +
+        "query runs on the degree-bounded sampled co-purchase graph " +
+        "(sampling is part of the definition, shared with the " +
+        "oracle) and the closer is a semi join (linear)"),
+    "q178_link_predict" ->
+      ("common-neighbor generation shares q122's sum-deg^2 contract " +
+        "on the same degree-bounded graph; the deg attach joins are " +
+        "census-cleared mechanically (n-grain aggregates)"),
+    "q192_hits" ->
+      ("hub/auth score frames are ONE row per node by construction " +
+        "(the fixpoint-twin-proven iteration invariant) behind the " +
+        "iterBarrier checkpoints the grain walk cannot cross — the " +
+        "enrichment shape; per-key mass = node degree, " +
+        "AQE-skew-splittable (q114's identical shape clears " +
+        "mechanically because its rank frames expose their " +
+        "aggregates to the walk)"))
+
+  /** All eight censuses off ONE plan walk per query (optimizing 235
     * plans dominates; the audits are collect()s over the same tree). */
-  private lazy val census
-      : (Seq[String], Seq[String], Seq[String], Seq[String], Seq[String]) = {
+  private lazy val census: (Seq[String], Seq[String], Seq[String],
+      Seq[String], Seq[String], Seq[String]) = {
     val results = graft.SparkEntry.queries.toSeq.sortBy(_._1).map {
       case (name, fn) =>
         val plan = fn(spark, Sf).queryExecution.optimizedPlan
@@ -219,10 +320,14 @@ class WindowCensusSpec extends SparkTestBase {
           else graft.plans.ShuffleKeyGuard.audit(plan, LowCard,
             graft.plans.BroadcastGuard.FixedCardTables, BcastBounded,
             BcastProbe).map(f => s"$name: ${f.describe}")
-        (w, ag, bc ++ cx, wd ++ gn, sk)
+        val sw = if (SkewCleared.contains(name)) Nil
+          else graft.plans.SkewGuard.audit(plan, EntityKeys,
+            graft.plans.BroadcastGuard.FixedCardTables, BcastBounded,
+            BcastProbe).map(f => s"$name: ${f.describe}")
+        (w, ag, bc ++ cx, wd ++ gn, sk, sw)
     }
     (results.flatMap(_._1), results.flatMap(_._2), results.flatMap(_._3),
-      results.flatMap(_._4), results.flatMap(_._5))
+      results.flatMap(_._4), results.flatMap(_._5), results.flatMap(_._6))
   }
 
   test("window census: every registered query is free of " +
@@ -400,11 +505,79 @@ class WindowCensusSpec extends SparkTestBase {
         Seq("doc_id"))).isEmpty)
   }
 
+  test("skew census: every registered query is free of UNPINNED " +
+    "raw×raw equi-joins on content-derived keys (round 12 — the " +
+    "multiplicity axis: a hot key's pair mass is quadratic and AQE " +
+    "cannot split a raw×raw explosion)") {
+    val offenders = census._6
+    assert(offenders.isEmpty,
+      "unreviewed content-keyed raw×raw join(s) introduced — cap the " +
+        "per-key bucket (q37/q197 pattern), join at distinct grain " +
+        "carrying counts (q230), prefix-filter to rare keys (q198), " +
+        "compose an entity/bucket key, or review + add to SkewCleared " +
+        s"with the multiplicity bound:\n${offenders.mkString("\n")}")
+  }
+
+  test("skew census controls: the detector fires on a raw token " +
+    "self-join; stays quiet on entity-traced renames, key-grain " +
+    "aggregates (incl. pulled-out grouping aliases), bounded-domain " +
+    "extra grouping keys, broadcast hints, and semi joins") {
+    import org.apache.spark.sql.functions._
+    def audit(df: org.apache.spark.sql.DataFrame) =
+      graft.plans.SkewGuard.audit(df.queryExecution.optimizedPlan,
+        EntityKeys, graft.plans.BroadcastGuard.FixedCardTables,
+        BcastBounded, BcastProbe)
+    val toks = graft.Tables.documents(spark, Sf)
+      .select(col("doc_id"), explode(split(lower(col("text")), "\\s+"))
+        .as("token")).filter(col("token") =!= "")
+    // positive: raw x raw on a Zipf-distributed content key — the
+    // hottest token's pair mass is its multiplicity squared
+    val h1 = audit(toks.select(col("token"), col("doc_id").as("d_a"))
+      .join(toks.select(col("token"), col("doc_id").as("d_b")),
+        Seq("token")))
+    assert(h1.map(_.keys) == Seq(Seq("token")), s"$h1")
+    // negative 1: the same join with an entity column composed into
+    // the key — per-key multiplicity inherits doc_id's uniqueness
+    assert(audit(toks.join(
+      toks.select(col("doc_id"), col("token").as("t2")),
+      Seq("doc_id"))).isEmpty)
+    // negative 2: entity tracing through self-join renames (id_a/id_b
+    // resolve to doc_id through the Projects)
+    val d = graft.Tables.documents(spark, Sf)
+    assert(audit(d.select(col("doc_id").as("id_a"), col("lang"))
+      .join(d.select(col("doc_id").as("id_b"), col("n_chars")),
+        col("id_a") === col("id_b"))).isEmpty)
+    // negative 3: enrichment — one side aggregated to join-key grain
+    // (mult <= 1), AQE splits the raw side's hot partitions by size
+    val cnt = toks.groupBy("token").agg(count(lit(1)).as("cnt"))
+    assert(audit(toks.join(cnt, Seq("token"))).isEmpty)
+    // negative 4: the pulled-out grouping-alias shape (q120) — both
+    // sides grouped by an EXPRESSION aliased to the join key, whose
+    // public name only the aggregate output carries
+    val g1 = d.groupBy(nullif(col("doc_id") % 50, lit(17)).as("gk"))
+      .agg(count(lit(1)).as("n1"))
+    val g2 = d.groupBy(nullif(col("doc_id") % 50, lit(17)).as("gk2"))
+      .agg(count(lit(1)).as("n2"))
+    assert(audit(g1.join(g2, g1("gk") <=> g2("gk2"))).isEmpty)
+    // negative 5: extra grouping keys with bounded domains keep the
+    // grain bounded (q203's model side: group by join key + lang)
+    val perLang = toks.join(d.select("doc_id", "lang"), Seq("doc_id"))
+      .groupBy("token", "lang").agg(count(lit(1)).as("c"))
+    assert(audit(toks.join(perLang, Seq("token"))).isEmpty)
+    // negative 6: a broadcast hint removes the key exchange entirely;
+    // a semi join never multiplies
+    assert(audit(toks.join(broadcast(toks.select(col("token"),
+      col("doc_id").as("d2"))), Seq("token"))).isEmpty)
+    assert(audit(toks.join(toks.select(col("token"), col("doc_id")
+      .as("d2")), Seq("token"), "left_semi")).isEmpty)
+  }
+
   test("cleared lists carry no stale entries") {
     val names = graft.SparkEntry.queries.keySet
     val stale = (Cleared.keySet ++ AggCleared.keySet ++
       BcastCleared.keySet ++ WidthCleared.keySet ++
-      GenCleared.keySet ++ ShuffleCleared.keySet).diff(names)
+      GenCleared.keySet ++ ShuffleCleared.keySet ++
+      SkewCleared.keySet).diff(names)
     assert(stale.isEmpty, s"Cleared entries for unregistered queries: $stale")
   }
 
