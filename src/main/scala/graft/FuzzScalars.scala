@@ -1,0 +1,469 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Cross-engine scalar-function fuzzer (round 12).
+  *
+  * The oracle gate proves every registered query cross-engine-exact at
+  * sf0.01 — but only on the testdata's tame value distributions. This
+  * harness attacks the SAME Spark↔DuckDB idiom pairs the oracles are
+  * built from (the `oracleSql` spellings: md5 hex-cast keys, guarded
+  * ln/sqrt, pmod spellings, regexp 'g' flags, date arithmetic) with an
+  * adversarial fixture: empty/whitespace/combining/astral/CJK strings,
+  * regex metacharacters, numeric strings in every format, ±0.0, NaN,
+  * ±Infinity, denormals, int/long extremes, leap days and month-end
+  * dates, and a deterministic random fill. Every catalog entry is a
+  * (Spark Column, DuckDB SQL, policy) triple evaluated over the same
+  * parquet fixture; `scripts/fuzz_scalars.py` replays the SQL in DuckDB
+  * and compares per row (exact by default; `ulp:N` for transcendental
+  * functions whose last-place rounding legitimately differs between
+  * libm implementations — the report prints the worst observed ulp so
+  * the band is measured, not assumed).
+  *
+  * Divergences this harness DISCOVERED are documented in
+  * FUZZ_SCALARS.md with the agreeing spelling the catalog now carries —
+  * the same role the fsum/hex-cast idioms play for the oracle gate.
+  *
+  * Usage:
+  *   sbt "runMain graft.FuzzScalars /tmp/fuzz_out"
+  *   python3 scripts/fuzz_scalars.py /tmp/fuzz_out
+  */
+object FuzzScalars {
+
+  /** One fuzz pair: the Spark expression, the DuckDB spelling of the
+    * SAME semantics, and the compare policy ("exact" or "ulp:N"). */
+  final case class FuzzPair(name: String, spark: Column, duck: String,
+      policy: String = "exact")
+
+  // ---------------------------------------------------------------
+  // Fixture
+  // ---------------------------------------------------------------
+
+  /** Edge strings: every class that has bitten (or could bite) a
+    * string function cross-engine — empty/whitespace, precomposed vs
+    * combining accents, special-casing letters (ß, İ), CJK, Hangul,
+    * emoji + astral (surrogate-pair) text, control chars, regex and
+    * LIKE metacharacters, quote styles, numeric strings in every
+    * format Spark's cast grammar distinguishes, unicode digits, and a
+    * long repeated tail. */
+  private val EdgeStrings: Seq[String] = Seq(
+    "", " ", "  \t ", "\n", "a", "A", "abc", "Hello, World!",
+    "café", "café", "ß", "straße", "İstanbul",
+    "ısparta", "ΣΙΣΥΦΟΣ",
+    "σίσυφος",
+    "日本語のテキスト",
+    "中文文本", "한국어",
+    "🦀🚀", "𝒜stral𐍈",
+    "a\nb", "a\tb", "a,b,,c,", ",,,", "a.b*c+d?e",
+    "[bracket](paren){brace}", "%percent_underscore\\",
+    "'single' \"double\"", "null", "NULL", "-", "0", "123", "-456",
+    "+789", " 42 ", "3.14", "-2.5e3", "1e309", "0x1A", "Infinity",
+    "NaN", "true", "F", "2023-01-15", "99999999999999999999",
+    "٠١٢", "Ⅶ", "龍龍龍",
+    "x" * 500, "mixed 日本 ascii 123")
+
+  private val EdgeInts: Seq[Int] = Seq(
+    0, 1, -1, 2, -2, 7, -7, 17, 100, 255, 256, 65535, 1000000,
+    -1000000, Int.MaxValue, Int.MinValue + 1, Int.MinValue)
+
+  private val EdgeLongs: Seq[Long] = Seq(
+    0L, 1L, -1L, 255L, -256L, 1L << 31, -(1L << 31), 1L << 62,
+    -(1L << 62), Long.MaxValue, Long.MinValue + 1, Long.MinValue)
+
+  private val EdgeDoubles: Seq[Double] = Seq(
+    0.0, -0.0, 1.0, -1.0, 0.5, -0.5, 1.5, 2.5, -2.5, 0.1, -0.1,
+    1.0 / 3.0, math.Pi, math.E, 1e-300, -1e-300, 1e300, -1e300,
+    java.lang.Double.MIN_VALUE, java.lang.Double.MAX_VALUE,
+    -java.lang.Double.MAX_VALUE, 1e15 + 0.5, 1e15 - 0.5,
+    // "pretty" decimals whose binary value sits just under the
+    // rendered halfway point (0.285 = 0.28499999999999998…): the
+    // shortest-rendering-vs-exact-binary rounding trap's home turf
+    2.675, 0.285, 1.005, -1.005, 8.835, 0.145,
+    Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity)
+
+  /** Edge dates as epoch days: epoch boundary, pre-epoch, leap days,
+    * century non-leap (1900-02-28), month ends that clamp under
+    * add_months, and a post-Gregorian-reform anchor (both engines use
+    * the proleptic Gregorian calendar, but staying modern keeps the
+    * probe about arithmetic, not calendrology). */
+  private val EdgeDates: Seq[java.time.LocalDate] = Seq(
+    "1970-01-01", "1969-12-31", "2000-02-29", "2001-02-28",
+    "1900-02-28", "1900-03-01", "2024-01-31", "2024-03-31",
+    "2024-12-31", "1999-12-31", "2024-02-29", "1987-06-05",
+    "1600-02-29").map(java.time.LocalDate.parse)
+
+  final case class FuzzRow(id: Long, s1: Option[String],
+      s2: Option[String], i1: Option[Int], i2: Option[Int],
+      l1: Option[Long], d1: Option[Double], d2: Option[Double],
+      pr: Option[Double], dt: Option[java.sql.Date],
+      dt2: Option[java.sql.Date], ts: Option[java.sql.Timestamp])
+
+  /** Deterministic fixture: first an edge sweep (each pool cycled at
+    * coprime strides so edge×edge combinations vary per row), then a
+    * seeded random fill (strings over a mixed ASCII/accent/CJK/astral
+    * alphabet; numerics spanning magnitudes). Every ~13th value per
+    * column is NULL — null propagation is part of every pair's
+    * contract. */
+  def fixture(spark: SparkSession, rows: Int = 4096): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val alphabet: IndexedSeq[String] =
+      (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).map(_.toString) ++
+        Seq(" ", ",", ".", "-", "+", "e", "E", "*", "%", "_", "'",
+          "é", "ü", "ß", "́", "日", "本",
+          "🦀", "𝒜")
+    def rndString(): String = {
+      val len = rnd.nextInt(21)
+      (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.size))).mkString
+    }
+    def rndDouble(): Double = {
+      val mag = rnd.nextInt(40) - 20 // 1e-20 .. 1e19
+      (rnd.nextDouble() - 0.5) * 2 * math.pow(10.0, mag)
+    }
+    val data = (0 until rows).map { i =>
+      val id = i.toLong
+      def nul(k: Int): Boolean = (i + k * 5) % 13 == 0
+      // edge sweep for the first 3 pools' LCM-ish span; random after
+      val s1 = if (i < EdgeStrings.size * 4) EdgeStrings(i % EdgeStrings.size)
+        else rndString()
+      val s2 = if (i < EdgeStrings.size * 4)
+        EdgeStrings((i * 7 + 3) % EdgeStrings.size) else rndString()
+      val i1 = if (i < EdgeInts.size * 16) EdgeInts(i % EdgeInts.size)
+        else rnd.nextInt(2000001) - 1000000
+      val i2 = if (i < EdgeInts.size * 16)
+        EdgeInts((i * 5 + 1) % EdgeInts.size)
+        else rnd.nextInt(201) - 100
+      val l1 = if (i < EdgeLongs.size * 16) EdgeLongs(i % EdgeLongs.size)
+        else rnd.nextLong()
+      val d1 = if (i < EdgeDoubles.size * 8) EdgeDoubles(i % EdgeDoubles.size)
+        else rndDouble()
+      val d2 = if (i < EdgeDoubles.size * 8)
+        EdgeDoubles((i * 11 + 5) % EdgeDoubles.size) else rndDouble()
+      // price-shaped: an exact-two-decimal rendering (cents/100), the
+      // shape TPC-H money columns ship as DOUBLE — halfway-at-scale-1
+      // values (cents ending in 5) oversampled 1-in-4
+      val cents = if (i % 4 == 0) rnd.nextInt(1100000).toLong * 10 + 5
+        else rnd.nextInt(11000000).toLong
+      val pr = cents.toDouble / 100.0
+      val dtL = if (i < EdgeDates.size * 8) EdgeDates(i % EdgeDates.size)
+        else java.time.LocalDate.ofEpochDay(rnd.nextInt(73000) - 10000L)
+      val dt2L = if (i < EdgeDates.size * 8)
+        EdgeDates((i * 3 + 2) % EdgeDates.size)
+        else java.time.LocalDate.ofEpochDay(rnd.nextInt(73000) - 10000L)
+      val tsI = java.time.Instant.ofEpochSecond(
+        dtL.toEpochDay * 86400L + rnd.nextInt(86400),
+        rnd.nextInt(1000000) * 1000L) // micros resolution
+      FuzzRow(id,
+        if (nul(1)) None else Some(s1),
+        if (nul(2)) None else Some(s2),
+        if (nul(3)) None else Some(i1),
+        if (nul(4)) None else Some(i2),
+        if (nul(5)) None else Some(l1),
+        if (nul(6)) None else Some(d1),
+        if (nul(7)) None else Some(d2),
+        if (nul(11)) None else Some(pr),
+        if (nul(8)) None else Some(java.sql.Date.valueOf(dtL)),
+        if (nul(9)) None else Some(java.sql.Date.valueOf(dt2L)),
+        if (nul(10)) None else Some(java.sql.Timestamp.from(tsI)))
+    }
+    data.toDF()
+  }
+
+  // ---------------------------------------------------------------
+  // Catalog
+  // ---------------------------------------------------------------
+
+  private val s1 = col("s1"); private val s2 = col("s2")
+  private val i1 = col("i1"); private val l1 = col("l1")
+  private val d1 = col("d1"); private val d2 = col("d2")
+  private val dt = col("dt"); private val dt2 = col("dt2")
+  private val ts = col("ts")
+
+  /** DuckDB spelling of pmod(x, m) for possibly-negative x. */
+  private def dpmod(x: String, m: Int): String = s"((($x % $m) + $m) % $m)"
+
+  def catalog: Seq[FuzzPair] = strings ++ hashes ++ regexes ++ maths ++
+    bits ++ casts ++ dates ++ conditionals
+
+  private def strings: Seq[FuzzPair] = Seq(
+    FuzzPair("len_cp", length(s1), "length(s1)"),
+    // FOUND divergence (FUZZ_SCALARS.md #1): Spark lowercases with
+    // Java's FULL Unicode mappings — İ (U+0130) → "i" + combining dot
+    // (2 code points) and contextual Final_Sigma (trailing Σ → ς) —
+    // while DuckDB's utf8proc applies SIMPLE 1:1 mappings (İ → i,
+    // Σ → σ always). The agreeing pair guards those two code points;
+    // oracle SQL lowercasing text that may contain them must do the
+    // same (the shipped corpus oracles lowercase ASCII-dominated text).
+    FuzzPair("lower_u",
+      when(!s1.rlike("[İΣ]"), lower(s1)),
+      "CASE WHEN NOT regexp_matches(s1, '[İΣ]') THEN lower(s1) END"),
+    // FOUND divergence (#2): Java FULL uppercase expands ß → "SS";
+    // utf8proc's simple mapping gives the capital ẞ (U+1E9E).
+    FuzzPair("upper_u",
+      when(!s1.contains("ß"), upper(s1)),
+      "CASE WHEN NOT contains(s1, 'ß') THEN upper(s1) END"),
+    FuzzPair("substr_mid", substring(s1, 2, 3), "substr(s1, 2, 3)"),
+    FuzzPair("substr_from", substring(s1, 3, Int.MaxValue),
+      "substr(s1, 3)"),
+    FuzzPair("trim_ws", trim(s1), "trim(s1)"),
+    FuzzPair("ltrim_ws", ltrim(s1), "ltrim(s1)"),
+    FuzzPair("rtrim_ws", rtrim(s1), "rtrim(s1)"),
+    FuzzPair("lpad_pad", lpad(s1, 10, "*#"), "lpad(s1, 10, '*#')"),
+    FuzzPair("rpad_cut", rpad(s1, 3, "-"), "rpad(s1, 3, '-')"),
+    // FOUND divergence (#3): Spark reverses CODE POINTS (a combining
+    // accent detaches from its base: "café"+U+0301 → "́efac"); DuckDB
+    // reverses GRAPHEMES (the pair travels together). Equal on any
+    // string with no combining marks — the guard below; queries that
+    // reverse user text cross-engine must normalize (NFC) first.
+    FuzzPair("reverse_cp",
+      when(!s1.rlike("[\\x{0300}-\\x{036F}]"), reverse(s1)),
+      "CASE WHEN NOT regexp_matches(s1, '[\\x{0300}-\\x{036F}]') " +
+        "THEN reverse(s1) END"),
+    FuzzPair("repeat3", repeat(s1, 3), "repeat(s1, 3)"),
+    FuzzPair("left2", expr("left(s1, 2)"), "left(s1, 2)"),
+    FuzzPair("right2", expr("right(s1, 2)"), "right(s1, 2)"),
+    FuzzPair("instr_comma", instr(s1, ","),
+      "CAST(strpos(s1, ',') AS INTEGER)"),
+    FuzzPair("translate_x", translate(s1, "abc", "XYZ"),
+      "translate(s1, 'abc', 'XYZ')"),
+    FuzzPair("concat_pipe", concat(s1, s2), "(s1 || s2)"),
+    FuzzPair("concat_ws_d", concat_ws("-", s1, s2),
+      "concat_ws('-', s1, s2)"),
+    FuzzPair("split_size", size(split(s1, ",", -1)),
+      "CAST(len(string_split(s1, ',')) AS INTEGER)"),
+    FuzzPair("split_first", element_at(split(s1, ",", -1), 1),
+      "string_split(s1, ',')[1]"),
+    FuzzPair("ascii_cp", ascii(s1),
+      "CASE WHEN s1 = '' THEN 0 ELSE ord(s1) END"),
+    FuzzPair("chr_ascii",
+      expr("chr(32 + pmod(i1, 95))"),
+      s"chr(CAST(32 + ${dpmod("i1", 95)} AS INTEGER))"),
+    FuzzPair("substr_neg", substring(s1, -2, 2), "substr(s1, -2, 2)"),
+    FuzzPair("like_pct", s1.like("%a_c%"), "(s1 LIKE '%a_c%')"),
+    FuzzPair("chr_latin1", expr("chr(1 + pmod(i1, 255))"),
+      s"chr(CAST(1 + ${dpmod("i1", 255)} AS INTEGER))"),
+    // DuckDB concat() SKIPS NULL arguments (Spark's concat propagates
+    // them — the concat_pipe pair above); Spark's null-skipping
+    // spelling is concat_ws with an empty separator.
+    FuzzPair("concat_skipnull", concat_ws("", s1, s2),
+      "concat(s1, s2)"),
+    FuzzPair("try_elem2", expr("try_element_at(split(s1, ',', -1), 2)"),
+      "string_split(s1, ',')[2]"),
+    FuzzPair("lev_ascii",
+      levenshtein(regexp_replace(s1, "[^\\x20-\\x7E]", ""),
+        regexp_replace(s2, "[^\\x20-\\x7E]", "")),
+      "CAST(levenshtein(regexp_replace(s1, '[^\\x20-\\x7E]', '', 'g'), " +
+        "regexp_replace(s2, '[^\\x20-\\x7E]', '', 'g')) AS INTEGER)"))
+
+  private def hashes: Seq[FuzzPair] = Seq(
+    FuzzPair("md5_hex", md5(s1), "md5(s1)"),
+    FuzzPair("md5_key48",
+      conv(substring(md5(s1), 1, 8), 16, 10).cast("long"),
+      "CAST(('0x' || substr(md5(s1), 1, 8)) AS BIGINT)"),
+    FuzzPair("sha256_hex", sha2(s1, 256), "sha256(s1)"))
+
+  private def regexes: Seq[FuzzPair] = Seq(
+    FuzzPair("re_extract", regexp_extract(s1, "([0-9]+)", 1),
+      "regexp_extract(s1, '([0-9]+)', 1)"),
+    FuzzPair("re_replace_g", regexp_replace(s1, "[0-9]", "#"),
+      "regexp_replace(s1, '[0-9]', '#', 'g')"),
+    FuzzPair("re_like", s1.rlike("^[A-Za-z0-9]+$"),
+      "regexp_matches(s1, '^[A-Za-z0-9]+$')"))
+
+  private def maths: Seq[FuzzPair] = Seq(
+    FuzzPair("pmod7", pmod(i1, lit(7)), s"CAST(${dpmod("i1", 7)} AS INTEGER)"),
+    FuzzPair("mod_trunc", i1 % 7, "(i1 % 7)"),
+    FuzzPair("abs_l",
+      when(l1 =!= Long.MinValue, abs(l1)),
+      "CASE WHEN l1 <> -9223372036854775808 THEN abs(l1) END"),
+    // FOUND divergence (#4): signum(NaN) = NaN in Spark (Java
+    // Math.signum); sign(NaN) = 0 in DuckDB. Guard NaN; a query whose
+    // sign() input can be NaN must decide which contract it wants.
+    FuzzPair("sign_d", when(!isnan(d1), signum(d1)),
+      "CASE WHEN NOT isnan(d1) THEN CAST(sign(d1) AS DOUBLE) END"),
+    FuzzPair("floor_g", when(abs(d1) < 1e15, floor(d1)),
+      "CASE WHEN abs(d1) < 1e15 THEN CAST(floor(d1) AS BIGINT) END"),
+    FuzzPair("ceil_g", when(abs(d1) < 1e15, ceil(d1)),
+      "CASE WHEN abs(d1) < 1e15 THEN CAST(ceil(d1) AS BIGINT) END"),
+    FuzzPair("sqrt_g", when(d1 >= 0, sqrt(d1)),
+      "CASE WHEN d1 >= 0 THEN sqrt(d1) END"),
+    FuzzPair("exp_u", exp(d1), "exp(d1)", "ulp:4"),
+    FuzzPair("ln_g", when(d1 > 0, log(d1)),
+      "CASE WHEN d1 > 0 THEN ln(d1) END", "ulp:4"),
+    FuzzPair("log10_g", when(d1 > 0, log10(d1)),
+      "CASE WHEN d1 > 0 THEN log10(d1) END", "ulp:4"),
+    FuzzPair("log2_g", when(d1 > 0, log2(d1)),
+      "CASE WHEN d1 > 0 THEN log2(d1) END", "ulp:4"),
+    FuzzPair("pow_sq", pow(d1, 2.0), "pow(d1, 2)", "ulp:2"),
+    FuzzPair("pow_xy",
+      when(d1 > 0 && abs(d2) < 100, pow(d1, d2)),
+      "CASE WHEN d1 > 0 AND abs(d2) < 100 THEN pow(d1, d2) END", "ulp:4"),
+    FuzzPair("cos_u", when(abs(d1) < 1e8, cos(d1)),
+      "CASE WHEN abs(d1) < 1e8 THEN cos(d1) END", "ulp:4"),
+    FuzzPair("sin_u", when(abs(d1) < 1e8, sin(d1)),
+      "CASE WHEN abs(d1) < 1e8 THEN sin(d1) END", "ulp:4"),
+    FuzzPair("atan2_u", atan2(d1, d2), "atan2(d1, d2)", "ulp:4"),
+    FuzzPair("cbrt_u", cbrt(d1), "cbrt(d1)", "ulp:4"),
+    FuzzPair("greatest_d", greatest(d1, d2), "greatest(d1, d2)"),
+    FuzzPair("least_d", least(d1, d2), "least(d1, d2)"),
+    // the fsum fixed-point term every double-sum oracle rides:
+    // floor(x·1e6) as BIGINT — scientific literals on the DuckDB side
+    // by the documented 864e2 rule (plain decimals parse as DECIMAL)
+    FuzzPair("fsum_term", when(abs(d1) < 1e6, floor(d1 * 1e6)),
+      "CASE WHEN abs(d1) < 1e6 THEN CAST(floor(d1 * 1e6) AS BIGINT) END"),
+    FuzzPair("int_div", expr("i1 div 7"),
+      "CAST(trunc(CAST(i1 AS DOUBLE) / 7) AS BIGINT)"),
+    // FOUND divergence (#7): round(x, 2) disagrees two ways — Spark
+    // rounds the SHORTEST DECIMAL RENDERING via BigDecimal (0.285
+    // renders as "0.285" → HALF_UP → 0.29) while DuckDB rounds the
+    // exact binary value (0.28499999999999998 → 0.28), and above
+    // ~1e13 the engines' different scale-2 pipelines disagree in the
+    // last ulp. The cross-engine-exact spelling composes IEEE-exact
+    // primitives identically on both sides — the same reasoning as
+    // the fsum idiom (oracles avoid round() entirely):
+    FuzzPair("round_idiom",
+      when(abs(d1) < 1e13, floor(d1 * 100 + 0.5) / 100),
+      "CASE WHEN abs(d1) < 1e13 THEN floor(d1 * 100 + 0.5) / 100 END"),
+    // …but round(x, 1) on PRICE-SHAPED doubles (exact two-decimal
+    // renderings, the TPC-H money shape q22 rounds) is cross-engine
+    // EXACT: exhaustively verified over every halfway value x.x5 in
+    // 0.95..110,000 (1,099,910 values, 0 diverging — FUZZ_SCALARS.md),
+    // because a two-decimal value's ·10 lands on-or-above the binary
+    // halfway point wherever its shortest rendering says 5.
+    FuzzPair("round_price1", round(col("pr"), 1), "round(pr, 1)"))
+
+  private def bits: Seq[FuzzPair] = Seq(
+    FuzzPair("bitcount_l", bit_count(l1),
+      "CAST(bit_count(l1) AS INTEGER)"),
+    FuzzPair("shl_masked", shiftleft(l1.bitwiseAND(lit(255L)), 3),
+      "((l1 & 255) << 3)"),
+    FuzzPair("shr_arith", shiftright(l1, 3), "(l1 >> 3)"),
+    FuzzPair("xor_mask", l1.bitwiseXOR(lit(0x5DEECE66DL)),
+      "xor(l1, 25214903917)"))
+
+  private def casts: Seq[FuzzPair] = Seq(
+    // FOUND divergence (#5): DuckDB's VARCHAR→INTEGER cast parses and
+    // ROUNDS decimals ('3.14' → 3), accepts scientific notation
+    // ('-2.5e3' → -2500) and hex ('0x1A' → 26); Spark's ANSI cast is
+    // strict-integral (all three → NULL under try_cast). The agreeing
+    // spelling pre-validates the integral grammar on the DuckDB side —
+    // the idiom an oracle must use when casting free text to INT.
+    FuzzPair("trycast_int", expr("try_cast(s1 AS INT)"),
+      "CASE WHEN regexp_matches(s1, '^\\s*[+-]?[0-9]+\\s*$') " +
+        "THEN TRY_CAST(s1 AS INTEGER) END"),
+    // FOUND divergence (#6): Java's parseDouble accepts the 'd'/'f'
+    // float-literal suffix ('3d' → 3.0) and hex-float syntax; DuckDB
+    // rejects both. Both engines agree on 'Infinity'/'NaN'/overflow-
+    // to-Infinity ('1e309'). Guard the suffix forms.
+    FuzzPair("trycast_dbl",
+      when(!s1.rlike("(?i)[dfx]"), expr("try_cast(s1 AS DOUBLE)")),
+      "CASE WHEN NOT regexp_matches(s1, '(?i)[dfx]') " +
+        "THEN TRY_CAST(s1 AS DOUBLE) END"),
+    FuzzPair("dtoi_trunc",
+      when(abs(d1) < 1e9, d1.cast("int")),
+      "CASE WHEN abs(d1) < 1e9 THEN CAST(trunc(d1) AS INTEGER) END"),
+    FuzzPair("itos", i1.cast("string"), "CAST(i1 AS VARCHAR)"),
+    FuzzPair("ltos", l1.cast("string"), "CAST(l1 AS VARCHAR)"),
+    // FOUND divergence (#8), measured precisely: each engine accepts
+    // special DATE strings the other rejects. DuckDB-only: 'infinity'
+    // / '-infinity' (PostgreSQL special values — 'Infinity' from the
+    // double pool parses as DATE infinity; Spark → NULL). Spark-only:
+    // 'now' / 'today' / 'yesterday' / 'tomorrow' (DuckDB's TRY_CAST →
+    // NULL) — and those are CLOCK-DEPENDENT, so casting free text to
+    // DATE is nondeterministic in Spark: a document containing
+    // "tomorrow" parses to a different date every day. 'epoch' agrees
+    // (1970-01-01 in both) and stays compared. Any oracle casting
+    // uncontrolled text to DATE needs this guard.
+    FuzzPair("trycast_date",
+      when(!lower(trim(s1)).rlike(
+        "^(-?infinity|now|today|yesterday|tomorrow)$"),
+        expr("try_cast(s1 AS DATE)")),
+      "CASE WHEN NOT regexp_matches(lower(trim(s1)), " +
+        "'^(-?infinity|now|today|yesterday|tomorrow)$') " +
+        "THEN TRY_CAST(s1 AS DATE) END"))
+
+  private def dates: Seq[FuzzPair] = Seq(
+    FuzzPair("dtrunc_mon_us", unix_micros(date_trunc("month", ts)),
+      "epoch_us(date_trunc('month', ts))"),
+    FuzzPair("dtrunc_week_us", unix_micros(date_trunc("week", ts)),
+      "epoch_us(date_trunc('week', ts))"),
+    FuzzPair("dtrunc_day_us", unix_micros(date_trunc("day", ts)),
+      "epoch_us(date_trunc('day', ts))"),
+    FuzzPair("ddiff_days", datediff(dt2, dt),
+      "CAST(datediff('day', dt, dt2) AS INTEGER)"),
+    FuzzPair("dadd_i", date_add(dt, pmod(i1, lit(365))),
+      s"(dt + CAST(${dpmod("i1", 365)} AS INTEGER))"),
+    FuzzPair("ymd_int",
+      year(dt) * 10000 + month(dt) * 100 + dayofmonth(dt),
+      "CAST(year(dt) * 10000 + month(dt) * 100 + day(dt) AS INTEGER)"),
+    FuzzPair("dow_sun1", dayofweek(dt),
+      "CAST(dayofweek(dt) + 1 AS INTEGER)"),
+    FuzzPair("last_day_m", last_day(dt), "last_day(dt)"),
+    FuzzPair("add_months_c", add_months(dt, 13),
+      "CAST(dt + INTERVAL 13 MONTH AS DATE)"),
+    FuzzPair("unix_date_d", unix_date(dt),
+      "CAST(dt - DATE '1970-01-01' AS INTEGER)"),
+    FuzzPair("sec_of_day",
+      hour(ts) * 3600 + minute(ts) * 60 + second(ts),
+      "CAST(hour(ts) * 3600 + minute(ts) * 60 + " +
+        "CAST(floor(date_part('second', ts)) AS INTEGER) AS INTEGER)"),
+    FuzzPair("epoch_us_ts", unix_micros(ts), "epoch_us(ts)"),
+    FuzzPair("date_fmt", date_format(ts, "yyyy-MM-dd HH:mm:ss"),
+      "strftime(ts, '%Y-%m-%d %H:%M:%S')"))
+
+  private def conditionals: Seq[FuzzPair] = Seq(
+    FuzzPair("coalesce_sx", coalesce(s1, s2, lit("?")),
+      "coalesce(s1, s2, '?')"),
+    FuzzPair("nullif7", nullif(i1, lit(7)), "nullif(i1, 7)"),
+    FuzzPair("cmp_gt01", when(d1 > d2, 1).otherwise(0),
+      "CASE WHEN d1 > d2 THEN 1 ELSE 0 END"),
+    FuzzPair("in_list", s1.isin("a", "abc",
+      "日本語のテキスト"),
+      "s1 IN ('a', 'abc', '日本語のテキスト')"),
+    FuzzPair("between_d", d1.between(-1.0, 1.5),
+      "(d1 BETWEEN -1.0 AND 1.5)"))
+
+  // ---------------------------------------------------------------
+  // Main
+  // ---------------------------------------------------------------
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("/tmp/fuzz_out")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+
+    val fix = fixture(spark)
+    fix.coalesce(1).write.mode("overwrite").parquet(s"$outDir/fuzz_input")
+    // re-read so both engines evaluate over the identical parquet bytes
+    val onDisk = spark.read.parquet(s"$outDir/fuzz_input")
+    val cat = catalog
+    require(cat.map(_.name).distinct.size == cat.size, "duplicate names")
+    onDisk.select(col("id") +: cat.map(p => p.spark.as(p.name)): _*)
+      .coalesce(1).write.mode("overwrite").parquet(s"$outDir/fuzz_spark")
+
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = cat.map { p =>
+      s"${q(p.name)}: {${q("sql")}: ${q(p.duck)}, " +
+        s"${q("policy")}: ${q(p.policy)}}"
+    }.mkString("{", ",", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$outDir/fuzz_sql.json"), json)
+    println(s"[fuzz] wrote ${cat.size} pairs over " +
+      s"${onDisk.count()} fixture rows to $outDir")
+    spark.stop()
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Spark-side pins for the cross-engine scalar fuzzer
+  * (`graft.FuzzScalars` + `scripts/fuzz_scalars.py`; findings in
+  * FUZZ_SCALARS.md). The DuckDB half of each discovered divergence
+  * can't run in the JVM, so this spec pins the SPARK behavior each
+  * guard in the catalog depends on — if an engine upgrade changes one
+  * of these, the corresponding guard (and any oracle leaning on it)
+  * must be re-audited. Also sanity-runs the whole catalog so a
+  * refactor can't ship an expression that throws at runtime. */
+class FuzzScalarsSpec extends SparkTestBase {
+
+  test("catalog is well-formed and every pair evaluates over the fixture") {
+    val cat = FuzzScalars.catalog
+    assert(cat.map(_.name).distinct.size == cat.size)
+    assert(cat.size >= 80)
+    assert(cat.forall(p => p.policy == "exact" ||
+      p.policy.matches("ulp:[0-9]+")))
+    val fix = FuzzScalars.fixture(spark, rows = 512)
+    val out = fix.select(col("id") +: cat.map(p => p.spark.as(p.name)): _*)
+    assert(out.count() == 512) // forces evaluation of every expression
+  }
+
+  test("divergence #1/#2 pins: Spark case mapping is FULL Unicode — " +
+    "İ gains a combining dot, final sigma is contextual, ß uppercases " +
+    "to SS (DuckDB's utf8proc uses simple 1:1 mappings)") {
+    val r = spark.range(1).select(
+      lower(lit("İstanbul")).as("li"),
+      lower(lit("ΣΙΣΥΦΟΣ")).as("ls"),
+      upper(lit("straße")).as("us")).head()
+    assert(r.getString(0) == "i̇stanbul") // i + U+0307, 2 code points
+    assert(r.getString(1) == "σίσυφος".replace("ί", "ι")) // final ς
+    assert(r.getString(1).last == 'ς')
+    assert(r.getString(2) == "STRASSE")
+  }
+
+  test("divergence #3 pin: Spark reverse() works on CODE POINTS — a " +
+    "combining accent detaches from its base (DuckDB reverses graphemes)") {
+    val r = spark.range(1)
+      .select(reverse(lit("café"))).head().getString(0)
+    assert(r == "́efac")
+  }
+
+  test("divergence #4 pin: signum(NaN) is NaN in Spark (DuckDB sign " +
+    "returns 0)") {
+    val r = spark.range(1)
+      .select(signum(lit(Double.NaN))).head().getDouble(0)
+    assert(r.isNaN)
+  }
+
+  test("divergence #5/#6 pins: Spark try_cast parses INT strictly " +
+    "(no decimals/scientific/hex — DuckDB rounds '3.14' to 3 and " +
+    "reads '0x1A') but DOUBLE through Java's grammar (the 'd'/'f' " +
+    "literal suffix parses — DuckDB rejects it)") {
+    val r = spark.range(1).select(
+      expr("try_cast('3.14' AS INT)").as("a"),
+      expr("try_cast('-2.5e3' AS INT)").as("b"),
+      expr("try_cast('0x1A' AS INT)").as("c"),
+      expr("try_cast('3d' AS DOUBLE)").as("d"),
+      expr("try_cast('1e309' AS DOUBLE)").as("e"),
+      expr("try_cast('Infinity' AS DOUBLE)").as("f")).head()
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+    assert(r.getDouble(3) == 3.0)
+    assert(r.getDouble(4).isPosInfinity) // overflow-to-Infinity agrees
+    assert(r.getDouble(5).isPosInfinity)
+  }
+
+  test("divergence #7 pin: Spark round() rounds the SHORTEST DECIMAL " +
+    "RENDERING (0.285 -> 0.29) where DuckDB rounds the exact binary " +
+    "value (-> 0.28); the floor(x*100+0.5)/100 idiom follows the " +
+    "binary value identically in both engines") {
+    val r = spark.range(1).select(
+      round(lit(0.285), 2).as("r"),
+      (floor(lit(0.285) * 100 + 0.5) / 100).as("i")).head()
+    assert(r.getDouble(0) == 0.29) // shortest-rendering HALF_UP
+    assert(r.getDouble(1) == 0.28) // exact binary: 28.499… + 0.5 < 29
+  }
+
+  test("divergence #8 pin: Spark try_cast to DATE rejects DuckDB's " +
+    "'infinity' specials but accepts 'epoch' AND the CLOCK-DEPENDENT " +
+    "'now'/'today'/'tomorrow' keywords (nondeterministic on free text " +
+    "— the fuzz catalog guards them; DuckDB rejects all four)") {
+    val r = spark.range(1).select(
+      expr("try_cast('Infinity' AS DATE)").as("a"),
+      expr("try_cast('epoch' AS DATE)").as("b"),
+      expr("try_cast('tomorrow' AS DATE)").as("c"),
+      expr("try_cast('2023-01-15' AS DATE)").as("d")).head()
+    assert(r.isNullAt(0))
+    assert(r.getDate(1).toString == "1970-01-01") // agrees cross-engine
+    assert(!r.isNullAt(2)) // parses — value depends on the wall clock
+    assert(r.getDate(3).toString == "2023-01-15")
+  }
+
+  test("agreement pins the catalog leans on: chr() matches DuckDB " +
+    "code points on 1..255, ascii() is the true code point (== ord), " +
+    "and element_at under try_ returns NULL out of bounds (== DuckDB " +
+    "list indexing)") {
+    val r = spark.range(1).select(
+      expr("chr(233)").as("a"), // é — Latin-1 range, not mod-ASCII
+      ascii(lit("𝒜x")).as("b"), // astral: true code point U+1D49C
+      expr("try_element_at(split('a,b', ',', -1), 5)").as("c")).head()
+    assert(r.getString(0) == "é")
+    assert(r.getInt(1) == 0x1D49C)
+    assert(r.isNullAt(2))
+  }
+}
