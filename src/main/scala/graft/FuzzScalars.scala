@@ -184,7 +184,7 @@ object FuzzScalars {
   private def dpmod(x: String, m: Int): String = s"((($x % $m) + $m) % $m)"
 
   def catalog: Seq[FuzzPair] = strings ++ hashes ++ regexes ++ maths ++
-    bits ++ casts ++ dates ++ conditionals
+    bits ++ casts ++ dates ++ conditionals ++ windows
 
   private def strings: Seq[FuzzPair] = Seq(
     FuzzPair("len_cp", length(s1), "length(s1)"),
@@ -423,6 +423,58 @@ object FuzzScalars {
       "s1 IN ('a', 'abc', '日本語のテキスト')"),
     FuzzPair("between_d", d1.between(-1.0, 1.5),
       "(d1 BETWEEN -1.0 AND 1.5)"))
+
+  /** Window-function semantics over the whole fixture (the layer
+    * q15–q17/q56/q91/q118's oracles ride, here driven over hostile
+    * ordering keys: NULLs every 13th row, NaN/±Inf in d1, heavy ties
+    * in i2). The one spelling rule this family exists to pin: Spark's
+    * ascending sort defaults to NULLS FIRST, DuckDB's to NULLS LAST —
+    * every DuckDB ORDER BY over a nullable key needs the explicit
+    * NULLS FIRST the shipped oracles already carry (q78/q123/q56).
+    * NaN needs no spelling: both engines order it above +Infinity. */
+  private def windows: Seq[FuzzPair] = {
+    import org.apache.spark.sql.expressions.Window
+    val byId = Window.orderBy(col("id"))
+    val cum = byId.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Seq(
+      FuzzPair("w_rn_nulls",
+        row_number().over(Window.orderBy(col("d1").asc, col("id"))),
+        "CAST(row_number() OVER " +
+          "(ORDER BY d1 ASC NULLS FIRST, id) AS INTEGER)"),
+      FuzzPair("w_rank_ties",
+        rank().over(Window.orderBy(col("i2").asc)),
+        "CAST(rank() OVER (ORDER BY i2 ASC NULLS FIRST) AS INTEGER)"),
+      FuzzPair("w_drank_ties",
+        dense_rank().over(Window.orderBy(col("i2").asc)),
+        "CAST(dense_rank() OVER (ORDER BY i2 ASC NULLS FIRST) AS INTEGER)"),
+      FuzzPair("w_pctrank_ties",
+        percent_rank().over(Window.orderBy(col("i2").asc)),
+        "percent_rank() OVER (ORDER BY i2 ASC NULLS FIRST)"),
+      FuzzPair("w_cumedist_ties",
+        cume_dist().over(Window.orderBy(col("i2").asc)),
+        "cume_dist() OVER (ORDER BY i2 ASC NULLS FIRST)"),
+      FuzzPair("w_ntile7", ntile(7).over(byId),
+        "CAST(ntile(7) OVER (ORDER BY id) AS INTEGER)"),
+      FuzzPair("w_lag_def", lag(col("d1"), 2, -1.0).over(byId),
+        "lag(d1, 2, -1.0) OVER (ORDER BY id)"),
+      FuzzPair("w_lead_def", lead(col("s1"), 3, "?").over(byId),
+        "lead(s1, 3, '?') OVER (ORDER BY id)"),
+      FuzzPair("w_runsum", sum(col("i2").cast("long")).over(cum),
+        "CAST(sum(CAST(i2 AS BIGINT)) OVER (ORDER BY id ROWS BETWEEN " +
+          "UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)"),
+      FuzzPair("w_first_ign",
+        first(col("d1"), ignoreNulls = true).over(cum),
+        "first_value(d1 IGNORE NULLS) OVER (ORDER BY id ROWS BETWEEN " +
+          "UNBOUNDED PRECEDING AND CURRENT ROW)"),
+      // interval RANGE frame over the price key: peers resolve by
+      // VALUE (each NULL-keyed row's frame is the whole NULL group in
+      // both engines; NULLS FIRST only places the group)
+      FuzzPair("w_range_pr",
+        count(lit(1)).over(Window.orderBy(col("pr"))
+          .rangeBetween(-1L, 1L)),
+        "CAST(count(*) OVER (ORDER BY pr ASC NULLS FIRST RANGE BETWEEN " +
+          "1 PRECEDING AND 1 FOLLOWING) AS BIGINT)"))
+  }
 
   // ---------------------------------------------------------------
   // Main
