@@ -61,7 +61,13 @@ object FuzzScalars {
     "+789", " 42 ", "3.14", "-2.5e3", "1e309", "0x1A", "Infinity",
     "NaN", "true", "F", "2023-01-15", "99999999999999999999",
     "٠١٢", "Ⅶ", "龍龍龍",
-    "x" * 500, "mixed 日本 ascii 123")
+    "x" * 500, "mixed 日本 ascii 123", "ẞ")
+  // pool size MUST stay coprime with the null stride's modulus 13:
+  // at 52 (= 4·13) entries the every-13th-row null pattern deleted
+  // the SAME four strings from s1 in every edge cycle (café-NFC,
+  // "a\nb", "-456", "٠١٢" were never tested on s1 at all — found by
+  // auditing the fixture, round 12)
+  require(EdgeStrings.size % 13 != 0, s"string pool ${EdgeStrings.size}")
 
   private val EdgeInts: Seq[Int] = Seq(
     0, 1, -1, 2, -2, 7, -7, 17, 100, 255, 256, 65535, 1000000,
@@ -91,7 +97,11 @@ object FuzzScalars {
     "1970-01-01", "1969-12-31", "2000-02-29", "2001-02-28",
     "1900-02-28", "1900-03-01", "2024-01-31", "2024-03-31",
     "2024-12-31", "1999-12-31", "2024-02-29", "1987-06-05",
-    "1600-02-29").map(java.time.LocalDate.parse)
+    "1600-02-29", "2038-01-19").map(java.time.LocalDate.parse)
+  // same null-stride coprimality rule as the string pool (a 13-sized
+  // date pool pinned "1600-02-29" to dt's null residue forever)
+  require(EdgeDates.size % 13 != 0 && EdgeDoubles.size % 13 != 0 &&
+    EdgeInts.size % 13 != 0 && EdgeLongs.size % 13 != 0)
 
   final case class FuzzRow(id: Long, s1: Option[String],
       s2: Option[String], i1: Option[Int], i2: Option[Int],
@@ -473,7 +483,52 @@ object FuzzScalars {
         count(lit(1)).over(Window.orderBy(col("pr"))
           .rangeBetween(-1L, 1L)),
         "CAST(count(*) OVER (ORDER BY pr ASC NULLS FIRST RANGE BETWEEN " +
-          "1 PRECEDING AND 1 FOLLOWING) AS BIGINT)"))
+          "1 PRECEDING AND 1 FOLLOWING) AS BIGINT)")) ++ aggregates
+  }
+
+  /** Aggregate semantics probed through PARTITION BY windows (one
+    * value per row rides the same keyed compare; the aggregates here
+    * are order-INSENSITIVE, so partition-internal row order — the one
+    * thing the engines never promise each other — cannot matter;
+    * order-sensitive double sums stay behind the fsum idiom). What
+    * this family pins, beyond the functions themselves: GROUPING-KEY
+    * equality classes. Partitioning BY the hostile double column
+    * directly asks whether -0.0 joins 0.0's group and all NaN
+    * bit-patterns one group (both engines: yes — Spark normalizes on
+    * write into the hash, DuckDB's grouping equality does the same),
+    * and partitioning by raw strings asks whether either engine
+    * Unicode-normalizes keys (neither does: café NFC and café NFD are
+    * TWO groups in both — byte equality, the contract the exact-dedup
+    * family assumes). */
+  private def aggregates: Seq[FuzzPair] = {
+    import org.apache.spark.sql.expressions.Window
+    val g = Window.partitionBy(pmod(col("id"), lit(7)))
+    Seq(
+      FuzzPair("g_cnt_by_d1",
+        count(lit(1)).over(Window.partitionBy(col("d1"))),
+        "CAST(count(*) OVER (PARTITION BY d1) AS BIGINT)"),
+      FuzzPair("g_cnt_by_s1",
+        count(lit(1)).over(Window.partitionBy(col("s1"))),
+        "CAST(count(*) OVER (PARTITION BY s1) AS BIGINT)"),
+      FuzzPair("g_min_d", min(col("d2")).over(g),
+        "min(d2) OVER (PARTITION BY (id % 7))"),
+      FuzzPair("g_max_d", max(col("d2")).over(g),
+        "max(d2) OVER (PARTITION BY (id % 7))"),
+      FuzzPair("g_min_s", min(col("s1")).over(g),
+        "min(s1) OVER (PARTITION BY (id % 7))"),
+      FuzzPair("g_max_s", max(col("s1")).over(g),
+        "max(s1) OVER (PARTITION BY (id % 7))"),
+      FuzzPair("g_bool_or", expr("bool_or(i2 > 0)").over(g),
+        "bool_or(i2 > 0) OVER (PARTITION BY (id % 7))"),
+      FuzzPair("g_bit_and", expr("bit_and(l1)").over(g),
+        "CAST(bit_and(l1) OVER (PARTITION BY (id % 7)) AS BIGINT)"),
+      FuzzPair("g_bit_xor", expr("bit_xor(l1)").over(g),
+        "CAST(bit_xor(l1) OVER (PARTITION BY (id % 7)) AS BIGINT)"),
+      // integer-valued doubles sum exactly in ANY accumulation order,
+      // so avg is the one safe raw-double aggregate (the general case
+      // stays behind fsum)
+      FuzzPair("g_avg_i2", avg(col("i2")).over(g),
+        "avg(i2) OVER (PARTITION BY (id % 7))"))
   }
 
   // ---------------------------------------------------------------
