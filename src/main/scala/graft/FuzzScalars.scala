@@ -194,7 +194,7 @@ object FuzzScalars {
   private def dpmod(x: String, m: Int): String = s"((($x % $m) + $m) % $m)"
 
   def catalog: Seq[FuzzPair] = strings ++ hashes ++ regexes ++ maths ++
-    bits ++ casts ++ dates ++ conditionals ++ windows
+    bits ++ casts ++ dates ++ conditionals ++ arrays ++ windows
 
   private def strings: Seq[FuzzPair] = Seq(
     FuzzPair("len_cp", length(s1), "length(s1)"),
@@ -433,6 +433,45 @@ object FuzzScalars {
       "s1 IN ('a', 'abc', '日本語のテキスト')"),
     FuzzPair("between_d", d1.between(-1.0, 1.5),
       "(d1 BETWEEN -1.0 AND 1.5)"))
+
+  /** Array / higher-order-function pairs, both sides deriving the
+    * SAME array from the string columns (`split` on comma) so no
+    * array column needs cross-engine parquet agreement. Outputs are
+    * scalarized (sums/counts/joins/element picks) — it's the lambda
+    * and list SEMANTICS under test, not array rendering. */
+  private def arrays: Seq[FuzzPair] = Seq(
+    FuzzPair("a_hof_sumlen",
+      expr("aggregate(split(s1, ',', -1), 0, (a, x) -> a + length(x))"),
+      "CAST(list_sum(list_transform(string_split(s1, ','), " +
+        "x -> length(x))) AS INTEGER)"),
+    FuzzPair("a_filter_cnt",
+      size(expr("filter(split(s1, ',', -1), x -> length(x) > 1)")),
+      "CAST(len(list_filter(string_split(s1, ','), " +
+        "x -> length(x) > 1)) AS INTEGER)"),
+    FuzzPair("a_max_len",
+      expr("array_max(transform(split(s1, ',', -1), x -> length(x)))"),
+      "CAST(list_max(list_transform(string_split(s1, ','), " +
+        "x -> length(x))) AS INTEGER)"),
+    // UTF-8-byte sort inside arrays — same collation law as min/max
+    FuzzPair("a_sort_first",
+      element_at(array_sort(split(s1, ",", -1)), 1),
+      "list_sort(string_split(s1, ','))[1]"),
+    FuzzPair("a_join_pipe", array_join(split(s1, ",", -1), "|"),
+      "array_to_string(string_split(s1, ','), '|')"),
+    FuzzPair("a_distinct_cnt", size(array_distinct(split(s1, ",", -1))),
+      "CAST(len(list_distinct(string_split(s1, ','))) AS INTEGER)"),
+    FuzzPair("a_contains", array_contains(split(s1, ",", -1), "a"),
+      "list_contains(string_split(s1, ','), 'a')"),
+    // FOUND divergence (#9): joining an EMPTY list yields '' in Spark
+    // (array_join) but NULL in DuckDB (array_to_string) — invisible
+    // until a slice/filter can empty the array (split itself never
+    // returns []). Agreeing spelling: coalesce the DuckDB join to ''
+    // behind an explicit IS NULL passthrough for the null-input row.
+    FuzzPair("a_slice_join",
+      array_join(slice(split(s1, ",", -1), 2, 2), "|"),
+      "CASE WHEN s1 IS NULL THEN NULL ELSE coalesce(" +
+        "array_to_string(list_slice(string_split(s1, ','), 2, 3), " +
+        "'|'), '') END"))
 
   /** Window-function semantics over the whole fixture (the layer
     * q15–q17/q56/q91/q118's oracles ride, here driven over hostile

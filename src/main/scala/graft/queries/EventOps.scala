@@ -1987,11 +1987,14 @@ object EventOps {
     // n_keys / key_list are DERIVED from the props text (same key-order
     // regex on both engines: JSON object keys in document order), not
     // hard-coded to the current single-key testdata shape — richer
-    // future props rows regroup instead of silently diverging
+    // future props rows regroup instead of silently diverging.
+    // key_list coalesces to '': DuckDB's array_to_string of an EMPTY
+    // list is NULL where Spark's array_join is '' (fuzz divergence #9,
+    // FUZZ_SCALARS.md) — an empty-props row would silently regroup
     "q46_map_fns" ->
       """SELECT event_type,
         |  CAST(len(regexp_extract_all(props, '"([^"]+)"\s*:', 1)) AS INTEGER) AS n_keys,
-        |  array_to_string(regexp_extract_all(props, '"([^"]+)"\s*:', 1), ',') AS key_list,
+        |  coalesce(array_to_string(regexp_extract_all(props, '"([^"]+)"\s*:', 1), ','), '') AS key_list,
         |  count(*) AS n,
         |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1, 2, 3 ORDER BY event_type, n_keys, key_list""".stripMargin,

@@ -15,7 +15,7 @@ class FuzzScalarsSpec extends SparkTestBase {
   test("catalog is well-formed and every pair evaluates over the fixture") {
     val cat = FuzzScalars.catalog
     assert(cat.map(_.name).distinct.size == cat.size)
-    assert(cat.size >= 106)
+    assert(cat.size >= 114)
     assert(cat.forall(p => p.policy == "exact" ||
       p.policy.matches("ulp:[0-9]+")))
     val fix = FuzzScalars.fixture(spark, rows = 512)
@@ -91,6 +91,14 @@ class FuzzScalarsSpec extends SparkTestBase {
     assert(r.getDate(1).toString == "1970-01-01") // agrees cross-engine
     assert(!r.isNullAt(2)) // parses — value depends on the wall clock
     assert(r.getDate(3).toString == "2023-01-15")
+  }
+
+  test("divergence #9 pin: Spark array_join of an EMPTY array is '' " +
+    "(DuckDB's array_to_string is NULL — q46's oracle coalesces for " +
+    "exactly this)") {
+    val r = spark.range(1).select(
+      array_join(slice(split(lit("a"), ",", -1), 2, 2), "|")).head()
+    assert(!r.isNullAt(0) && r.getString(0) == "")
   }
 
   test("agreement pins the catalog leans on: chr() matches DuckDB " +
