@@ -115,9 +115,10 @@ object FuzzScalars {
     * alphabet; numerics spanning magnitudes). Every ~13th value per
     * column is NULL — null propagation is part of every pair's
     * contract. */
-  def fixture(spark: SparkSession, rows: Int = 4096): DataFrame = {
+  def fixture(spark: SparkSession, rows: Int = 4096,
+      seed: Long = 20260815L): DataFrame = {
     import spark.implicits._
-    val rnd = new scala.util.Random(20260815L)
+    val rnd = new scala.util.Random(seed)
     val alphabet: IndexedSeq[String] =
       (('a' to 'z') ++ ('A' to 'Z') ++ ('0' to '9')).map(_.toString) ++
         Seq(" ", ",", ".", "-", "+", "e", "E", "*", "%", "_", "'",
@@ -279,7 +280,27 @@ object FuzzScalars {
     FuzzPair("re_replace_g", regexp_replace(s1, "[0-9]", "#"),
       "regexp_replace(s1, '[0-9]', '#', 'g')"),
     FuzzPair("re_like", s1.rlike("^[A-Za-z0-9]+$"),
-      "regexp_matches(s1, '^[A-Za-z0-9]+$')"))
+      "regexp_matches(s1, '^[A-Za-z0-9]+$')"),
+    // dialect probes — every oracle SHARES its regex text across
+    // engines (Java regex in Spark, RE2 in DuckDB), so the shared
+    // subset's SEMANTICS must agree, not just its syntax:
+    // '.' excludes \n in both default modes
+    FuzzPair("re_dot_nl", s1.rlike("a.b"),
+      "regexp_matches(s1, 'a.b')"),
+    // \d and \w are ASCII-only in BOTH dialects (Arabic-Indic ٠١٢
+    // must NOT match — the try_cast grammar fence leans on this)
+    FuzzPair("re_digit_ascii", s1.rlike("^\\d+$"),
+      "regexp_matches(s1, '^\\d+$')"),
+    // \b word boundary around a unicode letter neighborhood
+    FuzzPair("re_word_b", s1.rlike("\\babc\\b"),
+      "regexp_matches(s1, '\\babc\\b')"),
+    // \p{L} unicode letter class on CJK/Greek/astral
+    FuzzPair("re_uniletter", regexp_replace(s1, "\\p{L}", "*"),
+      "regexp_replace(s1, '\\p{L}', '*', 'g')"),
+    // (?i) case-insensitive fold on ASCII + the ß/K special-casing
+    // zone — simple folding in both dialects
+    FuzzPair("re_ci", s1.rlike("(?i)^stra"),
+      "regexp_matches(s1, '(?i)^stra')"))
 
   private def maths: Seq[FuzzPair] = Seq(
     FuzzPair("pmod7", pmod(i1, lit(7)), s"CAST(${dpmod("i1", 7)} AS INTEGER)"),
@@ -586,7 +607,11 @@ object FuzzScalars {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
 
-    val fix = fixture(spark)
+    // default seed is pinned (reproducible gate); override to re-roll
+    // the random fill locally — the edge sweep never changes
+    val seed = sys.env.get("SPARK_GRAFT_FUZZ_SEED").map(_.toLong)
+      .getOrElse(20260815L)
+    val fix = fixture(spark, seed = seed)
     fix.coalesce(1).write.mode("overwrite").parquet(s"$outDir/fuzz_input")
     // re-read so both engines evaluate over the identical parquet bytes
     val onDisk = spark.read.parquet(s"$outDir/fuzz_input")

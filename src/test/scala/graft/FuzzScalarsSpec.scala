@@ -15,7 +15,7 @@ class FuzzScalarsSpec extends SparkTestBase {
   test("catalog is well-formed and every pair evaluates over the fixture") {
     val cat = FuzzScalars.catalog
     assert(cat.map(_.name).distinct.size == cat.size)
-    assert(cat.size >= 114)
+    assert(cat.size >= 119)
     assert(cat.forall(p => p.policy == "exact" ||
       p.policy.matches("ulp:[0-9]+")))
     val fix = FuzzScalars.fixture(spark, rows = 512)
