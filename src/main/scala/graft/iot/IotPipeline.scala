@@ -20,7 +20,14 @@ object IotPipeline {
   /** S1 — CSV directory scan with fixed, enforced schema
     * (`process_iot_data.py:245-253`): header row skipped but NOT
     * validated (enforceSchema trusts the declared schema positionally),
-    * Zeek's `-` unset-marker ⇒ NULL, recursive lookup. */
+    * Zeek's `-` unset-marker ⇒ NULL, recursive lookup.
+    *
+    * Poison posture (PoisonInputSpec): Spark's default PERMISSIVE mode
+    * is load-bearing at scale — unparseable fields and short rows
+    * become NULLs, long rows drop the excess without shifting, binary
+    * junk survives as a NULL-padded row, and the downstream transform
+    * program is total over all of them. One malformed record must
+    * never kill a 100 TB job. */
   def readCsv(spark: SparkSession, inputPath: String): DataFrame =
     spark.read
       .schema(IotSchema.raw)

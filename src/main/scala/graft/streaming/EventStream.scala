@@ -107,7 +107,13 @@ object EventStream {
     * (the kafka envelope's payload) → the events schema with the same
     * ts normalization as the file head. Pure expressions — testable
     * offline by feeding ANY frame with a `value` column, which is
-    * exactly what the spec does via MemoryStream. */
+    * exactly what the spec does via MemoryStream.
+    *
+    * Poison posture (PoisonInputSpec): a corrupt/wrong-shape/NULL
+    * payload parses to a NULL struct, so every projected field of the
+    * poison message is NULL and the ROW SURVIVES — callers filter or
+    * quarantine on `event_id IS NULL`; nothing in this stage throws,
+    * so one bad message can never wedge the stream. */
   def parseEventsJson(raw: DataFrame): DataFrame =
     raw.select(from_json(col("value").cast("string"), RawEventsSchema).as("e"))
       .select(col("e.event_id").as("event_id"),

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Poison-input posture of the ingest seams (round 12).
+  *
+  * At 100 TB a single malformed record MUST NOT kill the job: every
+  * boundary where uncontrolled bytes enter the engine needs a
+  * documented null-and-continue (or zero-stats) posture, pinned here
+  * so a refactor that turns one into a throw fails loudly. The three
+  * seams where external bytes arrive:
+  *
+  *   1. the IoT CSV scan (S1) — Spark's CSV default PERMISSIVE mode is
+  *      load-bearing: unparseable fields and short rows become NULLs,
+  *      long rows drop the excess, and the downstream transform
+  *      program must stay total over those NULLs (its try_/nullif
+  *      guards exist for ANSI mode, which would otherwise throw);
+  *   2. the message-bus JSON envelope parse — from_json yields a NULL
+  *      struct on corrupt payloads, so every projected field of a
+  *      poison message is NULL and the row survives to be filtered or
+  *      quarantined by the caller (documented contract, not accident);
+  *   3. the binary media decoders — the native kernels return NULL
+  *      (BmpStats: header checks) or empty stats (PcmStats: zero
+  *      samples) on garbage, and the declarative substr/hex/conv byte
+  *      readers read past-end bytes as empty-hex → NULL, never a range
+  *      error.
+  */
+class PoisonInputSpec extends SparkTestBase {
+
+  test("S1 CSV: unparseable numerics, short rows, long rows, and " +
+    "binary junk survive as NULL-padded rows (PERMISSIVE posture) and " +
+    "the full transform program stays total over them") {
+    val dir = java.nio.file.Files.createTempDirectory("poison_csv")
+    // header straight from the enforced schema (22 original CSV names)
+    val header = iot.IotSchema.raw.fields.map(_.name).mkString(",")
+    val good = "Cu0/1,10.0.0.1,1024,10.0.0.2,80,tcp,http," +
+      "0 days 00:00:03.148000,10,20,SF,T,F,0,ShADad,5,500,4,400,-," +
+      "Benign,-"
+    val poison = Seq(
+      // unparseable numerics in the int/long columns
+      "CuX,z,NOTANUM,z,yy,tcp,-,gibberish,xx,yy,SF,T,F,zz,h,a,b,c,d,-," +
+        "Malicious,PartOfAHorizontalPortScan",
+      // far too short
+      "CuShort,10.0.0.9",
+      // far too long (extra columns must drop, not shift)
+      good + ",EXTRA1,EXTRA2,EXTRA3",
+      // raw binary junk
+      new String(Array[Byte](0, 1, 2, -1, -2, 66, 77, 10, 13, 0), "ISO-8859-1").replace("\n", "").replace("\r", ""))
+    java.nio.file.Files.writeString(dir.resolve("conn.csv"),
+      (Seq(header, good) ++ poison).mkString("\n"))
+    val raw = iot.IotPipeline.readCsv(spark, dir.toString)
+    val rows = raw.collect() // must not throw
+    assert(rows.length == 5, s"got ${rows.length}")
+    // the short row parses its present prefix and NULL-pads the rest
+    val short = rows.find(r => Option(r.getAs[String]("uid"))
+      .contains("CuShort")).get
+    assert(short.isNullAt(short.fieldIndex("proto")))
+    // the junk-numeric row keeps its parseable strings, nulls the rest
+    val junk = rows.find(r => Option(r.getAs[String]("uid"))
+      .contains("CuX")).get
+    assert(junk.isNullAt(junk.fieldIndex("id.orig_p")))
+    assert(junk.getAs[String]("conn_state") == "SF")
+    // the long row (good + 3 extra fields) must DROP the excess, not
+    // shift: its label column still reads Benign like the good row's
+    // (a shift would push EXTRA1 into label on one of them)
+    assert(rows.count(_.getAs[String]("label") == "Benign") == 2)
+    // and the full reference transform program stays total over all 5
+    val out = iot.Transforms.transform(raw)
+    assert(out.count() == 5)
+    val spark2 = spark; import spark2.implicits._
+    assert(out.filter($"uid" === "Cu0/1").count() == 2) // good + long row
+  }
+
+  test("JSON envelope seam: corrupt payloads, empty objects, and NULL " +
+    "values become NULL-field rows — never an exception (the " +
+    "quarantine-by-filter contract)") {
+    val spark2 = spark; import spark2.implicits._
+    val raw = Seq(
+      """{"event_id": 1, "ts": 1700000000000000, "user_id": 7,""" +
+        """ "event_type": "click", "value": 1.5, "props": "{}"}""",
+      "this is not json at all",
+      "{\"unterminated\": ",
+      "{}",
+      null.asInstanceOf[String],
+      "[1,2,3]" // valid JSON, wrong shape
+    ).toDF("value")
+    val parsed = streaming.EventStream.parseEventsJson(raw).collect()
+    assert(parsed.length == 6) // every poison row SURVIVES
+    val ok = parsed.filter(r => !r.isNullAt(0))
+    assert(ok.length == 1 && ok.head.getAs[Long]("event_id") == 1L)
+    // every other row is all-NULL — filterable, never throwing
+    assert(parsed.count(r => r.isNullAt(0) && r.isNullAt(1)) == 5)
+  }
+
+  test("media decoders: garbage, truncated, and empty blobs yield " +
+    "NULL (BMP header checks) or zero-stats (PCM past-header scan) " +
+    "or NULL byte-reads (substr/hex/conv past end) — never a throw") {
+    val spark2 = spark; import spark2.implicits._
+    val blobs = Seq(
+      Array.empty[Byte],
+      Array[Byte](1, 2, 3),
+      "BM".getBytes ++ Array.fill[Byte](10)(0), // BMP magic, truncated
+      Array.fill[Byte](1024)(-86), // 0xAA junk
+      "RIFF1234WAVE".getBytes // WAV-ish prefix, no data
+    ).toDF("bin")
+    // native kernels via their registered SQL names
+    functions.GraftFunctions.register(spark)
+    val kern = blobs.select(
+      expr("bmp_stats(bin)").as("bmp"),
+      expr("pcm16_stats(bin)").as("pcm")).collect()
+    assert(kern.length == 5) // no kernel threw
+    assert(kern.forall(r => r.isNullAt(0) || r.getAs[Any]("bmp") != null))
+    // BMP: all five are malformed -> NULL
+    assert(kern.forall(_.isNullAt(0)))
+    // PCM: shorter than the 44-byte header -> zero samples, not a throw
+    val pcmEmpty = kern.head.getSeq[Long](1)
+    assert(pcmEmpty.head == 0L)
+    // declarative byte reader: reading past a short blob's end is
+    // NULL (conv(hex('')) -> NULL), never a range error; the one blob
+    // long enough (the 1 KiB 0xAA junk) reads its true byte — the
+    // positive control proving the reader actually read
+    val r = blobs.select(
+      conv(hex(col("bin").substr(lit(100), lit(1))), 16, 10)
+        .cast("long").as("b100")).collect()
+    assert(r.length == 5)
+    assert(r.count(_.isNullAt(0)) == 4)
+    assert(r.exists(x => !x.isNullAt(0) && x.getLong(0) == 0xAAL))
+  }
+}
