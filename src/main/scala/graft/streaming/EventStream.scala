@@ -123,6 +123,20 @@ object EventStream {
         col("e.value").as("value"),
         col("e.props").as("props"))
 
+  /** The well-formed/dead-letter split for [[parseEventsJson]]'s
+    * quarantine rows (all-NULL on poison). Measured posture
+    * (PoisonInputSpec): a NULL-event-time row reaching a windowed
+    * streaming aggregation does NOT leak state — Spark's `window()`
+    * rewrite filters null-window rows, so the poison row contributes
+    * no output row and no state row. The hazard is the opposite one:
+    * the poison VANISHES SILENTLY. A pipeline that must account for
+    * every message (audit, replay, loss budgets) splits BEFORE the
+    * aggregation — `wellFormed` feeds the window,
+    * `df.filter(col("event_id").isNull)` is the dead-letter branch
+    * that makes the drop observable. */
+  def wellFormed(parsed: DataFrame): DataFrame =
+    parsed.filter(col("event_id").isNotNull && col("ts").isNotNull)
+
   /** Config-driven head (ConfigSession map): `source.format` picks the
     * connector (default parquet), `source.path` the file dir,
     * `source.option.*` passes connector options verbatim — a kafka

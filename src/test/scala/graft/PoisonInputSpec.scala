@@ -92,6 +92,58 @@ class PoisonInputSpec extends SparkTestBase {
     assert(parsed.count(r => r.isNullAt(0) && r.isNullAt(1)) == 5)
   }
 
+  test("streaming: a poison row reaching a windowed aggregation is " +
+    "DROPPED SILENTLY (the window() rewrite filters null windows — " +
+    "measured: no state leak, no output row), so accounting for every " +
+    "message requires the wellFormed/dead-letter split BEFORE the agg") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    val spark2 = spark; import spark2.implicits._
+    def envelope(id: Long, tsMs: Long): String =
+      s"""{"event_id": $id, "ts": ${tsMs * 1000000}, "user_id": 1,""" +
+        s""" "event_type": "click", "value": 1.0, "props": "{}"}"""
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00").getTime
+    def run(gate: Boolean, name: String): (Long, Long) = {
+      val mem = MemoryStream[String](spark)
+      val parsed = streaming.EventStream.parseEventsJson(mem.toDF())
+      val head = if (gate) streaming.EventStream.wellFormed(parsed)
+        else parsed
+      val q = head.withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "1 hour")).count()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Update()).start()
+      try {
+        // batch 1: one poison + one real event at 10:00
+        mem.addData("totally not json", envelope(1, t0))
+        q.processAllAvailable()
+        // batches 2+3: real events 3h later — watermark passes the
+        // 10:00 window, which evicts in the batch AFTER the advance
+        mem.addData(envelope(2, t0 + 3 * 3600 * 1000))
+        q.processAllAvailable()
+        mem.addData(envelope(3, t0 + 3 * 3600 * 1000 + 60000))
+        q.processAllAvailable()
+        val state = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+        val nullWins = spark.sql(s"SELECT * FROM $name")
+          .filter(col("window").isNull).count()
+        (state, nullWins)
+      } finally q.stop()
+    }
+    // ungated: the poison row leaves NO state row (only the live
+    // 13:00 window remains — real windows still evict) and NO
+    // null-window output row: dropped without a trace
+    assert(run(gate = false, "poison_drop") == ((1L, 0L)))
+    // the gate changes nothing numerically — its value is making the
+    // dead-letter branch (filter event_id IS NULL) observable
+    assert(run(gate = true, "poison_gated") == ((1L, 0L)))
+    // the same drop happens in BATCH windowed aggs: null ts rows
+    // vanish from window groups rather than forming a null group
+    val batch = Seq(("2024-01-01 10:00:00", 1),
+      (null.asInstanceOf[String], 2))
+      .toDF("s", "v").select(col("v"), col("s").cast("timestamp").as("ts"))
+      .groupBy(window(col("ts"), "1 hour")).count().collect()
+    assert(batch.length == 1 && !batch.head.isNullAt(0))
+  }
+
   test("media decoders: garbage, truncated, and empty blobs yield " +
     "NULL (BMP header checks) or zero-stats (PCM past-header scan) " +
     "or NULL byte-reads (substr/hex/conv past end) — never a throw") {
