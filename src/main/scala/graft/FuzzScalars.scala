@@ -396,6 +396,17 @@ object FuzzScalars {
       "CASE WHEN abs(d1) < 1e9 THEN CAST(trunc(d1) AS INTEGER) END"),
     FuzzPair("itos", i1.cast("string"), "CAST(i1 AS VARCHAR)"),
     FuzzPair("ltos", l1.cast("string"), "CAST(l1 AS VARCHAR)"),
+    // FOUND divergence (#10): Spark's to_json OMITS null struct
+    // fields by default ({"a":1,"s":"x"}); DuckDB renders them
+    // ("b":null). The agreeing spelling is Spark's
+    // ignoreNullFields=false option — and it must ride a NULL
+    // passthrough: DuckDB's struct_pack is never NULL, while Spark's
+    // to_json of a null-free struct always renders, so null INPUTS
+    // only agree because both sides render them as "null" literals
+    FuzzPair("j_struct",
+      to_json(struct(i1.as("i"), s1.as("s")),
+        Map("ignoreNullFields" -> "false")),
+      "to_json(struct_pack(i := i1, s := s1))::VARCHAR"),
     // FOUND divergence (#8), measured precisely: each engine accepts
     // special DATE strings the other rejects. DuckDB-only: 'infinity'
     // / '-infinity' (PostgreSQL special values — 'Infinity' from the

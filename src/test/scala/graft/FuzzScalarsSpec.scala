@@ -15,7 +15,7 @@ class FuzzScalarsSpec extends SparkTestBase {
   test("catalog is well-formed and every pair evaluates over the fixture") {
     val cat = FuzzScalars.catalog
     assert(cat.map(_.name).distinct.size == cat.size)
-    assert(cat.size >= 119)
+    assert(cat.size >= 120)
     assert(cat.forall(p => p.policy == "exact" ||
       p.policy.matches("ulp:[0-9]+")))
     val fix = FuzzScalars.fixture(spark, rows = 512)
@@ -99,6 +99,37 @@ class FuzzScalarsSpec extends SparkTestBase {
     val r = spark.range(1).select(
       array_join(slice(split(lit("a"), ",", -1), 2, 2), "|")).head()
     assert(!r.isNullAt(0) && r.getString(0) == "")
+  }
+
+  test("divergence #10 pin: Spark's to_json OMITS null struct fields " +
+    "by default (DuckDB renders them) — ignoreNullFields=false is the " +
+    "agreeing spelling the j_struct pair carries") {
+    val s = struct(lit(1).as("a"), lit(null).cast("int").as("b"))
+    val r = spark.range(1).select(
+      to_json(s).as("dflt"),
+      to_json(s, java.util.Collections.singletonMap(
+        "ignoreNullFields", "false")).as("keep")).head()
+    assert(r.getString(0) == """{"a":1}""")
+    assert(r.getString(1) == """{"a":1,"b":null}""")
+  }
+
+  test("why fsum exists: a raw double sum is ACCUMULATION-ORDER-" +
+    "dependent (1e16 + 1 - 1e16 is 0.0 or 1.0 by ordering), so only " +
+    "the floored-BIGINT fold is a lawful cross-engine aggregate") {
+    val spark2 = spark; import spark2.implicits._
+    // 2^53: the first double whose +1 is absorbed (spacing 2), while
+    // -(2^53) + 1 = -(2^53 - 1) is still exactly representable
+    val big = 9007199254740992.0
+    val vals = Seq(big, 1.0, -big)
+    def sumInOrder(xs: Seq[Double]): Double =
+      xs.toDF("v").coalesce(1).agg(sum(col("v"))).head().getDouble(0)
+    val asc = sumInOrder(vals.sorted) // -2^53 + 1.0 survives -> 1.0
+    val given = sumInOrder(vals) // 2^53 + 1.0 absorbs the 1.0 -> 0.0
+    assert(asc == 1.0 && given == 0.0)
+    // the fsum idiom is order-immune: BIGINT partials are exact (the
+    // idiom's floor(x*1e6) bound keeps magnitudes inside Long)
+    val l = Seq(1e10, 1.0, -1e10).map(v => (v * 1e6).toLong)
+    assert(l.sum == l.reverse.sum && l.sum == 1000000L)
   }
 
   test("agreement pins the catalog leans on: chr() matches DuckDB " +
