@@ -362,10 +362,33 @@ object MlOps {
   }
 
   /** q162 — IVF→PQ→re-rank as registered: nprobe=2 of the K=8 trained
-    * lists, 40-candidate ADC shortlist, exact top-10. Rows-only;
-    * recall-gated in MlOpsSpec at ≥ the q139 gate. */
-  def q162IvfPqAnn(s: SparkSession, dir: String): DataFrame =
-    ivfPqAnn(s, dir, nprobe = 2, shortlist = 40, k = 10)
+    * lists, CORPUS-SCALED ADC shortlist, exact top-10. Rows-only;
+    * recall-gated in MlOpsSpec at ≥ the q139 gate.
+    *
+    * Why the shortlist scales (round-12 recall-vs-scale measurement,
+    * PERF addendum 7): a FIXED 40-candidate shortlist was ~all of a
+    * 500-vector corpus's probed lists but a thin distorted slice at
+    * 2,000 (recall@10 decayed 0.38 at sf0.1), and the decomposition
+    * showed the loss is entirely the PQ stage — at nprobe=2, shortlist
+    * 40→400 took recall 0.38→0.94, while RAISING nprobe at a fixed
+    * shortlist made recall WORSE (more candidates competing for the
+    * same slots on distorted 32-bit ADC scores). So the registered
+    * config derives shortlist = max(40, ⌈n/5⌉) from a 1-row corpus
+    * count (the bounded-model-state precedent, same as q47's adaptive
+    * width): recall holds ≥0.9 at every local SF, and the rerank stage
+    * stays a (queries × shortlist) bounded frame. The production
+    * escalation at corpus sizes where n/5 is too expensive to rerank
+    * is a RICHER PQ code (more subspaces/bits lowers distortion, so a
+    * k-proportional shortlist suffices) — the shortlist dial
+    * compensates for code quality, and this demo's 8×16 code is
+    * deliberately small. */
+  def q162IvfPqAnn(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir)
+      .filter(col("embedding").isNotNull)
+      .agg(count(lit(1))).head().getLong(0)
+    val shortlist = math.max(40, math.ceil(n / 5.0).toInt)
+    ivfPqAnn(s, dir, nprobe = 2, shortlist = shortlist, k = 10)
+  }
 
   /** Probe-volume audit seam for the 10x stress spec: under the q162
     * configuration (nprobe=2 of the K=8 trained lists), how many
