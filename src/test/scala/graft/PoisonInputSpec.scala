@@ -144,6 +144,56 @@ class PoisonInputSpec extends SparkTestBase {
     assert(batch.length == 1 && !batch.head.isNullAt(0))
   }
 
+  test("JDBC sink type-edge posture: unicode identifiers, extreme " +
+    "longs, and an all-null row round-trip EXACTLY through the " +
+    "embedded database; a smuggled NaN fails LOUDLY (no silent " +
+    "coercion) — the egress side of the poison matrix") {
+    System.setProperty("derby.system.home",
+      java.nio.file.Files.createTempDirectory("graft_derby_edge").toString)
+    val cfg = Map(
+      "clickhouse.jdbc_url" -> "jdbc:derby:memory:graftedge;create=true",
+      "clickhouse.driver" -> "org.apache.derby.jdbc.EmbeddedDriver",
+      "clickhouse.table" -> "IOT_EDGE",
+      "clickhouse.batchsize" -> "2")
+    val dir = java.nio.file.Files.createTempDirectory("poison_jdbc")
+    val header = iot.IotSchema.raw.fields.map(_.name).mkString(",")
+    def row(uid: String, missed: String): String =
+      s"$uid,10.0.0.1,1024,10.0.0.2,80,tcp,http," +
+        s"0 days 00:00:03.148000,10,20,SF,T,F,$missed,ShADad,5,500,4," +
+        "400,-,Benign,-"
+    val rows = Seq(
+      row("C-日本-𝒜-é", "9223372036854775807"), // unicode uid, Long.Max
+      row("C-neg", "-9223372036854775807"),
+      ",,,,,,,,,,,,,,,,,,,,,") // every column null
+    java.nio.file.Files.writeString(dir.resolve("conn.csv"),
+      (header +: rows).mkString("\n"))
+    val out = iot.Transforms.transform(
+      iot.IotPipeline.readCsv(spark, dir.toString))
+    assert(iot.IotPipeline.writeJdbc(out, cfg))
+    val back = spark.read.format("jdbc")
+      .option("url", "jdbc:derby:memory:graftedge;create=true")
+      .option("user", "default").option("dbtable", "IOT_EDGE").load()
+    // exact fidelity: same canonical row set, unicode and extremes intact
+    def canon(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.select(out.columns.map(org.apache.spark.sql.functions.col): _*)
+        .collect().map(_.toString).toSet
+    assert(canon(back) == canon(out))
+    assert(back.collect().exists(r =>
+      Option(r.getAs[String]("uid")).contains("C-日本-𝒜-é") &&
+        r.getAs[Long]("missed_bytes") == Long.MaxValue))
+    // float specials: Derby (like most ANSI stores) REJECTS NaN — the
+    // sink must fail loudly, never coerce; the shipped transform can't
+    // produce NaN (regex-anchored parse → finite or NULL), so the
+    // throw is the correct posture for a smuggled one
+    val poisoned = out.limit(1).withColumn("duration_sec",
+      org.apache.spark.sql.functions.lit(Double.NaN).cast("float"))
+    val thrown = intercept[Exception] {
+      iot.IotPipeline.writeJdbc(poisoned, cfg.updated(
+        "clickhouse.table", "IOT_EDGE_NAN"))
+    }
+    assert(thrown != null)
+  }
+
   test("media decoders: garbage, truncated, and empty blobs yield " +
     "NULL (BMP header checks) or zero-stats (PCM past-header scan) " +
     "or NULL byte-reads (substr/hex/conv past end) — never a throw") {
