@@ -89,7 +89,20 @@ object DeltaLog {
     if (!fs.exists(root)) -1L
     else fs.listStatus(root).iterator.map(_.getPath.getName)
       .filter(_.startsWith(MarkerPrefix))
-      .map(_.stripPrefix(MarkerPrefix).toLong)
+      .map { name =>
+        // the protocol can never leave a malformed marker (staged
+        // names don't share the prefix; rename is atomic), so one can
+        // only mean external interference — fail LOUDLY with the
+        // offending name rather than a bare NumberFormatException or,
+        // worse, skipping it and silently reading a stale hwm
+        try name.stripPrefix(MarkerPrefix).toLong
+        catch { case _: NumberFormatException =>
+          throw new IllegalStateException(
+            s"malformed compaction marker '$name' in $root — the " +
+              "store's integrity metadata has been tampered with or " +
+              "corrupted; refusing to guess the high-water mark")
+        }
+      }
       .foldLeft(-1L)(math.max)
 
   /** Raw `_batch_id=<n>` partition ids currently on disk. */

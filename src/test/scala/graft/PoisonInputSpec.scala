@@ -194,6 +194,42 @@ class PoisonInputSpec extends SparkTestBase {
     assert(thrown != null)
   }
 
+  test("internal state integrity: a corrupted store file FAILS LOUDLY " +
+    "— a truncated parquet propagates a read error (and never " +
+    "masquerades as an empty store), and a malformed compaction " +
+    "marker refuses with a named error instead of a guessed " +
+    "high-water mark") {
+    val spark2 = spark; import spark2.implicits._
+    // corrupt-data posture: truncate one committed parquet file
+    val store = java.nio.file.Files.createTempDirectory("poison_dl").toString
+    streaming.DeltaLog.writeBatch(
+      Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), 0L, store)
+    streaming.DeltaLog.writeBatch(
+      Seq((3L, 30L)).toDF("k", "v"), 1L, store)
+    assert(streaming.DeltaLog.read(spark, store).count() == 3)
+    val part = new java.io.File(s"$store/_batch_id=0").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.write(part.toPath, Array.fill[Byte](10)(0))
+    // ...the store is NOT "empty" (emptiness must never absorb
+    // corruption — the ChunkStoreIngest gating contract)
+    assert(!streaming.DeltaLog.isEmpty(spark, store))
+    // ...and reading it propagates a failure instead of partial state
+    intercept[Exception] {
+      streaming.DeltaLog.read(spark, store).collect()
+    }
+    // malformed-marker posture: external interference in the
+    // integrity metadata names itself in the error
+    val store2 = java.nio.file.Files.createTempDirectory("poison_dl2").toString
+    streaming.DeltaLog.writeBatch(
+      Seq((1L, 10L)).toDF("k", "v"), 0L, store2)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(store2, "_compact_hwm_junk"), "")
+    val e = intercept[IllegalStateException] {
+      streaming.DeltaLog.read(spark, store2).collect()
+    }
+    assert(e.getMessage.contains("_compact_hwm_junk"))
+  }
+
   test("media decoders: garbage, truncated, and empty blobs yield " +
     "NULL (BMP header checks) or zero-stats (PCM past-header scan) " +
     "or NULL byte-reads (substr/hex/conv past end) — never a throw") {
