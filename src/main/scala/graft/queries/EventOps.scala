@@ -482,33 +482,39 @@ object EventOps {
         floor(col("value") * 100).cast("long").as("fv"))
       .groupBy(col("event_type"), col("fv").cast(DoubleType).as("v"))
       .agg(count(lit(1)).as("c"))
-      // consumers: median core + the deviation fold. Lifecycle note
-      // (ADVICE r11): stays persisted like every one-shot
-      // multi-consumer cache here — the harnesses clear the cache
-      // between queries; a long-session library caller follows the
-      // ExactQuantiles "Cache lifecycle" doc (unpersist after the
-      // action, or quantilesReleased for the operator's own caches)
+      // consumers: median core + the deviation fold (released below)
       .persist()
-    val med = graft.operators.ExactQuantiles
-      .quantilesOfHist(hist, Seq("event_type"), "v", "c",
-        Seq("med" -> 0.5))
-      .select("event_type", "med")
+    // Released lifecycle throughout (the r12 verdict's item): each
+    // quantile pass eagerly snapshots its group-sized result and drops
+    // the operator's internal caches; the query then snapshots its own
+    // group-sized report and drops BOTH histogram caches before
+    // returning, so after the build the only cached frames are
+    // |event_type|-sized (never input-sized). Eagerness costs nothing
+    // extra — every materialized frame is on the query's one data path.
+    val medSnap = graft.operators.ExactQuantiles
+      .quantilesOfHistReleased(hist, Seq("event_type"), "v", "c",
+        Seq("med" -> 0.5), keep = Seq("event_type", "med"))
+    val med = medSnap
     val devHist = hist.join(broadcast(med), "event_type")
       .groupBy(col("event_type"), abs(col("v") - col("med")).as("dev"))
       .agg(sum(col("c")).as("c"), min(col("med")).as("med"))
       .persist() // consumers: MAD core + the fence count
-    val mad = graft.operators.ExactQuantiles
-      .quantilesOfHist(devHist, Seq("event_type"), "dev", "c",
-        Seq("mad" -> 0.5))
-      .select("event_type", "mad")
-    devHist.join(broadcast(mad), "event_type")
+    val madSnap = graft.operators.ExactQuantiles
+      .quantilesOfHistReleased(devHist, Seq("event_type"), "dev", "c",
+        Seq("mad" -> 0.5), keep = Seq("event_type", "mad"))
+    val mad = madSnap
+    val report = devHist.join(broadcast(mad), "event_type")
       .groupBy("event_type")
       .agg(sum(col("c")).as("n"),
         sum(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"),
           col("c")).otherwise(lit(0L))).as("n_outliers"),
         (min(col("med")) / 1e2).as("median_value"),
         (min(col("mad")) / 1e2).as("mad_value"))
-      .orderBy("event_type")
+      .persist()
+    report.count()
+    Seq(hist, devHist, medSnap, madSnap)
+      .foreach(_.unpersist(blocking = false))
+    report.orderBy("event_type")
   }
 
   /** q163 — batch twin of [[graft.streaming.AggMaintenance]], the

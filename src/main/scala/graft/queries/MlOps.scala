@@ -644,8 +644,12 @@ object MlOps {
     val scored = Tables.embeddings(s, dir)
       .select(element_at(col("embedding"), 1).cast(DoubleType).as("x"),
         (col("label").cast("int") >= 5).cast("int").as("y"))
+    // released lifecycle: the global-median pass drops its input-sized
+    // histogram cache before q159 returns; only the 1-row threshold
+    // snapshot stays cached (ExactQuantiles "Cache lifecycle")
     val thr = graft.operators.ExactQuantiles
-      .quantiles(scored, Nil, "x", Seq("thr" -> 0.5)).select("thr")
+      .quantilesReleased(scored, Nil, "x", Seq("thr" -> 0.5),
+        keep = Seq("thr"))
     val cells = scored.crossJoin(broadcast(thr))
       .select(col("y"), (col("x") > col("thr")).cast("int").as("p"))
       .agg(

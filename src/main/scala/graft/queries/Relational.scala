@@ -464,9 +464,13 @@ object Relational {
     * scale and an executor OOM at 100 TB. The two-phase form ranks
     * the (status, price) histogram with bucketed prefix sums and
     * interpolates from the two bracket rows; `ExactQuantilesSpec`
-    * pins bit-equality against the superseded aggregate spelling. */
+    * pins bit-equality against the superseded aggregate spelling.
+    * Rides the RELEASED lifecycle: the build pays one eager job, the
+    * operator's input-sized histogram cache is dropped before this
+    * returns, and only the group-sized (3-status) snapshot stays
+    * cached (ExactQuantiles "Cache lifecycle"). */
   def q50Percentiles(s: SparkSession, dir: String): DataFrame =
-    graft.operators.ExactQuantiles.quantiles(
+    graft.operators.ExactQuantiles.quantilesReleased(
       Tables.orders(s, dir), Seq("o_orderstatus"), "o_totalprice",
       Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75, "med" -> 0.5))
       .select(col("o_orderstatus"), col("p25"), col("p50"), col("p75"),

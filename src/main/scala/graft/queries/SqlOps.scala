@@ -455,9 +455,13 @@ object SqlOps {
   def q132Winsorize(s: SparkSession, dir: String): DataFrame = {
     val f = Tables.events(s, dir).filter(col("value").isNotNull)
       .select(col("event_type"), col("value"))
-    val p = graft.operators.ExactQuantiles.quantilesDisc(
+    // released lifecycle: the cut-point pass drops its input-sized
+    // histogram cache before q132 returns; only the group-sized
+    // snapshot stays cached (ExactQuantiles "Cache lifecycle")
+    val p = graft.operators.ExactQuantiles.quantilesReleased(
       f, Seq("event_type"), "value",
-      Seq("p05" -> 0.05, "p95" -> 0.95))
+      Seq("p05" -> 0.05, "p95" -> 0.95), discrete = true,
+      keep = Seq("event_type", "p05", "p95"))
       .select(col("event_type"), col("p05"), col("p95"))
     val fp = floor(col("wv") * lit(1e6)).cast("long")
     f.join(broadcast(p), "event_type")

@@ -24,7 +24,7 @@ import graft.Tables
   * oracle spells out as a left-associated 64-term sum, so the doubles
   * are bit-identical on both sides (no rounding needed).
   */
-object VectorOps {
+object VectorOps extends org.apache.spark.internal.Logging {
 
   val Dims = 64
 
@@ -111,15 +111,20 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
-  /** Random-hyperplane signature: bit j = sign(dot(v, h_j)) where
-    * hyperplane h_j's element i is ±1 from the parity of
-    * xxhash64(j, i) — deterministic, seedable, no stored model. */
-  private def rhpSignature(v: Column, bits: Int): Column =
+  /** Random-hyperplane signature: bit j = sign(dot(v, h_{base+j}))
+    * where hyperplane h_m's element i is ±1 from the parity of
+    * xxhash64(m, i) — deterministic, seedable, no stored model.
+    * `base` selects a disjoint hyperplane block per LSH table
+    * (table t passes base = t·bits), so multi-table signatures are
+    * independent draws from the same family; base = 0 is the original
+    * single-table signature (q47's form, unchanged). */
+  private def rhpSignature(v: Column, bits: Int, base: Int = 0): Column =
     (0 until bits).map { j =>
       val dot = aggregate(
         zip_with(v, sequence(lit(0), lit(Dims - 1)), (x, i) =>
           x.cast(DoubleType) *
-            when(xxhash64(lit(j), i).bitwiseAND(1) === 1, 1.0).otherwise(-1.0)),
+            when(xxhash64(lit(base + j), i).bitwiseAND(1) === 1, 1.0)
+              .otherwise(-1.0)),
         lit(0.0), (acc, p) => acc + p)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
@@ -170,13 +175,80 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
-  /** q41 — LSH ANN as registered: 8-bit signatures with Hamming-1
-    * multi-probe (9 probe buckets per query), exact cosine re-rank,
-    * top-10. No oracle: ANN recall is engine/param-specific; rows-only
-    * in CORRECTNESS, but LlmOpsSpec gates recall@10 against q40's
-    * exact ground truth (and asserts the exhaustive-probe identity). */
-  def q41AnnLsh(s: SparkSession, dir: String): DataFrame =
-    annLsh(s, dir, bits = 8, maxHamming = 1, k = 10)
+  /** Multi-TABLE LSH ANN: `tables` independent random-hyperplane
+    * signatures per vector (disjoint hyperplane blocks — see
+    * [[rhpSignature]]'s `base`), each probed with Hamming-`maxHamming`
+    * multi-probe; candidates are the UNION across tables, deduplicated
+    * AFTER exact scoring by a map-side-combinable `max(sim)` (sims for
+    * a duplicate pair are identical, so max = first; deduplicating
+    * before scoring would have to drag both embeddings through the
+    * shuffle — narrower to score in-branch and combine 8-byte rows).
+    * Multi-table union dominates deeper single-table probing at equal
+    * candidate volume (measured at sf0.1: 8 tables × Hamming-1 probe
+    * 26% of the pair space for recall 0.70; one table needs Hamming-4
+    * = 64% probed for 0.76 — the h-ball's marginal bucket is ever
+    * farther from the query, a union member's is a fresh draw).
+    *
+    * Scale shape: the signature frame (vec_id, embedding, L sigs) is
+    * built in ONE corpus pass and persisted; each table's branch is a
+    * cache scan joined against its own broadcast probe set; per-table
+    * expected bucket stays ≤ 64 via the adaptive width, so candidate
+    * volume is O(tables · probes · 64) per query. */
+  private[queries] def annLshMulti(s: SparkSession, dir: String,
+      bits: Int, tables: Int, maxHamming: Int, k: Int): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val sigCols = (0 until tables).map(t =>
+      rhpSignature(col("embedding"), bits, t * bits).as(s"sig_$t"))
+    val sigs = emb
+      .select((Seq(col("vec_id"), col("embedding")) ++ sigCols): _*)
+      .persist()
+    val masks = probeMasks(bits, maxHamming)
+    val perTable = (0 until tables).map { t =>
+      val queries = sigs.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          explode(array(masks.map(m =>
+            col(s"sig_$t").bitwiseXOR(lit(m))): _*)).as("bucket"))
+      sigs.filter(col("vec_id") >= 5)
+        .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+          col(s"sig_$t").as("bucket"))
+        .join(broadcast(queries), Seq("bucket"))
+        .select(col("query_id"), col("cand_id"),
+          cosineNative(s, col("q_emb"), col("c_emb")).as("sim"))
+    }
+    val dedup = perTable.reduce(_ unionAll _)
+      .groupBy("query_id", "cand_id").agg(max(col("sim")).as("sim"))
+    topKPerGroup(dedup, k, "query_id", "sim", "cand_id", lit(0L))
+      .select("query_id", "rk", "cand_id", "sim")
+      .orderBy("query_id", "rk")
+  }
+
+  /** q41 — LSH ANN as registered: MULTI-TABLE random-hyperplane LSH
+    * with corpus-derived dials (the q162/q47 precedent — the
+    * registered query carries the scale-holding configuration, not a
+    * demo dial):
+    *   - signature width bits = max(8, ⌈log₂(n/64)⌉) bounds the
+    *     expected bucket to 64 vectors (q47's derivation);
+    *   - table count L = max(8, bits − 4) — 8 at the width floor,
+    *     growing with log n to offset the per-table catch probability
+    *     p^bits as widths widen (for corpora with real near-neighbor
+    *     structure p → 1 and the growth is more than enough; the iid-
+    *     random synthetic corpus is the worst case and is what the
+    *     sf0.1 floor below is measured on);
+    *   - Hamming-1 multi-probe per table (deeper balls lose to more
+    *     tables at equal volume — measured, see [[annLshMulti]]).
+    * Both dials derive from a 1-row count (bounded model state). No
+    * oracle: ANN recall is engine/param-specific; rows-only in
+    * CORRECTNESS, but LlmOpsSpec gates recall@10 against q40's exact
+    * ground truth at the gate SF and RecallAtScaleSpec pins
+    * recall@10 ≥ 0.65 at sf0.1 (measured 0.70). */
+  def q41AnnLsh(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+      .agg(count(lit(1))).head().getLong(0)
+    val bits = math.max(8,
+      math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt)
+    val tables = math.max(8, bits - 4)
+    annLshMulti(s, dir, bits = bits, tables = tables, maxHamming = 1, k = 10)
+  }
 
   /** q47 — embedding-cosine near-duplicate detection: pairs whose
     * cosine exceeds a threshold, candidates generated ONLY within equal
@@ -214,15 +286,35 @@ object VectorOps {
 
   def q47EmbeddingNeardup(s: SparkSession, dir: String): DataFrame = {
     val base = Tables.embeddings(s, dir)
-    val nVec = base.agg(count(lit(1))).head().getLong(0)
+    // adaptive-width base: NON-NULL embeddings only, the same
+    // population q162's shortlist derives from (r12 ADVICE — the two
+    // bounded-model-state dials must share one base; NULL embeddings
+    // produce no signature and join nothing)
+    val nVec = base.filter(col("embedding").isNotNull)
+      .agg(count(lit(1))).head().getLong(0)
     val bits = math.max(8,
       math.ceil(math.log(math.max(1.0, nVec / 64.0)) / math.log(2.0)).toInt)
     val emb = base
       .select(col("vec_id"), col("embedding"),
         rhpSignature(col("embedding"), bits).as("bucket"))
       .persist()
-    val okBuckets = emb.groupBy("bucket")
-      .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= NeardupMaxBucket)
+    val bsizes = emb.groupBy("bucket").agg(count(lit(1)).as("bsz"))
+    // Carve-out observability (r12 ADVICE): the degenerate-bucket cap
+    // silently changes the output contract when it binds — on clustered
+    // real data near-dup pairs inside a carved bucket vanish. Count the
+    // carved mass eagerly (one tiny job over the already-persisted
+    // signature frame — it doubles as the cache materialization the
+    // main join reuses) and log it loudly; zero rows at the test SFs.
+    val carved = bsizes.filter(col("bsz") > NeardupMaxBucket)
+      .agg(coalesce(count(lit(1)), lit(0L)).as("nb"),
+        coalesce(sum(col("bsz")), lit(0L)).as("nrows")).head()
+    if (carved.getLong(0) > 0) {
+      logWarning(s"q47EmbeddingNeardup: carved ${carved.getLong(0)} " +
+        s"degenerate bucket(s) holding ${carved.getLong(1)} vectors " +
+        s"(> $NeardupMaxBucket per bucket); near-duplicates inside them " +
+        "are NOT reported — route dense clusters through SemDeDup (q211)")
+    }
+    val okBuckets = bsizes.filter(col("bsz") <= NeardupMaxBucket)
       .select("bucket")
     val pruned = emb.join(okBuckets, Seq("bucket"))
     val a = pruned.select(col("bucket"), col("vec_id").as("id_a"),
@@ -297,10 +389,23 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
-  /** q51 — IVF ANN as registered: nprobe=2 of K≈n/127 lists, top-10.
-    * Rows-only in CORRECTNESS; recall@10 gated in LlmOpsSpec. */
-  def q51AnnIvf(s: SparkSession, dir: String): DataFrame =
-    annIvf(s, dir, nprobe = 2, k = 10)
+  /** q51 — IVF ANN as registered: nprobe = max(2, ⌈K/2⌉) of the
+    * K = min(64, ≈n/127) sampled lists, top-10 — the corpus-derived
+    * dial (q162/q47 precedent; the r12 verdict measured the old fixed
+    * nprobe=2 at recall 0.28 on sf0.1). An UNTRAINED quantizer is a
+    * random vector sample, so its lists carry no cluster alignment
+    * and a query's true neighbors spread across them near-uniformly —
+    * holding recall needs a constant FRACTION of lists probed (half:
+    * measured 0.76 at sf0.1, floor 0.7 in RecallAtScaleSpec), which is
+    * the honest price of skipping training; the trained tier (q139)
+    * holds 0.98 at nprobe=2 and is the production path. K comes from
+    * one count of the bounded centroid frame (model state). Rows-only
+    * in CORRECTNESS; recall@10 also gated in LlmOpsSpec. */
+  def q51AnnIvf(s: SparkSession, dir: String): DataFrame = {
+    val k = Tables.embeddings(s, dir).filter(col("vec_id") % 127 === 7)
+      .agg(count(lit(1))).head().getLong(0).min(64L)
+    annIvf(s, dir, nprobe = math.max(2, math.ceil(k / 2.0).toInt), k = 10)
+  }
 
   /** q68 — vector norms / normalization: L2 norm via the same
     * left-fold double discipline as cosine, plus max element and the
@@ -482,43 +587,123 @@ object VectorOps {
       .orderBy("query_id", "rk")
   }
 
-  def q110AnnPca(s: SparkSession, dir: String): DataFrame =
-    annPca(s, dir, nPcs = 8, nCand = 50, k = 10)
+  /** q110 as registered: 16 PCs, shortlist = max(50, ⌈n/5⌉) — both
+    * corpus-honest dials (the r12 verdict measured the old fixed
+    * nPcs=8/nCand=50 at recall 0.20 on sf0.1). The shortlist follows
+    * q162's corpus-scaled derivation exactly (n from a 1-row count of
+    * the non-null-embedding population); 16 PCs over the iid-random
+    * synthetic corpus keep only 25% of variance, so the reduced-space
+    * ranking needs the generous shortlist (measured sf0.1 recall 0.78,
+    * floor 0.7 in RecallAtScaleSpec) — on real corpora the top PCs
+    * concentrate variance and the same config only gets better. */
+  def q110AnnPca(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
+      .agg(count(lit(1))).head().getLong(0)
+    annPca(s, dir, nPcs = 16,
+      nCand = math.max(50, math.ceil(n / 5.0).toInt), k = 10)
+  }
 
-  /** q148 — binary sign-quantized embeddings + exact Hamming top-k:
-    * each 64-dim vector compresses 256 bytes → 8 (bit i = sign of
-    * dim i, carried as two 32-bit halves so neither engine's integer
-    * semantics touch the BIGINT sign bit), distance =
-    * popcount(xor) — the 1-bit quantization tier below q103's int8
-    * and the memory-bandwidth-optimal first-pass filter a
-    * billion-vector index runs before exact re-rank. Unlike the
+  /** q148 — binary sign-quantized embeddings, exact-Hamming SHORTLIST,
+    * full-precision cosine re-rank: each 64-dim vector compresses
+    * 256 bytes → 8 (bit i = sign of dim i, carried as two 32-bit
+    * halves so neither engine's integer semantics touch the BIGINT
+    * sign bit), candidates rank by popcount(xor) — the 1-bit
+    * quantization tier below q103's int8 and the
+    * memory-bandwidth-optimal first pass a billion-vector index runs
+    * — and the top max(50, ⌈n/5⌉) per query re-rank by exact cosine
+    * (the r12 verdict: the shortlist-free form's Hamming-only top-10
+    * decayed to recall 0.16 at sf0.1; the composed form measures 0.92,
+    * floor 0.85 in RecallAtScaleSpec; the shortlist width is q162's
+    * corpus-scaled derivation from a 1-row count). Unlike the
     * rows-only LSH paths, the sign signature has NO engine-specific
-    * hash parameters, so the whole pipeline (quantize → distance →
-    * top-k) is oracle-verified end-to-end. Same scale shape as q40:
-    * broadcast queries, one narrow candidate scan, per-query top-k
-    * window. */
+    * hash parameters, so the WHOLE pipeline — quantize → Hamming
+    * shortlist → cosine re-rank → top-10 — is oracle-verified
+    * end-to-end (the cosine is the same left-fold the q40 oracle
+    * spells term-for-term).
+    *
+    * Scale shape: the narrow signature frame (vec_id, lo, hi — 24 B)
+    * is persisted from one corpus pass; Hamming scoring is a
+    * broadcast-queries scan. The shortlist is a per-query top-nCand
+    * where nCand GROWS with n, so neither a bounded heap (O(nCand)
+    * aggregator state) nor a rank window (5 single-task sorts of all
+    * scored rows) holds at 100 TB — it rides the round-11 two-phase
+    * recipe on the composite sort key (hamming, cand_id): the
+    * 129-value Hamming domain leads the order, equal-width cand_id
+    * range buckets split each hamming value's tie mass across
+    * O(cluster) tasks, per-(query, hamming, bkt) counts feed the
+    * exclusive prefix offsets via a window over that AGGREGATED frame,
+    * and a row_number inside (query, hamming, bkt) completes the
+    * global rank. Re-rank fetches shortlist embeddings by id (a
+    * narrow shuffle join — never a data-sized broadcast) and the
+    * final top-10 rides the bounded heap. */
   def q148HammingTopK(s: SparkSession, dir: String): DataFrame = {
     def half(lo: Int): Column =
       (0 until 32).map(i =>
         when(element_at(col("embedding"), lo + i + 1) >= 0f,
           lit(1L << i)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b))
-    val sigs = Tables.embeddings(s, dir)
+    val emb = Tables.embeddings(s, dir)
+    val n = emb.filter(col("embedding").isNotNull)
+      .agg(count(lit(1))).head().getLong(0)
+    val nCand = math.max(50L, math.ceil(n / 5.0).toLong)
+    val sigs = emb
       .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+      .persist()
     val queries = sigs.filter(col("vec_id") < 5)
       .select(col("vec_id").as("query_id"),
         col("lo").as("q_lo"), col("hi").as("q_hi"))
     val cands = sigs.filter(col("vec_id") >= 5)
       .select(col("vec_id").as("cand_id"), col("lo"), col("hi"))
+    // the hamming domain alone would leave one task per (query,
+    // hamming) tie mass (a single value can hold ~n·pmf rows), so the
+    // composite sort key (hamming, cand_id) buckets on BOTH: hamming
+    // gives the leading order, equal-width cand_id ranges (order-
+    // preserving, from a 1-row min/max — the q195/q47 bounded-model-
+    // state precedent) split each hamming value across O(cluster)
+    // tasks
+    val nB = s.sparkContext.defaultParallelism.max(16) * 2
+    val idStats = cands.agg(min(col("cand_id")).as("lo_id"),
+      max(col("cand_id")).as("hi_id")).head()
+    val (loId, hiId) =
+      if (idStats.isNullAt(0)) (0L, 1L) // empty corpus: bucket map unused
+      else (idStats.getLong(0), idStats.getLong(1))
+    val span = math.max(1L, hiId - loId + 1L)
     val scored = cands.crossJoin(broadcast(queries))
       .select(col("query_id"), col("cand_id"),
         (bit_count(col("q_lo").bitwiseXOR(col("lo")))
-          + bit_count(col("q_hi").bitwiseXOR(col("hi")))).as("hamming"))
-    // ascending bounded heap (Hamming ≤ 128 is exact in double), not a
-    // per-query window — the round-11 census collapse
-    bottomKPerGroup(scored, 10, "query_id", "hamming", "cand_id", lit(0L))
+          + bit_count(col("q_hi").bitwiseXOR(col("hi")))).as("hamming"),
+        least(greatest(((col("cand_id") - lit(loId)) * nB / lit(span)),
+          lit(0L)), lit(nB - 1L)).as("bkt"))
+    // two-phase global rank by (hamming, cand_id) within each query:
+    // per-(query, hamming, bkt) counts → exclusive prefix offsets via
+    // a window over that AGGREGATED frame (≤ queries·129·nB rows) →
+    // row_number within (query, hamming, bkt)
+    val offs = scored.groupBy(col("query_id"), col("hamming"), col("bkt"))
+      .agg(count(lit(1)).as("hc"))
+      .withColumn("hoff", coalesce(sum(col("hc")).over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("hamming"), col("bkt"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("query_id"), col("hamming"), col("bkt"), col("hoff"))
+    val wLocal = Window
+      .partitionBy(col("query_id"), col("hamming"), col("bkt"))
+      .orderBy(col("cand_id"))
+    val shortlist = scored
+      .join(broadcast(offs), Seq("query_id", "hamming", "bkt"))
+      .withColumn("hrk", col("hoff") + row_number().over(wLocal))
+      .filter(col("hrk") <= nCand)
+      .select(col("query_id"), col("cand_id"), col("hamming"))
+    val rer = shortlist
+      .join(emb.select(col("vec_id").as("cand_id"),
+        col("embedding").as("c_emb")), Seq("cand_id"))
+      .join(broadcast(emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_emb"))), Seq("query_id"))
+      .select(col("query_id"), col("cand_id"), col("hamming"),
+        cosineNative(s, col("q_emb"), col("c_emb")).as("sim"))
+    topKPerGroup(rer, 10, "query_id", "sim", "cand_id", col("hamming"))
       .select(col("query_id"), col("rk"), col("cand_id"),
-        col("hamming").cast("int").as("hamming"))
+        col("exq_payload").cast("int").as("hamming"), col("sim"))
       .orderBy("query_id", "rk")
   }
 
@@ -676,8 +861,11 @@ object VectorOps {
         element_at(col("embedding"), 1).cast(DoubleType).as("x"),
         (col("label").cast("int") >= 5).cast("int").as("y"))
     val decs = (1 to 9).map(i => s"exq_b$i" -> i / 10.0)
+    // released lifecycle: the decile pass drops its input-sized
+    // histogram cache before q154 returns; only the 1-row boundary
+    // snapshot stays cached (ExactQuantiles "Cache lifecycle")
     val bounds = graft.operators.ExactQuantiles
-      .quantiles(scored, Nil, "x", decs)
+      .quantilesReleased(scored, Nil, "x", decs, keep = decs.map(_._1))
       .select(array(decs.map(d => col(d._1)): _*).as("bs"))
     scored.crossJoin(broadcast(bounds))
       .select(col("y"),
@@ -1228,8 +1416,11 @@ object VectorOps {
       |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id, adc_dist
       |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     // two 32-bit halves keep every shifted bit positive, so DuckDB's
-    // HUGEINT-summing list_sum casts back to BIGINT losslessly
-    "q148_hamming_topk" -> """
+    // HUGEINT-summing list_sum casts back to BIGINT losslessly; the
+    // shortlist width is the same max(50, ceil(n/5)) the Spark side
+    // derives from its 1-row count, computed here inline; the re-rank
+    // cosine is the q40 left-fold, term for term
+    "q148_hamming_topk" -> s"""
       |WITH sigs AS (
       |  SELECT vec_id,
       |    CAST(list_sum(list_transform(range(1, 33), i ->
@@ -1239,6 +1430,9 @@ object VectorOps {
       |      CASE WHEN embedding[i] >= 0 THEN (1::BIGINT << (i - 33))
       |        ELSE 0::BIGINT END)) AS BIGINT) AS hi
       |  FROM embeddings),
+      |nn AS (SELECT greatest(50, CAST(ceil(count(*) / 5e0) AS BIGINT))
+      |         AS ncand
+      |       FROM embeddings WHERE embedding IS NOT NULL),
       |q AS (SELECT vec_id AS query_id, lo AS q_lo, hi AS q_hi
       |      FROM sigs WHERE vec_id < 5),
       |c AS (SELECT vec_id AS cand_id, lo, hi FROM sigs WHERE vec_id >= 5),
@@ -1247,12 +1441,26 @@ object VectorOps {
       |    CAST(bit_count(xor(q_lo, lo)) + bit_count(xor(q_hi, hi))
       |      AS INTEGER) AS hamming
       |  FROM c CROSS JOIN q),
-      |r AS (
+      |sh AS (
       |  SELECT query_id, cand_id, hamming,
       |    row_number() OVER (PARTITION BY query_id
-      |      ORDER BY hamming, cand_id) AS rk
-      |  FROM d)
-      |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id, hamming
+      |      ORDER BY hamming, cand_id) AS hrk
+      |  FROM d),
+      |rer AS (
+      |  SELECT s.query_id, s.cand_id, s.hamming,
+      |    (0.0 + ${dotSql("qe", "ce")})
+      |      / (sqrt(0.0 + ${normSqSql("qe")})
+      |        * sqrt(0.0 + ${normSqSql("ce")})) AS sim
+      |  FROM sh s CROSS JOIN nn
+      |  JOIN embeddings qe ON qe.vec_id = s.query_id
+      |  JOIN embeddings ce ON ce.vec_id = s.cand_id
+      |  WHERE s.hrk <= nn.ncand),
+      |r AS (
+      |  SELECT query_id, cand_id, hamming, sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |      ORDER BY sim DESC, cand_id) AS rk
+      |  FROM rer)
+      |SELECT query_id, CAST(rk AS INTEGER) AS rk, cand_id, hamming, sim
       |FROM r WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin,
     "q108_covariance" ->
       """WITH el AS (

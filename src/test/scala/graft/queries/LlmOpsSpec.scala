@@ -599,21 +599,26 @@ class LlmOpsSpec extends SparkTestBase {
     }.sum / exactTop10.size
   }
 
-  test("q148 sign-quantized Hamming top-k enriches for true neighbors") {
+  test("q148 Hamming-shortlist + cosine re-rank: ranked by sim, " +
+    "shortlist carries signal") {
     val got = VectorOps.q148HammingTopK(spark, Sf).collect()
     val perQ = got.groupBy(_.getAs[Long]("query_id"))
     assert(perQ.size == 5)
     perQ.values.foreach { qs =>
       assert(qs.map(_.getAs[Int]("rk")).sorted.toSeq == (1 to 10))
-      // hamming is non-decreasing in rank (the sort key)
-      val byRk = qs.sortBy(_.getAs[Int]("rk")).map(_.getAs[Int]("hamming"))
-      assert(byRk.zip(byRk.tail).forall { case (a, b) => a <= b })
-      assert(byRk.forall(h => h >= 0 && h <= 64))
+      // sim is non-increasing in rank (the re-rank sort key since r13;
+      // hamming rides along as the shortlist diagnostic)
+      val byRk = qs.sortBy(_.getAs[Int]("rk"))
+      val sims = byRk.map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+      assert(byRk.map(_.getAs[Int]("hamming")).forall(h => h >= 0 && h <= 64))
     }
-    // 1-bit quantization is lossy but must carry SIGNAL: recall@10 vs
-    // exact cosine far above the ~0.5% random-pick floor
+    // the composed tier re-ranks the sign-bit shortlist at full
+    // precision, so recall must be far above the Hamming-only ~0.3
+    // band (and the ~0.5% random-pick floor); RecallAtScaleSpec pins
+    // 0.85 at sf0.1
     val r = recallAt10(VectorOps.q148HammingTopK(spark, Sf))
-    assert(r >= 0.1, s"sign-bit recall@10 = $r — indistinguishable from random")
+    assert(r >= 0.5, s"composed sign-bit recall@10 = $r")
   }
 
   test("q150 PQ ADC: ranked per query, monotone distance, enriches for true neighbors") {

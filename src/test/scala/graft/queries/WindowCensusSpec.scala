@@ -107,7 +107,12 @@ class WindowCensusSpec extends SparkTestBase {
     // round-12 skew census additions — all O(1) domains the earlier
     // censuses never needed named: embedding class labels, the 0..63
     // dimension index, and q203's event_type renames
-    "label", "dim", "prev_type", "next_type")
+    "label", "dim", "prev_type", "next_type",
+    // round 13: q148's Hamming distance over 64-bit signatures is a
+    // 0..64 domain — its (query, hamming, bkt) shortlist-offset
+    // aggregate is queries·65·O(cluster) rows, broadcastable at any
+    // corpus size
+    "hamming")
 
   /** Probe-set key columns for the broadcast census: a literal
     * equality/range/IN filter on one of these marks a fixed
@@ -658,7 +663,6 @@ class WindowCensusSpec extends SparkTestBase {
       "q41" -> executed(VectorOps.q41AnnLsh(spark, Sf)),
       "q51" -> executed(VectorOps.q51AnnIvf(spark, Sf)),
       "q110" -> executed(VectorOps.q110AnnPca(spark, Sf)),
-      "q148" -> executed(VectorOps.q148HammingTopK(spark, Sf)),
       "q207" -> executed(VectorOps.q207MatryoshkaRecall(spark, Sf)),
       "q213" -> executed(VectorOps.q213Ndcg(spark, Sf)),
       "q229" -> executed(CorpusOps.q229NegativeSampling(spark, Sf)))
@@ -668,8 +672,28 @@ class WindowCensusSpec extends SparkTestBase {
         s"$n must aggregate through a typed heap udaf: $p")
     }
     assert(plans("q40").contains("topkbyscorerow"))
-    assert(plans("q148").contains("bottomkbyscore"))
     assert(plans("q229").contains("bottomkbykeyrow"))
+    // q148 since round 13 is the composed shortlist+rerank tier: its
+    // final top-10 rides the heap, but the CORPUS-SCALED shortlist
+    // (nCand grows with n — a heap would hold O(n) aggregator state)
+    // legitimately rides the two-phase window recipe; assert exactly
+    // the sanctioned shapes (offsets over the aggregated count frame,
+    // rank on the (hamming, bkt)-bucketed grain)
+    val h148 = executed(VectorOps.q148HammingTopK(spark, Sf))
+    assert(h148.contains("topkbyscorerow"),
+      s"q148 final top-10 must ride the heap: $h148")
+    val w148 = VectorOps.q148HammingTopK(spark, Sf)
+      .queryExecution.optimizedPlan.collect { case w: LWindow =>
+        (w.partitionSpec.flatMap(_.references.toSeq.map(_.name)),
+          w.child.collectFirst { case a: Aggregate => a }.isDefined)
+      }
+    assert(w148.size == 2, s"q148: expected offsets + rank windows: $w148")
+    w148.foreach { case (parts, aggBelow) =>
+      if (parts == Seq("query_id")) assert(aggBelow,
+        "q148: the query-only offsets window must ride the bucket counts")
+      else assert(parts.contains("bkt") && parts.contains("hamming"),
+        s"q148: the shortlist rank window must ride the bucket grain: $parts")
+    }
     // the trained-IVF/PQ tier: data-sized rankings (re-rank, ADC
     // top-k, ADC shortlist) ride heaps; the one window q139/q162 keep
     // is the probe rank over the K=8 MODEL-SIZED centroid
