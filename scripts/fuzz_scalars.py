@@ -37,7 +37,28 @@ def ulps_apart(a, b):
     return np.abs(ai.astype(object) - bi.astype(object))
 
 
+def selftest():
+    """Prove the comparator distinguishes a Spark NaN from a DuckDB
+    NULL (the r12 ADVICE gap this script was fixed for): build an sp
+    table whose float column is [1.0, NaN, NaN-standing-for-value] and
+    a duck expression yielding [1.0, NaN, NULL] — row 2 must FAIL."""
+    con = duckdb.connect()
+    con.sql("CREATE TABLE fuzz AS SELECT * FROM (VALUES (0), (1), (2)) t(id)")
+    con.sql("CREATE TABLE sp AS SELECT id, CASE WHEN id = 0 THEN 1.0::DOUBLE "
+            "ELSE 'nan'::DOUBLE END AS st_probe FROM fuzz")
+    pairs = {"st_probe": {
+        "sql": "CASE WHEN id = 0 THEN 1.0::DOUBLE "
+               "WHEN id = 1 THEN 'nan'::DOUBLE END",
+        "policy": "exact"}}
+    n_pass, n_fail = run_pairs(con, pairs, con.sql("SELECT * FROM fuzz").df())
+    assert n_fail == 1, "NaN-vs-NULL divergence NOT detected (selftest)"
+    print("SELFTEST PASS: NaN-vs-NULL divergence detected")
+    sys.exit(0)
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--selftest":
+        selftest()
     outdir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/fuzz_out"
     con = duckdb.connect()
     con.sql(f"CREATE VIEW fuzz AS SELECT * FROM "
@@ -46,6 +67,12 @@ def main():
             f"read_parquet('{outdir}/fuzz_spark/*.parquet')")
     pairs = json.load(open(f"{outdir}/fuzz_sql.json"))
     fix = con.sql("SELECT * FROM fuzz ORDER BY id").df()
+    n_pass, n_fail = run_pairs(con, pairs, fix)
+    print(f"== {n_pass} pass / {n_fail} fail / {len(pairs)} pairs ==")
+    sys.exit(1 if n_fail else 0)
+
+
+def run_pairs(con, pairs, fix):
     n_pass = n_fail = 0
     for name in pairs:
         sql, policy = pairs[name]["sql"], pairs[name]["policy"]
@@ -61,23 +88,33 @@ def main():
         a, b = spq["v"], du["v"]
         nulls_a, nulls_b = pd.isna(a).values, pd.isna(b).values
         if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+            # NULL and NaN are both NaN after .df() on a float column,
+            # so pd.isna cannot distinguish a Spark NaN from a DuckDB
+            # NULL (the r12 ADVICE gap). Fetch EXPLICIT null flags from
+            # each side instead: parquet carries a validity mask, and
+            # DuckDB's IS NULL over it (for the Spark output) / over
+            # the recomputed expression (for its own) is NaN-proof.
+            nulls_a = con.sql(
+                f'SELECT id, ("{name}" IS NULL) AS n FROM sp ORDER BY id'
+            ).df()["n"].values.astype(bool)
+            nulls_b = con.sql(
+                f"SELECT id, (({sql}) IS NULL) AS n FROM fuzz ORDER BY id"
+            ).df()["n"].values.astype(bool)
             av = a.astype(float).values
             bv = b.astype(float).values
-            both_nan = np.isnan(av) & np.isnan(bv)
+            nonnull = ~nulls_a & ~nulls_b
+            both_nan = np.isnan(av) & np.isnan(bv) & nonnull
             if policy.startswith("ulp:"):
                 tol = int(policy.split(":", 1)[1])
                 d = ulps_apart(av, bv)
-                ok = (av == bv) | both_nan | (d <= tol)
+                vals_ok = ((av == bv) | both_nan | (d <= tol)) & nonnull
                 worst = max((int(x) for x, o in zip(d, (av == bv) | both_nan)
                              if not o), default=0)
                 tag = f" (worst ulp={worst})" if worst else ""
             else:
-                ok = (av == bv) | both_nan
+                vals_ok = ((av == bv) | both_nan) & nonnull
                 tag = ""
-            # NULL (NaN-encoded in pandas) vs NaN is indistinguishable
-            # after .astype(float) — fall back to the raw null masks
-            ok = ok | (nulls_a & nulls_b)
-            ok &= ~(nulls_a ^ nulls_b)
+            ok = vals_ok | (nulls_a & nulls_b)
         else:
             tag = ""
             ok = np.empty(len(a), dtype=bool)
@@ -92,16 +129,13 @@ def main():
             print(f"FAIL {name} [{policy}]: {len(bad)}/{len(a)} diverge")
             for i in bad[:3]:
                 row = fix.iloc[i]
-                ins = {c: row[c] for c in
-                       ("s1", "s2", "i1", "i2", "l1", "d1", "d2",
-                        "pr", "dt", "dt2", "ts")}
+                ins = {c: row[c] for c in fix.columns if c != "id"}
                 print(f"  id={row['id']}: spark={a.iloc[i]!r} "
                       f"duck={b.iloc[i]!r} inputs={ins}")
         else:
             n_pass += 1
             print(f"PASS {name} [{policy}]{tag}")
-    print(f"== {n_pass} pass / {n_fail} fail / {len(pairs)} pairs ==")
-    sys.exit(1 if n_fail else 0)
+    return n_pass, n_fail
 
 
 if __name__ == "__main__":

@@ -195,7 +195,8 @@ object FuzzScalars {
   private def dpmod(x: String, m: Int): String = s"((($x % $m) + $m) % $m)"
 
   def catalog: Seq[FuzzPair] = strings ++ hashes ++ regexes ++ maths ++
-    bits ++ casts ++ dates ++ conditionals ++ arrays ++ windows
+    bits ++ casts ++ dates ++ conditionals ++ arrays ++ windows ++
+    decimals ++ tsArith ++ maps
 
   private def strings: Seq[FuzzPair] = Seq(
     FuzzPair("len_cp", length(s1), "length(s1)"),
@@ -600,6 +601,192 @@ object FuzzScalars {
       // stays behind fsum)
       FuzzPair("g_avg_i2", avg(col("i2")).over(g),
         "avg(i2) OVER (PARTITION BY (id % 7))"))
+  }
+
+  /** DECIMAL precision/scale/rounding/overflow (round 13 — the first
+    * of the three vocabularies the r12 verdict listed as uncovered).
+    * Results are compared RENDERED (CAST AS STRING/VARCHAR): decimal
+    * rendering carries the scale, so a scale-rule divergence reads as
+    * a string mismatch instead of hiding behind a float compare.
+    * Guards: NaN is excluded wherever a double reaches a DECIMAL cast
+    * — DuckDB's TRY_CAST(NaN AS DECIMAL) is an ERROR, not NULL
+    * (measured; ±Infinity → NULL in both) — and Spark's plain CAST
+    * overflow THROWS under ANSI, so overflow probes ride TRY_CAST on
+    * both sides. */
+  private def decimals: Seq[FuzzPair] = {
+    val prD = "CAST(pr AS DECIMAL(18,2))" // price-shaped: always fits
+    Seq(
+      // exact-2-decimal doubles cast losslessly and render with the
+      // declared scale in both engines
+      FuzzPair("dec_cast_pr", expr(s"CAST($prD AS STRING)"),
+        s"CAST($prD AS VARCHAR)"),
+      // FOUND divergence (#15): double → DECIMAL rounding of a value
+      // INEXACT at the target scale is engine-specific in BOTH
+      // direction and regime — Spark always rounds the SHORTEST
+      // RENDERING (0.285 → 0.29, 878947987312.1365 → .137,
+      // 1e15+0.5 → .500); DuckDB agrees at small magnitudes
+      // (0.285 → 0.29) yet rounds the exact binary elsewhere
+      // (…312.1365 → .136) and scales in binary at the top
+      // (1e15+0.5 → .512) — no single rule reproduces it. The
+      // agreeing domain is doubles EXACT at the target scale (x·10^k
+      // integral — the price-column contract); anything else must be
+      // rounded explicitly first via the domain-free
+      // floor(x·10^k + 0.5)/10^k idiom (divergence #7). NaN guarded
+      // null-safely: DuckDB's TRY_CAST(NaN AS DECIMAL) ERRORS, and
+      // Spark's isnan(NULL) is false while DuckDB's is NULL.
+      FuzzPair("dec_cast_d3",
+        when(d1.isNotNull && !isnan(d1) && abs(d1) < 1e12 &&
+          d1 * 1000 === floor(d1 * 1000),
+          expr("CAST(TRY_CAST(d1 AS DECIMAL(20,3)) AS STRING)")),
+        "CASE WHEN d1 IS NOT NULL AND NOT isnan(d1) AND abs(d1) < 1e12 " +
+          "AND d1 * 1000 = floor(d1 * 1000) " +
+          "THEN CAST(TRY_CAST(d1 AS DECIMAL(20,3)) AS VARCHAR) END"),
+      FuzzPair("dec_add_i", expr(s"CAST($prD + CAST(i2 AS DECIMAL(10,0)) AS STRING)"),
+        s"CAST($prD + CAST(i2 AS DECIMAL(10,0)) AS VARCHAR)"),
+      FuzzPair("dec_mul_i", expr(s"CAST($prD * CAST(i2 AS DECIMAL(10,0)) AS STRING)"),
+        s"CAST($prD * CAST(i2 AS DECIMAL(10,0)) AS VARCHAR)"),
+      // FOUND divergence (#11): DECIMAL division disagrees on the
+      // RESULT SCALE — Spark's rule gives scale 13 ("0.3333333333333"),
+      // DuckDB scale 16 ("0.3333333333333333") — and POST-ROUNDING
+      // does NOT repair it: round(q, 6) double-rounds through the two
+      // scales and flips a measured halfway case (34660.35 / -96 →
+      // -361.045313 vs -361.045312). The portable ratio idiom divides
+      // as DOUBLE (bit-identical IEEE in both engines), which is what
+      // every shipped oracle's ratio columns already do.
+      FuzzPair("dec_div_dbl",
+        expr(s"CAST($prD AS DOUBLE) / " +
+          "nullif(CAST(CAST(i2 AS DECIMAL(10,0)) AS DOUBLE), 0.0)"),
+        s"CAST($prD AS DOUBLE) / " +
+          "nullif(CAST(CAST(i2 AS DECIMAL(10,0)) AS DOUBLE), 0.0)"),
+      // round(DECIMAL, k) is HALF-AWAY-FROM-ZERO in both engines
+      // (measured: -2.5 → -3 both) — unlike round(double, k), where
+      // they diverge (#7); negated to cover the away-from-zero side
+      FuzzPair("dec_round1", expr(s"CAST(round($prD, 1) AS STRING)"),
+        s"CAST(round($prD, 1) AS VARCHAR)"),
+      FuzzPair("dec_round_neg", expr(s"CAST(round(-$prD, 1) AS STRING)"),
+        s"CAST(round(-$prD, 1) AS VARCHAR)"),
+      // overflow posture: TRY_CAST → NULL in both (Spark's plain CAST
+      // throws under ANSI; DuckDB's errors too). The NaN guard must be
+      // null-safe: Spark's isnan(NULL) = false but DuckDB's = NULL,
+      // so a bare NOT isnan(d1) guard itself diverges on NULL inputs
+      // (found by this pair's first run)
+      FuzzPair("dec_ovf_try",
+        when(d1.isNotNull && !isnan(d1),
+          expr("TRY_CAST(d1 * 1e12 AS DECIMAL(18,2)) IS NULL")),
+        "CASE WHEN d1 IS NOT NULL AND NOT isnan(d1) THEN " +
+          "TRY_CAST(d1 * 1e12 AS DECIMAL(18,2)) IS NULL END"),
+      // decimal → double round-trip of an exactly-representable value
+      FuzzPair("dec_to_dbl", expr(s"CAST($prD AS DOUBLE)"),
+        s"CAST($prD AS DOUBLE)"),
+      // exact decimal SUM — the aggregation every money column wants;
+      // order-insensitive (integer arithmetic underneath), so it can
+      // ride the raw partition window where double sums need fsum
+      FuzzPair("dec_sum_w",
+        expr(s"CAST(sum($prD) OVER (PARTITION BY (id % 7)) AS STRING)"),
+        s"CAST(sum($prD) OVER (PARTITION BY (id % 7)) AS VARCHAR)"))
+  }
+
+  /** Timestamp/interval arithmetic beyond the DATE specials (round 13,
+    * vocabulary 2 of 3). The fixture's `ts` is micros-resolution in a
+    * UTC session (TIMESTAMP_NTZ-like semantics — no DST anywhere), so
+    * these probe ARITHMETIC, not zone rules. */
+  private def tsArith: Seq[FuzzPair] = Seq(
+    // month addition clamps to month-end in BOTH engines (2024-01-31
+    // + 1 month = 2024-02-29 10:00, measured); offset spans ±12
+    FuzzPair("ts_add_mon",
+      expr("timestampadd(MONTH, CAST(pmod(i1, 25) AS INT) - 12, ts)"),
+      s"(ts + to_months(CAST(${dpmod("i1", 25)} - 12 AS INTEGER)))"),
+    FuzzPair("ts_add_hr",
+      expr("timestampadd(HOUR, CAST(pmod(i2, 1000) AS INT) - 500, ts)"),
+      s"(ts + to_hours(CAST(${dpmod("i2", 1000)} - 500 AS BIGINT)))"),
+    FuzzPair("ts_add_min",
+      expr("timestampadd(MINUTE, CAST(pmod(l1, 10000) AS INT) - 5000, ts)"),
+      s"(ts + to_minutes(CAST(${dpmod("l1", 10000)} - 5000 AS BIGINT)))"),
+    // FOUND divergence (#12): Spark's timestampdiff counts COMPLETE
+    // months (Jan-15 → Feb-14 = 0); DuckDB's datediff counts month
+    // BOUNDARY CROSSINGS (= 1). The agreeing boundary-crossing
+    // spelling is the year*12+month difference — the idiom the
+    // shipped oracles' month bucketing already uses
+    FuzzPair("mon_cross",
+      (year(dt2) * 12 + month(dt2)) - (year(dt) * 12 + month(dt)),
+      "CAST(datediff('month', dt, dt2) AS INTEGER)"),
+    // day-grain diff at midnight anchors: complete days == crossings
+    // when both ends are midnight, so date-cast inputs agree
+    FuzzPair("ts_diff_day_mid",
+      expr("timestampdiff(DAY, CAST(dt AS TIMESTAMP), " +
+        "CAST(dt2 AS TIMESTAMP))"),
+      "CAST(datediff('day', dt, dt2) AS BIGINT)"),
+    // FOUND divergence (#13): Spark's unix_timestamp TRUNCATES the
+    // fractional second TOWARD ZERO (1969-12-31 23:59:59.5 → 0);
+    // DuckDB's floor(epoch()) floors (→ -1). They agree from the
+    // epoch onward — the guard any oracle turning timestamps into
+    // whole seconds needs when pre-epoch data is possible
+    FuzzPair("unixsec_guard",
+      when(ts >= lit("1970-01-01 00:00:00").cast("timestamp"),
+        unix_timestamp(ts)),
+      "CASE WHEN ts >= TIMESTAMP '1970-01-01 00:00:00' THEN " +
+        "CAST(floor(epoch(ts)) AS BIGINT) END"),
+    FuzzPair("dtrunc_q_us", unix_micros(date_trunc("quarter", ts)),
+      "epoch_us(date_trunc('quarter', ts))"),
+    FuzzPair("dtrunc_y_us", unix_micros(date_trunc("year", ts)),
+      "epoch_us(date_trunc('year', ts))"),
+    FuzzPair("quarter_i", quarter(dt), "CAST(quarter(dt) AS INTEGER)"),
+    // ISO week-numbering year: Spark extract(YEAROFWEEK) == DuckDB
+    // isoyear (2021-01-01 → 2020 in both)
+    FuzzPair("isoyear_i", expr("extract(YEAROFWEEK FROM dt)"),
+      "CAST(isoyear(dt) AS INTEGER)"),
+    FuzzPair("weekiso_i", weekofyear(dt),
+      "CAST(weekofyear(dt) AS INTEGER)"))
+
+  /** Map functions (round 13, vocabulary 3 of 3). Maps are built from
+    * the string column's comma tokens with an INDEX-SUFFIXED key
+    * (`tok#i`) so keys are unique by construction: BOTH engines
+    * reject duplicate keys at map construction (Spark
+    * DUPLICATED_MAP_KEY under the default EXCEPTION dedup policy,
+    * DuckDB "Map keys must be unique") — but they DIVERGE on
+    * map_concat (FOUND #14): Spark throws on a duplicate ACROSS the
+    * inputs, DuckDB last-wins silently, so cross-map dedup must be
+    * resolved before map_concat in any portable pipeline. Extraction
+    * differs in SHAPE, not semantics: Spark element_at → value/NULL;
+    * DuckDB map[k] → LIST, so the agreeing spelling indexes it
+    * (`m[k][1]`, OOB → NULL). Key ORDER is insertion order in both
+    * (measured — map_keys never sorts). */
+  private def maps: Seq[FuzzPair] = {
+    // Spark: transform((x, i) => ...) exposes the 0-based index;
+    // DuckDB list lambdas have no index param — ride range() instead
+    val mSpark = "map_from_arrays(" +
+      "transform(split(s1, ','), (x, i) -> concat(x, '#', i)), " +
+      "sequence(1, size(split(s1, ','))))"
+    val mDuck = "map(" +
+      "list_transform(range(1, len(string_split(s1, ',')) + 1), " +
+      "i -> string_split(s1, ',')[i] || '#' || CAST(i - 1 AS VARCHAR)), " +
+      "list_transform(range(1, len(string_split(s1, ',')) + 1), i -> i))"
+    Seq(
+      FuzzPair("mp_card", expr(s"cardinality($mSpark)"),
+        s"CAST(cardinality($mDuck) AS INTEGER)"),
+      // present-key lookup: the first token's key always maps to 1,
+      // so probe a VARYING key — 'a#0' hits only when s1 starts 'a,'
+      FuzzPair("mp_get_a0", expr(s"element_at($mSpark, 'a#0')"),
+        s"($mDuck['a#0'])[1]"),
+      FuzzPair("mp_get_missing",
+        expr(s"element_at($mSpark, 'zz#99') IS NULL"),
+        s"(($mDuck['zz#99'])[1]) IS NULL"),
+      // insertion order is the key order in both engines
+      FuzzPair("mp_keys_join",
+        expr(s"array_join(map_keys($mSpark), '|')"),
+        s"array_to_string(map_keys($mDuck), '|')"),
+      FuzzPair("mp_vals_sum",
+        expr(s"aggregate(map_values($mSpark), 0, (a, x) -> a + x)"),
+        s"CAST(list_sum(map_values($mDuck)) AS INTEGER)"),
+      // concat with DISJOINT key spaces (suffix sets differ) — the
+      // only portable map_concat (see the dochead divergence note)
+      FuzzPair("mp_concat_card",
+        expr("cardinality(map_concat(" +
+          "map_from_arrays(array(concat(coalesce(s2, '~'), '#a')), array(1)), " +
+          "map_from_arrays(array(concat(coalesce(s2, '~'), '#b')), array(2))))"),
+        "CAST(cardinality(map_concat(" +
+          "map([coalesce(s2, '~') || '#a'], [1]), " +
+          "map([coalesce(s2, '~') || '#b'], [2]))) AS INTEGER)"))
   }
 
   // ---------------------------------------------------------------

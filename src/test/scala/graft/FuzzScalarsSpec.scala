@@ -144,4 +144,80 @@ class FuzzScalarsSpec extends SparkTestBase {
     assert(r.getInt(1) == 0x1D49C)
     assert(r.isNullAt(2))
   }
+
+  test("divergence #11 pin (round 13): Spark DECIMAL division yields " +
+    "scale 13 for (18,2)/(10,0)-class inputs (DuckDB expands to 16) " +
+    "and post-rounding double-rounds — ratios must divide as DOUBLE") {
+    val r = spark.range(1).select(
+      expr("CAST(CAST(1 AS DECIMAL(10,2)) / CAST(3 AS DECIMAL(10,2)) " +
+        "AS STRING)").as("q"),
+      // the measured double-rounding flip: 34660.35 / -96 rounds to
+      // -361.045313 through Spark's scale-13 quotient but -361.045312
+      // through DuckDB's scale-16 one
+      expr("CAST(round(CAST(34660.35 AS DECIMAL(18,2)) / " +
+        "CAST(-96 AS DECIMAL(10,0)), 6) AS DOUBLE)").as("d")).head()
+    assert(r.getString(0) == "0.3333333333333") // 13 decimals
+    assert(r.getDouble(1) == -361.045313)
+  }
+
+  test("divergence #12 pin (round 13): timestampdiff counts COMPLETE " +
+    "months (DuckDB datediff counts boundary crossings) — month " +
+    "bucketing must ride year*12+month differences") {
+    val r = spark.range(1).select(
+      expr("timestampdiff(MONTH, TIMESTAMP '2024-01-15 00:00:00', " +
+        "TIMESTAMP '2024-02-14 00:00:00')").as("complete"),
+      expr("(year(DATE '2024-02-14') * 12 + month(DATE '2024-02-14')) - " +
+        "(year(DATE '2024-01-15') * 12 + month(DATE '2024-01-15'))")
+        .as("crossings")).head()
+    assert(r.getLong(0) == 0L) // Jan-15 -> Feb-14: no complete month
+    assert(r.getInt(1) == 1) // but one month boundary crossed
+  }
+
+  test("divergence #13 pin (round 13): unix_timestamp TRUNCATES the " +
+    "fractional second toward zero — pre-epoch it disagrees with " +
+    "floor(epoch()) (DuckDB), so whole-second oracles guard ts >= " +
+    "epoch (both shipped uses are post-epoch/order-only — swept r13)") {
+    val r = spark.range(1).select(
+      unix_timestamp(expr("TIMESTAMP '1969-12-31 23:59:59.5'")).as("pre"),
+      unix_timestamp(expr("TIMESTAMP '1970-01-01 00:00:00.5'")).as("post"))
+      .head()
+    assert(r.getLong(0) == 0L) // floor would be -1
+    assert(r.getLong(1) == 0L)
+  }
+
+  test("divergence #14 pin (round 13): map duplicate keys THROW in " +
+    "Spark (construction AND map_concat, default EXCEPTION policy) — " +
+    "DuckDB's map_concat silently last-wins, so portable pipelines " +
+    "resolve cross-map duplicates before concatenating") {
+    intercept[Exception] {
+      spark.range(1)
+        .select(expr("map_from_arrays(array('a','a'), array(1,2))"))
+        .head()
+    }
+    intercept[Exception] {
+      spark.range(1)
+        .select(expr("map_concat(map('a', 1), map('a', 2))")).head()
+    }
+    // within-engine agreement the catalog leans on: missing-key
+    // lookup is NULL (not an ANSI error), key order is insertion order
+    val r = spark.range(1).select(
+      expr("map_from_arrays(array('b','a'), array(1,2))['z']").as("m"),
+      expr("array_join(map_keys(map_from_arrays(array('b','a'), " +
+        "array(1,2))), '|')").as("k")).head()
+    assert(r.isNullAt(0) && r.getString(1) == "b|a")
+  }
+
+  test("divergence #15 pin (round 13): double -> DECIMAL rounds the " +
+    "SHORTEST RENDERING in Spark at every magnitude (DuckDB's rule " +
+    "varies by regime) — casts are portable only on exact-at-scale " +
+    "doubles; everything else rounds via floor(x*10^k + 0.5)/10^k " +
+    "first") {
+    val r = spark.range(1).select(
+      expr("CAST(CAST(878947987312.1365 AS DOUBLE) AS DECIMAL(20,3)) " +
+        "AS STRING").cast("string").as("a"),
+      expr("CAST(CAST(1000000000000000.5 AS DOUBLE) AS DECIMAL(20,3))")
+        .cast("string").as("b")).head()
+    assert(r.getString(0) == "878947987312.137") // DuckDB: .136
+    assert(r.getString(1) == "1000000000000000.500") // DuckDB: .512
+  }
 }
