@@ -118,7 +118,8 @@ object VectorOps extends org.apache.spark.internal.Logging {
     * (table t passes base = t·bits), so multi-table signatures are
     * independent draws from the same family; base = 0 is the original
     * single-table signature (q47's form, unchanged). */
-  private def rhpSignature(v: Column, bits: Int, base: Int = 0): Column =
+  private[queries] def rhpSignature(v: Column, bits: Int,
+      base: Int = 0): Column =
     (0 until bits).map { j =>
       val dot = aggregate(
         zip_with(v, sequence(lit(0), lit(Dims - 1)), (x, i) =>
@@ -197,11 +198,27 @@ object VectorOps extends org.apache.spark.internal.Logging {
   private[queries] def annLshMulti(s: SparkSession, dir: String,
       bits: Int, tables: Int, maxHamming: Int, k: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val sigCols = (0 until tables).map(t =>
-      rhpSignature(col("embedding"), bits, t * bits).as(s"sig_$t"))
-    val sigs = emb
-      .select((Seq(col("vec_id"), col("embedding")) ++ sigCols): _*)
+    // ALL signatures in one fused kernel pass ([[graft.functions
+    // .RhpSignatures]] — bit-identical to the declarative per-table
+    // rhpSignature columns, twin-pinned in LlmOpsSpec): the
+    // declarative form is tables×bits interpreted HOF folds per row
+    // (~4096 lambda evals at the q41 config — measured 8× slower).
+    // The array is materialized THROUGH the cache before the
+    // per-table getItem projections: a same-projection getItem would
+    // let CollapseProject re-inline the kernel once per reference
+    // (the q73 lesson); the cache boundary pins one evaluation.
+    val sigsK = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.RhpSignatures(
+        org.apache.spark.sql.graft.Bridge.expr(col("embedding")),
+        bits, tables, Dims))
+    val sigs0 = emb
+      .select(col("vec_id"), col("embedding"), sigsK.as("sigs"))
       .persist()
+    // NULL embedding → NULL array; the declarative twin collapses a
+    // null fold to signature 0 per table — coalesce matches it
+    def sigT(t: Int): Column = coalesce(col("sigs").getItem(t), lit(0L))
+    val sigs = sigs0.select((Seq(col("vec_id"), col("embedding")) ++
+      (0 until tables).map(t => sigT(t).as(s"sig_$t"))): _*)
     val masks = probeMasks(bits, maxHamming)
     val perTable = (0 until tables).map { t =>
       val queries = sigs.filter(col("vec_id") < 5)

@@ -570,6 +570,33 @@ class LlmOpsSpec extends SparkTestBase {
     }
   }
 
+  test("RhpSignatures kernel is bit-identical to the declarative " +
+    "per-table signature columns (all tables, incl. the NULL-embedding " +
+    "-> 0 collapse)") {
+    import org.apache.spark.sql.graft.Bridge
+    val (bits, tables) = (8, 8)
+    // a NULL-embedding row rides along: the declarative fold collapses
+    // it to signature 0 per table; the kernel path must coalesce to 0
+    val emb = graft.Tables.embeddings(spark, Sf)
+      .select(col("vec_id"), col("embedding"))
+      .unionAll(spark.range(1).select(lit(-1L).as("vec_id"),
+        lit(null).cast("array<float>").as("embedding")))
+    val kernel = Bridge.column(graft.functions.RhpSignatures(
+      Bridge.expr(col("embedding")), bits, tables, 64))
+    val viaKernel = emb.select(col("vec_id"), kernel.as("sigs"))
+      .select(col("vec_id") +: (0 until tables).map(t =>
+        coalesce(col("sigs").getItem(t), lit(0L)).as(s"s_$t")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to tables).map(r.getLong)).toMap
+    val declarative = emb.select(col("vec_id") +: (0 until tables).map(t =>
+      VectorOps.rhpSignature(col("embedding"), bits, t * bits)
+        .as(s"s_$t")): _*)
+      .collect().map(r => r.getLong(0) ->
+        (1 to tables).map(r.getLong)).toMap
+    assert(viaKernel.size > 1 && viaKernel == declarative)
+    assert(viaKernel(-1L).forall(_ == 0L), "NULL embedding must map to 0")
+  }
+
   test("q41 ANN candidates are a subset of brute-force scoring space") {
     val rows = VectorOps.q41AnnLsh(spark, Sf).collect()
     rows.foreach { r =>

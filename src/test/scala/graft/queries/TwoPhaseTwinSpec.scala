@@ -214,29 +214,44 @@ class TwoPhaseTwinSpec extends SparkTestBase {
     assertTwin("q40", VectorOps.q40CosineTopK(spark, Sf), windowed)
   }
 
-  test("q148 heap-ranked Hamming bottom-10 equals the per-query " +
-    "window form") {
+  test("q148 composed shortlist+rerank (two-phase bucketed shortlist " +
+    "rank + heap top-10) equals the naive double-window form") {
+    // the superseded single-window spelling of BOTH stages (r13: q148
+    // became the composed tier — Hamming shortlist of corpus-scaled
+    // width, then exact cosine re-rank): shortlist = row_number by
+    // (hamming, cand_id), re-rank = row_number by (sim desc, cand_id)
+    val emb = Tables.embeddings(spark, Sf)
+    val n = emb.filter(col("embedding").isNotNull).count()
+    val nCand = math.max(50L, math.ceil(n / 5.0).toLong)
     def half(lo: Int): org.apache.spark.sql.Column =
       (0 until 32).map(i =>
         when(element_at(col("embedding"), lo + i + 1) >= 0f,
           lit(1L << i)).otherwise(lit(0L)))
         .reduce((a, b) => a.bitwiseOR(b))
-    val sigs = Tables.embeddings(spark, Sf)
-      .select(col("vec_id"), half(0).as("lo"), half(32).as("hi"))
+    val sigs = emb.select(col("vec_id"), col("embedding"),
+      half(0).as("lo"), half(32).as("hi"))
     val queries = sigs.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("query_id"),
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
         col("lo").as("q_lo"), col("hi").as("q_hi"))
     val cands = sigs.filter(col("vec_id") >= 5)
-      .select(col("vec_id").as("cand_id"), col("lo"), col("hi"))
-    val w = Window.partitionBy("query_id")
+      .select(col("vec_id").as("cand_id"), col("embedding").as("c_emb"),
+        col("lo"), col("hi"))
+    val wShort = Window.partitionBy("query_id")
       .orderBy(col("hamming"), col("cand_id"))
-    val windowed = cands.crossJoin(broadcast(queries))
-      .select(col("query_id"), col("cand_id"),
+    val short = cands.crossJoin(broadcast(queries))
+      .select(col("query_id"), col("cand_id"), col("q_emb"), col("c_emb"),
         (bit_count(col("q_lo").bitwiseXOR(col("lo")))
           + bit_count(col("q_hi").bitwiseXOR(col("hi")))).as("hamming"))
-      .withColumn("rk", row_number().over(w))
+      .withColumn("hrk", row_number().over(wShort))
+      .filter(col("hrk") <= nCand)
+    val wRerank = Window.partitionBy("query_id")
+      .orderBy(col("sim").desc, col("cand_id"))
+    val windowed = short
+      .select(col("query_id"), col("cand_id"), col("hamming"),
+        VectorOps.cosineNative(spark, col("q_emb"), col("c_emb")).as("sim"))
+      .withColumn("rk", row_number().over(wRerank))
       .filter(col("rk") <= 10)
-      .select("query_id", "rk", "cand_id", "hamming")
+      .select("query_id", "rk", "cand_id", "hamming", "sim")
       .orderBy("query_id", "rk")
     assertTwin("q148", VectorOps.q148HammingTopK(spark, Sf), windowed)
   }
