@@ -89,7 +89,20 @@ object Bench {
     val inflateFactor = sys.env.getOrElse("SPARK_GRAFT_INFLATE",
       BenchCanary.ScalarFactorDefault.toString).toDouble
     val wideInflateFactor = sys.env.getOrElse("SPARK_GRAFT_WIDE_INFLATE",
-      BenchCanary.WideFactorDefault.toString).toDouble
+      BenchCanary.WideWindowFactorDefault.toString).toDouble
+    // the box's recorded idle wide-probe median — the run-level steal
+    // reference (see BenchCanary's scaladoc; a uniform steal leaves no
+    // clean reference inside the run). The recorded constant is a
+    // (box, cpus) pair: the probe's work is fixed, so its idle time
+    // scales with the thread count — the default applies ONLY at the
+    // driver's local[32]; any other cpus needs an explicit
+    // SPARK_GRAFT_WIDE_IDLE or the run-level verdict stays off
+    // (found by the r13 sf0.001 smoke at cpus=8: median 1.31 is the
+    // legitimate 8-thread time, not steal).
+    val wideIdleMedian = sys.env.get("SPARK_GRAFT_WIDE_IDLE")
+      .map(_.toDouble)
+      .getOrElse(if (cpus == "32") BenchCanary.WideIdleMedianDefault
+        else Double.MaxValue)
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         recordFailure: Boolean): Double = {
@@ -145,12 +158,16 @@ object Bench {
     // inside one contended window (happened in r7 and r8). Detect
     // inflated windows via the canaries, wait out the contention with
     // bounded backoff, and re-run only the queries whose windows were
-    // inflated. Effective base = the LOWEST reading ever observed: a
-    // start-of-run base measured inside a contended window would
-    // otherwise raise the threshold and mask later steal (the idle
-    // floor is the only unbiased baseline either probe has).
+    // inflated. Scalar effective base = the LOWEST reading ever
+    // observed (a start-of-run base measured inside a contended window
+    // would otherwise raise the threshold and mask later saturation);
+    // wide effective base = the 25th percentile (the wide probe's solo
+    // variance makes its minimum an outlier — min-based thresholds
+    // flagged 90% of a measured solo run; see BenchCanary's scaladoc
+    // for the per-window vs run-level split).
     val effBase = math.min(canaryBase, canarySeries.min)
-    val effWideBase = math.min(canaryWideBase, canaryWideSeries.min)
+    val effWideBase = BenchCanary.robustBase(canaryWideBase,
+      canaryWideSeries.toSeq)
     def windowInflated(i: Int): Boolean =
       BenchCanary.windowContended(
         canarySeries(i), effBase, inflateFactor,
@@ -183,13 +200,24 @@ object Bench {
           } else name -> t
         } else minOf2
       }
+    // Run-level steal verdict (the r12 blind mode — a uniform 1.2-1.5x
+    // inflation no per-window test can see): the wide series' median
+    // against the box's recorded idle median. Nothing to re-measure —
+    // the whole run is inflated — so it flags `contended` directly.
+    val runSteal = BenchCanary.runContended(canaryWideSeries.toSeq,
+      wideIdleMedian)
+    val contendedFinal = stillContended || runSteal
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val canaryJson = canarySeries.map(c => f"$c%.4f").mkString("[", ",", "]")
     val canaryWideJson = canaryWideSeries.map(c => f"$c%.4f").mkString("[", ",", "]")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"contended":$stillContended,"canary_base":${f"$canaryBase%.4f"},"canary":$canaryJson,"canary_wide_base":${f"$canaryWideBase%.4f"},"canary_wide":$canaryWideJson,"sf":"$sfDir"}"""
+    val wideMed = BenchCanary.median(canaryWideSeries.toSeq)
+    val idleRefJson = // -1 = no applicable reference (non-32-cpu run)
+      if (wideIdleMedian == Double.MaxValue) "-1"
+      else f"$wideIdleMedian%.4f"
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"contended":$contendedFinal,"run_steal":$runSteal,"canary_base":${f"$canaryBase%.4f"},"canary":$canaryJson,"canary_wide_base":${f"$canaryWideBase%.4f"},"canary_wide_med":${f"$wideMed%.4f"},"canary_wide_idle_ref":$idleRefJson,"canary_wide":$canaryWideJson,"sf":"$sfDir"}"""
     // Output hygiene (r13, after r12's parsed:null): persist the line to
     // a file FIRST (log tails get truncated — r3's total was lost that
     // way), then print it as the LAST stdout line before shutdown, with

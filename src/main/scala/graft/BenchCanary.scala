@@ -8,41 +8,84 @@ package graft
   *    saturation — the r7/r8 failure mode where a static query ran
   *    100× its clean time;
   *  - the WIDE canary (a fixed 32-partition shuffle probe) detects
-  *    wide-core hypervisor steal, which the r12 bench ledger proved the
-  *    scalar canary is blind to: a run whose 1-task canary stayed in the
-  *    idle band the whole series while query totals inflated 18%
-  *    (PERF.md round-12 ledger, "canary-blind ambient mode"). Steal that
-  *    shaves a fraction of every core barely moves a 1-task probe but
-  *    stretches anything that needs all cores at once — i.e. both the
-  *    wide probe and the benchmark queries themselves.
+  *    wide-core contention, which the r12 bench ledger proved the
+  *    scalar canary is blind to: a run whose 1-task canary stayed in
+  *    the idle band the whole series while query totals inflated 18%
+  *    (PERF.md round-12 ledger, "canary-blind ambient mode").
   *
-  * The thresholds differ because the failure modes differ: saturation
-  * inflates the scalar probe by integer factors (3× is conservative),
-  * while steal inflates the wide probe by 1.2–1.5× (measured r12), so
-  * the wide factor must sit below that band's floor but above run noise
-  * (~±10% on a 0.3 s 32-way shuffle, measured while building this).
+  * The wide probe's detection is split in two, because its SOLO
+  * variance is large (measured r13, idle machine: p25 0.47 / median
+  * 0.47–0.51 / p90 0.89 / occasional 1.0+ — GC and page-cache phases
+  * after heavy queries inflate single readings ~2× routinely):
+  *
+  *  - PER-WINDOW (drives re-measurement of the window's queries):
+  *    only GROSS events clear the noise — factor 2.5 against a ROBUST
+  *    base (the 25th percentile of all readings; the minimum is an
+  *    outlier that would flag 90% of a solo run, and single solo
+  *    readings reach ~2× the p25 after heavy queries — both
+  *    measured). The concurrent-sbt case (readings 2.8×/2.1× base)
+  *    fires correctly; a rare solo ~1.9× spike costs at most one
+  *    spurious re-measure.
+  *  - RUN-LEVEL (drives the `contended` verdict — nothing to
+  *    re-measure when the WHOLE run is inflated): the series MEDIAN
+  *    against the box's RECORDED idle median (a constant like the
+  *    scalar canary's documented idle band; env-overridable), factor
+  *    1.25 — normal medians sit ≥25% under the threshold while the
+  *    r12 steal band (1.2–1.5×) crosses it. A uniform steal leaves no
+  *    clean reference INSIDE the run, so a cross-run constant is the
+  *    only honest baseline.
+  *
+  * The scalar canary keeps its r9 semantics: factor 3.0 per window
+  * against the lowest reading ever observed (saturation inflates it by
+  * integer factors; its solo variance is small).
   *
   * Kept free of SparkSession so BenchCanarySpec can exercise the
   * blind-mode case (scalar idle, wide inflated) with synthetic series.
   */
 object BenchCanary {
   val ScalarFactorDefault = 3.0
-  val WideFactorDefault = 1.25
+  /** Per-window wide factor: gross events only (see class doc). */
+  val WideWindowFactorDefault = 2.5
+  /** Run-level wide factor vs the recorded idle median. */
+  val WideRunFactorDefault = 1.25
+  /** This box's recorded idle wide-probe median AT local[32] — a
+    * (box, cpus) constant: the probe's work is fixed, so its idle
+    * time scales with the thread count (measured: median 0.465–0.511
+    * at 32 cpus, ~1.31 at 8 — legitimately, not steal). Bench applies
+    * this default only when SPARK_GRAFT_CPUS is 32 (the driver
+    * config); override via SPARK_GRAFT_WIDE_IDLE for other shapes or
+    * when the box/probe changes (bench_local_r13.json; PERF.md
+    * round-13 ledger). */
+  val WideIdleMedianDefault = 0.51
 
   def inflated(reading: Double, base: Double, factor: Double): Boolean =
     reading > base * factor
 
-  /** A bench window is contended iff EITHER canary's reading for that
-    * window crosses its own inflation factor. `scalar` and `wide` are
-    * the two probes' readings taken at the same window boundary.
-    */
+  /** Robust per-window base for a noisy probe: the 25th percentile of
+    * all observed readings (start-of-run base included) — central-low
+    * without being an outlier. */
+  def robustBase(startBase: Double, series: Seq[Double]): Double = {
+    val all = (startBase +: series).sorted
+    all(all.length / 4)
+  }
+
+  def median(series: Seq[Double]): Double = {
+    require(series.nonEmpty, "median of empty canary series")
+    val s = series.sorted
+    if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** A bench window is contended iff the scalar probe crosses its
+    * factor OR the wide probe crosses the GROSS per-window factor. */
   def windowContended(
       scalar: Double, scalarBase: Double, scalarFactor: Double,
       wide: Double, wideBase: Double, wideFactor: Double): Boolean =
     inflated(scalar, scalarBase, scalarFactor) ||
       inflated(wide, wideBase, wideFactor)
 
-  /** Indices of contended windows given full series (same length). */
+  /** Indices of per-window contended windows given full series (same
+    * length). `wideBase` should be [[robustBase]] of the wide series. */
   def contendedWindows(
       scalarSeries: Seq[Double], scalarBase: Double, scalarFactor: Double,
       wideSeries: Seq[Double], wideBase: Double, wideFactor: Double): Set[Int] = {
@@ -53,4 +96,13 @@ object BenchCanary {
         wideSeries(i), wideBase, wideFactor)
     }.toSet
   }
+
+  /** Run-level steal verdict — the r12 blind mode: the whole wide
+    * series uniformly inflated over the box's recorded idle median
+    * while the scalar canary reads clean. Nothing can be re-measured
+    * (the run has no clean window); the verdict marks the totals as
+    * discountable. */
+  def runContended(wideSeries: Seq[Double], idleMedian: Double,
+      runFactor: Double = WideRunFactorDefault): Boolean =
+    wideSeries.nonEmpty && median(wideSeries) > idleMedian * runFactor
 }

@@ -311,9 +311,17 @@ object VectorOps extends org.apache.spark.internal.Logging {
       .agg(count(lit(1))).head().getLong(0)
     val bits = math.max(8,
       math.ceil(math.log(math.max(1.0, nVec / 64.0)) / math.log(2.0)).toInt)
+    // signature via the fused kernel (r13; bit-identical to the
+    // declarative rhpSignature fold incl. the NULL → 0 collapse —
+    // twin-pinned in LlmOpsSpec); tables = 1 is exactly the original
+    // base-0 hyperplane block
+    val sigK = org.apache.spark.sql.graft.Bridge.column(
+      graft.functions.RhpSignatures(
+        org.apache.spark.sql.graft.Bridge.expr(col("embedding")),
+        bits, 1, Dims))
     val emb = base
       .select(col("vec_id"), col("embedding"),
-        rhpSignature(col("embedding"), bits).as("bucket"))
+        coalesce(sigK.getItem(0), lit(0L)).as("bucket"))
       .persist()
     val bsizes = emb.groupBy("bucket").agg(count(lit(1)).as("bsz"))
     // Carve-out observability (r12 ADVICE): the degenerate-bucket cap

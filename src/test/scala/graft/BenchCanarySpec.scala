@@ -4,54 +4,78 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The bench contention detector must catch BOTH host failure modes:
   * whole-host saturation (scalar canary inflates, r7/r8) and wide-core
-  * hypervisor steal (scalar canary stays idle-band while 32-way work
-  * inflates 1.2–1.5×, measured in the r12 bench ledger — the
-  * "canary-blind ambient mode"). Pure-logic spec: synthetic series.
-  */
+  * steal (scalar canary stays idle-band while multi-core work inflates
+  * 1.2–1.5×, measured in the r12 bench ledger — the "canary-blind
+  * ambient mode") — WITHOUT false-flagging the wide probe's large solo
+  * variance (measured r13: p25 0.47 / median 0.51 / p90 0.89 on an
+  * idle machine — GC/page-cache phases after heavy queries). Hence the
+  * split: gross per-window events re-measure their windows; uniform
+  * run-level steal flags the verdict against the box's recorded idle
+  * median (no clean in-run reference exists for a uniform steal).
+  * Pure-logic spec: synthetic series shaped like the measured runs. */
 class BenchCanarySpec extends AnyFunSuite {
   private val sBase = 0.17 // idle 1-task canary on this box (PERF.md)
-  private val wBase = 0.30 // wide probe sized to ~0.3 s
   private val sF = BenchCanary.ScalarFactorDefault
-  private val wF = BenchCanary.WideFactorDefault
+  private val wF = BenchCanary.WideWindowFactorDefault
+  private val idleMed = BenchCanary.WideIdleMedianDefault
 
-  test("clean run: no window flagged") {
-    val scalar = Seq(0.17, 0.18, 0.169, 0.175)
-    val wide = Seq(0.30, 0.31, 0.295, 0.305)
-    assert(BenchCanary.contendedWindows(scalar, sBase, sF, wide, wBase, wF)
+  // the measured solo-run wide shape: readings 0.36–0.95 around a
+  // ~0.47 p25 — realistic noise the detector must NOT flag
+  private val soloWide = Seq(0.55, 0.47, 0.44, 0.36, 0.51, 0.89, 0.46,
+    0.48, 0.95, 0.47, 0.44, 0.52)
+
+  test("clean run: neither per-window nor run-level flags fire on the " +
+    "measured solo-run wide variance") {
+    val scalar = Seq.fill(soloWide.size)(0.17)
+    val wb = BenchCanary.robustBase(0.53, soloWide)
+    assert(wb >= 0.4 && wb <= 0.5, s"robust base off: $wb")
+    assert(BenchCanary.contendedWindows(scalar, sBase, sF, soloWide, wb, wF)
       === Set.empty[Int])
+    assert(!BenchCanary.runContended(soloWide, idleMed))
   }
 
   test("whole-host saturation: scalar canary flags the window") {
-    val scalar = Seq(0.17, 2.4, 0.18) // 14× inflation in window 1
-    val wide = Seq(0.30, 0.31, 0.30) // wide probe may be noise-masked
-    assert(BenchCanary.contendedWindows(scalar, sBase, sF, wide, wBase, wF)
+    val scalar = Seq(0.17, 2.4, 0.18) // 14x inflation in window 1
+    val wide = Seq(0.50, 0.52, 0.48) // wide probe may be noise-masked
+    val wb = BenchCanary.robustBase(0.53, wide)
+    assert(BenchCanary.contendedWindows(scalar, sBase, sF, wide, wb, wF)
       === Set(1))
   }
 
-  test("blind mode (r12): scalar idle-band, wide steal 1.4× — flagged") {
-    // exactly the r12 ledger shape: 1-task canary median 0.164 (BELOW
-    // its own base) while totals inflated 18% — the old single-canary
-    // detector returned no windows here
-    val scalar = Seq(0.17, 0.164, 0.168, 0.166)
-    val wide = Seq(0.30, 0.42, 0.44, 0.31) // 1.4–1.47× steal
-    val got = BenchCanary.contendedWindows(scalar, sBase, sF, wide, wBase, wF)
-    assert(got === Set(1, 2))
-    // negative control: the scalar canary alone really is blind to this
-    val scalarOnly = scalar.indices.filter(i =>
-      BenchCanary.inflated(scalar(i), sBase, sF)).toSet
-    assert(scalarOnly === Set.empty[Int])
+  test("gross wide-core event (concurrent build, measured 2.1-2.8x): " +
+    "the per-window wide detector flags exactly those windows") {
+    val wide = Seq(0.50, 2.80, 2.10, 0.52, 0.47, 0.49)
+    val scalar = Seq.fill(6)(0.17) // 1-task probe blind to it
+    val wb = BenchCanary.robustBase(0.53, wide)
+    assert(BenchCanary.contendedWindows(scalar, sBase, sF, wide, wb, wF)
+      === Set(1, 2))
   }
 
-  test("wide factor sits above run noise: ±10% readings do not flag") {
-    val wide = Seq(0.27, 0.33, 0.30, 0.329)
-    val scalar = Seq.fill(4)(0.17)
-    assert(BenchCanary.contendedWindows(scalar, sBase, sF, wide, wBase, wF)
+  test("blind mode (r12): scalar idle-band, wide series UNIFORMLY " +
+    "1.4x — per-window sees nothing (correct: no clean window to " +
+    "re-measure against), the run-level median verdict fires") {
+    val wide = soloWide.map(_ * 1.4)
+    val scalar = soloWide.map(_ => 0.165) // BELOW its own base — r12 shape
+    // per-window: a uniform steal inflates the robust base with the
+    // readings, so no window stands out — by design
+    val wb = BenchCanary.robustBase(0.53 * 1.4, wide)
+    assert(BenchCanary.contendedWindows(scalar, sBase, sF, wide, wb, wF)
       === Set.empty[Int])
+    // negative control: the scalar canary alone really is blind
+    assert(soloWide.indices.forall(i =>
+      !BenchCanary.inflated(scalar(i), sBase, sF)))
+    // the run-level verdict catches it against the recorded idle median
+    assert(BenchCanary.runContended(wide, idleMed))
+    // and stays quiet one notch under the factor
+    assert(!BenchCanary.runContended(soloWide.map(_ * 1.1), idleMed))
   }
 
   test("mismatched series lengths are a harness bug, not a silent pass") {
     intercept[IllegalArgumentException] {
-      BenchCanary.contendedWindows(Seq(0.17), sBase, sF, Seq.empty, wBase, wF)
+      BenchCanary.contendedWindows(Seq(0.17), sBase, sF, Seq.empty, 0.5, wF)
+    }
+    intercept[IllegalArgumentException] {
+      BenchCanary.median(Seq.empty)
     }
   }
 }

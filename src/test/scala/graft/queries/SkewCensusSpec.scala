@@ -32,14 +32,17 @@ class SkewCensusSpec extends SparkTestBase {
     val dir = fixtureDir("width", big)
     val plan = VectorOps.q47EmbeddingNeardup(spark, dir)
       .queryExecution.executedPlan.toString
-    // hyperplane j appears as xxhash64(j, ...) inside rhpSignature —
-    // j = 8 exists only when bits >= 9
-    assert(plan.contains("xxhash64(8"),
+    // since r13 the signature rides the RhpSignatures kernel, whose
+    // plan rendering carries its (bits, tables, dims) params —
+    // rhp_signatures(embedding#N, BITS, 1, 64)
+    def hasBits(p: String, bits: Int): Boolean =
+      s"rhp_signatures\\(embedding#\\d+, $bits, 1, 64\\)".r
+        .findFirstIn(p).isDefined
+    assert(hasBits(plan, 9),
       s"20k vectors must widen the signature to 9 bits: $plan")
     val planSmall = VectorOps.q47EmbeddingNeardup(spark, Sf)
       .queryExecution.executedPlan.toString
-    assert(planSmall.contains("xxhash64(7") &&
-      !planSmall.contains("xxhash64(8"),
+    assert(hasBits(planSmall, 8) && !hasBits(planSmall, 9),
       "at the test SF (500 vectors) the max(8, _) floor must bind — " +
         s"8 hyperplanes exactly: $planSmall")
   }
