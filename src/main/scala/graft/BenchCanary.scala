@@ -29,11 +29,17 @@ package graft
   *  - RUN-LEVEL (drives the `contended` verdict — nothing to
   *    re-measure when the WHOLE run is inflated): the series MEDIAN
   *    against the box's RECORDED idle median (a constant like the
-  *    scalar canary's documented idle band; env-overridable), factor
-  *    1.25 — normal medians sit ≥25% under the threshold while the
-  *    r12 steal band (1.2–1.5×) crosses it. A uniform steal leaves no
-  *    clean reference INSIDE the run, so a cross-run constant is the
-  *    only honest baseline.
+  *    scalar canary's documented idle band; env-overridable). A
+  *    uniform steal leaves no clean reference INSIDE the run, so a
+  *    cross-run constant is the only honest baseline. Factor 2.2,
+  *    calibrated on the three recorded sf0.1 runs: probe-median
+  *    inflation AMPLIFIES relative to query-time inflation — a run
+  *    with probe median ×2.45 had totals ×1.15 (the flagged r13c
+  *    steal window), while a run with probe median ×2.0 had the
+  *    round's BEST totals (probe-local scheduling effects the queries
+  *    never felt) — so the threshold sits between those two measured
+  *    points and still catches ~15%-level query steal through its
+  *    ~2× probe amplification.
   *
   * The scalar canary keeps its r9 semantics: factor 3.0 per window
   * against the lowest reading ever observed (saturation inflates it by
@@ -46,8 +52,10 @@ object BenchCanary {
   val ScalarFactorDefault = 3.0
   /** Per-window wide factor: gross events only (see class doc). */
   val WideWindowFactorDefault = 2.5
-  /** Run-level wide factor vs the recorded idle median. */
-  val WideRunFactorDefault = 1.25
+  /** Run-level wide factor vs the recorded idle median (see the
+    * class doc's calibration — between the ×2.0 clean-totals run and
+    * the ×2.45 inflated-totals run). */
+  val WideRunFactorDefault = 2.2
   /** This box's recorded idle wide-probe median AT local[32] — a
     * (box, cpus) constant: the probe's work is fixed, so its idle
     * time scales with the thread count (measured: median 0.465–0.511

@@ -51,14 +51,15 @@ class BenchCanarySpec extends AnyFunSuite {
       === Set(1, 2))
   }
 
-  test("blind mode (r12): scalar idle-band, wide series UNIFORMLY " +
-    "1.4x — per-window sees nothing (correct: no clean window to " +
-    "re-measure against), the run-level median verdict fires") {
-    val wide = soloWide.map(_ * 1.4)
-    val scalar = soloWide.map(_ => 0.165) // BELOW its own base — r12 shape
+  test("blind mode (r13c, measured): scalar idle-band, wide series " +
+    "UNIFORMLY ~2.5x — per-window sees nothing (correct: no clean " +
+    "window to re-measure against), the run-level median verdict " +
+    "fires; the measured clean-totals ~2.0x run stays quiet") {
+    val wide = soloWide.map(_ * 2.45) // the r13c flagged-steal shape
+    val scalar = soloWide.map(_ => 0.158) // BELOW its own base — r12/r13c
     // per-window: a uniform steal inflates the robust base with the
     // readings, so no window stands out — by design
-    val wb = BenchCanary.robustBase(0.53 * 1.4, wide)
+    val wb = BenchCanary.robustBase(0.53 * 2.45, wide)
     assert(BenchCanary.contendedWindows(scalar, sBase, sF, wide, wb, wF)
       === Set.empty[Int])
     // negative control: the scalar canary alone really is blind
@@ -66,8 +67,9 @@ class BenchCanarySpec extends AnyFunSuite {
       !BenchCanary.inflated(scalar(i), sBase, sF)))
     // the run-level verdict catches it against the recorded idle median
     assert(BenchCanary.runContended(wide, idleMed))
-    // and stays quiet one notch under the factor
-    assert(!BenchCanary.runContended(soloWide.map(_ * 1.1), idleMed))
+    // ...and stays quiet on the measured ~2.0x probe median whose
+    // query totals were the round's BEST (probe-local effects, r13d)
+    assert(!BenchCanary.runContended(soloWide.map(_ * 2.0), idleMed))
   }
 
   test("mismatched series lengths are a harness bug, not a silent pass") {
