@@ -55,27 +55,11 @@ object Bench {
     // flags get re-measured after a backoff once both probes recover; if
     // they never recover the JSON carries `contended:true` plus both
     // series so a reader can discount the window mechanically.
-    def canaryOnce(): Double = {
-      val t0 = System.nanoTime()
-      spark.read.parquet(s"$sfDir/nation.parquet")
-        .groupBy("n_regionkey").count()
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    // Wide probe: fixed work spread across 32 input partitions with a
-    // real shuffle behind it, independent of SPARK_GRAFT_CPUS and of the
-    // data directory — sized to ~0.3 s so steal in the 1.2–1.5× band is
-    // measurable above run noise.
-    def canaryWideOnce(): Double = {
-      import org.apache.spark.sql.functions._
-      val t0 = System.nanoTime()
-      spark.range(0L, 8000000L, 1L, 32)
-        .select(((col("id") * 2654435761L) % 1000003L).as("k"),
-          col("id").as("v"))
-        .groupBy("k").agg(count(lit(1)).as("c"), sum(col("v")).as("s"))
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // probe code lives in BenchProbes, shared verbatim with
+    // BenchCalibrate — the recorded idle constants are only valid for
+    // the exact probe that produced them
+    def canaryOnce(): Double = BenchProbes.scalarOnce(spark, sfDir)
+    def canaryWideOnce(): Double = BenchProbes.wideOnce(spark)
     val canaryBase = (1 to 5).map(_ => canaryOnce()).min
     val canaryWideBase = (1 to 3).map(_ => canaryWideOnce()).min
     val canarySeries = scala.collection.mutable.ListBuffer.empty[Double]
@@ -92,17 +76,18 @@ object Bench {
       BenchCanary.WideWindowFactorDefault.toString).toDouble
     // the box's recorded idle wide-probe median — the run-level steal
     // reference (see BenchCanary's scaladoc; a uniform steal leaves no
-    // clean reference inside the run). The recorded constant is a
-    // (box, cpus) pair: the probe's work is fixed, so its idle time
-    // scales with the thread count — the default applies ONLY at the
-    // driver's local[32]; any other cpus needs an explicit
-    // SPARK_GRAFT_WIDE_IDLE or the run-level verdict stays off
-    // (found by the r13 sf0.001 smoke at cpus=8: median 1.31 is the
-    // legitimate 8-thread time, not steal).
+    // clean reference inside the run). The constant is a (box, cpus)
+    // pair MEASURED by `graft.BenchCalibrate` and read from
+    // bench_calibration.properties — not a source-coded number (r13
+    // verdict item 4: it was hand-recalibrated twice in one round).
+    // Resolution: explicit SPARK_GRAFT_WIDE_IDLE > recorded entry for
+    // this run's cpus > off (run_steal:null — e.g. the r13 sf0.001
+    // smoke at cpus=8, where median 1.31 is the legitimate 8-thread
+    // time, not steal).
     val wideIdleMedian = sys.env.get("SPARK_GRAFT_WIDE_IDLE")
       .map(_.toDouble)
-      .getOrElse(if (cpus == "32") BenchCanary.WideIdleMedianDefault
-        else Double.MaxValue)
+      .orElse(BenchCalibrate.recordedWideIdleMedian(cpus))
+      .getOrElse(Double.MaxValue)
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         recordFailure: Boolean): Double = {
@@ -204,8 +189,19 @@ object Bench {
     // inflation no per-window test can see): the wide series' median
     // against the box's recorded idle median. Nothing to re-measure —
     // the whole run is inflated — so it flags `contended` directly.
-    val runSteal = BenchCanary.runContended(canaryWideSeries.toSeq,
-      wideIdleMedian)
+    // run_steal is a THREE-state verdict: true/false only when an idle
+    // wide-probe reference applies (local[32] default or an explicit
+    // SPARK_GRAFT_WIDE_IDLE); otherwise it is null — "not checked" —
+    // so a false can never be read as a clean bill on an unchecked run
+    // (r13 ADVICE: the default cpus=4 smoke printed run_steal:false
+    // with the verdict silently off).
+    val runStealChecked = wideIdleMedian != Double.MaxValue
+    if (!runStealChecked)
+      System.err.println("[bench] run-level steal verdict OFF: no idle " +
+        s"wide-probe reference for cpus=$cpus (set SPARK_GRAFT_WIDE_IDLE)")
+    val runSteal = runStealChecked &&
+      BenchCanary.runContended(canaryWideSeries.toSeq, wideIdleMedian)
+    val runStealJson = if (runStealChecked) runSteal.toString else "null"
     val contendedFinal = stillContended || runSteal
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -217,7 +213,22 @@ object Bench {
     val idleRefJson = // -1 = no applicable reference (non-32-cpu run)
       if (wideIdleMedian == Double.MaxValue) "-1"
       else f"$wideIdleMedian%.4f"
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"contended":$contendedFinal,"run_steal":$runSteal,"canary_base":${f"$canaryBase%.4f"},"canary":$canaryJson,"canary_wide_base":${f"$canaryWideBase%.4f"},"canary_wide_med":${f"$wideMed%.4f"},"canary_wide_idle_ref":$idleRefJson,"canary_wide":$canaryWideJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"contended":$contendedFinal,"run_steal":$runStealJson,"run_steal_checked":$runStealChecked,"canary_base":${f"$canaryBase%.4f"},"canary":$canaryJson,"canary_wide_base":${f"$canaryWideBase%.4f"},"canary_wide_med":${f"$wideMed%.4f"},"canary_wide_idle_ref":$idleRefJson,"canary_wide":$canaryWideJson,"sf":"$sfDir"}"""
+    // The stdout line must be COMPACT: the full per-query JSON is ~8 KB
+    // on one line and the driver's tail capture keeps only the last
+    // 2000 chars, so it can never parse a complete object from it
+    // (BENCH_r12/r13 parsed:null — two different mechanisms, same
+    // symptom). Stdout carries the contract keys plus a 5-slowest
+    // queries map (bounded: 5 entries ≤ ~250 chars); the complete
+    // per-query map lives ONLY in the file.
+    val top5 = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
+      .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    // failed list capped at 10 names so a catastrophic run can't push
+    // the compact line past the tail window either; failed_n is exact
+    val failedCompact = failed.take(10).map("\"" + _ + "\"")
+      .mkString("[", ",", "]")
+    val compact = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$top5,"queries_n":${results.size},"failed_n":${failed.size},"failed":$failedCompact,"contended":$contendedFinal,"run_steal":$runStealJson,"run_steal_checked":$runStealChecked,"canary_wide_med":${f"$wideMed%.4f"},"canary_wide_idle_ref":$idleRefJson,"sf":"$sfDir","full":"bench_out.json"}"""
     // Output hygiene (r13, after r12's parsed:null): persist the line to
     // a file FIRST (log tails get truncated — r3's total was lost that
     // way), then print it as the LAST stdout line before shutdown, with
@@ -232,7 +243,7 @@ object Bench {
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
     System.err.flush()
-    println(json)
+    println(compact)
     System.out.flush()
     spark.stop()
   }

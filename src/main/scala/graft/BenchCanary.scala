@@ -56,15 +56,14 @@ object BenchCanary {
     * class doc's calibration — between the ×2.0 clean-totals run and
     * the ×2.45 inflated-totals run). */
   val WideRunFactorDefault = 2.2
-  /** This box's recorded idle wide-probe median AT local[32] — a
-    * (box, cpus) constant: the probe's work is fixed, so its idle
-    * time scales with the thread count (measured: median 0.465–0.511
-    * at 32 cpus, ~1.31 at 8 — legitimately, not steal). Bench applies
-    * this default only when SPARK_GRAFT_CPUS is 32 (the driver
-    * config); override via SPARK_GRAFT_WIDE_IDLE for other shapes or
-    * when the box/probe changes (bench_local_r13.json; PERF.md
-    * round-13 ledger). */
-  val WideIdleMedianDefault = 0.51
+  // The box's idle wide-probe median is NOT a source constant: it is
+  // a (box, cpus) measurement — the probe's work is fixed, so its
+  // idle time scales with the thread count (measured: ~0.5 s at 32
+  // cpus, ~1.31 s at 8, both legitimate). `graft.BenchCalibrate`
+  // measures and records it in bench_calibration.properties; Bench
+  // reads it from there (env SPARK_GRAFT_WIDE_IDLE overrides; no
+  // entry for the run's cpus ⇒ run_steal:null). r14, after the r13
+  // hand-recalibrated-twice episode.
 
   def inflated(reading: Double, base: Double, factor: Double): Boolean =
     reading > base * factor

@@ -60,8 +60,15 @@ case class HeavyHitters(k: Int)
     TopItems(sorted.map(_._1).toArray, sorted.map(_._2).toArray)
   }
 
+  /** Native ExpressionEncoder (MapType(String, Long)), NOT Kryo: the
+    * Kryo path reflects into `java.nio.HeapByteBuffer` internals and
+    * dies with EXPRESSION_ENCODING_FAILED under a plain `java -cp`
+    * launcher that lacks build.sbt's `--add-opens java.base/java.nio`
+    * (r13 PERF ledger). The native encoder serializes through Catalyst
+    * UnsafeMapData — no reflection, launcher-independent — and is also
+    * smaller on the wire than a Kryo-framed Scala Map. */
   override def bufferEncoder: Encoder[Map[String, Long]] =
-    Encoders.kryo[Map[String, Long]]
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
 
   override def outputEncoder: Encoder[TopItems] = Encoders.product[TopItems]
 }

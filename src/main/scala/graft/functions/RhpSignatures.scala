@@ -19,11 +19,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * hashInt(m, 42))`) — and each dot product is the same ascending-i
   * double fold (`acc + x_i·(±1.0)`; negation is exact in IEEE, so the
   * conditional negate equals the ±1.0 multiply bit-for-bit). The
-  * declarative form yields signature 0 for a NULL-diluted fold (null
-  * embedding or wrong-length array → every `when(dot > 0)` falls to
-  * 0), replicated by the zero-signature short-circuit below; NULL
-  * INPUT handling stays at the call site (`coalesce(sig, 0)` matches
-  * the declarative NULL → 0 collapse).
+  * declarative form yields signature 0 for a NULL-diluted fold (an
+  * array SHORTER than dims → zip_with pads the array side with nulls →
+  * every `when(dot > 0)` falls to 0), replicated by the zero-signature
+  * short-circuit below; an array LONGER than dims keeps folding in the
+  * twin (the padded-null INDEX is skipped by xxhash64, giving every
+  * extra element the hash-of-null sign), replicated by the padSigns
+  * tail fold; NULL INPUT handling stays at the call site
+  * (`coalesce(sig, 0)` matches the declarative NULL → 0 collapse).
   *
   * Why a kernel: the declarative form is `tables × bits` interpreted
   * zip_with/aggregate lambdas per row — 64 hyperplane folds of 64
@@ -51,6 +54,15 @@ case class RhpSignatures(child: Expression, bits: Int, tables: Int,
       }
     }
 
+  // padSigns(m) = the sign an element BEYOND dims gets in the
+  // declarative twin: zip_with pads the (shorter) sequence side with
+  // null indices, and xxhash64 SKIPS a null child — the hash is just
+  // hashInt(m, 42), the same for every padded position of hyperplane m
+  @transient private lazy val padSigns: Array[Double] =
+    Array.tabulate(tables * bits) { m =>
+      if ((XXH64.hashInt(m, 42L) & 1L) == 1L) 1.0 else -1.0
+    }
+
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
@@ -65,9 +77,12 @@ case class RhpSignatures(child: Expression, bits: Int, tables: Int,
 
   def compute(a: ArrayData): GenericArrayData = {
     val out = new Array[Any](tables)
-    if (a.numElements() != dims) {
-      // declarative twin: a wrong-length array null-dilutes every
-      // fold, so every bit's `when(dot > 0)` yields 0
+    val n = a.numElements()
+    if (n < dims) {
+      // declarative twin: zip_with pads the SHORTER array side with
+      // nulls, each null term null-dilutes the whole fold, so every
+      // bit's `when(dot > 0)` yields 0 — the zero short-circuit holds
+      // ONLY for arrays shorter than dims (r13 ADVICE)
       var t = 0
       while (t < tables) { out(t) = 0L; t += 1 }
       return new GenericArrayData(out)
@@ -78,12 +93,21 @@ case class RhpSignatures(child: Expression, bits: Int, tables: Int,
       var sig = 0L
       var j = 0
       while (j < bits) {
-        val s = signs(t * bits + j)
+        val m = t * bits + j
+        val s = signs(m)
         var dot = 0.0
         var i = 0
         while (i < dims) {
           // same fold as the declarative form: acc + x_i.toDouble·(±1)
           dot += x(i).toDouble * s(i)
+          i += 1
+        }
+        // a LONGER array keeps folding in the declarative twin: the
+        // sequence side pads with null indices, and each padded term
+        // carries the hash-of-null sign padSigns(m)
+        val ps = padSigns(m)
+        while (i < n) {
+          dot += x(i).toDouble * ps
           i += 1
         }
         if (dot > 0) sig |= (1L << j)

@@ -70,8 +70,25 @@ object RunDag {
         lit(0L)).as("null_durations"),
       coalesce(sum(when(col("label") === "Malicious", 1L).otherwise(0L)),
         lit(0L)).as("malicious_rows")).head()
-    if (!spark.catalog.tableExists(table))
-      stored.limit(0).write.saveAsTable(table)
+    // Fresh-JVM rerun hazard (r13 ADVICE): with the default in-memory
+    // catalog a JVM restart loses the table's METADATA while its
+    // spark-warehouse directory persists, so tableExists=false and ANY
+    // managed-table creation — saveAsTable or CREATE TABLE DDL alike
+    // (RunDagSpec measured both) — throws LOCATION_ALREADY_EXISTS.
+    // When the catalog lacks the table, whatever sits at its managed
+    // location is last cycle's data from a dead incarnation; the cycle
+    // TRUNCATEs the table before loading anyway, so deleting the stale
+    // location first is semantics-preserving — the reference DAG's
+    // truncate-then-load daily rerun, made restart-safe.
+    if (!spark.catalog.tableExists(table)) {
+      val staleLoc = new org.apache.hadoop.fs.Path(
+        spark.sessionState.catalog.defaultTablePath(
+          org.apache.spark.sql.catalyst.TableIdentifier(table)))
+      staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(staleLoc, true)
+      spark.sql(
+        s"CREATE TABLE $table (${stored.schema.toDDL}) USING parquet")
+    }
     spark.sql(s"TRUNCATE TABLE $table")
 
     // -- load_parquet_to_clickhouse (positional, from the files) -----

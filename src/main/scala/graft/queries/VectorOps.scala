@@ -697,8 +697,15 @@ object VectorOps extends org.apache.spark.internal.Logging {
       .select(col("query_id"), col("cand_id"),
         (bit_count(col("q_lo").bitwiseXOR(col("lo")))
           + bit_count(col("q_hi").bitwiseXOR(col("hi")))).as("hamming"),
-        least(greatest(((col("cand_id") - lit(loId)) * nB / lit(span)),
-          lit(0L)), lit(nB - 1L)).as("bkt"))
+        // floor() is load-bearing: Spark's `/` on integral operands
+        // returns DOUBLE, so without it bkt is a near-unique double per
+        // candidate — the offsets frame degenerates to ~one row per
+        // scored candidate (a data-sized broadcast) and the per-bucket
+        // window to a per-row one, exactly the collapse the two-phase
+        // recipe exists to avoid (r13 ADVICE; same idiom as
+        // ExactQuantiles' bucket map).
+        least(greatest(floor((col("cand_id") - lit(loId)) * nB / lit(span)),
+          lit(0)), lit(nB - 1)).cast("long").as("bkt"))
     // two-phase global rank by (hamming, cand_id) within each query:
     // per-(query, hamming, bkt) counts → exclusive prefix offsets via
     // a window over that AGGREGATED frame (≤ queries·129·nB rows) →

@@ -17,7 +17,22 @@ class BenchCanarySpec extends AnyFunSuite {
   private val sBase = 0.17 // idle 1-task canary on this box (PERF.md)
   private val sF = BenchCanary.ScalarFactorDefault
   private val wF = BenchCanary.WideWindowFactorDefault
-  private val idleMed = BenchCanary.WideIdleMedianDefault
+  // the RECORDED calibration, not a source constant (r13 verdict item
+  // 4): the file must exist in-repo, carry a local[32] entry, and sit
+  // in the band every measured idle run has occupied — a drifted
+  // re-calibration or a deleted file fails loudly here
+  private val idleMed = BenchCalibrate.recordedWideIdleMedian("32")
+    .getOrElse(fail("bench_calibration.properties must record the " +
+      "local[32] idle wide-probe median — run graft.BenchCalibrate"))
+
+  test("recorded calibration shape is sane: local[32] idle median in " +
+    "the measured idle band") {
+    // measured clean-phase medians so far: 0.51 (r13 box), 0.78-1.03
+    // (r14 box) — a reading outside [0.2, 2.0] means the calibration
+    // ran inside a steal phase or the probe changed
+    assert(idleMed > 0.2 && idleMed < 2.0,
+      s"recorded idle median $idleMed outside every measured idle band")
+  }
 
   // the measured solo-run wide shape: readings 0.36–0.95 around a
   // ~0.47 p25 — realistic noise the detector must NOT flag
@@ -55,11 +70,16 @@ class BenchCanarySpec extends AnyFunSuite {
     "UNIFORMLY ~2.5x — per-window sees nothing (correct: no clean " +
     "window to re-measure against), the run-level median verdict " +
     "fires; the measured clean-totals ~2.0x run stays quiet") {
-    val wide = soloWide.map(_ * 2.45) // the r13c flagged-steal shape
+    // the steal shape is RELATIVE to the box's idle median (the r13c
+    // run measured ×2.45 over ITS box's 0.51) — scale the measured
+    // solo shape so its median sits at exactly that ratio over the
+    // RECORDED calibration, whatever this box's value is
+    val toIdle = idleMed / BenchCanary.median(soloWide)
+    val wide = soloWide.map(_ * toIdle * 2.45)
     val scalar = soloWide.map(_ => 0.158) // BELOW its own base — r12/r13c
     // per-window: a uniform steal inflates the robust base with the
     // readings, so no window stands out — by design
-    val wb = BenchCanary.robustBase(0.53 * 2.45, wide)
+    val wb = BenchCanary.robustBase(0.53 * toIdle * 2.45, wide)
     assert(BenchCanary.contendedWindows(scalar, sBase, sF, wide, wb, wF)
       === Set.empty[Int])
     // negative control: the scalar canary alone really is blind
@@ -69,7 +89,7 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(BenchCanary.runContended(wide, idleMed))
     // ...and stays quiet on the measured ~2.0x probe median whose
     // query totals were the round's BEST (probe-local effects, r13d)
-    assert(!BenchCanary.runContended(soloWide.map(_ * 2.0), idleMed))
+    assert(!BenchCanary.runContended(soloWide.map(_ * toIdle * 2.0), idleMed))
   }
 
   test("mismatched series lengths are a harness bug, not a silent pass") {

@@ -220,4 +220,28 @@ class FuzzScalarsSpec extends SparkTestBase {
     assert(r.getString(0) == "878947987312.137") // DuckDB: .136
     assert(r.getString(1) == "1000000000000000.500") // DuckDB: .512
   }
+
+  test("divergence #16 pin (round 14): format_string renders a NULL " +
+    "argument as the literal string 'null' (java.util.Formatter) — " +
+    "DuckDB's printf propagates NULL, so portable printf spellings " +
+    "guard their arguments non-null") {
+    val r = spark.range(1).select(
+      format_string("%d%%", lit(null).cast("int")).as("a"),
+      format_string("<%.2f>", lit(null).cast("double")).as("b")).head()
+    assert(r.getString(0) == "null%")
+    // the conversion's PRECISION applies to the rendered "null"
+    // string: %.2f of null is "nu" (measured) — doubly unportable
+    assert(r.getString(1) == "<nu>")
+  }
+
+  test("divergence #17 pin (round 14): Spark upper() applies FULL " +
+    "mappings to the U+FB00-FB06 ligatures (fi-ligature -> 'FI'); " +
+    "DuckDB's simple mapping keeps them — while the titlecase " +
+    "digraphs AGREE cross-engine (1:1)") {
+    val r = spark.range(1).select(
+      upper(lit("ﬁle")).as("a"),
+      upper(lit("ǅungla ǉeto")).as("b")).head()
+    assert(r.getString(0) == "FILE") // DuckDB: ﬁLE
+    assert(r.getString(1) == "ǄUNGLA ǇETO") // agrees (1:1 digraphs)
+  }
 }

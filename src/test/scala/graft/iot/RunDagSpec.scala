@@ -58,4 +58,44 @@ class RunDagSpec extends SparkTestBase {
       expected.filter(col("label") === "Malicious").count())
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("DAG rerun survives a JVM restart: catalog metadata lost, " +
+    "spark-warehouse location still populated (r13 ADVICE — saveAsTable " +
+    "threw 'location already exists and is not empty' on this path)") {
+    val dir = Files.createTempDirectory("graft_dag_restart").toString +
+      "/parquet"
+    val table = "iot_dag_restart_serving"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val r1 = RunDag.runDag(spark, Csv, dir, table)
+    assert(r1.servingCount > 0)
+    val snap1 = spark.table(table).orderBy("uid").collect()
+      .map(_.toString).toSeq
+
+    // simulate the restart: stash the managed location's files, DROP
+    // the table (in-memory catalog forgets it AND deletes the managed
+    // data), then restore the files — leaving exactly the fresh-JVM
+    // state: tableExists=false, location non-empty
+    val loc = java.nio.file.Paths.get(java.net.URI.create(
+      spark.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location.toString))
+    val stash = Files.createTempDirectory("graft_dag_stash")
+    val files = Files.list(loc).toArray.map(_.asInstanceOf[java.nio.file.Path])
+    assert(files.nonEmpty, "managed location must hold data files")
+    files.foreach(f => Files.copy(f, stash.resolve(f.getFileName)))
+    spark.sql(s"DROP TABLE $table")
+    assert(!spark.catalog.tableExists(table))
+    Files.createDirectories(loc)
+    Files.list(stash).toArray.map(_.asInstanceOf[java.nio.file.Path])
+      .foreach(f => Files.copy(f, loc.resolve(f.getFileName)))
+
+    // the daily rerun on the "restarted" catalog must succeed and
+    // reproduce the identical table — stale files are registered by
+    // the CREATE TABLE IF NOT EXISTS DDL and cleared by TRUNCATE
+    val r2 = RunDag.runDag(spark, Csv, dir, table)
+    assert(r2.servingCount == r1.servingCount)
+    assert(spark.table(table).orderBy("uid").collect()
+      .map(_.toString).toSeq == snap1)
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }

@@ -572,15 +572,26 @@ class LlmOpsSpec extends SparkTestBase {
 
   test("RhpSignatures kernel is bit-identical to the declarative " +
     "per-table signature columns (all tables, incl. the NULL-embedding " +
-    "-> 0 collapse)") {
+    "-> 0 collapse and the shorter/longer-than-dims edges)") {
     import org.apache.spark.sql.graft.Bridge
     val (bits, tables) = (8, 8)
-    // a NULL-embedding row rides along: the declarative fold collapses
-    // it to signature 0 per table; the kernel path must coalesce to 0
+    // edge rows ride along (r13 ADVICE — the twin must hold beyond the
+    // fixed 64-dim fixtures): NULL embedding (both sides -> 0), an
+    // array SHORTER than dims (zip_with null-pads the ARRAY side ->
+    // declarative fold null-dilutes -> 0), and an array LONGER than
+    // dims (zip_with null-pads the SEQUENCE side -> xxhash64 skips the
+    // null index, extra elements fold with the hash-of-null sign —
+    // generally NON-zero, so a kernel short-circuit would diverge here)
+    val shortArr = array((0 until 32).map(i => lit(0.5f - i * 0.01f)): _*)
+    val longArr = array((0 until 70).map(i => lit(i * 0.03f - 1.0f)): _*)
     val emb = graft.Tables.embeddings(spark, Sf)
       .select(col("vec_id"), col("embedding"))
       .unionAll(spark.range(1).select(lit(-1L).as("vec_id"),
         lit(null).cast("array<float>").as("embedding")))
+      .unionAll(spark.range(1).select(lit(-2L).as("vec_id"),
+        shortArr.cast("array<float>").as("embedding")))
+      .unionAll(spark.range(1).select(lit(-3L).as("vec_id"),
+        longArr.cast("array<float>").as("embedding")))
     val kernel = Bridge.column(graft.functions.RhpSignatures(
       Bridge.expr(col("embedding")), bits, tables, 64))
     val viaKernel = emb.select(col("vec_id"), kernel.as("sigs"))
@@ -595,6 +606,10 @@ class LlmOpsSpec extends SparkTestBase {
         (1 to tables).map(r.getLong)).toMap
     assert(viaKernel.size > 1 && viaKernel == declarative)
     assert(viaKernel(-1L).forall(_ == 0L), "NULL embedding must map to 0")
+    assert(viaKernel(-2L).forall(_ == 0L), "short array must map to 0")
+    assert(viaKernel(-3L).exists(_ != 0L),
+      "long-array fixture must exercise a non-zero padded fold — " +
+        "otherwise this edge pins nothing")
   }
 
   test("q41 ANN candidates are a subset of brute-force scoring space") {

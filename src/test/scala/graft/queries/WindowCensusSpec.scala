@@ -694,6 +694,18 @@ class WindowCensusSpec extends SparkTestBase {
       else assert(parts.contains("bkt") && parts.contains("hamming"),
         s"q148: the shortlist rank window must ride the bucket grain: $parts")
     }
+    // r13 ADVICE regression pin: bkt must be INTEGRAL. Spark's `/` on
+    // integral operands returns DOUBLE, and a double bkt is
+    // near-unique per candidate — the window shapes above still pass
+    // (the bug shipped through this census) while the offsets frame
+    // silently degenerates to ~one row per scored candidate and gets
+    // broadcast. The type is the bug's signature.
+    val bktAttrs = VectorOps.q148HammingTopK(spark, Sf).queryExecution
+      .optimizedPlan.collect { case p => p.output.filter(_.name == "bkt") }
+      .flatten
+    assert(bktAttrs.nonEmpty && bktAttrs.forall(
+      _.dataType == org.apache.spark.sql.types.LongType),
+      s"q148 bkt must be integral, got ${bktAttrs.map(_.dataType).distinct}")
     // the trained-IVF/PQ tier: data-sized rankings (re-rank, ADC
     // top-k, ADC shortlist) ride heaps; the one window q139/q162 keep
     // is the probe rank over the K=8 MODEL-SIZED centroid
