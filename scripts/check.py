@@ -10,7 +10,7 @@ sorts columns by name (driver does the same before hashing) and compares
 row count, schema, and exact values. Floats report max abs diff when not
 bit-identical so near-misses are diagnosable.
 """
-import duckdb, json, sys, glob
+import duckdb, json, os, sys, glob
 
 import numpy as np
 import pandas as pd
@@ -23,12 +23,40 @@ def main():
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+        # driver testdata ships single-file parquet; Spark-written
+        # replicas (graft.tools.ReplicateSf) are DIRECTORIES of parts
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # optional resume: skip queries up to and including argv[3]
+    # (long sf1 replays interrupted by an oracle rewrite pick up where
+    # they stopped; the skipped prefix's verdicts come from the prior log)
+    start_after = sys.argv[3] if len(sys.argv) > 3 else ""
     n_pass = n_fail = 0
     for name in sorted(oracle):
+        if start_after and name <= start_after:
+            continue
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
+            # a 0-row Spark result can legitimately write a directory
+            # with only _SUCCESS (no part files, AQE); it matches an
+            # oracle that is ALSO empty — anything else is a failure
+            if os.path.isdir(f"{outdir}/{name}"):
+                try:
+                    du0 = con.sql(oracle[name]).df()
+                except Exception as e:
+                    print(f"FAIL {name}: {e}")
+                    n_fail += 1
+                    continue
+                if len(du0) == 0:
+                    n_pass += 1
+                    print(f"PASS {name} (0 rows, partless dir)")
+                else:
+                    n_fail += 1
+                    print(f"FAIL {name}: spark empty, oracle {len(du0)} rows")
+                continue
             print(f"FAIL {name}: no spark output parquet")
             n_fail += 1
             continue

@@ -1537,25 +1537,32 @@ object TextOps {
       .withColumn("cn", sum(col("bkt_n")).over(ord))
       .withColumn("cv", sum(col("bkt_v")).over(ord))
       .select(lnq(col("cn")).as("x"), lnq(col("cv")).as("y"))
+    // the COMBINATION step casts every sufficient statistic to DOUBLE
+    // BEFORE multiplying (the SqlOps q29-family `d()` pattern): the
+    // BIGINT n·sxy overflowed at sf1 — 1000 ln-quantized curve points
+    // push n·sxy to ~1.2e20 — in BOTH engines (Spark threw under
+    // ANSI, DuckDB "Out of Range"; found by the r14 sf1 replay). The
+    // sums themselves stay exact BIGINTs (headroom to ~sf100; the
+    // documented 100 TB form bounds the curve to log-spaced points,
+    // which also caps the sums), and both engines run the IDENTICAL
+    // double tree, so the oracle compare stays bit-exact.
+    val d = (c: Column) => c.cast(DoubleType)
     curve.agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
         sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
         sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
       .select(col("n"),
-        ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
-          / (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+        ((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+          / (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx"))))
           .as("beta"),
-        ((col("sy").cast(DoubleType) / col("n")
-          - (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
-            / (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
-            * col("sx").cast(DoubleType) / col("n")) / lit(1e6)).as("ln_k"),
-        // squares in DOUBLE: the BIGINT square of n·sxy−sx·sy would
-        // overflow (~4e32); the pre-square casts keep both engines on
-        // the identical double tree
-        (((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
-          * (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType))
-          / ((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
-            * (col("n") * col("syy") - col("sy") * col("sy"))
-              .cast(DoubleType))).as("r2"))
+        ((d(col("sy")) / d(col("n"))
+          - (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+            / (d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+            * d(col("sx")) / d(col("n"))) / lit(1e6)).as("ln_k"),
+        (((d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy")))
+          * (d(col("n")) * d(col("sxy")) - d(col("sx")) * d(col("sy"))))
+          / ((d(col("n")) * d(col("sxx")) - d(col("sx")) * d(col("sx")))
+            * (d(col("n")) * d(col("syy")) - d(col("sy")) * d(col("sy")))))
+          .as("r2"))
   }
 
   private val HeapsFitSql: String =
@@ -1588,16 +1595,24 @@ object TextOps {
        |    CAST(sum(y * y) AS BIGINT) AS syy
        |  FROM curve)
        |SELECT n,
-       |  CAST(n * sxy - sx * sy AS DOUBLE)
-       |    / CAST(n * sxx - sx * sx AS DOUBLE) AS beta,
+       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS beta,
        |  (CAST(sy AS DOUBLE) / n
-       |    - CAST(n * sxy - sx * sy AS DOUBLE)
-       |      / CAST(n * sxx - sx * sx AS DOUBLE)
+       |    - (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
        |      * CAST(sx AS DOUBLE) / n) / 1e6 AS ln_k,
-       |  CAST(n * sxy - sx * sy AS DOUBLE)
-       |    * CAST(n * sxy - sx * sy AS DOUBLE)
-       |    / (CAST(n * sxx - sx * sx AS DOUBLE)
-       |      * CAST(n * syy - sy * sy AS DOUBLE)) AS r2
+       |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+       |      * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS r2
        |FROM st""".stripMargin
 
   // ---------------------------------------------------------------- q209
