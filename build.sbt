@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver captures `sbt "runMain graft.Bench"` output and parses the
+// LAST line as JSON. sbt's default LoggedOutput wraps the forked
+// program's stdout as `[info] {...}` and appends its own
+// `[success] Total time: ...` line after it — BENCH_r12..r14 all came
+// back parsed:null from exactly this. StdoutOutput passes the forked
+// stdout through unwrapped; showSuccess drops the trailer line, so the
+// program's final JSON line is the last line of the whole invocation.
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by sbt's command engine, not by a task —
+// exclude it from the unused-key lint so the load stays warning-free
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

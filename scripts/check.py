@@ -42,8 +42,12 @@ def main():
         if not files:
             # a 0-row Spark result can legitimately write a directory
             # with only _SUCCESS (no part files, AQE); it matches an
-            # oracle that is ALSO empty — anything else is a failure
-            if os.path.isdir(f"{outdir}/{name}"):
+            # oracle that is ALSO empty — anything else is a failure.
+            # The _SUCCESS marker is REQUIRED: a query that crashed
+            # after creating the directory but before committing parts
+            # must not score a 0-row PASS (r15 ADVICE)
+            if os.path.isdir(f"{outdir}/{name}") and \
+                    os.path.exists(f"{outdir}/{name}/_SUCCESS"):
                 try:
                     du0 = con.sql(oracle[name]).df()
                 except Exception as e:

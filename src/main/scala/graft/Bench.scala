@@ -88,6 +88,14 @@ object Bench {
       .map(_.toDouble)
       .orElse(BenchCalibrate.recordedWideIdleMedian(cpus))
       .getOrElse(Double.MaxValue)
+    // the phase-steal band: the recorded idle p90 (r15 — this box's
+    // steal arrives in multi-minute phases that inflate totals while
+    // keeping the series MEDIAN under the 2.2x band; see BenchCanary's
+    // phase-steal block)
+    val wideIdleP90 = sys.env.get("SPARK_GRAFT_WIDE_IDLE_P90")
+      .map(_.toDouble)
+      .orElse(BenchCalibrate.recordedWideIdleP90(cpus))
+      .getOrElse(Double.MaxValue)
     def timeOne(name: String,
         fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
         recordFailure: Boolean): Double = {
@@ -202,7 +210,16 @@ object Bench {
     val runSteal = runStealChecked &&
       BenchCanary.runContended(canaryWideSeries.toSeq, wideIdleMedian)
     val runStealJson = if (runStealChecked) runSteal.toString else "null"
-    val contendedFinal = stillContended || runSteal
+    // phase-steal verdict (r15): same three-state contract, banded on
+    // the recorded idle p90 — catches the multi-minute steal phases
+    // the median test is structurally blind to (r14 driver run:
+    // median ratio 1.18 yet totals +14%, 7.18 s spikes, a 5-long run
+    // above the band)
+    val phaseChecked = wideIdleP90 != Double.MaxValue
+    val phaseSteal = phaseChecked &&
+      BenchCanary.phaseContended(canaryWideSeries.toSeq, wideIdleP90)
+    val phaseStealJson = if (phaseChecked) phaseSteal.toString else "null"
+    val contendedFinal = stillContended || runSteal || phaseSteal
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
@@ -213,7 +230,14 @@ object Bench {
     val idleRefJson = // -1 = no applicable reference (non-32-cpu run)
       if (wideIdleMedian == Double.MaxValue) "-1"
       else f"$wideIdleMedian%.4f"
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"contended":$contendedFinal,"run_steal":$runStealJson,"run_steal_checked":$runStealChecked,"canary_base":${f"$canaryBase%.4f"},"canary":$canaryJson,"canary_wide_base":${f"$canaryWideBase%.4f"},"canary_wide_med":${f"$wideMed%.4f"},"canary_wide_idle_ref":$idleRefJson,"canary_wide":$canaryWideJson,"sf":"$sfDir"}"""
+    val idleP90Json =
+      if (wideIdleP90 == Double.MaxValue) "-1" else f"$wideIdleP90%.4f"
+    // which calibration this run was judged against (epoch seconds;
+    // -1 = unstamped file) — makes cross-round normalization cite a
+    // concrete calibration instead of a PERF.md derivation
+    val calibTsJson = BenchCalibrate.recordedCalibratedAt()
+      .map(_.toLong.toString).getOrElse("-1")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"contended":$contendedFinal,"run_steal":$runStealJson,"run_steal_checked":$runStealChecked,"run_phase_steal":$phaseStealJson,"canary_base":${f"$canaryBase%.4f"},"canary":$canaryJson,"canary_wide_base":${f"$canaryWideBase%.4f"},"canary_wide_med":${f"$wideMed%.4f"},"canary_wide_idle_ref":$idleRefJson,"canary_wide_idle_p90":$idleP90Json,"calib_ts":$calibTsJson,"canary_wide":$canaryWideJson,"sf":"$sfDir"}"""
     // The stdout line must be COMPACT: the full per-query JSON is ~8 KB
     // on one line and the driver's tail capture keeps only the last
     // 2000 chars, so it can never parse a complete object from it
@@ -228,7 +252,7 @@ object Bench {
     // the compact line past the tail window either; failed_n is exact
     val failedCompact = failed.take(10).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val compact = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$top5,"queries_n":${results.size},"failed_n":${failed.size},"failed":$failedCompact,"contended":$contendedFinal,"run_steal":$runStealJson,"run_steal_checked":$runStealChecked,"canary_wide_med":${f"$wideMed%.4f"},"canary_wide_idle_ref":$idleRefJson,"sf":"$sfDir","full":"bench_out.json"}"""
+    val compact = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$top5,"queries_n":${results.size},"failed_n":${failed.size},"failed":$failedCompact,"contended":$contendedFinal,"run_steal":$runStealJson,"run_steal_checked":$runStealChecked,"run_phase_steal":$phaseStealJson,"canary_wide_med":${f"$wideMed%.4f"},"canary_wide_idle_ref":$idleRefJson,"canary_wide_idle_p90":$idleP90Json,"calib_ts":$calibTsJson,"sf":"$sfDir","full":"bench_out.json"}"""
     // Output hygiene (r13, after r12's parsed:null): persist the line to
     // a file FIRST (log tails get truncated — r3's total was lost that
     // way), then print it as the LAST stdout line before shutdown, with
@@ -242,9 +266,16 @@ object Bench {
     catch { case e: java.io.IOException =>
       System.err.println(s"[bench] could not write $out: ${e.getMessage}")
     }
+    // Shutdown BEFORE the final print (r15): with sbt's outputStrategy
+    // set to StdoutOutput the forked stdout/stderr reach the harness
+    // unwrapped, so any post-print shutdown logging on stderr could
+    // land AFTER the JSON in a merged capture. Silence the logger,
+    // stop Spark, flush stderr — then the compact line is the true
+    // last byte of the run.
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.stop()
     System.err.flush()
     println(compact)
     System.out.flush()
-    spark.stop()
   }
 }

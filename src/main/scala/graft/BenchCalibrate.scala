@@ -29,22 +29,45 @@ object BenchCalibrate {
 
   val CalibrationPath = "bench_calibration.properties"
 
-  /** Recorded idle wide-probe median for a thread count, if this box
-    * has been calibrated at it. Missing/unreadable file or absent key
+  /** Calibration file path: SPARK_GRAFT_CALIBRATION, else the repo
+    * default — honored by BOTH the writer (main) and the readers
+    * below, so a non-repo-root CWD can still point Bench at the
+    * recorded constants (r15, ADVICE: read side used to hard-code the
+    * relative default). */
+  def resolvedPath: String =
+    sys.env.getOrElse("SPARK_GRAFT_CALIBRATION", CalibrationPath)
+
+  /** Recorded calibration value for a thread count, if this box has
+    * been calibrated at it. Missing/unreadable file or absent key
     * → None (Bench then reports run_steal:null rather than inventing
     * a reference). */
-  def recordedWideIdleMedian(cpus: String,
-      path: String = CalibrationPath): Option[Double] = {
+  def recordedKey(key: String, cpus: String,
+      path: String): Option[Double] = {
     val p = Paths.get(path)
     if (!Files.isReadable(p)) None
     else {
       val props = new java.util.Properties()
       val in = Files.newInputStream(p)
       try props.load(in) finally in.close()
-      Option(props.getProperty(s"wide_idle_median.$cpus"))
+      Option(props.getProperty(s"$key.$cpus"))
         .flatMap(v => scala.util.Try(v.toDouble).toOption)
     }
   }
+
+  def recordedWideIdleMedian(cpus: String,
+      path: String = resolvedPath): Option[Double] =
+    recordedKey("wide_idle_median", cpus, path)
+
+  /** Recorded idle wide-probe p90 — the phase-steal band (r15). */
+  def recordedWideIdleP90(cpus: String,
+      path: String = resolvedPath): Option[Double] =
+    recordedKey("wide_idle_p90", cpus, path)
+
+  /** Recorded calibration wall-clock (epoch seconds) — echoed into the
+    * bench line so cross-round normalization can cite WHICH
+    * calibration a run was judged against. */
+  def recordedCalibratedAt(path: String = resolvedPath): Option[Double] =
+    recordedKey("calibrated_at_epoch", "s", path)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -71,14 +94,18 @@ object BenchCalibrate {
     // run-level verdict NEEDS, because a steal-phase "idle" median
     // would silently disable the verdict (threshold 2.2× a 9.57
     // reference is never crossed).
-    val batchMedians = (1 to batches).map { b =>
+    val batchSeries = (1 to batches).map { b =>
       if (b > 1) Thread.sleep(gapSec * 1000L)
-      BenchCanary.median((1 to samples).map(_ => BenchProbes.wideOnce(spark)))
+      (1 to samples).map(_ => BenchProbes.wideOnce(spark))
     }
+    val batchMedians = batchSeries.map(s => BenchCanary.median(s))
     val med = batchMedians.min
-    val cleanBatch = (1 to samples).map(_ => BenchProbes.wideOnce(spark))
-    // p25/p90 are descriptive (the per-window detector derives its own
-    // robust base in-run); record them from the LAST batch for the shape
+    // p25/p90/samples describe the shape of the batch whose median was
+    // the MIN — the clean phase just identified — not a freshly-run
+    // extra batch, which is not guaranteed clean and costs `samples`
+    // extra probes (r15 ADVICE: a steal-phase extra batch would commit
+    // a misleading p90 band for the phase-steal verdict)
+    val cleanBatch = batchSeries(batchMedians.indexOf(med))
     val sorted = cleanBatch.sorted
     val p25 = sorted(sorted.length / 4)
     val p90 = sorted(math.min(sorted.length - 1, (sorted.length * 9) / 10))
@@ -98,6 +125,10 @@ object BenchCalibrate {
       batchMedians.map(m => f"$m%.4f").mkString(","))
     props.setProperty(s"wide_idle_samples.$cpus",
       series.map(s => f"$s%.4f").mkString(","))
+    // wall-clock stamp so a bench run can cite WHICH calibration it
+    // was judged against (echoed into the compact bench line)
+    props.setProperty("calibrated_at_epoch.s",
+      (System.currentTimeMillis() / 1000L).toString)
     // deterministic key order so the committed file diffs cleanly
     val lines = ("# Canary calibration — produced by graft.BenchCalibrate " +
       "on an idle box; read by graft.Bench. Re-run when the box, JVM, " +

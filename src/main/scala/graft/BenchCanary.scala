@@ -112,4 +112,47 @@ object BenchCanary {
   def runContended(wideSeries: Seq[Double], idleMedian: Double,
       runFactor: Double = WideRunFactorDefault): Boolean =
     wideSeries.nonEmpty && median(wideSeries) > idleMedian * runFactor
+
+  // ---- phase steal (r15) -------------------------------------------
+  // This box's steal arrives in MULTI-MINUTE PHASES (BenchCalibrate's
+  // measured batch medians 1.03/1.15/4.24/1.34): a mode that inflates
+  // a contiguous minority of probes can add ~14% to the run total
+  // while leaving the series MEDIAN under the 2.2× band — exactly the
+  // r14 driver run (median ratio 1.18, total +14% vs solo, 7.18 s
+  // spikes). The median test CANNOT see it; two phase statistics can:
+  //
+  //  - the FRACTION of probes above the recorded idle p90: on an idle
+  //    box ~10% sit above p90 BY DEFINITION; the r14 phase-contended
+  //    driver run measured 0.204, the clean solo run 0.021 — 0.15
+  //    splits them with margin on both sides;
+  //  - the LONGEST CONSECUTIVE RUN above p90: iid 10%-tail noise makes
+  //    a 4-run with probability ~n·10⁻⁴ (~1% at n≈100 probes), but a
+  //    steal PHASE inflates consecutive probes — the r14 driver series
+  //    held a 5-run, the clean solo series a 1-run.
+  /** Fraction-above-p90 threshold (see phase-steal block). */
+  val PhaseFracDefault = 0.15
+  /** Longest-run-above-p90 threshold (see phase-steal block). */
+  val PhaseRunDefault = 4
+
+  def fracAbove(series: Seq[Double], band: Double): Double =
+    if (series.isEmpty) 0.0
+    else series.count(_ > band).toDouble / series.length
+
+  def longestRunAbove(series: Seq[Double], band: Double): Int = {
+    var best = 0; var cur = 0
+    series.foreach { x =>
+      cur = if (x > band) cur + 1 else 0
+      if (cur > best) best = cur
+    }
+    best
+  }
+
+  /** Run-level PHASE steal verdict (fires alongside [[runContended]];
+    * either marks the run's totals as discountable). */
+  def phaseContended(wideSeries: Seq[Double], idleP90: Double,
+      fracThreshold: Double = PhaseFracDefault,
+      runThreshold: Int = PhaseRunDefault): Boolean =
+    wideSeries.nonEmpty &&
+      (fracAbove(wideSeries, idleP90) >= fracThreshold ||
+        longestRunAbove(wideSeries, idleP90) >= runThreshold)
 }

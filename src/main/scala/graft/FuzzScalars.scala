@@ -65,7 +65,12 @@ object FuzzScalars {
     // round 14: ligature + titlecase-digraph — FULL casing expands ﬁ
     // to "FI" and knows the three-way ǅ forms; SIMPLE 1:1 mappings
     // don't (the casing wave's home turf)
-    "ﬁle ǅungla", "ǉeto")
+    "ﬁle ǅungla", "ǉeto",
+    // round 15 (regex + rendering waves): a trailing-newline string
+    // (the $-anchor divergence zone), nested-bracket text for lazy
+    // quantifiers, key=value text for anchored extracts, and doubled
+    // letters for the backreference fence
+    "tail\n", "a<xx>b<yy>", "a=1;bar=22", "xx yz zz ab")
   // pool size MUST stay coprime with the null stride's modulus 13:
   // at 52 (= 4·13) entries the every-13th-row null pattern deleted
   // the SAME four strings from s1 in every edge cycle (café-NFC,
@@ -201,7 +206,7 @@ object FuzzScalars {
   def catalog: Seq[FuzzPair] = strings ++ hashes ++ regexes ++ maths ++
     bits ++ casts ++ dates ++ conditionals ++ arrays ++ windows ++
     decimals ++ tsArith ++ maps ++ structs ++ arraySorts ++ casings ++
-    renders
+    renders ++ regexes2 ++ strftimes
 
   private def strings: Seq[FuzzPair] = Seq(
     FuzzPair("len_cp", length(s1), "length(s1)"),
@@ -290,8 +295,14 @@ object FuzzScalars {
       "regexp_extract(s1, '([0-9]+)', 1)"),
     FuzzPair("re_replace_g", regexp_replace(s1, "[0-9]", "#"),
       "regexp_replace(s1, '[0-9]', '#', 'g')"),
-    FuzzPair("re_like", s1.rlike("^[A-Za-z0-9]+$"),
-      "regexp_matches(s1, '^[A-Za-z0-9]+$')"),
+    // FOUND divergence (#18, r15 — the trailing-newline fixture row
+    // exposed THIS pre-existing pair): Java's '$' also matches before
+    // a FINAL newline ('tail\n' ~ '^[a-z]+$' → true), RE2's only at
+    // end of text (→ false). \z anchors the absolute end IDENTICALLY
+    // in both dialects — the agreeing spelling for any
+    // whole-string-shaped oracle regex.
+    FuzzPair("re_like", s1.rlike("^[A-Za-z0-9]+\\z"),
+      "regexp_matches(s1, '^[A-Za-z0-9]+\\z')"),
     // dialect probes — every oracle SHARES its regex text across
     // engines (Java regex in Spark, RE2 in DuckDB), so the shared
     // subset's SEMANTICS must agree, not just its syntax:
@@ -967,6 +978,121 @@ object FuzzScalars {
     FuzzPair("printf_pct",
       when(i1.isNotNull, format_string("%d%%", i1)),
       "CASE WHEN i1 IS NOT NULL THEN printf('%d%%', i1) END"))
+
+  /** Regex dialect-edge wave (round 15): the quantifier / anchor /
+    * flag / escape surface the r12 `regexes` wave didn't reach. Java
+    * regex (Spark) and RE2 (DuckDB) share a large dialect, but the
+    * boundary has two ERROR-class members — lookarounds and
+    * backreferences are Java-only, RE2 REJECTS the pattern outright —
+    * so any oracle regex using them doesn't diverge quietly, it
+    * cannot run at all. The catalog carries the mechanical rewrites. */
+  private def regexes2: Seq[FuzzPair] = Seq(
+    // lazy quantifiers: RE2 supports +?/​*?/.+? with Perl leftmost-
+    // FIRST match priority, same as Java (measured: '<(.+?)>' on
+    // 'a<xx>b<yy>' → 'xx' in both)
+    FuzzPair("re2_lazy_extract", regexp_extract(s1, "<(.+?)>", 1),
+      "regexp_extract(s1, '<(.+?)>', 1)"),
+    FuzzPair("re2_lazy_replace", regexp_replace(s1, "[0-9]+?", "#"),
+      "regexp_replace(s1, '[0-9]+?', '#', 'g')"),
+    // alternation priority: leftmost-FIRST (Perl), not POSIX
+    // leftmost-longest — '(ab|a)' on 'xabb' picks 'ab' in both
+    FuzzPair("re2_alt_first", regexp_extract(s1, "(ab|a)", 1),
+      "regexp_extract(s1, '(ab|a)', 1)"),
+    // bounded repeats + greedy backtracking equivalence
+    FuzzPair("re2_bounded", regexp_extract(s1, "a{2,3}", 0),
+      "regexp_extract(s1, 'a{2,3}')"),
+    // FOUND divergence (#19): empty-match replacement agrees ONLY on
+    // the simple domain. Two distinct mechanisms measured: (a) Spark
+    // iterates UTF-16 CODE UNITS — an astral char is split between
+    // its surrogate halves ('🦀🚀' → '-?-?-?-?-', corrupted), DuckDB
+    // iterates code points ('-🦀-🚀-'); (b) after a NON-EMPTY match
+    // Java permits an adjacent empty match at the same position
+    // ('0x1A' ~ s/x*/-/g → '-0--1-A-'), RE2 suppresses it
+    // ('-0-1-A-'). Agreeing domain: no astral chars AND no occurrence
+    // of the repeated token; oracles must not run zero-width-capable
+    // replacements outside it.
+    FuzzPair("re2_empty_rep",
+      when(!s1.contains("x") &&
+        !s1.rlike("[\\x{10000}-\\x{10FFFF}]"),
+        regexp_replace(s1, "x*", "-")),
+      "CASE WHEN NOT contains(s1, 'x') AND NOT " +
+        "regexp_matches(s1, '[\\x{10000}-\\x{10FFFF}]') " +
+        "THEN regexp_replace(s1, 'x*', '-', 'g') END"),
+    // \s/\S whitespace classes over tab/newline/ideographic space
+    FuzzPair("re2_space_cls", s1.rlike("^\\s+\\S"),
+      "regexp_matches(s1, '^\\s+\\S')"),
+    // \p{Lu} unicode-uppercase category ([[:upper:]] is the POSIX
+    // spelling DuckDB also takes, but Java parses [[:upper:]] as a
+    // literal bracket class — \p{Lu} is the shared spelling)
+    FuzzPair("re2_upper_cat", regexp_replace(s1, "\\p{Lu}", "^"),
+      "regexp_replace(s1, '\\p{Lu}', '^', 'g')"),
+    // inline flags (?m)/(?s) exist in both dialects
+    FuzzPair("re2_multiline", s1.rlike("(?m)^b$"),
+      "regexp_matches(s1, '(?m)^b$')"),
+    FuzzPair("re2_dotall", s1.rlike("(?s)a.b"),
+      "regexp_matches(s1, '(?s)a.b')"),
+    // FOUND divergence (#18, see re_like): '$' before a FINAL NEWLINE matches in
+    // Java (find() treats a trailing line terminator as optional) but
+    // NOT in RE2 ('ab\n' vs 'b$' → false; measured). Two agreeing
+    // spellings: guard the trailing-newline zone out, or anchor with
+    // \z (absolute end of text — SAME semantics in both dialects).
+    FuzzPair("re2_dollar_guard",
+      when(!s1.endsWith("\n"), s1.rlike("[b2]$")),
+      "CASE WHEN s1 NOT LIKE '%' || chr(10) THEN " +
+        "regexp_matches(s1, '[b2]$') END"),
+    FuzzPair("re2_eot_z", s1.rlike("[b2]\\z"),
+      "regexp_matches(s1, '[b2]\\z')"),
+    // FENCE (#20): lookarounds are Java-only — RE2 rejects '(?=' as
+    // an invalid perl operator (ERROR, not a wrong answer). A
+    // lookahead that brackets a literal rewrites to the literal
+    // concatenation; oracle regexes must ship the rewrite.
+    FuzzPair("re2_lookahead_rw", s1.rlike("a(?=b)"),
+      "regexp_matches(s1, 'ab')"),
+    // FENCE (#21): backreferences are Java-only — RE2 rejects '\1'
+    // as an invalid escape (ERROR). A bounded-alphabet backreference
+    // expands to the explicit alternation; oracles over open
+    // alphabets must drop to a non-regex spelling.
+    FuzzPair("re2_backref_rw", s1.rlike("([a-z])\\1"),
+      "regexp_matches(s1, '" +
+        ('a' to 'z').map(c => s"$c$c").mkString("|") + "')"))
+
+  /** Temporal-rendering wave (round 15): the date_format↔strftime
+    * token grammar the oracle surface uses for bucketing and labels.
+    * Java patterns (yyyy/MM/dd/HH...) and C-style strftime (%Y/%m/%d/
+    * %H...) are DIFFERENT GRAMMARS over the same field set — each
+    * pair pins one token correspondence, measured over the fixture's
+    * leap/century/pre-epoch dates. Both engines are proleptic
+    * Gregorian and the session is UTC, so the fields themselves
+    * agree; the grammar mapping is what can silently drift. */
+  private def strftimes: Seq[FuzzPair] = Seq(
+    // day-of-year: DDD (Java, zero-padded to 3) ↔ %j
+    FuzzPair("fmt_doy", date_format(dt, "DDD"), "strftime(dt, '%j')"),
+    // 12-hour clock + meridiem: hh a ↔ %I %p (midnight → '12 AM',
+    // noon → '12 PM' in both)
+    FuzzPair("fmt_12h", date_format(ts, "hh a"), "strftime(ts, '%I %p')"),
+    // full weekday/month names: EEEE MMMM ↔ %A %B (Spark renders
+    // Locale.US; DuckDB's names are English — they coincide)
+    FuzzPair("fmt_names", date_format(dt, "EEEE MMMM"),
+      "strftime(dt, '%A %B')"),
+    FuzzPair("fmt_abbrev", date_format(dt, "EEE"), "strftime(dt, '%a')"),
+    // two-digit year: yy ↔ %y
+    FuzzPair("fmt_yy", date_format(dt, "yy"), "strftime(dt, '%y')"),
+    // milliseconds: SSS (fraction-of-second, 3 digits) ↔ %g
+    FuzzPair("fmt_millis", date_format(ts, "HHmmssSSS"),
+      "strftime(ts, '%H%M%S%g')"),
+    // unpadded month/day: M/d ↔ %-m/%-d (the GNU no-pad extension —
+    // DuckDB implements it; POSIX strftime would render %-m literally)
+    FuzzPair("fmt_nopad", date_format(dt, "M/d"),
+      "strftime(dt, '%-m/%-d')"),
+    // FENCE (#22): interval→string rendering NEVER agrees — Spark
+    // casts a day-time interval to "INTERVAL '1 02:02:02' DAY TO
+    // SECOND", DuckDB to "1 day 02:02:02" (measured). Durations that
+    // reach output columns must be rendered NUMERICALLY; this pair is
+    // the agreeing numeric spelling (epoch micros of the difference).
+    FuzzPair("iv_numeric_render",
+      expr("unix_micros(timestampadd(HOUR, CAST(pmod(i1, 48) AS INT), " +
+        "ts)) - unix_micros(ts)"),
+      s"epoch_us((ts + to_hours(CAST(${dpmod("i1", 48)} AS BIGINT))) - ts)"))
 
   // ---------------------------------------------------------------
   // Main

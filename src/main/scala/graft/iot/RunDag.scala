@@ -84,8 +84,24 @@ object RunDag {
       val staleLoc = new org.apache.hadoop.fs.Path(
         spark.sessionState.catalog.defaultTablePath(
           org.apache.spark.sql.catalyst.TableIdentifier(table)))
-      staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .delete(staleLoc, true)
+      val fs = staleLoc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      // Deletion guard (r15 ADVICE): the location should only ever
+      // hold a dead incarnation's parquet parts — anything else means
+      // some other process parked data there, and silently destroying
+      // it would be wrong. Warn LOUDLY with the listing (the cycle
+      // still needs the location clear to proceed).
+      if (fs.exists(staleLoc)) {
+        val entries = fs.listStatus(staleLoc).map(_.getPath.getName)
+        val foreign = entries.filterNot(n =>
+          n.endsWith(".parquet") || n.startsWith("_SUCCESS") ||
+            n.startsWith("_committed") || n.startsWith("_started") ||
+            n.startsWith("."))
+        if (foreign.nonEmpty)
+          System.err.println(s"[runDag] WARNING: stale managed location " +
+            s"$staleLoc holds NON-TABLE entries ${foreign.mkString(", ")} " +
+            "— removing them with the dead incarnation's files")
+        fs.delete(staleLoc, true)
+      }
       spark.sql(
         s"CREATE TABLE $table (${stored.schema.toDDL}) USING parquet")
     }

@@ -1718,15 +1718,36 @@ object WarehouseOps {
 
   // ---------------------------------------------- q231 spatial grid join
 
-  private val GeoBins = 32      // 32×32 grid
-  private val GeoEps = 5.0      // ε in degrees (planar)
+  private val GeoEps = 5.0             // ε in degrees (planar)
+  private val GeoTargetOccupancy = 8.0 // expected points per grid cell
+
+  /** Grid geometry derived from the corpus size (the q47
+    * adaptive-width precedent): bins = ⌈√(n/targetOccupancy)⌉ keeps
+    * expected cell occupancy CONSTANT as the corpus grows, so the
+    * grid-join candidate mass stays proportional to the true ε-pair
+    * output instead of O(n²/bins²) at a frozen resolution. When the
+    * adaptive cell edge drops below ε, no-false-negatives needs the
+    * neighbor search widened from 1 ring to ⌈ε/edge⌉ rings per axis
+    * (the standard fixed-grid spatial-join generalization). Both
+    * engines derive the identical integers from count(*) via
+    * correctly-rounded IEEE sqrt/div/ceil. */
+  private[queries] def geoGridGeometry(n: Long): (Int, Int, Int) = {
+    val bins = math.max(1L,
+      math.ceil(math.sqrt(n.toDouble / GeoTargetOccupancy)).toLong).toInt
+    val rx = math.ceil(GeoEps / (360.0 / bins)).toInt.max(1)
+    val ry = math.ceil(GeoEps / (180.0 / bins)).toInt.max(1)
+    (bins, rx, ry)
+  }
 
   /** q231 — grid-binned spatial ε-neighbor join, the scale shape of
     * every distributed spatial engine (GeoSpark/Sedona partitioning,
-    * geohash bucketing, S2/H3 cells): points land in grid cells, and
-    * candidate pairs are generated ONLY within a cell and its 8
-    * neighbors — O(n·9·density) candidates instead of the O(n²) cross
-    * join, with no false negative possible because ε ≤ one cell edge.
+    * geohash bucketing, S2/H3 cells): points land in grid cells sized
+    * from the corpus count ([[geoGridGeometry]]), and candidate pairs
+    * are generated ONLY within a cell and its (2rx+1)×(2ry+1) ring
+    * neighborhood — candidate mass tracks the true ε-pair output at
+    * any corpus size instead of degenerating toward the O(n²) cross
+    * join at a fixed resolution, with no false negative possible
+    * because the ring radius covers ε per axis.
     * Coordinates are a documented md5-derived synthetic projection of
     * the customer key (the reference schema has no geo columns; the
     * OPERATOR is the subject, and the hash projection makes it
@@ -1735,10 +1756,16 @@ object WarehouseOps {
     * Exactness: bin ids are integer floors of the same double
     * arithmetic on both engines; the ε test compares exact squared
     * degrees. Candidate dedup keys on custkey order. Output: points,
-    * occupied cells, max cell occupancy, candidate pairs after the
-    * grid filter, and true ε-pairs — the selectivity spread a spatial
-    * optimizer would read. */
+    * grid resolution, occupied cells, max cell occupancy, candidate
+    * pairs after the grid filter, and true ε-pairs — the selectivity
+    * spread a spatial optimizer would read. n_eps_pairs is
+    * grid-invariant: any resolution must report the same value. */
   def q231GeoGridJoin(s: SparkSession, dir: String): DataFrame = {
+    // bounded driver-side scalar (the centroid/model-state precedent):
+    // one count fixes the grid geometry, exactly as the oracle derives
+    // it from count(*)
+    val n = Tables.customer(s, dir).count()
+    val (bins, rx, ry) = geoGridGeometry(n)
     def coord(salt: String, span: Double, off: Double) =
       (CorpusOps.md5Hash32(concat(lit(salt), col("c_custkey").cast("string")))
         .cast("double") / lit(4294967296.0)) * lit(span) - lit(off)
@@ -1747,16 +1774,17 @@ object WarehouseOps {
         coord("lon:", 360.0, 180.0).as("lon"),
         coord("lat:", 180.0, 90.0).as("lat"))
       .withColumn("bx", floor((col("lon") + lit(180.0)) / lit(360.0)
-        * lit(GeoBins)).cast("int"))
+        * lit(bins)).cast("int"))
       .withColumn("by", floor((col("lat") + lit(90.0)) / lit(180.0)
-        * lit(GeoBins)).cast("int"))
+        * lit(bins)).cast("int"))
     // NOTE: divide-then-cast BEFORE subtracting — `(id/3 - 1).cast(int)`
     // truncates -0.67 to 0 (toward zero), which silently duplicates the
     // (0,0)/(1,0) offsets and drops the dy=-1 row (caught by the oracle
     // mismatch: duplicated candidates inflated ε-pairs past brute truth)
-    val offsets = s.range(0, 9).select(
-      (col("id") % 3 - 1).cast("int").as("dx"),
-      ((col("id") / 3).cast("int") - 1).cast("int").as("dy"))
+    val nOff = (2L * rx + 1) * (2L * ry + 1)
+    val offsets = s.range(0, nOff).select(
+      (col("id") % (2 * rx + 1) - rx).cast("int").as("dx"),
+      ((col("id") / (2 * rx + 1)).cast("int") - ry).cast("int").as("dy"))
     val probes = pts.crossJoin(offsets)
       .select(col("id").as("a_id"), col("lon").as("a_lon"),
         col("lat").as("a_lat"),
@@ -1774,7 +1802,8 @@ object WarehouseOps {
       .agg(count(lit(1)).as("n_cells"), max(col("n")).as("max_cell"))
     pts.agg(count(lit(1)).as("n_points"))
       .crossJoin(cells).crossJoin(stats)
-      .select(col("n_points"), col("n_cells"), col("max_cell"),
+      .select(col("n_points"), lit(bins.toLong).as("grid_bins"),
+        col("n_cells"), col("max_cell"),
         col("n_candidates"), col("n_eps_pairs"))
   }
 
@@ -1783,20 +1812,32 @@ object WarehouseOps {
       s"""(CAST(CAST(('0x' || substr(md5('$salt' ||
          |      CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
          |    / 4294967296e0) * $span - $off""".stripMargin
-    s"""WITH pts AS (
+    s"""WITH geo AS (
+       |  SELECT gb,
+       |    GREATEST(1, CAST(ceil(5e0 / (360e0 / gb)) AS INTEGER)) AS rx,
+       |    GREATEST(1, CAST(ceil(5e0 / (180e0 / gb)) AS INTEGER)) AS ry
+       |  FROM (SELECT GREATEST(1, CAST(ceil(sqrt(
+       |          CAST((SELECT count(*) FROM customer) AS DOUBLE)
+       |          / ${GeoTargetOccupancy}e0)) AS INTEGER)) AS gb)),
+       |pts AS (
        |  SELECT c_custkey AS id,
        |    ${coord("lon:", "360e0", "180e0")} AS lon,
        |    ${coord("lat:", "180e0", "90e0")} AS lat
        |  FROM customer),
        |binned AS (
        |  SELECT id, lon, lat,
-       |    CAST(floor((lon + 180e0) / 360e0 * $GeoBins) AS INTEGER) AS bx,
-       |    CAST(floor((lat + 90e0) / 180e0 * $GeoBins) AS INTEGER) AS by
+       |    CAST(floor((lon + 180e0) / 360e0 * (SELECT gb FROM geo))
+       |      AS INTEGER) AS bx,
+       |    CAST(floor((lat + 90e0) / 180e0 * (SELECT gb FROM geo))
+       |      AS INTEGER) AS by
        |  FROM pts),
        |offsets AS (
-       |  SELECT CAST(i % 3 - 1 AS INTEGER) AS dx,
-       |    CAST(i // 3 - 1 AS INTEGER) AS dy
-       |  FROM (SELECT unnest(range(0, 9)) AS i)),
+       |  SELECT CAST(xs.dx AS INTEGER) AS dx, CAST(ys.dy AS INTEGER) AS dy
+       |  FROM (SELECT unnest(range(-(SELECT rx FROM geo),
+       |                            (SELECT rx FROM geo) + 1)) AS dx) xs
+       |  CROSS JOIN
+       |       (SELECT unnest(range(-(SELECT ry FROM geo),
+       |                            (SELECT ry FROM geo) + 1)) AS dy) ys),
        |cand AS (
        |  SELECT a.id AS a_id, b.id AS b_id,
        |    (a.lon - b.lon) * (a.lon - b.lon) +
@@ -1810,6 +1851,7 @@ object WarehouseOps {
        |    CAST(max(n) AS BIGINT) AS max_cell
        |  FROM (SELECT bx, by, count(*) AS n FROM binned GROUP BY 1, 2))
        |SELECT (SELECT count(*) FROM binned) AS n_points,
+       |  (SELECT CAST(gb AS BIGINT) FROM geo) AS grid_bins,
        |  cells.n_cells, cells.max_cell,
        |  (SELECT count(*) FROM cand) AS n_candidates,
        |  (SELECT CAST(sum(CASE WHEN d2 < ${GeoEps * GeoEps}e0

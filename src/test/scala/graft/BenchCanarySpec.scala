@@ -92,6 +92,58 @@ class BenchCanarySpec extends AnyFunSuite {
     assert(!BenchCanary.runContended(soloWide.map(_ * toIdle * 2.0), idleMed))
   }
 
+  // the r14 DRIVER run's measured wide-canary series (bench_out.json,
+  // 07:11): median ratio 1.18 — UNDER the 2.2x run-level band — yet
+  // totals ran ~14% over the solo snapshot, with steal arriving in
+  // phases (3.3-7.2 s spikes, a 5-long run above the idle p90). The
+  // median verdict is structurally blind to this shape; the phase
+  // statistics are not.
+  private val r14DriverWide = Seq(
+    0.61, 0.83, 2.19, 3.66, 2.59, 3.32, 3.76, 1.71, 1.83, 2.08, 1.57,
+    1.94, 1.47, 1.36, 1.43, 1.46, 1.35, 1.89, 1.38, 2.04, 1.44, 1.71,
+    1.41, 3.95, 1.49, 1.69, 1.52, 1.67, 0.89, 2.21, 1.42, 2.20, 0.80,
+    1.45, 1.76, 1.51, 1.02, 0.81, 0.77, 1.85, 0.94, 0.81, 1.51, 1.36,
+    0.94, 0.82, 0.88, 0.74, 0.62, 0.67, 0.76, 2.19, 1.21, 0.70, 0.82,
+    0.78, 0.77, 0.64, 0.62, 1.18, 0.70, 0.82, 0.84, 0.78, 0.95, 0.83,
+    0.67, 1.64, 0.93, 0.69, 0.82, 0.68, 0.65, 0.71, 0.76, 0.85, 0.80,
+    0.78, 2.98, 2.03, 1.21, 1.54, 7.18, 1.04, 1.11, 1.22, 1.26, 1.26,
+    2.61, 0.80, 2.70, 0.85, 0.72, 0.85, 0.78, 0.86, 6.37, 1.64, 1.33,
+    1.44, 1.33, 0.59, 0.76)
+  // the r14 SOLO run's measured series (bench_local_r14.json, 202.1 s
+  // clean snapshot): one 1.90 GC reading, everything else in band
+  private val r14SoloWide = Seq(
+    0.54, 1.00, 1.90, 1.43, 1.28, 1.44, 1.35, 1.28, 1.20, 1.14, 1.17,
+    1.17, 1.27, 1.15, 1.08, 1.09, 0.91, 1.12, 1.08, 1.10, 0.87, 0.83,
+    0.81, 1.23, 1.51, 1.10, 1.38, 1.30, 1.13, 1.51, 0.71, 0.68, 0.66,
+    0.51, 0.55, 0.54, 0.60, 0.54, 0.42, 0.55, 0.56, 0.47, 0.52, 0.50,
+    0.51, 0.55, 0.54)
+  private val idleP90 = BenchCalibrate.recordedWideIdleP90("32")
+    .getOrElse(fail("bench_calibration.properties must record the " +
+      "local[32] idle wide-probe p90 — run graft.BenchCalibrate"))
+
+  test("phase steal (r14 driver run, measured): the median verdict is " +
+    "blind, the phase statistics flag it; the clean solo series and " +
+    "the iid idle expectation both stay green") {
+    // the blindness being fixed: the r14 driver run passed the median
+    // test even though its totals were ~14% inflated
+    assert(!BenchCanary.runContended(r14DriverWide, idleMed))
+    // both phase statistics separate the two measured runs with margin
+    assert(BenchCanary.fracAbove(r14DriverWide, idleP90) > 0.19)
+    assert(BenchCanary.fracAbove(r14SoloWide, idleP90) < 0.05)
+    assert(BenchCanary.longestRunAbove(r14DriverWide, idleP90) >= 5)
+    assert(BenchCanary.longestRunAbove(r14SoloWide, idleP90) <= 1)
+    assert(BenchCanary.phaseContended(r14DriverWide, idleP90),
+      "the r14 driver series must flag as phase-contended")
+    assert(!BenchCanary.phaseContended(r14SoloWide, idleP90),
+      "the clean 202.1 s solo series must stay green")
+    // threshold sanity: ~10% of idle probes sit above p90 BY
+    // DEFINITION, so the fraction threshold must hold headroom over
+    // 0.10 and the run threshold must be improbable under iid noise
+    // (P(4-run) ~ n*1e-4 at 10% tail)
+    assert(BenchCanary.PhaseFracDefault >= 0.15)
+    assert(BenchCanary.PhaseRunDefault >= 4)
+  }
+
   test("mismatched series lengths are a harness bug, not a silent pass") {
     intercept[IllegalArgumentException] {
       BenchCanary.contendedWindows(Seq(0.17), sBase, sF, Seq.empty, 0.5, wF)

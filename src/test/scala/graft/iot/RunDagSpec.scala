@@ -80,14 +80,20 @@ class RunDagSpec extends SparkTestBase {
         org.apache.spark.sql.catalyst.TableIdentifier(table))
         .location.toString))
     val stash = Files.createTempDirectory("graft_dag_stash")
-    val files = Files.list(loc).toArray.map(_.asInstanceOf[java.nio.file.Path])
+    // Files.list streams hold a directory handle until closed (r15
+    // ADVICE: two leaked handles in the test JVM)
+    def listDir(d: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.list(d)
+      try s.toArray.map(_.asInstanceOf[java.nio.file.Path]).toSeq
+      finally s.close()
+    }
+    val files = listDir(loc)
     assert(files.nonEmpty, "managed location must hold data files")
     files.foreach(f => Files.copy(f, stash.resolve(f.getFileName)))
     spark.sql(s"DROP TABLE $table")
     assert(!spark.catalog.tableExists(table))
     Files.createDirectories(loc)
-    Files.list(stash).toArray.map(_.asInstanceOf[java.nio.file.Path])
-      .foreach(f => Files.copy(f, loc.resolve(f.getFileName)))
+    listDir(stash).foreach(f => Files.copy(f, loc.resolve(f.getFileName)))
 
     // the daily rerun on the "restarted" catalog must succeed and
     // reproduce the identical table — stale files are registered by

@@ -262,8 +262,9 @@ class WindowCensusSpec extends SparkTestBase {
     "q231_geo_grid_join" ->
       ("spatial grid-cell join: per-cell mass = density x cell area; " +
         "the query REPORTS max_cell as its own skew diagnostic, and " +
-        "production sizes GeoBins to the density target (adaptive " +
-        "cell splitting is the standard escalation)"),
+        "GeoBins IS corpus-derived (ceil(sqrt(n/8)), r15) so expected " +
+        "occupancy is a constant at any scale; adaptive cell " +
+        "splitting is the escalation for non-uniform density"),
     "q121_binned_range_join" ->
       ("bin = calendar DAY: per-bin mass is the uniform date share " +
         "of lineitem plus the sampled windows covering that day — " +
