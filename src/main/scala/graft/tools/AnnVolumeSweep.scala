@@ -25,8 +25,13 @@ object AnnVolumeSweep {
     "q162_ivf_pq_ann")
 
   private def joinRows(plan: SparkPlan): Seq[(String, Long)] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val here = plan match {
       case a: AdaptiveSparkPlanExec => return joinRows(a.executedPlan)
+      case q: QueryStageExec => return joinRows(q.plan)
+      case c: InMemoryTableScanExec =>
+        return joinRows(c.relation.cachedPlan)
       case p if p.nodeName.toLowerCase.contains("join") =>
         p.metrics.get("numOutputRows").map(m => (p.nodeName, m.value)).toSeq
       case _ => Seq.empty
