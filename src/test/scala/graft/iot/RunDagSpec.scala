@@ -104,4 +104,33 @@ class RunDagSpec extends SparkTestBase {
       .map(_.toString).toSeq == snap1)
     spark.sql(s"DROP TABLE IF EXISTS $table")
   }
+
+  test("stale-location deletion guard (r15 ADVICE): a FOREIGN file " +
+    "parked at the managed location is loudly warned about before the " +
+    "restart path clears it, and the cycle still completes") {
+    val dir = Files.createTempDirectory("graft_dag_guard").toString +
+      "/parquet"
+    val table = "iot_dag_guard_serving"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    // park a non-table file at the location the catalog doesn't know
+    val loc = java.nio.file.Paths.get(java.net.URI.create(
+      spark.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(table)).toString))
+    Files.createDirectories(loc)
+    Files.writeString(loc.resolve("somebody_elses_data.txt"), "precious")
+    // capture stderr: the guard must NAME the foreign entry
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val r1 = Console.withErr(new java.io.PrintStream(errBuf, true)) {
+      val saved = System.err
+      System.setErr(new java.io.PrintStream(errBuf, true))
+      try RunDag.runDag(spark, Csv, dir, table)
+      finally System.setErr(saved)
+    }
+    assert(r1.servingCount > 0, "cycle must still complete")
+    val err = errBuf.toString
+    assert(err.contains("somebody_elses_data.txt") &&
+      err.contains("NON-TABLE"),
+      s"guard warning must list the foreign entry; got: $err")
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+  }
 }
