@@ -70,7 +70,12 @@ object FuzzScalars {
     // (the $-anchor divergence zone), nested-bracket text for lazy
     // quantifiers, key=value text for anchored extracts, and doubled
     // letters for the backreference fence
-    "tail\n", "a<xx>b<yy>", "a=1;bar=22", "xx yz zz ab")
+    "tail\n", "a<xx>b<yy>", "a=1;bar=22", "xx yz zz ab",
+    // round 15 (parsing wave): valid leap day, invalid calendar day,
+    // unpadded fields and leading whitespace (the strict-vs-lenient
+    // parser boundary), and a d/m/y + time shape
+    "2024-02-29", "2023-02-30", "2023-1-5", " 2023-01-15",
+    "15/01/2023 13:45")
   // pool size MUST stay coprime with the null stride's modulus 13:
   // at 52 (= 4·13) entries the every-13th-row null pattern deleted
   // the SAME four strings from s1 in every edge cycle (café-NFC,
@@ -206,7 +211,7 @@ object FuzzScalars {
   def catalog: Seq[FuzzPair] = strings ++ hashes ++ regexes ++ maths ++
     bits ++ casts ++ dates ++ conditionals ++ arrays ++ windows ++
     decimals ++ tsArith ++ maps ++ structs ++ arraySorts ++ casings ++
-    renders ++ regexes2 ++ strftimes
+    renders ++ regexes2 ++ strftimes ++ parses
 
   private def strings: Seq[FuzzPair] = Seq(
     FuzzPair("len_cp", length(s1), "length(s1)"),
@@ -1093,6 +1098,45 @@ object FuzzScalars {
       expr("unix_micros(timestampadd(HOUR, CAST(pmod(i1, 48) AS INT), " +
         "ts)) - unix_micros(ts)"),
       s"epoch_us((ts + to_hours(CAST(${dpmod("i1", 48)} AS BIGINT))) - ts)"))
+
+  /** Timestamp-PARSING wave (round 15): the inverse grammar —
+    * try_to_timestamp(s, javaPattern) ↔ try_strptime(s, cPattern).
+    * FOUND divergence (#23): the parsers sit on opposite strictness
+    * regimes. Spark's new parser is STRICT — 'MM' demands two digits,
+    * leading whitespace fails, missing fields fail; DuckDB's strptime
+    * is LENIENT — '%m' takes '1', leading whitespace is skipped, and
+    * missing fields DEFAULT (year → 1900: '%B' alone parses 'JANUARY'
+    * to 1900-01-01; '%y' of '99' → 1999 while Java 'yy' → 2099).
+    * Agreeing domain: shape-guard the input to the exact padded form
+    * of the pattern (the regexes below) — inside it both engines also
+    * agree on CALENDAR validation (2024-02-29 parses, 2023-02-30 is
+    * NULL in both). Oracles parsing user-shaped text must carry the
+    * shape guard or pre-normalize. */
+  private def parses: Seq[FuzzPair] = Seq(
+    FuzzPair("parse_iso_date",
+      when(s1.rlike("^\\d{4}-\\d{2}-\\d{2}\\z"),
+        expr("unix_micros(try_to_timestamp(s1, 'yyyy-MM-dd'))")),
+      "CASE WHEN regexp_matches(s1, '^\\d{4}-\\d{2}-\\d{2}\\z') THEN " +
+        "epoch_us(try_strptime(s1, '%Y-%m-%d')) END"),
+    FuzzPair("parse_dmy_hm",
+      when(s1.rlike("^\\d{2}/\\d{2}/\\d{4} \\d{2}:\\d{2}\\z"),
+        expr("unix_micros(try_to_timestamp(s1, 'dd/MM/yyyy HH:mm'))")),
+      "CASE WHEN regexp_matches(s1, " +
+        "'^\\d{2}/\\d{2}/\\d{4} \\d{2}:\\d{2}\\z') THEN " +
+        "epoch_us(try_strptime(s1, '%d/%m/%Y %H:%M')) END"),
+    // definitely-garbage inputs (letters only): NULL in both regimes —
+    // EXCEPT DuckDB's special timestamp literals (found by this wave,
+    // part of #23's lenient regime): try_strptime('infinity'|'epoch',
+    // fmt) bypasses the format and yields the all-defaults timestamp
+    // (1900-01-01) instead of NULL, case-insensitively. Spark returns
+    // NULL for both. The guard excludes the special-literal set.
+    FuzzPair("parse_garbage",
+      when(s1.rlike("^[A-Za-z]+\\z") &&
+        !lower(s1).isin("infinity", "epoch"),
+        expr("unix_micros(try_to_timestamp(s1, 'yyyy-MM-dd'))")),
+      "CASE WHEN regexp_matches(s1, '^[A-Za-z]+\\z') AND " +
+        "lower(s1) NOT IN ('infinity', 'epoch') THEN " +
+        "epoch_us(try_strptime(s1, '%Y-%m-%d')) END"))
 
   // ---------------------------------------------------------------
   // Main
