@@ -1807,6 +1807,14 @@ object WarehouseOps {
         col("n_candidates"), col("n_eps_pairs"))
   }
 
+  /** Oracle spelling notes (r15): the probe keys are materialized in
+    * their own CTE as PLAIN COLUMNS before the big join — DuckDB
+    * cannot extract hash keys from `b.bx = a.bx + o.dx` when `a` and
+    * `o` arrive as separate relations, and scalar subqueries inside
+    * the key projection also block it; both degenerate the join to
+    * CROSS_PRODUCT (measured at sf1: hours vs 5.6 s hash-joined —
+    * same values either way). The 1-row `geo` CTE rides a cross join
+    * into `binned` for the same reason. */
   private val GeoGridJoinSql: String = {
     def coord(salt: String, span: String, off: String) =
       s"""(CAST(CAST(('0x' || substr(md5('$salt' ||
@@ -1826,11 +1834,9 @@ object WarehouseOps {
        |  FROM customer),
        |binned AS (
        |  SELECT id, lon, lat,
-       |    CAST(floor((lon + 180e0) / 360e0 * (SELECT gb FROM geo))
-       |      AS INTEGER) AS bx,
-       |    CAST(floor((lat + 90e0) / 180e0 * (SELECT gb FROM geo))
-       |      AS INTEGER) AS by
-       |  FROM pts),
+       |    CAST(floor((lon + 180e0) / 360e0 * g.gb) AS INTEGER) AS bx,
+       |    CAST(floor((lat + 90e0) / 180e0 * g.gb) AS INTEGER) AS by
+       |  FROM pts, geo g),
        |offsets AS (
        |  SELECT CAST(xs.dx AS INTEGER) AS dx, CAST(ys.dy AS INTEGER) AS dy
        |  FROM (SELECT unnest(range(-(SELECT rx FROM geo),
@@ -1838,14 +1844,17 @@ object WarehouseOps {
        |  CROSS JOIN
        |       (SELECT unnest(range(-(SELECT ry FROM geo),
        |                            (SELECT ry FROM geo) + 1)) AS dy) ys),
+       |probes AS (
+       |  SELECT a.id AS a_id, a.lon AS a_lon, a.lat AS a_lat,
+       |    a.bx + o.dx AS bx, a.by + o.dy AS by
+       |  FROM binned a CROSS JOIN offsets o),
        |cand AS (
-       |  SELECT a.id AS a_id, b.id AS b_id,
-       |    (a.lon - b.lon) * (a.lon - b.lon) +
-       |    (a.lat - b.lat) * (a.lat - b.lat) AS d2
-       |  FROM binned a
-       |  CROSS JOIN offsets o
-       |  JOIN binned b ON b.bx = a.bx + o.dx AND b.by = a.by + o.dy
-       |  WHERE a.id < b.id),
+       |  SELECT p.a_id, b.id AS b_id,
+       |    (p.a_lon - b.lon) * (p.a_lon - b.lon) +
+       |    (p.a_lat - b.lat) * (p.a_lat - b.lat) AS d2
+       |  FROM probes p
+       |  JOIN binned b ON b.bx = p.bx AND b.by = p.by
+       |  WHERE p.a_id < b.id),
        |cells AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n_cells,
        |    CAST(max(n) AS BIGINT) AS max_cell
