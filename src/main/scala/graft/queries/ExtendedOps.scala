@@ -753,11 +753,18 @@ object ExtendedOps {
         |SELECT s.o_custkey, s.month_start, coalesce(c.n, 0) AS n_orders
         |FROM spine s LEFT JOIN counts c USING (o_custkey, month_start)
         |ORDER BY o_custkey, month_start""".stripMargin,
+    // AS MATERIALIZED is load-bearing at scale (r15): DuckDB INLINES
+    // plain CTEs, so `pr` (the 39.6M-pair jaccard block join at sf1)
+    // was recomputed in BOTH edges branches and then per RECURSIVE
+    // iteration through the inlined `edges` — ~12 CPU-hours at sf1.
+    // Materialized, the pair join runs once and the recursion works a
+    // small edge table. Results identical at every SF.
     "q67_dedup_clusters" ->
-      s"""WITH RECURSIVE pr AS (
+      s"""WITH RECURSIVE pr AS MATERIALIZED (
         |  SELECT id_a, id_b FROM (${TextOps.JaccardPairsSql})
         |  WHERE jaccard >= 0.5),
-        |edges AS (SELECT id_a AS s, id_b AS d FROM pr
+        |edges AS MATERIALIZED (
+        |          SELECT id_a AS s, id_b AS d FROM pr
         |          UNION SELECT id_b, id_a FROM pr),
         |reach AS (SELECT s AS id, d AS r FROM edges
         |          UNION
