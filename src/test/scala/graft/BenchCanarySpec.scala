@@ -117,6 +117,15 @@ class BenchCanarySpec extends AnyFunSuite {
     0.81, 1.23, 1.51, 1.10, 1.38, 1.30, 1.13, 1.51, 0.71, 0.68, 0.66,
     0.51, 0.55, 0.54, 0.60, 0.54, 0.42, 0.55, 0.56, 0.47, 0.52, 0.50,
     0.51, 0.55, 0.54)
+  // The calibration THAT JUDGED the r14 series (r14's recorded idle
+  // shape) — pinned as literals, NOT read from the live properties
+  // file: a series must be replayed against its own epoch's
+  // calibration (the box drifts round to round — r15's fresh
+  // calibration reads idle median 0.61 / p90 0.76, and judging r14's
+  // slower-box series against it would flag the clean run too).
+  private val r14IdleMed = 1.0306
+  private val r14IdleP90 = 1.7723
+  // live-file sanity only: a p90 entry must exist for local[32]
   private val idleP90 = BenchCalibrate.recordedWideIdleP90("32")
     .getOrElse(fail("bench_calibration.properties must record the " +
       "local[32] idle wide-probe p90 — run graft.BenchCalibrate"))
@@ -124,17 +133,19 @@ class BenchCanarySpec extends AnyFunSuite {
   test("phase steal (r14 driver run, measured): the median verdict is " +
     "blind, the phase statistics flag it; the clean solo series and " +
     "the iid idle expectation both stay green") {
+    assert(idleP90 > 0.2 && idleP90 < 4.0,
+      s"recorded p90 $idleP90 outside any measured idle band")
     // the blindness being fixed: the r14 driver run passed the median
     // test even though its totals were ~14% inflated
-    assert(!BenchCanary.runContended(r14DriverWide, idleMed))
+    assert(!BenchCanary.runContended(r14DriverWide, r14IdleMed))
     // both phase statistics separate the two measured runs with margin
-    assert(BenchCanary.fracAbove(r14DriverWide, idleP90) > 0.19)
-    assert(BenchCanary.fracAbove(r14SoloWide, idleP90) < 0.05)
-    assert(BenchCanary.longestRunAbove(r14DriverWide, idleP90) >= 5)
-    assert(BenchCanary.longestRunAbove(r14SoloWide, idleP90) <= 1)
-    assert(BenchCanary.phaseContended(r14DriverWide, idleP90),
+    assert(BenchCanary.fracAbove(r14DriverWide, r14IdleP90) > 0.19)
+    assert(BenchCanary.fracAbove(r14SoloWide, r14IdleP90) < 0.05)
+    assert(BenchCanary.longestRunAbove(r14DriverWide, r14IdleP90) >= 5)
+    assert(BenchCanary.longestRunAbove(r14SoloWide, r14IdleP90) <= 1)
+    assert(BenchCanary.phaseContended(r14DriverWide, r14IdleP90),
       "the r14 driver series must flag as phase-contended")
-    assert(!BenchCanary.phaseContended(r14SoloWide, idleP90),
+    assert(!BenchCanary.phaseContended(r14SoloWide, r14IdleP90),
       "the clean 202.1 s solo series must stay green")
     // threshold sanity: ~10% of idle probes sit above p90 BY
     // DEFINITION, so the fraction threshold must hold headroom over
