@@ -65,8 +65,14 @@ def main():
                  got.cluster_id.values.tolist()))
     mismatch = sum(1 for v, c in expected.items() if g.get(v) != c)
     extra = len(set(g) - set(expected))
-    ok = mismatch == 0 and extra == 0 and len(g) == len(expected)
-    print(f"spark rows: {len(got)}, expected docs: {len(expected)}, "
+    # r15 ADVICE: the dict dedupes doc_id, so a multiplicity bug (a doc
+    # emitted twice) would otherwise still PASS — assert the RAW row
+    # count and per-doc uniqueness before declaring the gate closed
+    dup_rows = len(got) - got.doc_id.nunique()
+    ok = (mismatch == 0 and extra == 0 and len(g) == len(expected)
+          and len(got) == len(expected) and dup_rows == 0)
+    print(f"spark rows: {len(got)} (dup doc_id rows: {dup_rows}), "
+          f"expected docs: {len(expected)}, "
           f"mismatches: {mismatch}, extra: {extra}")
     print("PASS q67_dedup_clusters (closure derivation)" if ok
           else "FAIL q67_dedup_clusters")

@@ -1,6 +1,33 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+
+  /** One complete measurement pass over all registered queries, with
+    * its canary series and steal verdicts. `value` is the headline
+    * total (sum of successful query times, min-of-2 + backoff rules
+    * applied inside the pass). */
+  final case class Attempt(
+      results: Seq[(String, Double)],
+      failed: Seq[String],
+      canaryBase: Double,
+      canaryWideBase: Double,
+      canarySeries: Seq[Double],
+      canaryWideSeries: Seq[Double],
+      stillContended: Boolean,
+      runStealChecked: Boolean,
+      runSteal: Boolean,
+      phaseChecked: Boolean,
+      phaseSteal: Boolean) {
+    def total: Double = results.filter(_._2 >= 0).map(_._2).sum
+    def contended: Boolean = stillContended || runSteal || phaseSteal
+    /** Clean = every steal verdict that COULD be checked came back
+      * negative. An unchecked verdict never counts as clean-by-silence
+      * for the retry loop — but with no calibration at all there is
+      * nothing to retry toward, so the loop also stops. */
+    def clean: Boolean = !contended
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -39,7 +66,6 @@ object Bench {
           aggregate(sequence(lit(1), lit(4)), lit(0L), (a, x) => a + x).as("s"))
         .write.format("noop").mode("overwrite").save()
     }
-    val failed = scala.collection.mutable.ListBuffer.empty[String]
     // ---- contention canaries ------------------------------------------
     // A saturated host inflates wall-clock times of queries that did not
     // change (r7 and r8 both recorded windows where a static projection
@@ -60,16 +86,6 @@ object Bench {
     // the exact probe that produced them
     def canaryOnce(): Double = BenchProbes.scalarOnce(spark, sfDir)
     def canaryWideOnce(): Double = BenchProbes.wideOnce(spark)
-    val canaryBase = (1 to 5).map(_ => canaryOnce()).min
-    val canaryWideBase = (1 to 3).map(_ => canaryWideOnce()).min
-    val canarySeries = scala.collection.mutable.ListBuffer.empty[Double]
-    val canaryWideSeries = scala.collection.mutable.ListBuffer.empty[Double]
-    def sampleCanaries(): Unit = {
-      canarySeries += canaryOnce()
-      canaryWideSeries += canaryWideOnce()
-    }
-    // canary reading associated with each query (index into the series)
-    val canaryAt = scala.collection.mutable.Map.empty[String, Int]
     val inflateFactor = sys.env.getOrElse("SPARK_GRAFT_INFLATE",
       BenchCanary.ScalarFactorDefault.toString).toDouble
     val wideInflateFactor = sys.env.getOrElse("SPARK_GRAFT_WIDE_INFLATE",
@@ -96,137 +112,198 @@ object Bench {
       .map(_.toDouble)
       .orElse(BenchCalibrate.recordedWideIdleP90(cpus))
       .getOrElse(Double.MaxValue)
-    def timeOne(name: String,
-        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
-        recordFailure: Boolean): Double = {
-      val t0 = System.nanoTime()
-      // noop sink: materializes every output column (unlike count(),
-      // which lets column pruning skip most of the work) without any
-      // write-side cost — honest per-query timings.
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          if (recordFailure) failed += name
-          false
-        }
-      // a failed query reports -1, never a flattering tiny elapsed time
-      val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
-      // localCheckpoint() blocks (PageRank, CC, k-means, …) persist RDDs
-      // that nothing unpersists; in a single-session name-sorted run the
-      // q1xx queries execute first and their blocks would squeeze the
-      // BlockManager for every later query. Drop them between queries so
-      // each timing reflects the query alone. (Unpersist cost is excluded
-      // from the recorded time — it is harness hygiene, not query work.)
-      // blocking = true: the async variant races the next query's block
-      // lookups, and its "Block rdd_N_M does not exist" error output
-      // interleaved with — and corrupted — the harness's JSON capture in
-      // r12 (BENCH_r12.json parsed:null). The synchronous removal costs
-      // milliseconds outside the timed region and keeps stdout clean.
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-      spark.sharedState.cacheManager.clearCache()
-      elapsed
-    }
-    val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
-    val canaryEvery = 8
-    val firstPass = sorted.zipWithIndex.map { case ((name, fn), i) =>
-      if (i % canaryEvery == 0) sampleCanaries()
-      canaryAt(name) = canarySeries.length - 1
-      name -> timeOne(name, fn, recordFailure = true)
-    }
-    sampleCanaries() // close the last window
-    // Contention hardening, layer 1 (r7): a busy host can inflate
-    // individual queries 2-10×. Re-measure queries whose first measure
-    // exceeds a threshold and report the min. Failures are not retried:
-    // a red query stays red.
     val retryAbove = sys.env.getOrElse("SPARK_GRAFT_RETRY_SEC", "2.0").toDouble
-    val minOf2 = firstPass.map { case (name, t1) =>
-      if (t1 >= retryAbove) {
-        val t2 = timeOne(name, SparkEntry.queries(name), recordFailure = false)
-        name -> (if (t2 >= 0) math.min(t1, t2) else t1)
-      } else name -> t1
-    }
-    // Layer 2 (r9, extended r13): min-of-2 fails when BOTH measures sit
-    // inside one contended window (happened in r7 and r8). Detect
-    // inflated windows via the canaries, wait out the contention with
-    // bounded backoff, and re-run only the queries whose windows were
-    // inflated. Scalar effective base = the LOWEST reading ever
-    // observed (a start-of-run base measured inside a contended window
-    // would otherwise raise the threshold and mask later saturation);
-    // wide effective base = the 25th percentile (the wide probe's solo
-    // variance makes its minimum an outlier — min-based thresholds
-    // flagged 90% of a measured solo run; see BenchCanary's scaladoc
-    // for the per-window vs run-level split).
-    val effBase = math.min(canaryBase, canarySeries.min)
-    val effWideBase = BenchCanary.robustBase(canaryWideBase,
-      canaryWideSeries.toSeq)
-    def windowInflated(i: Int): Boolean =
-      BenchCanary.windowContended(
-        canarySeries(i), effBase, inflateFactor,
-        canaryWideSeries(i), effWideBase, wideInflateFactor)
-    val contendedNames = minOf2.collect { case (name, t) if t >= 0 &&
-      (windowInflated(canaryAt(name)) ||
-       windowInflated(math.min(canaryAt(name) + 1, canarySeries.length - 1)))
-      => name }.toSet
-    var stillContended = false
-    val results =
-      if (contendedNames.isEmpty) minOf2
-      else {
-        // wait for the host to quiet down: up to 5 × 30 s probes; both
-        // canaries must be back in band before re-measuring
-        var tries = 0
-        var recovered = false
-        while (tries < 5 && !recovered) {
-          Thread.sleep(30000)
-          recovered = !BenchCanary.windowContended(
-            canaryOnce(), effBase, inflateFactor,
-            canaryWideOnce(), effWideBase, wideInflateFactor)
-          tries += 1
-        }
-        stillContended = !recovered
-        if (recovered) minOf2.map { case (name, t) =>
-          if (contendedNames(name) && t >= 0) {
-            val t2 = timeOne(name, SparkEntry.queries(name), recordFailure = false)
-            sampleCanaries()
-            name -> (if (t2 >= 0) math.min(t, t2) else t)
-          } else name -> t
-        } else minOf2
+
+    // ---- one full measurement pass -------------------------------------
+    def runAttempt(): Attempt = {
+      val failed = scala.collection.mutable.ListBuffer.empty[String]
+      val canaryBase = (1 to 5).map(_ => canaryOnce()).min
+      val canaryWideBase = (1 to 3).map(_ => canaryWideOnce()).min
+      val canarySeries = scala.collection.mutable.ListBuffer.empty[Double]
+      val canaryWideSeries = scala.collection.mutable.ListBuffer.empty[Double]
+      def sampleCanaries(): Unit = {
+        canarySeries += canaryOnce()
+        canaryWideSeries += canaryWideOnce()
       }
-    // Run-level steal verdict (the r12 blind mode — a uniform 1.2-1.5x
-    // inflation no per-window test can see): the wide series' median
-    // against the box's recorded idle median. Nothing to re-measure —
-    // the whole run is inflated — so it flags `contended` directly.
-    // run_steal is a THREE-state verdict: true/false only when an idle
-    // wide-probe reference applies (local[32] default or an explicit
-    // SPARK_GRAFT_WIDE_IDLE); otherwise it is null — "not checked" —
-    // so a false can never be read as a clean bill on an unchecked run
-    // (r13 ADVICE: the default cpus=4 smoke printed run_steal:false
-    // with the verdict silently off).
-    val runStealChecked = wideIdleMedian != Double.MaxValue
-    if (!runStealChecked)
-      System.err.println("[bench] run-level steal verdict OFF: no idle " +
-        s"wide-probe reference for cpus=$cpus (set SPARK_GRAFT_WIDE_IDLE)")
-    val runSteal = runStealChecked &&
-      BenchCanary.runContended(canaryWideSeries.toSeq, wideIdleMedian)
-    val runStealJson = if (runStealChecked) runSteal.toString else "null"
-    // phase-steal verdict (r15): same three-state contract, banded on
-    // the recorded idle p90 — catches the multi-minute steal phases
-    // the median test is structurally blind to (r14 driver run:
-    // median ratio 1.18 yet totals +14%, 7.18 s spikes, a 5-long run
-    // above the band)
-    val phaseChecked = wideIdleP90 != Double.MaxValue
-    val phaseSteal = phaseChecked &&
-      BenchCanary.phaseContended(canaryWideSeries.toSeq, wideIdleP90)
-    val phaseStealJson = if (phaseChecked) phaseSteal.toString else "null"
-    val contendedFinal = stillContended || runSteal || phaseSteal
+      // canary reading associated with each query (index into the series)
+      val canaryAt = scala.collection.mutable.Map.empty[String, Int]
+      def timeOne(name: String,
+          fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+          recordFailure: Boolean): Double = {
+        val t0 = System.nanoTime()
+        // noop sink: materializes every output column (unlike count(),
+        // which lets column pruning skip most of the work) without any
+        // write-side cost — honest per-query timings.
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            if (recordFailure) failed += name
+            false
+          }
+        // a failed query reports -1, never a flattering tiny elapsed time
+        val elapsed = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        // localCheckpoint() blocks (PageRank, CC, k-means, …) persist RDDs
+        // that nothing unpersists; in a single-session name-sorted run the
+        // q1xx queries execute first and their blocks would squeeze the
+        // BlockManager for every later query. Drop them between queries so
+        // each timing reflects the query alone. (Unpersist cost is excluded
+        // from the recorded time — it is harness hygiene, not query work.)
+        // blocking = true: the async variant races the next query's block
+        // lookups, and its "Block rdd_N_M does not exist" error output
+        // interleaved with — and corrupted — the harness's JSON capture in
+        // r12 (BENCH_r12.json parsed:null). The synchronous removal costs
+        // milliseconds outside the timed region and keeps stdout clean.
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.sharedState.cacheManager.clearCache()
+        elapsed
+      }
+      val sorted = SparkEntry.queries.toSeq.sortBy(_._1)
+      val canaryEvery = 8
+      val firstPass = sorted.zipWithIndex.map { case ((name, fn), i) =>
+        if (i % canaryEvery == 0) sampleCanaries()
+        canaryAt(name) = canarySeries.length - 1
+        name -> timeOne(name, fn, recordFailure = true)
+      }
+      sampleCanaries() // close the last window
+      // Contention hardening, layer 1 (r7): a busy host can inflate
+      // individual queries 2-10×. Re-measure queries whose first measure
+      // exceeds a threshold and report the min. Failures are not retried:
+      // a red query stays red.
+      val minOf2 = firstPass.map { case (name, t1) =>
+        if (t1 >= retryAbove) {
+          val t2 = timeOne(name, SparkEntry.queries(name), recordFailure = false)
+          name -> (if (t2 >= 0) math.min(t1, t2) else t1)
+        } else name -> t1
+      }
+      // Layer 2 (r9, extended r13): min-of-2 fails when BOTH measures sit
+      // inside one contended window (happened in r7 and r8). Detect
+      // inflated windows via the canaries, wait out the contention with
+      // bounded backoff, and re-run only the queries whose windows were
+      // inflated. Scalar effective base = the LOWEST reading ever
+      // observed (a start-of-run base measured inside a contended window
+      // would otherwise raise the threshold and mask later saturation);
+      // wide effective base = the 25th percentile (the wide probe's solo
+      // variance makes its minimum an outlier — min-based thresholds
+      // flagged 90% of a measured solo run; see BenchCanary's scaladoc
+      // for the per-window vs run-level split).
+      val effBase = math.min(canaryBase, canarySeries.min)
+      val effWideBase = BenchCanary.robustBase(canaryWideBase,
+        canaryWideSeries.toSeq)
+      def windowInflated(i: Int): Boolean =
+        BenchCanary.windowContended(
+          canarySeries(i), effBase, inflateFactor,
+          canaryWideSeries(i), effWideBase, wideInflateFactor)
+      val contendedNames = minOf2.collect { case (name, t) if t >= 0 &&
+        (windowInflated(canaryAt(name)) ||
+         windowInflated(math.min(canaryAt(name) + 1, canarySeries.length - 1)))
+        => name }.toSet
+      var stillContended = false
+      val results =
+        if (contendedNames.isEmpty) minOf2
+        else {
+          // wait for the host to quiet down: up to 5 × 30 s probes; both
+          // canaries must be back in band before re-measuring
+          var tries = 0
+          var recovered = false
+          while (tries < 5 && !recovered) {
+            Thread.sleep(30000)
+            recovered = !BenchCanary.windowContended(
+              canaryOnce(), effBase, inflateFactor,
+              canaryWideOnce(), effWideBase, wideInflateFactor)
+            tries += 1
+          }
+          stillContended = !recovered
+          if (recovered) minOf2.map { case (name, t) =>
+            if (contendedNames(name) && t >= 0) {
+              val t2 = timeOne(name, SparkEntry.queries(name), recordFailure = false)
+              sampleCanaries()
+              name -> (if (t2 >= 0) math.min(t, t2) else t)
+            } else name -> t
+          } else minOf2
+        }
+      // Run-level steal verdict (the r12 blind mode — a uniform 1.2-1.5x
+      // inflation no per-window test can see): the wide series' median
+      // against the box's recorded idle median. Nothing to re-measure —
+      // the whole run is inflated — so it flags `contended` directly.
+      // run_steal is a THREE-state verdict: true/false only when an idle
+      // wide-probe reference applies (local[32] default or an explicit
+      // SPARK_GRAFT_WIDE_IDLE); otherwise it is null — "not checked" —
+      // so a false can never be read as a clean bill on an unchecked run
+      // (r13 ADVICE: the default cpus=4 smoke printed run_steal:false
+      // with the verdict silently off).
+      val runStealChecked = wideIdleMedian != Double.MaxValue
+      if (!runStealChecked)
+        System.err.println("[bench] run-level steal verdict OFF: no idle " +
+          s"wide-probe reference for cpus=$cpus (set SPARK_GRAFT_WIDE_IDLE)")
+      val runSteal = runStealChecked &&
+        BenchCanary.runContended(canaryWideSeries.toSeq, wideIdleMedian)
+      // phase-steal verdict (r15): same three-state contract, banded on
+      // the recorded idle p90 — catches the multi-minute steal phases
+      // the median test is structurally blind to (r14 driver run:
+      // median ratio 1.18 yet totals +14%, 7.18 s spikes, a 5-long run
+      // above the band)
+      val phaseChecked = wideIdleP90 != Double.MaxValue
+      val phaseSteal = phaseChecked &&
+        BenchCanary.phaseContended(canaryWideSeries.toSeq, wideIdleP90)
+      Attempt(results, failed.toList, canaryBase, canaryWideBase,
+        canarySeries.toList, canaryWideSeries.toList,
+        stillContended, runStealChecked, runSteal, phaseChecked, phaseSteal)
+    }
+
+    // ---- retry-until-clean (r16, r15 verdict item 1) --------------------
+    // The r15 phase detector flagged EVERY r15 run — detection without a
+    // retry policy left the round with no clean number, and the ledger
+    // had to normalize by a derived box factor. Policy: re-run the full
+    // pass (bounded attempts, default 3) until the steal verdicts come
+    // back clean; steal phases on this box last minutes, so a fresh
+    // ~4-minute pass naturally lands in a different phase window, plus a
+    // bounded idle gap between attempts to let an active phase drain.
+    // If no attempt is clean, keep the MINIMUM-total attempt (a steal
+    // phase only ever inflates) and say so: the JSON embeds a per-attempt
+    // verdict table either way, so a reader compares clean-raw to
+    // clean-raw — never arithmetic on a correction factor. With steal
+    // verdicts unchecked (no calibration for this cpus count) there is
+    // no signal to retry on: single attempt, verdicts null, as before.
+    val maxAttempts = sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPTS", "3").toInt
+    val attemptGapSec =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_ATTEMPT_GAP_SEC", "45").toInt
+    val attempts = scala.collection.mutable.ListBuffer.empty[Attempt]
+    var done = false
+    while (!done) {
+      val a = runAttempt()
+      attempts += a
+      val checkable = a.runStealChecked || a.phaseChecked
+      done = a.clean || !checkable || attempts.size >= maxAttempts
+      if (!done) {
+        System.err.println(s"[bench] attempt ${attempts.size} contended " +
+          s"(run_steal=${a.runSteal} phase_steal=${a.phaseSteal} " +
+          s"backoff_exhausted=${a.stillContended}); retrying after " +
+          s"$attemptGapSec s idle gap")
+        Thread.sleep(attemptGapSec * 1000L)
+      }
+    }
+    // first clean attempt wins; otherwise the minimum-total attempt
+    val picked = attempts.find(_.clean).getOrElse(attempts.minBy(_.total))
+    val pickedIdx = attempts.indexOf(picked)
+
+    val results = picked.results
+    val failed = picked.failed
+    val runStealJson =
+      if (picked.runStealChecked) picked.runSteal.toString else "null"
+    val phaseStealJson =
+      if (picked.phaseChecked) picked.phaseSteal.toString else "null"
+    val contendedFinal = picked.contended
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.filter(_._2 >= 0).map(_._2).sum
+    val total = picked.total
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val canaryJson = canarySeries.map(c => f"$c%.4f").mkString("[", ",", "]")
-    val canaryWideJson = canaryWideSeries.map(c => f"$c%.4f").mkString("[", ",", "]")
-    val wideMed = BenchCanary.median(canaryWideSeries.toSeq)
+    val canaryJson =
+      picked.canarySeries.map(c => f"$c%.4f").mkString("[", ",", "]")
+    val canaryWideJson =
+      picked.canaryWideSeries.map(c => f"$c%.4f").mkString("[", ",", "]")
+    val wideMed = BenchCanary.median(picked.canaryWideSeries)
     val idleRefJson = // -1 = no applicable reference (non-32-cpu run)
       if (wideIdleMedian == Double.MaxValue) "-1"
       else f"$wideIdleMedian%.4f"
@@ -235,9 +312,19 @@ object Bench {
     // which calibration this run was judged against (epoch seconds;
     // -1 = unstamped file) — makes cross-round normalization cite a
     // concrete calibration instead of a PERF.md derivation
-    val calibTsJson = BenchCalibrate.recordedCalibratedAt()
+    val calibTsJson = BenchCalibrate.recordedCalibratedAt(cpus)
       .map(_.toLong.toString).getOrElse("-1")
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"contended":$contendedFinal,"run_steal":$runStealJson,"run_steal_checked":$runStealChecked,"run_phase_steal":$phaseStealJson,"canary_base":${f"$canaryBase%.4f"},"canary":$canaryJson,"canary_wide_base":${f"$canaryWideBase%.4f"},"canary_wide_med":${f"$wideMed%.4f"},"canary_wide_idle_ref":$idleRefJson,"canary_wide_idle_p90":$idleP90Json,"calib_ts":$calibTsJson,"canary_wide":$canaryWideJson,"sf":"$sfDir"}"""
+    // per-attempt verdict table: every attempt's total and steal
+    // verdicts, plus which one the headline value came from — the
+    // audit trail the retry policy owes the ledger
+    def attemptJson(a: Attempt): String = {
+      val rs = if (a.runStealChecked) a.runSteal.toString else "null"
+      val ps = if (a.phaseChecked) a.phaseSteal.toString else "null"
+      s"""{"value":${f"${a.total}%.3f"},"contended":${a.contended},""" +
+        s""""run_steal":$rs,"run_phase_steal":$ps}"""
+    }
+    val attemptsJson = attempts.map(attemptJson).mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"contended":$contendedFinal,"run_steal":$runStealJson,"run_steal_checked":${picked.runStealChecked},"run_phase_steal":$phaseStealJson,"attempt_n":${attempts.size},"attempt_picked":$pickedIdx,"attempts":$attemptsJson,"canary_base":${f"${picked.canaryBase}%.4f"},"canary":$canaryJson,"canary_wide_base":${f"${picked.canaryWideBase}%.4f"},"canary_wide_med":${f"$wideMed%.4f"},"canary_wide_idle_ref":$idleRefJson,"canary_wide_idle_p90":$idleP90Json,"calib_ts":$calibTsJson,"canary_wide":$canaryWideJson,"sf":"$sfDir"}"""
     // The stdout line must be COMPACT: the full per-query JSON is ~8 KB
     // on one line and the driver's tail capture keeps only the last
     // 2000 chars, so it can never parse a complete object from it
@@ -245,14 +332,14 @@ object Bench {
     // symptom). Stdout carries the contract keys plus a 5-slowest
     // queries map (bounded: 5 entries ≤ ~250 chars); the complete
     // per-query map lives ONLY in the file.
-    val top5 = results.toSeq.filter(_._2 >= 0).sortBy(-_._2).take(5)
+    val top5 = results.filter(_._2 >= 0).sortBy(-_._2).take(5)
       .map { case (k, v) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // failed list capped at 10 names so a catastrophic run can't push
     // the compact line past the tail window either; failed_n is exact
     val failedCompact = failed.take(10).map("\"" + _ + "\"")
       .mkString("[", ",", "]")
-    val compact = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$top5,"queries_n":${results.size},"failed_n":${failed.size},"failed":$failedCompact,"contended":$contendedFinal,"run_steal":$runStealJson,"run_steal_checked":$runStealChecked,"run_phase_steal":$phaseStealJson,"canary_wide_med":${f"$wideMed%.4f"},"canary_wide_idle_ref":$idleRefJson,"canary_wide_idle_p90":$idleP90Json,"calib_ts":$calibTsJson,"sf":"$sfDir","full":"bench_out.json"}"""
+    val compact = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$top5,"queries_n":${results.size},"failed_n":${failed.size},"failed":$failedCompact,"contended":$contendedFinal,"run_steal":$runStealJson,"run_steal_checked":${picked.runStealChecked},"run_phase_steal":$phaseStealJson,"attempt_n":${attempts.size},"attempt_picked":$pickedIdx,"attempts":$attemptsJson,"canary_wide_med":${f"$wideMed%.4f"},"canary_wide_idle_ref":$idleRefJson,"canary_wide_idle_p90":$idleP90Json,"calib_ts":$calibTsJson,"sf":"$sfDir","full":"bench_out.json"}"""
     // Output hygiene (r13, after r12's parsed:null): persist the line to
     // a file FIRST (log tails get truncated — r3's total was lost that
     // way), then print it as the LAST stdout line before shutdown, with

@@ -65,9 +65,15 @@ object BenchCalibrate {
 
   /** Recorded calibration wall-clock (epoch seconds) — echoed into the
     * bench line so cross-round normalization can cite WHICH
-    * calibration a run was judged against. */
-  def recordedCalibratedAt(path: String = resolvedPath): Option[Double] =
-    recordedKey("calibrated_at_epoch", "s", path)
+    * calibration a run was judged against. Keyed per-cpus (r15
+    * ADVICE: a single global stamp could cite a calibration epoch at
+    * a DIFFERENT cpus count than the wide_idle_* constants actually
+    * used); the legacy global `.s` key is the fallback for files
+    * written before the per-cpus stamp existed. */
+  def recordedCalibratedAt(cpus: String,
+      path: String = resolvedPath): Option[Double] =
+    recordedKey("calibrated_at_epoch", cpus, path)
+      .orElse(recordedKey("calibrated_at_epoch", "s", path))
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -126,8 +132,10 @@ object BenchCalibrate {
     props.setProperty(s"wide_idle_samples.$cpus",
       series.map(s => f"$s%.4f").mkString(","))
     // wall-clock stamp so a bench run can cite WHICH calibration it
-    // was judged against (echoed into the compact bench line)
-    props.setProperty("calibrated_at_epoch.s",
+    // was judged against (echoed into the compact bench line) —
+    // keyed per-cpus so the stamp always corresponds to the
+    // wide_idle_* constants a run at THIS thread count reads
+    props.setProperty(s"calibrated_at_epoch.$cpus",
       (System.currentTimeMillis() / 1000L).toString)
     // deterministic key order so the committed file diffs cleanly
     val lines = ("# Canary calibration — produced by graft.BenchCalibrate " +

@@ -467,6 +467,12 @@ object GraftFunctions {
       children => SortedGramHashes(children(0), children(1))),
     ("simhash64", classOf[SimHash64].getName,
       children => SimHash64(children(0))),
+    // md5-basis siblings (r16): cross-engine-derivable signatures so
+    // the near-dup family is DuckDB-oracle-verifiable end-to-end
+    ("md5_simhash64", classOf[Md5SimHash64].getName,
+      children => Md5SimHash64(children(0))),
+    ("md5_minhash_sigs", classOf[Md5MinHashSigs].getName,
+      children => Md5MinHashSigs(children(0), children(1), children(2))),
     ("zorder2", classOf[ZOrder2].getName,
       children => ZOrder2(children(0), children(1))),
     ("pcm16_stats", classOf[PcmStats].getName,

@@ -12,7 +12,7 @@ import graft.Tables
   * entropy, int8 embedding quantization, Zipf vocabulary fit, and
   * weighted sampling — the remaining operations a training-data
   * pipeline runs between dedup and shard writing. (The reference
-  * pipeline — see `/root/reference/scripts/process_iot_data.py` — has
+  * pipeline — see `/root/reference/src/jobs/process_iot_data.py` — has
   * no corpus surface at all; this module is part of the
   * beyond-the-reference LLM-data mandate.)
   *

@@ -187,12 +187,18 @@ object TextOps {
   /** Signature frame feeding [[minhashBanded]] (persisted — it is
     * consumed by banding AND both sides of the re-join; persist over
     * localCheckpoint per the round-11 A/B: ~6% faster on this exact
-    * shape AND the lineage survives executor loss at scale). */
+    * shape AND the lineage survives executor loss at scale).
+    *
+    * r16: signatures moved from the xxhash64 kernel to the md5-based
+    * [[graft.functions.Md5MinHashSigs]] (same windowing, same one-pass
+    * shape; base hash and Carter–Wegman constants all md5-derived) so
+    * the DuckDB oracle can re-derive every signature — q37 graduates
+    * from rows-only to a full rows+schema+hash correctness pass. */
   private[queries] def minhashDocs(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)
     normDocs(s, dir)
       .select(col("doc_id"),
-        call_function("minhash_sigs", col("norm"), lit(5), lit(MinhashN))
+        call_function("md5_minhash_sigs", col("norm"), lit(5), lit(MinhashN))
           .as("sig"))
       .persist()
   }

@@ -125,16 +125,21 @@ class BenchCanarySpec extends AnyFunSuite {
   // slower-box series against it would flag the clean run too).
   private val r14IdleMed = 1.0306
   private val r14IdleP90 = 1.7723
-  // live-file sanity only: a p90 entry must exist for local[32]
-  private val idleP90 = BenchCalibrate.recordedWideIdleP90("32")
-    .getOrElse(fail("bench_calibration.properties must record the " +
-      "local[32] idle wide-probe p90 — run graft.BenchCalibrate"))
+  // live-file sanity only: a p90 entry must exist for local[32].
+  // Lazy + asserted INSIDE the test (r15 ADVICE): a missing/relocated
+  // calibration file (SPARK_GRAFT_CALIBRATION elsewhere, non-repo-root
+  // CWD) must fail the one test that needs it with a clear message,
+  // not abort the whole suite at construction.
+  private lazy val idleP90 = BenchCalibrate.recordedWideIdleP90("32")
 
   test("phase steal (r14 driver run, measured): the median verdict is " +
     "blind, the phase statistics flag it; the clean solo series and " +
     "the iid idle expectation both stay green") {
-    assert(idleP90 > 0.2 && idleP90 < 4.0,
-      s"recorded p90 $idleP90 outside any measured idle band")
+    val p90 = idleP90.getOrElse(fail("bench_calibration.properties must " +
+      "record the local[32] idle wide-probe p90 — run graft.BenchCalibrate " +
+      "(or point SPARK_GRAFT_CALIBRATION at the repo-root file)"))
+    assert(p90 > 0.2 && p90 < 4.0,
+      s"recorded p90 $p90 outside any measured idle band")
     // the blindness being fixed: the r14 driver run passed the median
     // test even though its totals were ~14% inflated
     assert(!BenchCanary.runContended(r14DriverWide, r14IdleMed))
