@@ -75,7 +75,12 @@ object FuzzScalars {
     // unpadded fields and leading whitespace (the strict-vs-lenient
     // parser boundary), and a d/m/y + time shape
     "2024-02-29", "2023-02-30", "2023-1-5", " 2023-01-15",
-    "15/01/2023 13:45")
+    "15/01/2023 13:45",
+    // round 16 (collation wave + the #24 VT fence): a vertical-tab
+    // string (Java \s matches U+000B, RE2 does not — the fence's
+    // exercise row) and a no-break-space string (NBSP is NOT \s in
+    // either dialect and NOT trimmed by either trim — worth pinning)
+    "v\u000bt", "a\u00a0b")
   // pool size MUST stay coprime with the null stride's modulus 13:
   // at 52 (= 4·13) entries the every-13th-row null pattern deleted
   // the SAME four strings from s1 in every edge cycle (café-NFC,
@@ -211,7 +216,7 @@ object FuzzScalars {
   def catalog: Seq[FuzzPair] = strings ++ hashes ++ regexes ++ maths ++
     bits ++ casts ++ dates ++ conditionals ++ arrays ++ windows ++
     decimals ++ tsArith ++ maps ++ structs ++ arraySorts ++ casings ++
-    renders ++ regexes2 ++ strftimes ++ parses
+    renders ++ regexes2 ++ strftimes ++ parses ++ intervals2 ++ collations
 
   private def strings: Seq[FuzzPair] = Seq(
     FuzzPair("len_cp", length(s1), "length(s1)"),
@@ -1145,6 +1150,104 @@ object FuzzScalars {
       "CASE WHEN regexp_matches(s1, '^[A-Za-z]+\\z') AND " +
         "lower(s1) NOT IN ('infinity', 'epoch') THEN " +
         "epoch_us(try_strptime(s1, '%Y-%m-%d')) END"))
+
+  /** Interval ARITHMETIC (round 16, wave 1 of 2 — r15 verdict item
+    * 5). The rendering fence (#22) pushed intervals out of output
+    * columns; this wave pins the ARITHMETIC laws an oracle may lean
+    * on — interval × integer, interval ÷ integer, field extraction
+    * from a timestamp difference, multi-unit construction,
+    * fractional-second construction, and interval comparison — all
+    * rendered numerically (epoch micros / plain fields) per the
+    * iv_numeric_render discipline. */
+  private def intervals2: Seq[FuzzPair] = Seq(
+    // day-time interval × integer column, then add
+    FuzzPair("iv2_mul_hr",
+      unix_micros(expr(
+        "ts + (CAST(pmod(i1, 1000) AS INT) - 500) * INTERVAL '1' HOUR")),
+      s"epoch_us(ts + (CAST(${dpmod("i1", 1000)} - 500 AS BIGINT) " +
+        "* INTERVAL 1 HOUR))"),
+    // year-month interval × integer column: month-end clamping under
+    // MULTIPLIED months (the add_months_c law, lifted to ×k)
+    FuzzPair("iv2_mul_mon",
+      expr("CAST(dt + (CAST(pmod(i1, 24) AS INT)) * INTERVAL '1' MONTH " +
+        "AS DATE)"),
+      s"CAST(dt + to_months(CAST(${dpmod("i1", 24)} AS INTEGER)) AS DATE)"),
+    // FOUND divergence (#25): interval ÷ integer divides PER
+    // COMPONENT integerwise in DuckDB (INTERVAL 1 DAY / 7 → days
+    // 1//7 = 0, micros 0//7 = 0 — a ZERO interval; measured) while
+    // Spark divides the day-time interval's TOTAL MICROS with
+    // HALF_UP (86400e6/7 = 12342857142.857 → 12342857143 µs;
+    // measured). Agreeing spelling: do the division in micros space
+    // explicitly with the same rounding — the numeric-render
+    // discipline extended to division.
+    FuzzPair("iv2_div7",
+      unix_micros(expr("ts + INTERVAL '1' DAY / 7")),
+      "epoch_us(ts + to_microseconds(CAST(round(864e8 / 7) AS BIGINT)))"),
+    // subtraction form
+    FuzzPair("iv2_sub_min",
+      unix_micros(expr("ts - INTERVAL '90' MINUTE")),
+      "epoch_us(ts - INTERVAL 90 MINUTE)"),
+    // multi-unit day-time construction (days + hours + minutes)
+    FuzzPair("iv2_make_dt",
+      unix_micros(expr("ts + make_dt_interval(CAST(pmod(i2, 30) AS INT), " +
+        "CAST(pmod(i1, 24) AS INT), 5, 0)")),
+      s"epoch_us(ts + to_days(CAST(${dpmod("i2", 30)} AS INTEGER)) " +
+        s"+ to_hours(CAST(${dpmod("i1", 24)} AS BIGINT)) " +
+        "+ to_minutes(5))"),
+    // fractional-second construction on the EXACT-at-micros domain
+    // (sixteenths: d·10⁶ is integral, so neither engine's sub-micro
+    // rounding regime is exercised — same stay-on-domain law as the
+    // printf/#7 rendering pairs)
+    FuzzPair("iv2_sec_frac",
+      unix_micros(expr("ts + make_dt_interval(0, 0, 0, " +
+        "CAST(pmod(i1, 1000) AS INT) / 16.0)")),
+      s"epoch_us(ts + to_microseconds(CAST(${dpmod("i1", 1000)} " +
+        "* 62500 AS BIGINT)))"),
+    // day field of a timestamp difference (sign carries through)
+    FuzzPair("iv2_day_field",
+      expr("extract(DAY FROM (CAST(dt2 AS TIMESTAMP) " +
+        "- CAST(dt AS TIMESTAMP)))"),
+      "CAST(date_part('day', CAST(dt2 AS TIMESTAMP) " +
+        "- CAST(dt AS TIMESTAMP)) AS BIGINT)"),
+    // interval comparison (day-time)
+    FuzzPair("iv2_cmp_30d",
+      expr("(CAST(dt2 AS TIMESTAMP) - CAST(dt AS TIMESTAMP)) " +
+        "> INTERVAL '30' DAY"),
+      "((CAST(dt2 AS TIMESTAMP) - CAST(dt AS TIMESTAMP)) " +
+        "> INTERVAL 30 DAY)"))
+
+  /** Collation / grouping-key equality laws (round 16, wave 2 of 2).
+    * Every GROUP BY / JOIN on a string key leans on the engines
+    * agreeing about EQUALITY and ORDER; every float grouping key
+    * leans on the NaN/−0.0 equality classes. Pins: binary (UTF-8
+    * byte) string order — which equals code-point order by UTF-8's
+    * design — least/greatest under it, null-safe equality, the
+    * case-folded-key law on the FULL-casing-guarded domain (the
+    * #1/#2/#17 fences), and the two float classes. */
+  private def collations: Seq[FuzzPair] = Seq(
+    FuzzPair("col_lt_bin", s1 < s2, "(s1 < s2)"),
+    FuzzPair("col_lte_bin", s1 <= s2, "(s1 <= s2)"),
+    FuzzPair("col_least_s", least(s1, s2), "least(s1, s2)"),
+    FuzzPair("col_greatest_s", greatest(s1, s2), "greatest(s1, s2)"),
+    FuzzPair("col_nseq", s1 <=> s2, "(s1 IS NOT DISTINCT FROM s2)"),
+    // case-insensitive key equality via lower(): valid ONLY outside
+    // the full-vs-simple casing split (#1 İ/Σ, #2 ß, #17 ligatures)
+    FuzzPair("col_icase_eq",
+      when(!s1.rlike("[İΣßﬀ-ﬆ]") && !s2.rlike("[İΣßﬀ-ﬆ]"),
+        lower(s1) === lower(s2)),
+      "CASE WHEN NOT regexp_matches(s1, '[İΣßﬀ-ﬆ]') " +
+        "AND NOT regexp_matches(s2, '[İΣßﬀ-ﬆ]') " +
+        "THEN lower(s1) = lower(s2) END"),
+    // float grouping-key classes: −0.0 = +0.0 (one group), NaN = NaN
+    // (one group, and NaN sorts above +∞) — in BOTH engines
+    FuzzPair("col_negzero_eq", d1 === lit(-0.0), "(d1 = -0e0)"),
+    FuzzPair("col_nan_eq", d1 === lit(Double.NaN),
+      "(d1 = 'nan'::DOUBLE)"),
+    FuzzPair("col_nan_top", d1 > lit(Double.PositiveInfinity),
+      "(d1 > 'infinity'::DOUBLE)"),
+    // neither engine trims NBSP (U+00A0) or VT (U+000B) with plain
+    // trim — the new fixture rows exercise this
+    FuzzPair("col_trim_ctl", length(trim(s1)), "length(trim(s1))"))
 
   // ---------------------------------------------------------------
   // Main

@@ -209,6 +209,82 @@ case class Md5MinHashSigs(first: Expression, second: Expression,
       t: Expression): Expression = copy(first = f, second = s, third = t)
 }
 
+/** All `tables` md5-parity random-hyperplane LSH signatures of one
+  * embedding in a single fused pass — the oracle-pairable sibling of
+  * [[RhpSignatures]] (q41, r16). Hyperplane m = t·bits + j has sign
+  * s(m, i) = parity of the first md5 byte of "rhp:m:i", the SAME key
+  * family as [[Md5RhpBucket]] — so tables = 1 at equal bits is
+  * exactly q47's hyperplane block, preserving the RhpSignatures
+  * coherence property. Arrays whose length ≠ dims get the
+  * all-zero signature array (oracle mirrors with a len() guard —
+  * Md5RhpBucket's contract, lifted per-table). */
+case class Md5RhpSignatures(child: Expression, bits: Int, tables: Int,
+    dims: Int) extends UnaryExpression {
+
+  require(bits >= 1 && bits <= 63 && tables >= 1 && dims >= 1,
+    s"md5_rhp_signatures: bits=$bits tables=$tables dims=$dims")
+
+  @transient private lazy val signs: Array[Array[Double]] =
+    Array.tabulate(tables * bits) { m =>
+      Array.tabulate(dims) { i =>
+        if ((Md5Kernel.head32OfString(s"rhp:$m:$i") >> 24 & 1L) == 1L) 1.0
+        else -1.0
+      }
+    }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"md5_rhp_signatures expects array<float>, got $other")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "md5_rhp_signatures"
+
+  def compute(a: ArrayData): GenericArrayData = {
+    val out = new Array[Any](tables)
+    if (a.numElements() != dims) {
+      var t = 0
+      while (t < tables) { out(t) = 0L; t += 1 }
+      return new GenericArrayData(out)
+    }
+    val x = a.toFloatArray()
+    var t = 0
+    while (t < tables) {
+      var sig = 0L
+      var j = 0
+      while (j < bits) {
+        val s = signs(t * bits + j)
+        var dot = 0.0
+        var i = 0
+        while (i < dims) {
+          dot += x(i).toDouble * s(i)
+          i += 1
+        }
+        if (dot > 0) sig |= (1L << j)
+        j += 1
+      }
+      out(t) = sig
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def nullSafeEval(a: Any): Any =
+    compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val ref = ctx.addReferenceObj("md5RhpSigs", this,
+        classOf[Md5RhpSignatures].getName)
+      s"${ev.value} = $ref.compute($a);"
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Single random-hyperplane LSH bucket of a float-array embedding
   * under MD5-parity hyperplane signs — the oracle-pairable sibling of
   * [[RhpSignatures]] (tables = 1).

@@ -120,7 +120,7 @@ object TextOps {
         sha2(normText(col("text")).cast("binary"), 256).as("fp_sha256"))
       .orderBy("doc_id")
 
-  // ------------------------------------------------- near-dup (no oracle)
+  // ------------------------------------------------- near-dup family
 
   /** (doc_id, norm) with the normalization MATERIALIZED behind a
     * repartition barrier. Without it, CollapseProject inlines the
@@ -155,11 +155,13 @@ object TextOps {
     * full-signature agreement ≥ 0.5. At 100 TB: the bucket join's key
     * cardinality grows with corpus size, so buckets stay small; a salt
     * cap on pathological buckets (boilerplate) is the standard guard.
-    * No oracle — minhash choice is engine-specific; driver records a
-    * rows-only check.
+    * Oracle-paired since r16: signatures come from the md5-basis
+    * kernel (see [[minhashDocs]]), so DuckDB re-derives the full
+    * pipeline — banding, cap, agreement — and the driver checks
+    * rows+schema+hash.
     *
-    * Signature stage: the native [[graft.functions.MinHashSigs]]
-    * expression computes all 16 minhashes per document in one
+    * Signature stage: a native kernel expression computes all 16
+    * minhashes per document in one
     * zero-allocation byte walk — no shingle explode, no 16-column
     * min-agg shuffle (the explode-aggregate form measured ~6 s of the
     * query at sf0.1; the expression ~1 s, bit-identical — equality
@@ -176,10 +178,16 @@ object TextOps {
   private[queries] def minhashBanded(docs: DataFrame): DataFrame = {
     val bands = MinhashBands
     val rows = MinhashN / bands
+    // bucket identity = the band's signature slice ITSELF (array<long>
+    // — groupable and join-equatable in Spark), not a hash of it:
+    // r16's oracle re-derives buckets in DuckDB, and "same 4 minhash
+    // values" is the one spelling both engines agree on. Shuffle-key
+    // width grows from 8 to 32 bytes — irrelevant next to the pair
+    // payload, and the banding join stays bucket-equi either way.
     docs.select(col("doc_id"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          xxhash64(slice(col("sig"), b * rows + 1, rows)).as("bucket"))): _*))
+          slice(col("sig"), b * rows + 1, rows).as("bucket"))): _*))
         .as("bb"))
       .select(col("doc_id"), col("bb.band"), col("bb.bucket"))
   }
@@ -263,8 +271,13 @@ object TextOps {
     * a NULL signature (callers that must not lose rows keep them). */
   private[graft] def simhashOf(docs: DataFrame): DataFrame = {
     graft.functions.GraftFunctions.register(docs.sparkSession)
+    // r16: md5-basis signature ([[graft.functions.Md5SimHash64]] —
+    // same tokenization/votes/sign as simhash64, token hash = md5
+    // head) so q38/q87 AND the streaming near-dup ingest share ONE
+    // cross-engine-derivable signature; both queries graduate from
+    // rows-only to full oracle passes.
     docs.select(col("doc_id"),
-      call_function("simhash64", normText(col("text"))).as("simhash"))
+      call_function("md5_simhash64", normText(col("text"))).as("simhash"))
   }
 
   /** The `nBands` band keys of a 64-bit signature (contiguous bit
@@ -331,7 +344,8 @@ object TextOps {
   }
 
   /** q38 — SimHash signatures: per-doc 64-bit signature + its 4 band
-    * keys. No oracle (hash choice is engine-specific). */
+    * keys. Oracle-paired since r16 (md5-basis signature — DuckDB
+    * re-derives every bit; see [[simhashOf]]). */
   def q38Simhash(s: SparkSession, dir: String): DataFrame =
     simhashSigs(s, dir)
       .select(col("doc_id") +: col("simhash") +:
@@ -347,8 +361,8 @@ object TextOps {
     * boilerplate buckets: pairs inside capped buckets are deliberately
     * NOT emitted (a production run collapses exact-duplicate clusters
     * first, as NearDupIngest does, so only genuinely pathological
-    * boilerplate hits the cap). Rows-only (signature choice is
-    * engine-specific); planted-dup sanity lives in LlmOpsSpec. */
+    * boilerplate hits the cap). Oracle-paired since r16 (md5-basis
+    * signature); planted-dup sanity lives in LlmOpsSpec. */
   def q87SimhashPairs(s: SparkSession, dir: String): DataFrame = {
     // signatures feed the banding stage AND both re-join sides —
     // materialize once (same three-consumer shape as q37's docs)
@@ -1776,7 +1790,108 @@ object TextOps {
        |        THEN acc || x ELSE acc || chr(31) || x END) AS syms, cnt
        |  FROM $v, $b)""".stripMargin
 
+  /** DuckDB re-derivation of the md5 SimHash signature (q38/q87,
+    * r16): per whitespace token of the normalized text, a 64-bit md5
+    * head; per bit, a ±1 vote sum; signature bit = strictly-positive
+    * vote — exactly [[graft.functions.Md5SimHash64]]. Emits the
+    * signed two's-complement `simhash` (BIGINT, Spark's LongType). */
+  private def Md5SimhashSigSql: String =
+    """SELECT doc_id, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT
+      |    THEN u - 18446744073709551616::HUGEINT ELSE u END AS BIGINT) AS simhash
+      |FROM (
+      |  SELECT doc_id,
+      |    sum(CASE WHEN v > 0 THEN (1::UBIGINT << b)::HUGEINT
+      |        ELSE 0::HUGEINT END) AS u
+      |  FROM (
+      |    SELECT doc_id, b,
+      |      sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |    FROM (
+      |      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
+      |      FROM (SELECT doc_id, unnest(string_split_regex(
+      |              trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+      |              '\s+')) AS tok FROM documents)),
+      |      generate_series(0, 63) t(b)
+      |    GROUP BY doc_id, b)
+      |  GROUP BY doc_id)""".stripMargin
+
+  /** DuckDB re-derivation of the md5 MinHash signature list (q37,
+    * r16) — shingle base hash, Carter–Wegman constants and all, per
+    * [[graft.functions.Md5MinHashSigs]]'s scaladoc contract. */
+  private def Md5MinhashSigsSql: String =
+    """SELECT doc_id, list(m ORDER BY j) AS sig
+      |FROM (
+      |  SELECT doc_id, j, min((a * h + b) % 2147483647) AS m
+      |  FROM (
+      |    SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+      |    FROM (
+      |      SELECT doc_id, substr(norm, p, 5) AS g
+      |      FROM (SELECT doc_id,
+      |              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |            FROM documents),
+      |        LATERAL (SELECT unnest(generate_series(1,
+      |              greatest(length(norm) - 4, 1))) AS p) t)),
+      |    (SELECT j,
+      |       (('0x' || substr(md5('mh_a:' || j), 1, 8))::BIGINT
+      |          % 1073741823) + 1 AS a,
+      |       ('0x' || substr(md5('mh_b:' || j), 1, 8))::BIGINT
+      |          % 2147483648 AS b
+      |     FROM generate_series(0, 15) t(j))
+      |  GROUP BY doc_id, j)
+      |GROUP BY doc_id""".stripMargin
+
+  /** 16-term signature-agreement count (q37's est_jaccard numerator). */
+  private def minhashAgree16: String =
+    (1 to 16).map(i =>
+      s"(CASE WHEN sa.sig[$i] = sb.sig[$i] THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+
   val oracles: Map[String, String] = Map(
+    "q38_simhash" ->
+      s"""SELECT doc_id, simhash,
+         |  (simhash >> 0) & 65535 AS band0,
+         |  (simhash >> 16) & 65535 AS band1,
+         |  (simhash >> 32) & 65535 AS band2,
+         |  (simhash >> 48) & 65535 AS band3
+         |FROM ($Md5SimhashSigSql)
+         |ORDER BY doc_id""".stripMargin,
+    "q87_simhash_pairs" ->
+      s"""WITH usig AS ($Md5SimhashSigSql),
+         |banded AS (
+         |  SELECT doc_id, b, (simhash >> (16 * b)) & 65535 AS bucket
+         |  FROM usig, generate_series(0, 3) t(b)),
+         |okb AS (
+         |  SELECT b, bucket FROM banded
+         |  GROUP BY b, bucket HAVING count(*) <= 64),
+         |pr AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM banded x JOIN okb USING (b, bucket)
+         |  JOIN banded y ON x.b = y.b AND x.bucket = y.bucket
+         |    AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(bit_count(xor(sa.simhash, sb.simhash)) AS INTEGER) AS hamming
+         |FROM pr JOIN usig sa ON sa.doc_id = id_a
+         |  JOIN usig sb ON sb.doc_id = id_b
+         |WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q37_minhash_pairs" ->
+      s"""WITH sigs AS ($Md5MinhashSigsSql),
+         |banded AS (
+         |  SELECT doc_id, b, sig[4*b+1] AS m1, sig[4*b+2] AS m2,
+         |         sig[4*b+3] AS m3, sig[4*b+4] AS m4
+         |  FROM sigs, generate_series(0, 3) t(b)),
+         |okb AS (
+         |  SELECT b, m1, m2, m3, m4 FROM banded
+         |  GROUP BY b, m1, m2, m3, m4 HAVING count(*) <= 64),
+         |pr AS (
+         |  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM banded x JOIN okb USING (b, m1, m2, m3, m4)
+         |  JOIN banded y ON x.b = y.b AND x.m1 = y.m1 AND x.m2 = y.m2
+         |    AND x.m3 = y.m3 AND x.m4 = y.m4 AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, ($minhashAgree16) / 16 AS est_jaccard
+         |FROM pr JOIN sigs sa ON sa.doc_id = id_a
+         |  JOIN sigs sb ON sb.doc_id = id_b
+         |WHERE ($minhashAgree16) / 16 >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
     "q210_heavy_hitters_exact" -> HeavyHittersExactSql,
     "q214_countmin" -> CountMinSql,
     "q223_hll_table" -> HllTableSql,

@@ -198,17 +198,18 @@ object VectorOps extends org.apache.spark.internal.Logging {
   private[queries] def annLshMulti(s: SparkSession, dir: String,
       bits: Int, tables: Int, maxHamming: Int, k: Int): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // ALL signatures in one fused kernel pass ([[graft.functions
-    // .RhpSignatures]] — bit-identical to the declarative per-table
-    // rhpSignature columns, twin-pinned in LlmOpsSpec): the
-    // declarative form is tables×bits interpreted HOF folds per row
-    // (~4096 lambda evals at the q41 config — measured 8× slower).
-    // The array is materialized THROUGH the cache before the
-    // per-table getItem projections: a same-projection getItem would
-    // let CollapseProject re-inline the kernel once per reference
+    // ALL signatures in one fused kernel pass — r16: the md5-parity
+    // kernel ([[graft.functions.Md5RhpSignatures]]) replaces the
+    // xxhash-parity one so DuckDB re-derives every bucket and q41
+    // graduates from rows-only to a full oracle pass. Same fused
+    // shape as the r13 kernel (the declarative form is tables×bits
+    // interpreted HOF folds per row — measured 8× slower). The array
+    // is materialized THROUGH the cache before the per-table getItem
+    // projections: a same-projection getItem would let
+    // CollapseProject re-inline the kernel once per reference
     // (the q73 lesson); the cache boundary pins one evaluation.
     val sigsK = org.apache.spark.sql.graft.Bridge.column(
-      graft.functions.RhpSignatures(
+      graft.functions.Md5RhpSignatures(
         org.apache.spark.sql.graft.Bridge.expr(col("embedding")),
         bits, tables, Dims))
     val sigs0 = emb
@@ -245,7 +246,9 @@ object VectorOps extends org.apache.spark.internal.Logging {
     * demo dial):
     *   - signature width bits = max(8, ⌈log₂(n/64)⌉) bounds the
     *     expected bucket to 64 vectors (q47's derivation);
-    *   - table count L = max(8, bits − 4) — 8 at the width floor,
+    *   - table count L = max(12, bits − 4) — 12 at the width floor
+    *     (re-dialed r16 on RecallProbe measurement after the
+    *     md5-parity re-draw: 8→0.64, 12→0.80 recall at sf0.1),
     *     growing with log n to offset the per-table catch probability
     *     p^bits as widths widen (for corpora with real near-neighbor
     *     structure p → 1 and the growth is more than enough; the iid-
@@ -253,17 +256,25 @@ object VectorOps extends org.apache.spark.internal.Logging {
     *     sf0.1 floor below is measured on);
     *   - Hamming-1 multi-probe per table (deeper balls lose to more
     *     tables at equal volume — measured, see [[annLshMulti]]).
-    * Both dials derive from a 1-row count (bounded model state). No
-    * oracle: ANN recall is engine/param-specific; rows-only in
-    * CORRECTNESS, but LlmOpsSpec gates recall@10 against q40's exact
-    * ground truth at the gate SF and RecallAtScaleSpec pins
-    * recall@10 ≥ 0.65 at sf0.1 (measured 0.70). */
+    * Both dials derive from a 1-row count (bounded model state).
+    * Oracle-paired since r16 ([[AnnLshSql]] — md5-parity signatures
+    * DuckDB re-derives; the multi-probe is checked via its
+    * candidate-set identity); LlmOpsSpec additionally gates recall@10
+    * against q40's exact ground truth at the gate SF and
+    * RecallAtScaleSpec pins the sf0.1 floor. */
   def q41AnnLsh(s: SparkSession, dir: String): DataFrame = {
     val n = Tables.embeddings(s, dir).filter(col("embedding").isNotNull)
       .agg(count(lit(1))).head().getLong(0)
     val bits = math.max(8,
       math.ceil(math.log(math.max(1.0, n / 64.0)) / math.log(2.0)).toInt)
-    val tables = math.max(8, bits - 4)
+    // table floor 12 (r16): the md5-parity re-draw measured 0.64 at
+    // the r13 floor of 8 tables (a draw effect — same algorithm, new
+    // hyperplanes); rather than lowering the recall floor, the table
+    // count was re-dialed on measurement (graft.queries.RecallProbe:
+    // 8→0.64, 10→0.72, 12→0.80, 16→0.88 at sf0.1) — 12 tables buys
+    // 0.80 recall at ~4.5k bucket candidates, still under half the
+    // 9,975-cosine brute force
+    val tables = math.max(12, bits - 4)
     annLshMulti(s, dir, bits = bits, tables = tables, maxHamming = 1, k = 10)
   }
 
@@ -273,7 +284,10 @@ object VectorOps extends org.apache.spark.internal.Logging {
     * bucket with high probability; multi-probe neighboring signatures
     * raises recall at scale). The full-corpus variant of q41's
     * query-probe shape — the embedding-space dedup a training pipeline
-    * runs before training. Rows-only (hash-parameterized).
+    * runs before training. Oracle-paired since r16: hyperplane signs
+    * are md5 parities ([[graft.functions.Md5RhpBucket]]), so DuckDB
+    * re-derives buckets, cap and cosine end-to-end
+    * ([[EmbeddingNeardupSql]]).
     *
     * Skew/scale shape (round-12 skew census): a FIXED signature width
     * makes the expected bucket n/2^bits, so the bucket self-join's pair
@@ -311,17 +325,17 @@ object VectorOps extends org.apache.spark.internal.Logging {
       .agg(count(lit(1))).head().getLong(0)
     val bits = math.max(8,
       math.ceil(math.log(math.max(1.0, nVec / 64.0)) / math.log(2.0)).toInt)
-    // signature via the fused kernel (r13; bit-identical to the
-    // declarative rhpSignature fold incl. the NULL → 0 collapse —
-    // twin-pinned in LlmOpsSpec); tables = 1 is exactly the original
-    // base-0 hyperplane block
+    // signature via the md5-parity kernel (r16 — the oracle-pairable
+    // sibling of the r13 RhpSignatures fold: hyperplane signs are md5
+    // parities DuckDB re-derives, so q47 graduates from rows-only to
+    // a full oracle pass); one fused per-row pass, same dot-fold shape
     val sigK = org.apache.spark.sql.graft.Bridge.column(
-      graft.functions.RhpSignatures(
+      graft.functions.Md5RhpBucket(
         org.apache.spark.sql.graft.Bridge.expr(col("embedding")),
-        bits, 1, Dims))
+        bits, Dims))
     val emb = base
-      .select(col("vec_id"), col("embedding"),
-        coalesce(sigK.getItem(0), lit(0L)).as("bucket"))
+      .filter(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"), sigK.as("bucket"))
       .persist()
     val bsizes = emb.groupBy("bucket").agg(count(lit(1)).as("bsz"))
     // Carve-out observability (r12 ADVICE): the degenerate-bucket cap
@@ -424,8 +438,9 @@ object VectorOps extends org.apache.spark.internal.Logging {
     * measured 0.76 at sf0.1, floor 0.7 in RecallAtScaleSpec), which is
     * the honest price of skipping training; the trained tier (q139)
     * holds 0.98 at nprobe=2 and is the production path. K comes from
-    * one count of the bounded centroid frame (model state). Rows-only
-    * in CORRECTNESS; recall@10 also gated in LlmOpsSpec. */
+    * one count of the bounded centroid frame (model state).
+    * Oracle-paired since r16 ([[AnnIvfSql]] — the whole index path is
+    * deterministic arithmetic); recall@10 also gated in LlmOpsSpec. */
   def q51AnnIvf(s: SparkSession, dir: String): DataFrame = {
     val k = Tables.embeddings(s, dir).filter(col("vec_id") % 127 === 7)
       .agg(count(lit(1))).head().getLong(0).min(64L)
@@ -1366,7 +1381,153 @@ object VectorOps extends org.apache.spark.internal.Logging {
        |GROUP BY 1 ORDER BY f.query_id""".stripMargin
   }
 
+  /** Unrolled 64-term dot/norm over ARBITRARY column expressions
+    * (r16) — [[dotSqlDim]]'s discipline lifted from `alias.embedding`
+    * to any array-valued SQL expression, for oracles whose vectors
+    * live in CTE columns (q51's q_emb/c_emb/cent_vec). */
+  private def dotSqlExpr(a: String, b: String): String =
+    (1 to Dims).map(i =>
+      s"CAST($a[$i] AS DOUBLE) * CAST($b[$i] AS DOUBLE)").mkString(" + ")
+
+  private def cosSqlExpr(a: String, b: String): String =
+    s"(0.0 + ${dotSqlExpr(a, b)}) / (sqrt(0.0 + ${dotSqlExpr(a, a)}) " +
+      s"* sqrt(0.0 + ${dotSqlExpr(b, b)}))"
+
+  /** q51 end-to-end in DuckDB (r16): the sampled quantizer, cosine
+    * argmax assignment (ties → smaller cent_id, = the Spark side's
+    * `max_by(cent_id, struct(csim, -cent_id))`), nprobe =
+    * max(2, ⌈K/2⌉) probe, and the exact top-10 re-rank are ALL
+    * deterministic arithmetic — no hash anywhere — so the oracle
+    * re-derives the whole index path. The heap's (score DESC, id ASC)
+    * order is `row_number()` under unique ids. */
+  private def AnnIvfSql: String =
+    s"""WITH cents AS (
+       |  SELECT vec_id AS cent_id, embedding AS cent_vec FROM embeddings
+       |  WHERE vec_id % 127 = 7 ORDER BY vec_id LIMIT 64),
+       |np AS (SELECT greatest(2, CAST(ceil(count(*) / 2.0) AS INT)) AS nprobe
+       |       FROM cents),
+       |asn AS (
+       |  SELECT cand_id, c_emb, cent_id FROM (
+       |    SELECT cand_id, c_emb, cent_id,
+       |      row_number() OVER (PARTITION BY cand_id
+       |        ORDER BY csim DESC, cent_id) AS rn
+       |    FROM (SELECT c.vec_id AS cand_id, c.embedding AS c_emb, k.cent_id,
+       |            ${cosSqlExpr("c.embedding", "k.cent_vec")} AS csim
+       |          FROM embeddings c, cents k WHERE c.vec_id >= 5))
+       |  WHERE rn = 1),
+       |probed AS (
+       |  SELECT query_id, q_emb, cent_id FROM (
+       |    SELECT query_id, q_emb, cent_id,
+       |      row_number() OVER (PARTITION BY query_id
+       |        ORDER BY csim DESC, cent_id) AS rn
+       |    FROM (SELECT q.vec_id AS query_id, q.embedding AS q_emb, k.cent_id,
+       |            ${cosSqlExpr("q.embedding", "k.cent_vec")} AS csim
+       |          FROM embeddings q, cents k WHERE q.vec_id < 5)), np
+       |  WHERE rn <= nprobe),
+       |scored AS (
+       |  SELECT p.query_id, a.cand_id,
+       |    ${cosSqlExpr("p.q_emb", "a.c_emb")} AS sim
+       |  FROM probed p JOIN asn a USING (cent_id))
+       |SELECT query_id, rk, cand_id, sim FROM (
+       |  SELECT query_id, cand_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, cand_id) AS INTEGER) AS rk
+       |  FROM scored) t
+       |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  /** q47's md5-parity hyperplane dot (r16): 64 ascending terms — the
+    * same left-associated double fold as [[graft.functions
+    * .Md5RhpBucket]] — with each term's ±1 sign RE-DERIVED by DuckDB
+    * from the md5 parity of "rhp:<j>:<i>" (j is the hyperplane column
+    * of the surrounding query; ±1 is exact in IEEE, so sign-as-
+    * multiplier equals the kernel's conditional negate bit-for-bit). */
+  private def md5RhpDotSqlOver(planeCol: String): String =
+    (0 until Dims).map(i =>
+      s"CAST(e.embedding[${i + 1}] AS DOUBLE) * (CASE WHEN " +
+        s"(('0x' || substr(md5('rhp:' || $planeCol || ':' || $i), 1, 2))::INT & 1) = 1 " +
+        "THEN 1 ELSE -1 END)").mkString(" + ")
+
+  private def md5RhpDotSql: String = md5RhpDotSqlOver("j")
+
+  /** q41 end-to-end in DuckDB (r16): corpus-derived bits/tables, the
+    * md5-parity per-table signatures of [[graft.functions
+    * .Md5RhpSignatures]] (hyperplane m = t·bits + j, key "rhp:m:i"),
+    * Hamming-1 multi-probe expressed as its candidate-set identity
+    * (∃ table t: hamming(sig_q[t], sig_c[t]) ≤ 1 — the XOR-mask probe
+    * explosion is a Spark execution tactic, not a semantic), exact
+    * cosine re-rank top-10. */
+  private def AnnLshSql: String =
+    s"""WITH geo AS (
+       |  SELECT bits, greatest(12, bits - 4) AS tables FROM (
+       |    SELECT greatest(8, CAST(ceil(ln(greatest(CAST(1 AS DOUBLE),
+       |        CAST(count(*) AS DOUBLE) / 64)) / ln(CAST(2 AS DOUBLE)))
+       |      AS INT)) AS bits
+       |    FROM embeddings WHERE embedding IS NOT NULL)),
+       |dots AS (
+       |  SELECT e.vec_id, js.m, (${md5RhpDotSqlOver("m")}) AS dot
+       |  FROM embeddings e,
+       |    (SELECT m FROM generate_series(0, 4095) t(m), geo
+       |     WHERE m < bits * tables) js),
+       |sigt AS (
+       |  SELECT vec_id, m // bits AS tb,
+       |    CAST(sum(CASE WHEN dot > 0 THEN (1::BIGINT << (m % bits))
+       |        ELSE 0 END) AS BIGINT) AS sig
+       |  FROM dots, geo GROUP BY vec_id, m // bits),
+       |cand0 AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+       |  FROM sigt q JOIN sigt c ON q.tb = c.tb
+       |    AND bit_count(xor(q.sig, c.sig)) <= 1
+       |  WHERE q.vec_id < 5 AND c.vec_id >= 5),
+       |scored AS (
+       |  SELECT query_id, cand_id,
+       |    ${cosSqlExpr("qe.embedding", "ce.embedding")} AS sim
+       |  FROM cand0 JOIN embeddings qe ON qe.vec_id = query_id
+       |    JOIN embeddings ce ON ce.vec_id = cand_id)
+       |SELECT query_id, rk, cand_id, sim FROM (
+       |  SELECT query_id, cand_id, sim,
+       |    CAST(row_number() OVER (PARTITION BY query_id
+       |      ORDER BY sim DESC, cand_id) AS INTEGER) AS rk
+       |  FROM scored) t
+       |WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  /** q47 end-to-end in DuckDB: adaptive bits from the same
+    * ceil(ln(n/64)/ln 2) the Spark side computes, md5-parity bucket,
+    * 1024-cap, in-bucket pairs, exact unrolled cosine ≥ 0.35. */
+  private def EmbeddingNeardupSql: String =
+    s"""WITH bitsq AS (
+       |  SELECT greatest(8, CAST(ceil(ln(greatest(CAST(1 AS DOUBLE),
+       |      CAST(count(*) AS DOUBLE) / 64)) / ln(CAST(2 AS DOUBLE)))
+       |    AS INT)) AS bits
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |dots AS (
+       |  SELECT e.vec_id, js.j, ($md5RhpDotSql) AS dot
+       |  FROM embeddings e,
+       |    (SELECT j FROM generate_series(0, 62) t(j), bitsq
+       |     WHERE j < bits) js
+       |  WHERE e.embedding IS NOT NULL),
+       |sig AS (
+       |  SELECT vec_id, CAST(sum(CASE WHEN dot > 0
+       |      THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM dots GROUP BY vec_id),
+       |cap AS (SELECT bucket FROM sig GROUP BY bucket
+       |        HAVING count(*) <= 1024),
+       |pr AS (
+       |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |  FROM sig a JOIN cap USING (bucket)
+       |  JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id_a, id_b, sim FROM (
+       |  SELECT id_a, id_b,
+       |    (0.0 + ${dotSql("q", "c")}) /
+       |      (sqrt(0.0 + ${normSqSql("q")}) * sqrt(0.0 + ${normSqSql("c")}))
+       |      AS sim
+       |  FROM pr JOIN embeddings q ON q.vec_id = id_a
+       |    JOIN embeddings c ON c.vec_id = id_b) t
+       |WHERE sim >= 0.35 ORDER BY id_a, id_b""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "q47_embedding_neardup" -> EmbeddingNeardupSql,
+    "q51_ann_ivf" -> AnnIvfSql,
+    "q41_ann_lsh" -> AnnLshSql,
     "q224_jl_audit" -> JlAuditSql,
     "q217_mmd_matrix" -> MmdSql,
     "q211_semdedup" -> SemDedupSql,

@@ -27,9 +27,11 @@ class RecallAtScaleSpec extends SparkTestBase {
 
   private val Sf01 = "/root/testdata/sf0.1"
 
-  // measured at sf0.1 in round 13: 0.70 / 0.76 / 0.78 / 0.92 / 0.98 / 0.94
+  // measured at sf0.1 in round 13: 0.70 / 0.76 / 0.78 / 0.92 / 0.98 /
+  // 0.94; q41 re-measured in r16 after the md5-parity re-draw and
+  // table re-dial (12 tables → 0.80, RecallProbe) — floor raised
   private val Floors = Seq(
-    "q41_ann_lsh" -> 0.65,
+    "q41_ann_lsh" -> 0.75,
     "q51_ann_ivf" -> 0.70,
     "q110_ann_pca" -> 0.70,
     "q148_hamming_topk" -> 0.85,

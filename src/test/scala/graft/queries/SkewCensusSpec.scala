@@ -32,11 +32,11 @@ class SkewCensusSpec extends SparkTestBase {
     val dir = fixtureDir("width", big)
     val plan = VectorOps.q47EmbeddingNeardup(spark, dir)
       .queryExecution.executedPlan.toString
-    // since r13 the signature rides the RhpSignatures kernel, whose
-    // plan rendering carries its (bits, tables, dims) params —
-    // rhp_signatures(embedding#N, BITS, 1, 64)
+    // since r16 the signature rides the md5-parity Md5RhpBucket
+    // kernel (oracle-pairable), whose plan rendering carries its
+    // (bits, dims) params — md5_rhp_bucket(embedding#N, BITS, 64)
     def hasBits(p: String, bits: Int): Boolean =
-      s"rhp_signatures\\(embedding#\\d+, $bits, 1, 64\\)".r
+      s"md5_rhp_bucket\\(embedding#\\d+, $bits, 64\\)".r
         .findFirstIn(p).isDefined
     assert(hasBits(plan, 9),
       s"20k vectors must widen the signature to 9 bits: $plan")
