@@ -155,7 +155,11 @@ object ExtendedOps {
         greatest(col("l_tax"), col("l_discount")).as("max_rate"),
         least(col("l_tax"), col("l_discount")).as("min_rate"),
         disc.isNull.as("is_zero_disc"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // total order over the projection — the duplicate-(okey,lnum)
+      // law (r16): nullable sort keys need NULLS FIRST spelled in the
+      // DuckDB twin (Spark's ascending default)
+      .orderBy("l_orderkey", "l_linenumber", "disc_or_null",
+        "max_rate", "min_rate")
   }
 
   /** q75 — error-safe expression surface (Spark 4 runs under ANSI
@@ -172,7 +176,8 @@ object ExtendedOps {
           .as("div_null"),
         expr("try_cast(l_returnflag AS INT)").as("flag_as_int"),
         expr("try_cast(l_linenumber AS STRING)").as("line_str"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // total order over the projection — duplicate-(okey,lnum) law
+      .orderBy("l_orderkey", "l_linenumber", "qty_per_disc")
 
   /** q77 — pure theta join (no equi conjunct): every nation paired
     * with the nations of strictly-higher REGIONS (nations in the top
@@ -839,7 +844,7 @@ object ExtendedOps {
         |  TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
         |  CAST(l_linenumber AS VARCHAR) AS line_str
         |FROM lineitem WHERE l_orderkey < 300
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, qty_per_disc NULLS FIRST""".stripMargin,
     "q71_null_fns" ->
       """SELECT l_orderkey, l_linenumber,
         |  nullif(l_discount, 0.0) AS disc_or_null,
@@ -848,6 +853,8 @@ object ExtendedOps {
         |  least(l_tax, l_discount) AS min_rate,
         |  nullif(l_discount, 0.0) IS NULL AS is_zero_disc
         |FROM lineitem WHERE l_orderkey < 300
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, nullif(l_discount, 0.0)
+        |  NULLS FIRST, greatest(l_tax, l_discount),
+        |  least(l_tax, l_discount)""".stripMargin,
   )
 }

@@ -78,7 +78,15 @@ object Relational {
       .filter(col("l_quantity") > 45 && col("l_discount") >= 0.05 &&
         col("l_returnflag") === "R")
       .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
-      .orderBy("l_orderkey", "l_linenumber")
+      // TOTAL order over the projection: the synthetic generator does
+      // NOT enforce the TPC-H (orderkey, linenumber) PK (~118k
+      // duplicate key pairs at sf0.1), so a key-only sort leaves the
+      // tie order engine-dependent — it held by scan-order luck
+      // through the sf1 gate and finally diverged at sf10 (r16).
+      // Sorting the remaining projected columns makes any residual
+      // tie a full-row duplicate, where order is unobservable.
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice")
 
   // ---------------------------------------------------------------- joins
 
@@ -424,7 +432,9 @@ object Relational {
         ceil(col("l_discount") * 100).as("disc_pct_ceil"),
         sqrt(col("l_quantity")).as("qty_sqrt"),
         abs(col("l_quantity") - lit(25.0)).as("qty_dev"))
-      .orderBy("l_orderkey", "l_linenumber")
+      // total order over the projection — same duplicate-PK law as q02
+      .orderBy("l_orderkey", "l_linenumber", "price_r1", "price_floor",
+        "disc_pct_ceil", "qty_sqrt", "qty_dev")
 
   /** q23 — conditional bucketing: CASE WHEN tiering + aggregate. */
   def q23CaseWhen(s: SparkSession, dir: String): DataFrame =
@@ -496,7 +506,8 @@ object Relational {
         Array(col("l_orderkey"), col("l_linenumber")),
         Array(col("l_quantity"), col("l_discount"), col("l_tax")),
         "metric", "value")
-      .orderBy("l_orderkey", "l_linenumber", "metric")
+      // "value" tiebreaker — the duplicate-(okey,lnum) law (r16)
+      .orderBy("l_orderkey", "l_linenumber", "metric", "value")
 
   /** q56 — distribution window functions: quartile bucketing,
     * percent_rank, cume_dist per priority partition. The frame is the
@@ -630,7 +641,7 @@ object Relational {
       """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
         |FROM lineitem
         |WHERE l_quantity > 45 AND l_discount >= 0.05 AND l_returnflag = 'R'
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, l_quantity, l_extendedprice""".stripMargin,
     "q03_join_broadcast" ->
       s"""SELECT n_name, count(*) AS order_cnt,
         |  ${fsum("o_totalprice")} AS revenue
@@ -786,7 +797,8 @@ object Relational {
         |  sqrt(l_quantity) AS qty_sqrt,
         |  abs(l_quantity - 25.0) AS qty_dev
         |FROM lineitem WHERE l_orderkey < 500
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, price_r1, price_floor,
+        |  disc_pct_ceil, qty_sqrt, qty_dev""".stripMargin,
     "q23_case_when" ->
       s"""SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
         |  WHEN o_totalprice < 150000 THEN 'medium' ELSE 'large' END AS tier,
@@ -809,7 +821,7 @@ object Relational {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
         |  FROM lineitem WHERE l_orderkey < 200
-        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, metric, "value"""".stripMargin,
     "q56_window_distribution" ->
       """SELECT o_orderpriority, o_orderkey, o_totalprice,
         |  CAST(ntile(4) OVER w AS INTEGER) AS quartile,

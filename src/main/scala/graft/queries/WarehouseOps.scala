@@ -357,8 +357,14 @@ object WarehouseOps {
           count(lit(1)).as("n_rows"))
         .withColumn("layout", lit(layout))
     }
+    // l_shipdate tiebreaker (r16, found by the sf10 gate's q02/q22
+    // class): the generator does NOT enforce the (orderkey, linenumber)
+    // PK, so without it the tie ORDER — and hence boundary-row block
+    // assignment — is engine-dependent; with it, remaining ties are
+    // full-row duplicates of the 3-column frame and block stats are
+    // tie-order-invariant
     val stats = blocks("natural", col("l_orderkey"), "klo", "khi",
-      Seq(col("l_orderkey"), col("l_linenumber")))
+      Seq(col("l_orderkey"), col("l_linenumber"), col("l_shipdate")))
       .unionByName(blocks("clustered", dayOf, "dlo", "dhi",
         Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))))
     val preds = s.range(1).select(explode(array(ZonemapPreds.map {
@@ -394,7 +400,8 @@ object WarehouseOps {
        |            FROM lineitem),
        |rows_l AS (
        |  SELECT 'natural' AS layout,
-       |    (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1)
+       |    (row_number() OVER (ORDER BY l_orderkey, l_linenumber,
+       |       l_shipdate) - 1)
        |      // $ZonemapRowsPerBlock AS blk, l_shipdate FROM li
        |  UNION ALL
        |  SELECT 'clustered',
