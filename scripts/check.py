@@ -127,8 +127,35 @@ def main():
         except Exception as e:
             n_fail += 1
             print(f"FAIL {name}: rows-only read failed: {e}")
-    print(f"== {n_pass} pass / {n_fail} fail / {n_ronly} rows-only ==")
-    sys.exit(1 if n_fail else 0)
+    # Census #10 at gate scale: Verify's per-query ORDER-BY totality
+    # verdicts (sort-key tuple is a key of the output / provably
+    # single-row / reviewed pin). A "keys" entry with violations > 0
+    # means tie order is engine-dependent AT THIS SCALE even if the
+    # value compare above passed by scan-order luck — the exact class
+    # the sf10 gate caught in r16 (q02: 5,400 tied rows of 1.11M).
+    n_tviol = 0
+    tot_path = f"{outdir}/sort_totality.json"
+    if os.path.exists(tot_path):
+        tot = json.load(open(tot_path))
+        for name in sorted(tot):
+            if start_after and name <= start_after:
+                continue
+            v = tot[name]
+            if v["status"] == "keys" and v["violations"] > 0:
+                n_tviol += 1
+                print(f"TOTALITY {name}: {v['violations']} tied group(s) "
+                      f"under ORDER BY {v['keys']}")
+            elif v["status"] == "single_row" and v["rows"] > 1:
+                n_tviol += 1
+                print(f"TOTALITY {name}: single-row proof lied ({v['rows']} rows)")
+            elif v["status"] == "breach" and not v.get("pinned"):
+                n_tviol += 1
+                print(f"TOTALITY {name}: structural breach — {v['detail']}")
+        if n_tviol:
+            print(f"== ORDER-BY totality: {n_tviol} violation(s) ==")
+    print(f"== {n_pass} pass / {n_fail} fail / {n_ronly} rows-only / "
+          f"{n_tviol} totality-violations ==")
+    sys.exit(1 if (n_fail or n_tviol) else 0)
 
 if __name__ == "__main__":
     main()

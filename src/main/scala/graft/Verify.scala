@@ -24,10 +24,33 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Census #10 at GATE SCALE (r17): per oracle-paired query, the
+    // ORDER-BY totality verdict over the materialized output — the
+    // sf10 tie-order class (duplicate lineitem PKs) is invisible at
+    // small scale, so the data half of the law must travel with every
+    // Verify run (sf0.01 driver gate, sf0.1/sf1/sf10 replays), not
+    // only with the sf0.001 spec. check.py asserts on this file.
+    val totality = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        if (SparkEntry.oracleSql.contains(name)) {
+          val verdict = plans.SortGuard.topSortKeys(df.queryExecution.analyzed) match {
+            case plans.SortGuard.Keys(keys) =>
+              val out = spark.read.parquet(s"$outDir/$name")
+              val v = plans.SortGuard.violations(out, keys)
+              s"""{"status":"keys","violations":$v,"keys":[${keys.map("\"" + _ + "\"").mkString(",")}]}"""
+            case plans.SortGuard.SingleRow =>
+              val n = spark.read.parquet(s"$outDir/$name").count()
+              s"""{"status":"single_row","rows":$n}"""
+            case plans.SortGuard.Breach(d) =>
+              val pinned = plans.SortGuard.Pinned.contains(name)
+              s"""{"status":"breach","pinned":$pinned,"detail":"${d.replace("\"", "'")}"}"""
+          }
+          totality += name -> verdict
+        }
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop localCheckpoint blocks so earlier queries never tax later ones
@@ -35,6 +58,9 @@ object Verify {
         .foreach(_.unpersist(blocking = false))
       spark.sharedState.cacheManager.clearCache()
     }
+    Files.writeString(Paths.get(s"$outDir/sort_totality.json"),
+      totality.map { case (k, v) => s""""$k": $v""" }
+        .mkString("{", ",\n ", "}"))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

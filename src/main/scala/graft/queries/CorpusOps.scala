@@ -48,7 +48,7 @@ object CorpusOps {
         s"*${math.pow(16, 7 - i).toLong}").mkString(" + ") + ")"
 
   private def normSql(col: String = "text"): String =
-    s"trim(regexp_replace(lower($col), '\\s+', ' ', 'g'))"
+    s"trim(regexp_replace(lower($col), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))"
 
   private def norm(c: Column): Column =
     trim(regexp_replace(lower(c), "\\s+", " "))
@@ -717,7 +717,7 @@ object CorpusOps {
     * strpos polynomial, one line instead of eight). */
   private def SplitHexSql: String =
     """CAST(('0x' || substr(md5('split:' ||
-      |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))), 1, 8))
+      |  md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')))), 1, 8))
       |  AS BIGINT) % 100""".stripMargin
 
   private def SplitLeakageSql: String =
@@ -733,7 +733,7 @@ object CorpusOps {
        |    list_distinct(list_transform(range(1, length(n) - 1),
        |      i -> substring(n, i, 3))) AS g
        |  FROM (SELECT doc_id, lang, n_chars,
-       |          trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+       |          trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS n
        |        FROM documents)),
        |pairs AS (
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1736,7 +1736,7 @@ object CorpusOps {
     * injectivity discipline). */
   private val SourceContainmentSql: String =
     """WITH d AS (SELECT source,
-      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+      |    trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS n
       |  FROM documents),
       |e AS (SELECT DISTINCT source, g FROM (
       |    SELECT source, unnest(list_distinct(list_transform(

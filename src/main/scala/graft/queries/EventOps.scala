@@ -2004,8 +2004,8 @@ object EventOps {
     // FUZZ_SCALARS.md) — an empty-props row would silently regroup
     "q46_map_fns" ->
       """SELECT event_type,
-        |  CAST(len(regexp_extract_all(props, '"([^"]+)"\s*:', 1)) AS INTEGER) AS n_keys,
-        |  coalesce(array_to_string(regexp_extract_all(props, '"([^"]+)"\s*:', 1), ','), '') AS key_list,
+        |  CAST(len(regexp_extract_all(props, '"([^"]+)"[ \t\n\x0B\f\r]*:', 1)) AS INTEGER) AS n_keys,
+        |  coalesce(array_to_string(regexp_extract_all(props, '"([^"]+)"[ \t\n\x0B\f\r]*:', 1), ','), '') AS key_list,
         |  count(*) AS n,
         |  CAST(sum(CAST(regexp_extract(props, '"k": (\d+)', 1) AS INTEGER)) AS BIGINT) AS sum_k
         |FROM events GROUP BY 1, 2, 3 ORDER BY event_type, n_keys, key_list""".stripMargin,

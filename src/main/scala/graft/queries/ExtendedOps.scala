@@ -695,13 +695,13 @@ object ExtendedOps {
         |FROM s ORDER BY l_returnflag""".stripMargin,
     "q61_top_tokens" ->
       """SELECT t AS token, count(*) AS cnt FROM (
-        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS t
+        |  SELECT unnest(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')) AS t
         |  FROM documents)
         |WHERE t <> '' GROUP BY t
         |ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
     "q62_tfidf" ->
       """WITH td AS (
-        |  SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS term
+        |  SELECT doc_id, unnest(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')) AS term
         |  FROM documents),
         |td2 AS (SELECT * FROM td WHERE term <> ''),
         |tf AS (SELECT doc_id, term, count(*) AS tf FROM td2 GROUP BY 1, 2),
@@ -788,14 +788,14 @@ object ExtendedOps {
         |  len(list_filter(t, x -> regexp_matches(x, '[0-9]'))) > 0 AS has_digit,
         |  len(list_filter(t, x -> NOT regexp_matches(x, '[A-Z]'))) = len(t) AS all_lower,
         |  CAST(list_aggregate(list_transform(t, x -> length(x)), 'sum') AS BIGINT) AS total_chars
-        |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)
+        |FROM (SELECT doc_id, string_split_regex(text, '[ \t\n\x0B\f\r]+') AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
     // NULLS FIRST matches Spark's ascending default (DuckDB defaults
     // to NULLS LAST) — the preserved empty-array rows sort first
     "q83_explode_outer" ->
       """SELECT doc_id,
         |  unnest(CASE WHEN len(z) = 0 THEN [NULL] ELSE z END) AS rare_tok
-        |FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'),
+        |FROM (SELECT doc_id, list_filter(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+'),
         |        x -> x LIKE 'qu%') AS z FROM documents)
         |ORDER BY doc_id, rare_tok NULLS FIRST""".stripMargin,
     "q79_date_fns2" ->

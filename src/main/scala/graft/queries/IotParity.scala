@@ -61,8 +61,8 @@ object IotParity {
          |      'detailed_label':'VARCHAR'})
          |), parsed AS (
          |  SELECT *,
-         |    TRY_CAST(NULLIF(regexp_extract(duration, '(\\d+)\\s+days', 1), '') AS REAL) * 864e2
-         |    + TRY_CAST(NULLIF(regexp_extract(duration, 'days\\s+(\\d{2}):', 1), '') AS REAL) * 36e2
+         |    TRY_CAST(NULLIF(regexp_extract(duration, '(\\d+)[ \\t\\n\\x0B\\f\\r]+days', 1), '') AS REAL) * 864e2
+         |    + TRY_CAST(NULLIF(regexp_extract(duration, 'days[ \\t\\n\\x0B\\f\\r]+(\\d{2}):', 1), '') AS REAL) * 36e2
          |    + TRY_CAST(NULLIF(regexp_extract(duration, ':(\\d{2}):', 1), '') AS REAL) * 6e1
          |    + TRY_CAST(NULLIF(regexp_extract(duration, ':(\\d{2})\\.', 1), '') AS REAL)
          |    + TRY_CAST(NULLIF(regexp_extract(duration, '\\.(\\d+)', 1), '') AS REAL) / 1e6

@@ -18,6 +18,11 @@ object RecallProbe {
     val truth = VectorOps.q40CosineTopK(spark, dir).collect()
       .groupBy(_.getAs[Long]("query_id"))
       .map { case (q, rs) => q -> rs.map(_.getAs[Long]("cand_id")).toSet }
+    // fail loudly on a bad/empty input dir instead of printing NaN
+    // recall lines (r16 ADVICE): the probe's output feeds dial
+    // selection, so a silent NaN would select a dial from noise
+    require(truth.nonEmpty, s"q40 returned no rows for $dir — recall undefined")
+    require(truth.forall(_._2.nonEmpty), s"empty per-query truth set in $dir")
     for (tables <- Seq(8, 10, 12, 16)) {
       val got = VectorOps.annLshMulti(spark, dir, bits = 8,
         tables = tables, maxHamming = 1, k = 10).collect()

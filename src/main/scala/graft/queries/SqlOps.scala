@@ -763,9 +763,9 @@ object SqlOps {
         |  CAST(len(list_filter(h, x -> NOT list_contains(t, x))) AS INTEGER) AS n_head_only,
         |  len(list_intersect(h, t)) > 0 AS overlaps
         |FROM (SELECT doc_id,
-        |    list_distinct(string_split_regex(substring(text, 1, 100), '\s+')) AS h,
+        |    list_distinct(string_split_regex(substring(text, 1, 100), '[ \t\n\x0B\f\r]+')) AS h,
         |    list_distinct(string_split_regex(substring(text,
-        |      greatest(length(text) - 99, 1), 100), '\s+')) AS t
+        |      greatest(length(text) - 99, 1), 100), '[ \t\n\x0B\f\r]+')) AS t
         |  FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q94_string_fns2" ->

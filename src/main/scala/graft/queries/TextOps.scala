@@ -896,7 +896,7 @@ object TextOps {
       |    row_number() OVER (PARTITION BY lang
       |      ORDER BY count(*) DESC, t) AS rank
       |  FROM (SELECT lang,
-      |          unnest(string_split_regex(lower(text), '\s+')) AS t
+      |          unnest(string_split_regex(lower(text), '[ \t\n\x0B\f\r]+')) AS t
       |        FROM documents)
       |  WHERE t <> '' GROUP BY lang, t)
       |WHERE rank <= 8 ORDER BY lang, rank""".stripMargin
@@ -987,7 +987,7 @@ object TextOps {
   private val CountMinSql: String =
     s"""WITH toks AS (
        |  SELECT t AS token FROM (
-       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+       |    SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS t
        |    FROM documents) WHERE t <> ''),
        |depths AS (SELECT unnest(range(0, $CmsDepth)) AS d),
        |sketch AS (
@@ -1104,7 +1104,7 @@ object TextOps {
       s"WHEN w >= ${1L << (HllWBits - k)} THEN $k").mkString("\n      |      ")
     s"""WITH toks AS (
        |  SELECT t AS token FROM (
-       |    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+       |    SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\x0B\\f\\r]+')) AS t
        |    FROM documents) WHERE t <> ''),
        |hashed AS (
        |  SELECT CAST(('0x' || substr(md5(token), 1, 8)) AS BIGINT)
@@ -1244,9 +1244,9 @@ object TextOps {
 
   private val WinnowingSql: String = {
     s"""WITH d AS (SELECT doc_id,
-       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+       |    trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS n
        |  FROM documents
-       |  WHERE length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+       |  WHERE length(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')))
        |    >= $WinnowK),
        |k AS (SELECT doc_id,
        |    list_transform(range(1, length(n) - ${WinnowK - 2}), i ->
@@ -1416,7 +1416,7 @@ object TextOps {
     * must lose nothing against this. */
   private val PrefixJoinSql: String =
     """WITH d AS (SELECT doc_id, lang,
-      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+      |    trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS n
       |  FROM documents),
       |s AS (SELECT doc_id, lang, list_distinct(list_transform(
       |    range(1, length(n) - 3),
@@ -1490,7 +1490,7 @@ object TextOps {
       s"('$ph', '$w1', '$w2', '$w3')"
     }.mkString(", ")
     s"""WITH d AS (SELECT doc_id,
-       |    string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+       |    string_split(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')),
        |      ' ') AS ts
        |  FROM documents),
        |po AS (SELECT doc_id, CAST(i AS BIGINT) AS p, ts[i] AS tok
@@ -1587,7 +1587,7 @@ object TextOps {
 
   private val HeapsFitSql: String =
     s"""WITH d0 AS (SELECT doc_id,
-       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS n
+       |    trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS n
        |  FROM documents),
        |d AS (SELECT doc_id, doc_id // $HeapsBucket AS bkt, n,
        |        list_distinct(list_transform(range(1, length(n) - 3),
@@ -1679,7 +1679,7 @@ object TextOps {
     |    count(*) AS cnt
     |  FROM (
     |    SELECT unnest(string_split(
-    |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+    |      trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS w
     |    FROM documents)
     |  WHERE w <> '' GROUP BY 1, 2),
     |${bpeRoundSql("v0", "b1", "v1", carry = "w, ")},
@@ -1689,7 +1689,7 @@ object TextOps {
     |         AS n_tok FROM v3),
     |wl AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt FROM (
     |         SELECT lang, unnest(string_split(trim(regexp_replace(
-    |           lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+    |           lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS w
     |         FROM documents)
     |       WHERE w <> '' GROUP BY 1, 2)
     |SELECT lang, CAST(sum(cnt) AS BIGINT) AS n_words,
@@ -1745,13 +1745,13 @@ object TextOps {
       |          list_distinct(list_transform(range(1, length(n) - 1),
       |            i -> substring(n, i, 3))) AS g
       |        FROM (SELECT doc_id, lang, n_chars,
-      |                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+      |                trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS n
       |              FROM documents)) a
       |  JOIN (SELECT doc_id, lang, CAST(floor(n_chars / 64) AS BIGINT) AS szbucket,
       |          list_distinct(list_transform(range(1, length(n) - 1),
       |            i -> substring(n, i, 3))) AS g
       |        FROM (SELECT doc_id, lang, n_chars,
-      |                trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+      |                trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS n
       |              FROM documents)) b
       |    ON a.lang = b.lang AND a.szbucket = b.szbucket AND a.doc_id < b.doc_id""".stripMargin
 
@@ -1808,8 +1808,8 @@ object TextOps {
       |    FROM (
       |      SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
       |      FROM (SELECT doc_id, unnest(string_split_regex(
-      |              trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
-      |              '\s+')) AS tok FROM documents)),
+      |              trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')),
+      |              '[ \t\n\x0B\f\r]+')) AS tok FROM documents)),
       |      generate_series(0, 63) t(b)
       |    GROUP BY doc_id, b)
       |  GROUP BY doc_id)""".stripMargin
@@ -1826,7 +1826,7 @@ object TextOps {
       |    FROM (
       |      SELECT doc_id, substr(norm, p, 5) AS g
       |      FROM (SELECT doc_id,
-      |              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |              trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS norm
       |            FROM documents),
       |        LATERAL (SELECT unnest(generate_series(1,
       |              greatest(length(norm) - 4, 1))) AS p) t)),
@@ -1908,7 +1908,7 @@ object TextOps {
       |    count(*) AS cnt
       |  FROM (
       |    SELECT unnest(string_split(
-      |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), ' ')) AS w
+      |      trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')), ' ')) AS w
       |    FROM documents)
       |  WHERE w <> '' GROUP BY 1),
       |${bpeRoundSql("v0", "b1", "v1")},
@@ -1926,7 +1926,7 @@ object TextOps {
       |ORDER BY round""".stripMargin,
     "q143_sorted_neighborhood" ->
       """WITH d AS (
-        |  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS n
         |  FROM documents WHERE text IS NOT NULL),
         |g AS (
         |  SELECT doc_id, substring(n, 1, 8) AS block,
@@ -1971,7 +1971,7 @@ object TextOps {
         |    sum(tok) OVER (PARTITION BY lang ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
         |  FROM (SELECT lang, doc_id,
-        |          CAST(len(string_split_regex(text, '\s+')) AS BIGINT) AS tok
+        |          CAST(len(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS BIGINT) AS tok
         |        FROM documents))
         |ORDER BY lang, doc_id""".stripMargin,
     "q73_repetition" ->
@@ -1982,7 +1982,7 @@ object TextOps {
         |FROM (SELECT doc_id, list_transform(range(1, length(n) - 2),
         |        i -> substring(n, i, 4)) AS g
         |      FROM (SELECT doc_id,
-        |              trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+        |              trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS n
         |            FROM documents))
         |WHERE len(g) > 0
         |ORDER BY doc_id""".stripMargin,
@@ -1991,7 +1991,7 @@ object TextOps {
         |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, length(n) - 6),
         |           i -> substring(n, i, 8)))) AS g
         |  FROM (SELECT doc_id,
-        |          trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS n
+        |          trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS n
         |        FROM documents)),
         |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 5)
         |SELECT doc_id, count(*) AS n_shared
@@ -2011,9 +2011,9 @@ object TextOps {
       """SELECT doc_id,
         |  CAST(length(text) AS INTEGER) AS raw_len,
         |  CAST(length(trim(regexp_replace(regexp_replace(text,
-        |    '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS INTEGER) AS clean_len,
+        |    '[\x00-\x1F\x7F]', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS INTEGER) AS clean_len,
         |  md5(trim(regexp_replace(regexp_replace(text,
-        |    '[\x00-\x1F\x7F]', ' ', 'g'), '\s+', ' ', 'g'))) AS clean_md5
+        |    '[\x00-\x1F\x7F]', ' ', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS clean_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q48_lang_id" ->
       """SELECT doc_id, labeled_lang, score_en, score_es, score_de, score_cjk,
@@ -2036,7 +2036,7 @@ object TextOps {
         |  list_contains(t, 'data') AS has_data,
         |  array_to_string(list_sort(t)[1:3], ',') AS top3,
         |  CAST(len(list_distinct(t)) AS INTEGER) AS n_unique
-        |FROM (SELECT doc_id, string_split_regex(text, '\s+') AS t FROM documents)
+        |FROM (SELECT doc_id, string_split_regex(text, '[ \t\n\x0B\f\r]+') AS t FROM documents)
         |ORDER BY doc_id""".stripMargin,
     "q45_ngram_jaccard" ->
       s"""SELECT * FROM ($JaccardPairsSql)
@@ -2044,19 +2044,19 @@ object TextOps {
     "q30_exact_dedup" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS dup_cnt
         |FROM documents
-        |GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+        |GROUP BY trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))
         |ORDER BY keep_id""".stripMargin,
     "q31_dedup_stats" ->
       """SELECT lang, count(*) AS n_docs,
-        |  count(DISTINCT trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_distinct
+        |  count(DISTINCT trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS n_distinct
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "q32_text_stats" ->
       """SELECT doc_id, lang,
         |  CAST(length(text) AS INTEGER) AS text_len,
-        |  CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
-        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS INTEGER) AS n_punct,
-        |  CAST(length(regexp_replace(text, '\s+', '', 'g')) AS DOUBLE)
-        |    / len(string_split_regex(text, '\s+')) AS mean_token_len
+        |  CAST(len(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS INTEGER) AS n_punct,
+        |  CAST(length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS DOUBLE)
+        |    / len(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS mean_token_len
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q33_lang_profile" ->
       """SELECT lang, source, count(*) AS n_docs,
@@ -2065,24 +2065,24 @@ object TextOps {
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q34_quality_score" ->
       """SELECT doc_id,
-        |  CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_tokens,
+        |  CAST(len(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS INTEGER) AS n_tokens,
         |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS INTEGER) AS n_stop,
         |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to|in|is)\b')) AS DOUBLE)
-        |    / len(string_split_regex(text, '\s+')) AS stop_ratio,
-        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE)
+        |    / len(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS stop_ratio,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS DOUBLE)
         |    / length(text) AS punct_ratio,
         |  CASE WHEN n_chars < 200 THEN 'short'
         |    WHEN n_chars < 400 THEN 'medium' ELSE 'long' END AS len_band
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q35_token_count" ->
       """SELECT doc_id, lang,
-        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpe_tokens,
-        |  CAST(len(string_split_regex(text, '\s+')) AS INTEGER) AS n_ws_tokens
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS INTEGER) AS n_bpe_tokens,
+        |  CAST(len(string_split_regex(text, '[ \t\n\x0B\f\r]+')) AS INTEGER) AS n_ws_tokens
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q36_fingerprint" ->
       """SELECT doc_id,
-        |  md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_md5,
-        |  sha256(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp_sha256
+        |  md5(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp_md5,
+        |  sha256(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))) AS fp_sha256
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

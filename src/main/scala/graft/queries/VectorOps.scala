@@ -1464,7 +1464,9 @@ object VectorOps extends org.apache.spark.internal.Logging {
        |      AS INT)) AS bits
        |    FROM embeddings WHERE embedding IS NOT NULL)),
        |dots AS (
-       |  SELECT e.vec_id, js.m, (${md5RhpDotSqlOver("m")}) AS dot
+       |  SELECT e.vec_id, js.m,
+       |    CASE WHEN len(e.embedding) = $Dims
+       |      THEN (${md5RhpDotSqlOver("m")}) ELSE 0 END AS dot
        |  FROM embeddings e,
        |    (SELECT m FROM generate_series(0, 4095) t(m), geo
        |     WHERE m < bits * tables) js),
@@ -1500,7 +1502,9 @@ object VectorOps extends org.apache.spark.internal.Logging {
        |    AS INT)) AS bits
        |  FROM embeddings WHERE embedding IS NOT NULL),
        |dots AS (
-       |  SELECT e.vec_id, js.j, ($md5RhpDotSql) AS dot
+       |  SELECT e.vec_id, js.j,
+       |    CASE WHEN len(e.embedding) = $Dims
+       |      THEN ($md5RhpDotSql) ELSE 0 END AS dot
        |  FROM embeddings e,
        |    (SELECT j FROM generate_series(0, 62) t(j), bitsq
        |     WHERE j < bits) js

@@ -49,6 +49,66 @@ import graft.queries.{ExtendedOps, TextOps}
   */
 object NearDupIngest {
 
+  /** Hash basis of the persisted signatures. The store is STATE — a
+    * Hamming comparison between signatures from two different token
+    * hashes is meaningless — so the basis is stamped into the store
+    * (`_sig_basis` marker file) and every batch refuses a mismatched
+    * or unstamped store LOUDLY instead of silently missing (or
+    * falsely matching) near-dups against history. r16 switched the
+    * basis xxhash64 → md5 (simhash64 → md5_simhash64, the
+    * oracle-pairable kernel); any store written before that switch
+    * has no marker and fails the check — rebuild it from the source
+    * corpus (drop the store dir + checkpoint) rather than mixing
+    * bases. Bump the version suffix on ANY future change to the
+    * signature derivation (tokenization, vote rule, hash). */
+  val SigBasis = "md5_simhash64/v1"
+  private val BasisMarker = "_sig_basis"
+
+  private def fsOf(s: org.apache.spark.sql.SparkSession, dir: String) = {
+    val path = new org.apache.hadoop.fs.Path(dir)
+    (path.getFileSystem(s.sparkContext.hadoopConfiguration), path)
+  }
+
+  /** Read the store's stamped basis; None = no marker (empty dir or a
+    * pre-stamp store). */
+  private[streaming] def storedBasis(s: org.apache.spark.sql.SparkSession,
+      storeDir: String): Option[String] = {
+    val (fs, path) = fsOf(s, storeDir)
+    val marker = new org.apache.hadoop.fs.Path(path, BasisMarker)
+    if (!fs.exists(marker)) None
+    else {
+      val in = fs.open(marker)
+      try {
+        val buf = new Array[Byte](256)
+        val n = in.read(buf)
+        Some(new String(buf, 0, math.max(n, 0),
+          java.nio.charset.StandardCharsets.UTF_8).trim)
+      } finally in.close()
+    }
+  }
+
+  private def stampBasis(s: org.apache.spark.sql.SparkSession,
+      storeDir: String): Unit = {
+    val (fs, path) = fsOf(s, storeDir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(path, BasisMarker), true)
+    try out.write(SigBasis.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Loud-fail gate: an EXISTING store must carry this code's basis
+    * stamp. Idempotent under checkpoint replay (marker rewrite is a
+    * same-bytes overwrite). */
+  private def requireBasis(s: org.apache.spark.sql.SparkSession,
+      storeDir: String): Unit =
+    if (CorpusIngest.storeExists(s, storeDir)) {
+      val found = storedBasis(s, storeDir)
+      require(found.contains(SigBasis),
+        s"near-dup store $storeDir signature basis mismatch: store=" +
+          s"${found.getOrElse("<unstamped pre-r16 store>")}, code=$SigBasis" +
+          " — Hamming distances across bases are meaningless; rebuild the" +
+          " store (delete it and its checkpoint, replay the corpus)")
+    }
+
   /** Streaming writer: docs (doc_id, text, …) → near-dedup'd parquet
     * store carrying a `simhash` column. */
   def ingest(docs: DataFrame, storeDir: String, checkpointDir: String,
@@ -56,6 +116,7 @@ object NearDupIngest {
     docs.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
         val s = batch.sparkSession
+        requireBasis(s, storeDir)
         // source re-delivery can duplicate ids within one batch — keep
         // one row per id before the signature join multiplies them
         val b0 = batch.dropDuplicates("doc_id")
@@ -97,6 +158,7 @@ object NearDupIngest {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("_batch_id")
           .parquet(storeDir)
+        stampBasis(s, storeDir)
       }
       .option("checkpointLocation", checkpointDir)
 }

@@ -48,6 +48,152 @@ object StreamSoak {
 
   final case class Sample(batch: Int, wallMs: Long, stateRows: Long)
 
+  // ------------------------------------------------------------------
+  // Kill-restart mode (r17, r16 verdict item 4): the 500-batch soak
+  // proves plateaus; the per-pipeline replay specs prove restart
+  // correctness on tiny runs. This composes them: drive the SAME
+  // pipeline over IDENTICAL batch files twice — uninterrupted, and
+  // CRASHED mid-soak (stop + delete the newest commit marker, the
+  // harshest replay point: the batch's effects are already in the
+  // sink/state store but the batch is uncommitted, so restart REPLAYS
+  // it against RocksDB state and the sink's idempotence discipline) —
+  // then assert the two final readbacks are byte-equal. File-sourced
+  // (MemoryStream offsets are not recoverable across restarts) with
+  // one file per micro-batch so both twins see the identical batch
+  // sequence. Run via SPARK_GRAFT_SOAK_KILL=1; asserted per-pipeline
+  // in StreamSoakSpec.
+  // ------------------------------------------------------------------
+
+  /** One kill-restart pipeline: how to start it over a file-sourced
+    * stream (ckpt + out dirs owned by the twin driver) and how to read
+    * its queryable end state. `doc` picks the document input shape. */
+  final case class KrPipeline(
+      name: String,
+      doc: Boolean,
+      start: (SparkSession, DataFrame, String, String) => StreamingQuery,
+      readFinal: (SparkSession, String) => Array[String])
+
+  /** Write `df` into `srcDir` as exactly one parquet file named and
+    * timestamped by `idx` — deterministic listing order for the file
+    * source, identical for both twins. */
+  private def writeBatchFile(df: DataFrame, srcDir: String, idx: Int): Unit = {
+    val tmpd = java.nio.file.Files.createTempDirectory("graft_kr_w").toString
+    df.coalesce(1).write.mode("overwrite").parquet(tmpd)
+    val part = new java.io.File(tmpd).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    val dst = new java.io.File(srcDir, f"batch-$idx%05d.parquet")
+    java.nio.file.Files.move(part.toPath, dst.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    dst.setLastModified(1700000000000L + idx * 60000L)
+  }
+
+  /** Crash semantics: delete the newest commit marker so the last
+    * completed batch is REPLAYED on restart. */
+  private def dropLastCommit(ckptDir: String): Unit = {
+    val commits = new java.io.File(s"$ckptDir/commits").listFiles()
+      .filter(_.getName.matches("\\d+")).sortBy(_.getName.toLong)
+    require(commits.nonEmpty, s"no commits under $ckptDir to crash")
+    val last = commits.last
+    new java.io.File(last.getParentFile, s".${last.getName}.crc").delete()
+    require(last.delete(), s"could not delete commit marker $last")
+  }
+
+  /** Run `p` twice over the same `batches` batch frames and return
+    * (uninterrupted readback, crash-restarted readback). */
+  def killRestartTwin(spark: SparkSession, p: KrPipeline, batches: Int,
+      frame: Int => DataFrame): (Array[String], Array[String]) = {
+    def tmp(t: String) =
+      java.nio.file.Files.createTempDirectory(s"graft_kr_$t").toString
+    def fileStream(srcDir: String) = spark.readStream
+      .schema(frame(0).schema).option("maxFilesPerTrigger", "1")
+      .parquet(srcDir)
+    def run(srcDir: String, ckpt: String, out: String): Unit = {
+      val q = p.start(spark, fileStream(srcDir), ckpt, out)
+      try q.processAllAvailable() finally { q.stop(); q.awaitTermination() }
+    }
+    // twin A: all files upfront, one uninterrupted run
+    val (srcA, ckA, outA) = (tmp("srcA"), tmp("ckA"), tmp("outA"))
+    (0 until batches).foreach(b => writeBatchFile(frame(b), srcA, b))
+    run(srcA, ckA, outA)
+    // twin B: half the files, crash (uncommit the newest batch),
+    // stage the rest, restart from the same checkpoint
+    val (srcB, ckB, outB) = (tmp("srcB"), tmp("ckB"), tmp("outB"))
+    (0 until batches / 2).foreach(b => writeBatchFile(frame(b), srcB, b))
+    run(srcB, ckB, outB)
+    dropLastCommit(ckB)
+    (batches / 2 until batches).foreach(b => writeBatchFile(frame(b), srcB, b))
+    run(srcB, ckB, outB)
+    (p.readFinal(spark, outA), p.readFinal(spark, outB))
+  }
+
+  /** Canonical sorted readback for equality assertions. */
+  private def canon(df: DataFrame): Array[String] =
+    df.collect().map(_.toString).sorted
+
+  /** The eight soaked pipelines, in kill-restart form. Update-mode
+    * transformWithState gets a batch-id-partitioned dynamic-overwrite
+    * parquet sink (replay overwrites its own partition); append-mode
+    * pipelines use the exactly-once FileStreamSink; the maintenance
+    * sinks are their own idempotence discipline (DeltaLog). */
+  def krPipelines: Seq[KrPipeline] = {
+    import org.apache.spark.sql.functions.{col, lit, max, struct}
+    def parquetSink(df: DataFrame, ckpt: String, out: String) =
+      df.writeStream.format("parquet").option("path", out)
+        .outputMode(OutputMode.Append())
+        .option("checkpointLocation", ckpt).start()
+    Seq(
+      KrPipeline("user_totals_v2", doc = false,
+        start = (_, src, ckpt, out) =>
+          EventStream.statefulUserTotalsV2(src).writeStream
+            .outputMode(OutputMode.Update())
+            .option("checkpointLocation", ckpt)
+            .foreachBatch {
+              (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+               id: Long) =>
+                b.withColumn("_b", lit(id)).write.mode("overwrite")
+                  .option("partitionOverwriteMode", "dynamic")
+                  .partitionBy("_b").parquet(out)
+            }.start(),
+        readFinal = (s, out) => {
+          // final total per user = its emission at the newest batch
+          // that touched it (Update mode re-emits the running total)
+          val df = s.read.parquet(out)
+          canon(df.groupBy("user_id")
+            .agg(max(struct(col("_b"), col("n_events"),
+              col("total_value"))).as("m"))
+            .select(col("user_id"), col("m.n_events"),
+              col("m.total_value")))
+        }),
+      KrPipeline("tumbling_window", doc = false,
+        start = (_, src, ckpt, out) =>
+          parquetSink(EventStream.tumblingHourly(src), ckpt, out),
+        readFinal = (s, out) => canon(s.read.parquet(out))),
+      KrPipeline("dedup_wm", doc = false,
+        start = (_, src, ckpt, out) =>
+          parquetSink(EventStream.dedup(src), ckpt, out),
+        readFinal = (s, out) => canon(s.read.parquet(out))),
+      KrPipeline("agg_maintenance", doc = false,
+        start = (_, src, ckpt, out) =>
+          AggMaintenance.maintain(src, out, ckpt).start(),
+        readFinal = (s, out) => canon(AggMaintenance.view(s, out))),
+      KrPipeline("sprt_monitor", doc = false,
+        start = (_, src, ckpt, out) =>
+          SprtMonitor.deltas(src, out, ckpt).start(),
+        readFinal = (s, out) => canon(SprtMonitor.decisions(s, out))),
+      KrPipeline("cms_maintenance", doc = true,
+        start = (_, src, ckpt, out) =>
+          CmsMaintenance.maintain(src, out, ckpt).start(),
+        readFinal = (s, out) => canon(CmsMaintenance.sketch(s, out))),
+      KrPipeline("hll_maintenance", doc = true,
+        start = (_, src, ckpt, out) =>
+          HllMaintenance.maintain(src, out, ckpt).start(),
+        readFinal = (s, out) => canon(HllMaintenance.registers(s, out))),
+      KrPipeline("topk_maintenance", doc = true,
+        start = (_, src, ckpt, out) =>
+          TopKMaintenance.maintain(src, out, ckpt).start(),
+        readFinal = (s, out) => canon(TopKMaintenance.leaderboard(s, out))))
+  }
+
   /** Flat-latency + plateau verdicts over a sampled curve. Warmup
     * (first fifth) is excluded from the latency verdict; the plateau
     * verdict compares the state-row count at 40% depth with the end
@@ -158,6 +304,42 @@ object StreamSoak {
         s""""plateau":$plateau},"detail":"$detail"}"""
       out.append(v).append('\n')
       println(v)
+    }
+
+    // ---- kill-restart mode (SPARK_GRAFT_SOAK_KILL=1) ------------------
+    if (sys.env.get("SPARK_GRAFT_SOAK_KILL").contains("1")) {
+      val krBatches = sys.env.getOrElse("SPARK_GRAFT_KR_BATCHES", "24").toInt
+      val t0 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      def evFrame(b: Int): DataFrame = (0 until keys).map { k =>
+        SoakEv(b.toLong * keys + k, new Timestamp(t0 + b * 60000L),
+          k.toLong, if ((b + k) % 3 == 0) "click" else "view",
+          (k % 10) * 0.5, "{}")
+      }.toDF()
+      val w = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta", "iota", "kappa")
+      def docFrame(b: Int): DataFrame = (0 until 16).map { k =>
+        SoakDoc(b.toLong * 16 + k,
+          s"${w(k % 10)} ${w((b + k) % 10)} ${w((b * 3 + k) % 10)}",
+          Seq("en", "es", "de")(k % 3))
+      }.toDF()
+      var krFail = false
+      krPipelines.foreach { p =>
+        // 1-hour windows need >70 min of event time before Append emits
+        val n = if (p.name == "tumbling_window") math.max(krBatches, 90)
+          else krBatches
+        val (a, b) = killRestartTwin(spark, p, n,
+          if (p.doc) docFrame else evFrame)
+        val equal = a.sameElements(b) && a.nonEmpty
+        if (!equal) krFail = true
+        val line = s"""{"pipeline":"${p.name}","kill_restart_equal":$equal,""" +
+          s""""rows":${a.length}}"""
+        out.append(line).append('\n')
+        println(line)
+      }
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        out.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      spark.stop()
+      sys.exit(if (krFail) 1 else 0)
     }
 
     // event time advances one minute per batch; every key active in

@@ -115,4 +115,43 @@ class NearDupIngestSpec extends SparkTestBase {
       .map(_.toString).sorted.toSeq
     assert(after == before)
   }
+
+  test("a store with a foreign or missing signature basis fails LOUDLY " +
+    "(r16 ADVICE: the xxhash→md5 basis switch must not silently mix " +
+    "Hamming-incomparable signatures)") {
+    import spark.implicits._
+    val store = java.nio.file.Files.createTempDirectory("graft_near_b").toString
+    val ckpt1 = java.nio.file.Files.createTempDirectory("graft_near_bck1").toString
+    val mem = MemoryStream[Doc](spark)
+    val q = NearDupIngest.ingest(mem.toDF(), store, ckpt1, maxHamming = MaxH).start()
+    try {
+      mem.addData(Doc(1, base, "en"))
+      q.processAllAvailable()
+    } finally { q.stop(); q.awaitTermination() }
+    // a healthy store is stamped with the code's basis
+    assert(NearDupIngest.storedBasis(spark, store).contains(NearDupIngest.SigBasis))
+    // simulate a pre-r16 (xxhash-era) store: strip the marker
+    val marker = new java.io.File(store, "_sig_basis")
+    new java.io.File(store, "._sig_basis.crc").delete()
+    assert(marker.delete())
+    val ckpt2 = java.nio.file.Files.createTempDirectory("graft_near_bck2").toString
+    val mem2 = MemoryStream[Doc](spark)
+    val q2 = NearDupIngest.ingest(mem2.toDF(), store, ckpt2,
+      maxHamming = MaxH).start()
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      mem2.addData(Doc(9, distinct1, "en"))
+      q2.processAllAvailable()
+    }
+    // the failed query rethrows from awaitTermination too — drain it
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q2.awaitTermination()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ rootMessages(e.getCause))
+    assert(rootMessages(thrown).exists(_.contains("signature basis mismatch")),
+      s"expected the basis guard, got: ${rootMessages(thrown)}")
+    // the store is untouched by the refused batch
+    assert(spark.read.parquet(store).count() == 1)
+  }
 }

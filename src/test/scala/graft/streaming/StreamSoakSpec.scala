@@ -87,6 +87,52 @@ class StreamSoakSpec extends SparkTestBase {
     }
   }
 
+  // ---- kill-restart twins (r17, r16 verdict item 4) -------------------
+  // Crash each pipeline mid-soak (delete the newest commit marker so
+  // the batch REPLAYS against RocksDB state + the sink's idempotence
+  // discipline) and assert the final readback equals the uninterrupted
+  // twin's. One test per pipeline so a regression names its pipeline.
+  private val t1 = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+  private def evFrame(b: Int) = {
+    import spark.implicits._
+    (0 until keys).map { k =>
+      SoakEv(b.toLong * keys + k, new Timestamp(t1 + b * 60000L),
+        k.toLong, if ((b + k) % 3 == 0) "click" else "view",
+        (k % 10) * 0.5, "{}")
+    }.toDF()
+  }
+  private val krWords = Vector("alpha", "beta", "gamma", "delta",
+    "epsilon", "zeta", "eta", "theta", "iota", "kappa")
+  private def docFrame(b: Int) = {
+    import spark.implicits._
+    (0 until 16).map { k =>
+      graft.tools.SoakDoc(b.toLong * 16 + k,
+        s"${krWords(k % 10)} ${krWords((b + k) % 10)} " +
+          krWords((b * 3 + k) % 10),
+        Seq("en", "es", "de")(k % 3))
+    }.toDF()
+  }
+
+  StreamSoak.krPipelines.foreach { p =>
+    test(s"kill-restart: ${p.name} — a crash-replayed run converges to " +
+      "the uninterrupted twin's final state") {
+      withRocksDb {
+        // the 1-hour tumbling window needs >70 min of event time (1 min
+        // per batch) before the watermark CLOSES a window and Append
+        // emits anything; the other pipelines emit from batch 1
+        val n = if (p.name == "tumbling_window") 90 else 24
+        val (a, b) = StreamSoak.killRestartTwin(spark, p, batches = n,
+          if (p.doc) docFrame else evFrame)
+        assert(a.nonEmpty, s"${p.name}: uninterrupted twin read back empty")
+        assert(a.sameElements(b),
+          s"${p.name}: crash-restarted end state diverged from the " +
+            s"uninterrupted twin (${a.length} vs ${b.length} rows; " +
+            s"first diff: ${a.zipAll(b, "<none>", "<none>")
+              .find(x => x._1 != x._2)})")
+      }
+    }
+  }
+
   test("the verdict helper itself flags a leak and a latency trend") {
     val leak = (0 until 20).map(i =>
       StreamSoak.Sample(i, 10L, 100L + 50L * i))
