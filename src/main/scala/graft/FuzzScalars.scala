@@ -122,11 +122,50 @@ object FuzzScalars {
   require(EdgeDates.size % 13 != 0 && EdgeDoubles.size % 13 != 0 &&
     EdgeInts.size % 13 != 0 && EdgeLongs.size % 13 != 0)
 
+  /** Edge JSON documents (round 17, json-path wave): scalar types in
+    * every literal format (preserved-text numbers like 1.50, >int64
+    * integers, exponents), nesting, arrays (incl. of objects), root
+    * arrays and scalar roots, duplicate keys, keys needing quoted
+    * path syntax, escaped surrogate pairs, interior whitespace — and
+    * the MALFORMED class (truncated, single-quoted, trailing comma,
+    * bare text, empty) where Spark's get_json_object returns NULL but
+    * DuckDB's JSON cast ERRORS, so every oracle spelling must carry a
+    * json_valid guard. */
+  private val EdgeJsons: Seq[String] = Seq(
+    """{"s":"abc","n":1,"b":true,"z":null}""",
+    """{"s":"","n":0}""",
+    """{"s":"café \"q\" \\ line\nbreak\ttab","n":-2.5}""",
+    """{"n":1.50}""", """{"n":1e3}""", """{"n":1E+308}""",
+    """{"n":0.1}""", """{"n":99999999999999999999}""",
+    """{"n":-0.0}""",
+    """{"a":{"b":{"c":"deep"}}}""",
+    """{"arr":[1,2,3]}""", """{"arr":["x","y"],"n":7}""",
+    """{"arr":[]}""", """{"arr":[{"k":1},{"k":2}]}""",
+    """{"o":{"y":2,"x":1}}""",
+    """{"d":1,"d":2}""",
+    """{ "s" : "spaced" , "n" : 5 }""",
+    """{"s":"日本語 🦀"}""",
+    """{"dot.key":"v1","sp key":"v2"}""",
+    """["a","b","c"]""", """[]""", """{}""",
+    """ {"s":"lead-ws"} """,
+    "5", "\"bare\"", "true", "null", "",
+    "not json", """{"s":"trunc""", """{'s':'single'}""",
+    """{"s":"a",}""", """{"n":+5}""",
+    """{"nested":{"arr":[[1,2],[3]]}}""",
+    """{"u":"🦀"}""",
+    // the ESCAPED-surrogate spelling of the same astral char (JSON
+    // 🦀) — built with runtime backslashes because Scala 2
+    // processes \ u escapes even inside triple quotes
+    "{\"u\":\"\\ud83e\\udd80\"}",
+    """{"b":false,"z":null,"s":"mix","n":3.14,"arr":[null,true,"t",2]}""")
+  require(EdgeJsons.size % 13 != 0, s"json pool ${EdgeJsons.size}")
+
   final case class FuzzRow(id: Long, s1: Option[String],
       s2: Option[String], i1: Option[Int], i2: Option[Int],
       l1: Option[Long], d1: Option[Double], d2: Option[Double],
       pr: Option[Double], dt: Option[java.sql.Date],
-      dt2: Option[java.sql.Date], ts: Option[java.sql.Timestamp])
+      dt2: Option[java.sql.Date], ts: Option[java.sql.Timestamp],
+      js: Option[String])
 
   /** Deterministic fixture: first an edge sweep (each pool cycled at
     * coprime strides so edge×edge combinations vary per row), then a
@@ -184,6 +223,23 @@ object FuzzScalars {
       val tsI = java.time.Instant.ofEpochSecond(
         dtL.toEpochDay * 86400L + rnd.nextInt(86400),
         rnd.nextInt(1000000) * 1000L) // micros resolution
+      // random JSON fill: [a-z0-9]-only embedded words keep the docs
+      // valid without an escaper; shape 4 is usually-malformed bare
+      // text so the json_valid guards stay exercised past the edges
+      def rndWord(): String = {
+        val len = 1 + rnd.nextInt(8)
+        (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      }
+      val js = if (i < EdgeJsons.size * 4) EdgeJsons(i % EdgeJsons.size)
+        else rnd.nextInt(6) match {
+          case 0 => s"""{"n":${rnd.nextInt(2001) - 1000},"s":"${rndWord()}"}"""
+          case 1 => s"""{"arr":[${Seq.fill(rnd.nextInt(4))(
+            rnd.nextInt(100)).mkString(",")}]}"""
+          case 2 => s"""{"a":{"b":${rnd.nextInt(10)}}}"""
+          case 3 => s"""{"n":${rnd.nextDouble()}}"""
+          case 4 => rndWord()
+          case 5 => s"""{"b":${rnd.nextBoolean()},"z":null}"""
+        }
       FuzzRow(id,
         if (nul(1)) None else Some(s1),
         if (nul(2)) None else Some(s2),
@@ -195,7 +251,8 @@ object FuzzScalars {
         if (nul(11)) None else Some(pr),
         if (nul(8)) None else Some(java.sql.Date.valueOf(dtL)),
         if (nul(9)) None else Some(java.sql.Date.valueOf(dt2L)),
-        if (nul(10)) None else Some(java.sql.Timestamp.from(tsI)))
+        if (nul(10)) None else Some(java.sql.Timestamp.from(tsI)),
+        if (nul(12)) None else Some(js))
     }
     data.toDF()
   }
@@ -216,7 +273,8 @@ object FuzzScalars {
   def catalog: Seq[FuzzPair] = strings ++ hashes ++ regexes ++ maths ++
     bits ++ casts ++ dates ++ conditionals ++ arrays ++ windows ++
     decimals ++ tsArith ++ maps ++ structs ++ arraySorts ++ casings ++
-    renders ++ regexes2 ++ strftimes ++ parses ++ intervals2 ++ collations
+    renders ++ regexes2 ++ strftimes ++ parses ++ intervals2 ++
+    collations ++ jsonPaths ++ structRenders
 
   private def strings: Seq[FuzzPair] = Seq(
     FuzzPair("len_cp", length(s1), "length(s1)"),
@@ -1248,6 +1306,152 @@ object FuzzScalars {
     // neither engine trims NBSP (U+00A0) or VT (U+000B) with plain
     // trim — the new fixture rows exercise this
     FuzzPair("col_trim_ctl", length(trim(s1)), "length(trim(s1))"))
+
+  /** JSON path/extract grammar (round 17, vocabulary 1 of 2 — r16
+    * verdict item 7). q24 and every kafka-envelope parse ride
+    * get_json_object ↔ json_extract_string; this wave pins the shared
+    * path grammar (child / nested / array-index access, scalar
+    * unquoting, missing-key NULLs) over the EdgeJsons pool and
+    * measures the edges: malformed docs (Spark → NULL; DuckDB's JSON
+    * cast ERRORS, so every DuckDB spelling here carries the
+    * json_valid guard — the guard IS the portable idiom), JSON-null
+    * scalars, object re-rendering, duplicate keys, and numeric-text
+    * preservation. */
+  private def jsonPaths: Seq[FuzzPair] = {
+    // the load-bearing guard: DuckDB auto-casts VARCHAR→JSON inside
+    // ->> and json_* and that cast throws on malformed input; CASE
+    // evaluates lazily per-row so the guard fences the error class
+    def g(d: String) = s"CASE WHEN json_valid(js) THEN $d END"
+    // fence #26: the malformed-JSON frontier differs — Jackson
+    // accepts single-quoted strings but rejects trailing commas,
+    // yyjson the exact opposite — so json_valid alone cannot align
+    // the domains; pairs whose result depends on PARSE SUCCESS
+    // (rather than a field lookup both engines agree is absent)
+    // textually guard out both lenient classes on both sides
+    val strictS: Column = !col("js").rlike("'") &&
+      !col("js").rlike(",\\s*[}\\]]")
+    val strictD = "NOT regexp_matches(js, '''') " +
+      "AND NOT regexp_matches(js, ',\\s*[}\\]]')"
+    Seq(
+      FuzzPair("jx_str",
+        when(strictS, expr("get_json_object(js, '$.s')")),
+        s"CASE WHEN $strictD AND json_valid(js) THEN js ->> '$$.s' END"),
+      // fence #27: numeric token re-rendering — portable only on the
+      // plain int64-safe decimal domain (beyond it DuckDB promotes to
+      // double text, Spark preserves the literal); numeric COMPARISON
+      // is portable via TRY_CAST AS DOUBLE (jx_num_cast, ulp:0)
+      // the guard reads the RAW DOC text, not the extracted token:
+      // DuckDB re-renders an exponent token into plain decimal, so a
+      // token-level guard is asymmetric (caught by the seed-7 rerun)
+      FuzzPair("jx_num_text",
+        when(!col("js").rlike("[0-9][eE][-+]?[0-9]") &&
+          !col("js").rlike("[0-9]{19}"),
+          expr("get_json_object(js, '$.n')")),
+        g("CASE WHEN NOT regexp_matches(js, '[0-9][eE][-+]?[0-9]') " +
+          "AND NOT regexp_matches(js, '[0-9]{19}') " +
+          "THEN js ->> '$.n' END")),
+      FuzzPair("jx_bool", expr("get_json_object(js, '$.b')"),
+        g("js ->> '$.b'")),
+      FuzzPair("jx_jsonnull", expr("get_json_object(js, '$.z')"),
+        g("js ->> '$.z'")),
+      FuzzPair("jx_missing", expr("get_json_object(js, '$.absent')"),
+        g("js ->> '$.absent'")),
+      FuzzPair("jx_nested", expr("get_json_object(js, '$.a.b.c')"),
+        g("js ->> '$.a.b.c'")),
+      FuzzPair("jx_arr_idx", expr("get_json_object(js, '$.arr[1]')"),
+        g("js ->> '$.arr[1]'")),
+      FuzzPair("jx_arr_obj", expr("get_json_object(js, '$.arr[0].k')"),
+        g("js ->> '$.arr[0].k'")),
+      FuzzPair("jx_root_arr", expr("get_json_object(js, '$[1]')"),
+        g("js ->> '$[1]'")),
+      FuzzPair("jx_obj_out", expr("get_json_object(js, '$.o')"),
+        g("js ->> '$.o'")),
+      // fence #28: whole-document re-rendering is NOT portable —
+      // Spark \u-escapes non-BMP chars where DuckDB emits raw UTF-8,
+      // the #27 number classes re-render, and a JSON-null ROOT gives
+      // the STRING 'null' in Spark vs NULL in DuckDB. Extract fields,
+      // not documents; the agreeing domain pinned here is ASCII docs
+      // with in-domain numbers, no escape sequences, non-null root,
+      // strict syntax (#26)
+      FuzzPair("jx_root",
+        when(strictS && col("js").rlike("^[\\x20-\\x7E]*$") &&
+          !col("js").rlike("[0-9]{19}") &&
+          !col("js").rlike("[0-9][eE][-+]?[0-9]") &&
+          !col("js").contains("\\") && trim(col("js")) =!= "null",
+          expr("get_json_object(js, '$')")),
+        s"CASE WHEN $strictD " +
+          "AND regexp_matches(js, '^[ -~]*$') " +
+          "AND NOT regexp_matches(js, '[0-9]{19}') " +
+          "AND NOT regexp_matches(js, '[0-9][eE][-+]?[0-9]') " +
+          "AND NOT contains(js, '\\') AND trim(js) != 'null' " +
+          "AND json_valid(js) THEN js ->> '$' END"),
+      FuzzPair("jx_arrlen",
+        expr("cast(json_array_length(get_json_object(js, '$.arr')) as bigint)"),
+        g("json_array_length(js, '$.arr')")),
+      // fence #29 carrier: DuckDB's array_to_string of an EMPTY list
+      // is NULL (measured) where Spark's array_join is '' — the
+      // coalesce is the portable spelling; strict-syntax guard (#26)
+      // because key ENUMERATION depends on parse success
+      FuzzPair("jx_keys",
+        when(strictS, expr("array_join(json_object_keys(js), '|')")),
+        s"CASE WHEN $strictD AND json_valid(js) " +
+          "AND json_type(js) = 'OBJECT' THEN " +
+          "coalesce(array_to_string(json_keys(js), '|'), '') END"),
+      FuzzPair("jx_num_cast",
+        expr("try_cast(get_json_object(js, '$.n') as double)"),
+        g("TRY_CAST((js ->> '$.n') AS DOUBLE)"), "ulp:0"),
+      // fence #29 pinned directly: the empty-list join law outside
+      // any JSON context — array_join('') vs coalesce(a2s, '')
+      FuzzPair("aj_empty_list",
+        expr("array_join(filter(array(i1), x -> false), '|')"),
+        "coalesce(array_to_string(list_filter([i1], " +
+          "x -> false), '|'), '')"))
+  }
+
+  /** Struct comparison-and-rendering semantics (round 17, vocabulary
+    * 2 of 2). The r14 structs wave pinned guarded equality/ordering;
+    * this one pins the RENDERING surface (to_json over structs — the
+    * portable struct-to-text spelling, since CAST(struct AS STRING)
+    * renders `{1, a}` in Spark vs `{'a': 1, 'b': a}` in DuckDB) and
+    * the null-safe equality laws on nested values. */
+  private def structRenders: Seq[FuzzPair] = Seq(
+    // to_json with null fields: Spark DROPS null fields by default
+    // (spark.sql.jsonGenerator.ignoreNullFields) — the portable
+    // spelling passes ignoreNullFields=false so both render "k":null
+    FuzzPair("sr_tojson_nulls",
+      expr("to_json(named_struct('a', i1, 'b', i2), " +
+        "map('ignoreNullFields', 'false'))"),
+      "to_json({'a': i1, 'b': i2})::VARCHAR"),
+    // nested struct + int array
+    FuzzPair("sr_tojson_nested",
+      expr("to_json(named_struct('o', named_struct('k', i1), " +
+        "'arr', array(i2, i1)), map('ignoreNullFields', 'false'))"),
+      "to_json({'o': {'k': i1}, 'arr': [i2, i1]})::VARCHAR"),
+    // string-field escaping (quotes, backslash, newline, unicode)
+    FuzzPair("sr_tojson_esc",
+      expr("to_json(named_struct('s', s1), " +
+        "map('ignoreNullFields', 'false'))"),
+      "to_json({'s': s1})::VARCHAR"),
+    // the portable struct-to-text spelling where CAST diverges:
+    // explicit concat of the fields
+    FuzzPair("sr_concat_render",
+      concat_ws("|", col("i1"), s1),
+      "concat_ws('|', i1, s1)"),
+    // null-safe equality over structs WITH null fields — unguarded
+    // on purpose: measures whether <=> and IS NOT DISTINCT FROM
+    // agree about nested nulls
+    FuzzPair("sr_nseq_cross",
+      expr("named_struct('a', i1, 'b', s1) <=> " +
+        "named_struct('a', i2, 'b', s2)"),
+      "({'a': i1, 'b': s1} IS NOT DISTINCT FROM {'a': i2, 'b': s2})"),
+    FuzzPair("sr_nseq_self",
+      expr("named_struct('a', i1, 'b', s1) <=> " +
+        "named_struct('a', i1, 'b', s1)"),
+      "({'a': i1, 'b': s1} IS NOT DISTINCT FROM {'a': i1, 'b': s1})"),
+    // field access through a NULL struct value → NULL, both engines
+    FuzzPair("sr_field_nullst",
+      expr("(CASE WHEN i1 > i2 THEN named_struct('a', i1) END).a"),
+      "(CASE WHEN i1 > i2 THEN {'a': i1} END).a"))
 
   // ---------------------------------------------------------------
   // Main

@@ -244,4 +244,53 @@ class FuzzScalarsSpec extends SparkTestBase {
     assert(r.getString(0) == "FILE") // DuckDB: ﬁLE
     assert(r.getString(1) == "ǄUNGLA ǇETO") // agrees (1:1 digraphs)
   }
+
+  test("divergence #26 pin (round 17): Jackson's malformed-JSON " +
+    "frontier — get_json_object ACCEPTS single-quoted strings and " +
+    "REJECTS trailing commas (yyjson is the exact opposite, so " +
+    "json_valid can't align the domains; parse-success-dependent " +
+    "oracles guard both classes textually)") {
+    val r = spark.range(1).select(
+      get_json_object(lit("{'s':'single'}"), "$.s").as("a"),
+      get_json_object(lit("""{"s":"a",}"""), "$.s").as("b")).head()
+    assert(r.getString(0) == "single") // DuckDB: invalid -> NULL
+    assert(r.isNullAt(1)) // DuckDB: valid -> 'a'
+  }
+
+  test("divergence #27 pin (round 17): get_json_object PRESERVES " +
+    "the literal number token beyond the int64/plain-decimal domain " +
+    "(DuckDB re-renders through double) — numeric comparison is the " +
+    "portable spelling (TRY_CAST AS DOUBLE, exact at ulp:0)") {
+    val r = spark.range(1).select(
+      get_json_object(lit("""{"n":99999999999999999999}"""), "$.n").as("a"),
+      get_json_object(lit("""{"n":1E+308}"""), "$.n").as("b"),
+      get_json_object(lit("""{"n":1.50}"""), "$.n").as("c")).head()
+    assert(r.getString(0) == "99999999999999999999") // DuckDB: 1e20.0-text
+    assert(r.getString(1) == "1.0E308") // DuckDB: 1e308
+    assert(r.getString(2) == "1.5") // in-domain: both re-render 1.5
+  }
+
+  test("divergence #28 pin (round 17): whole-doc extraction — Spark " +
+    "backslash-u-escapes non-BMP on re-render and returns the STRING " +
+    "'null' for a JSON-null ROOT (field-level JSON null is NULL in " +
+    "both engines — jx_jsonnull)") {
+    val r = spark.range(1).select(
+      get_json_object(lit("""{"u":"🦀"}"""), "$").as("a"),
+      get_json_object(lit("null"), "$").as("b"),
+      get_json_object(lit("""{"z":null}"""), "$.z").as("c")).head()
+    assert(r.getString(0) == "{\"u\":\"\\uD83E\\uDD80\"}") // DuckDB: raw 🦀
+    assert(r.getString(1) == "null") // DuckDB: NULL
+    assert(r.isNullAt(2)) // field-level: agrees
+  }
+
+  test("divergence #29 pin (round 17): array_join of an EMPTY array " +
+    "is '' in Spark (DuckDB's array_to_string gives NULL — portable " +
+    "spellings coalesce), and json_object_keys of '{}' is the empty " +
+    "array, not NULL") {
+    val r = spark.range(1).select(
+      array_join(expr("filter(array(1), x -> false)"), "|").as("a"),
+      array_join(expr("json_object_keys('{}')"), "|").as("b")).head()
+    assert(r.getString(0) == "")
+    assert(r.getString(1) == "")
+  }
 }
