@@ -245,10 +245,17 @@ object EventOps {
     def corrAt(lagCol: Column, k: Int): DataFrame =
       lagged.filter(lagCol.isNotNull)
         .groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum(col("v")).as("sx"),
-          sum(lagCol).as("sy"), sum(col("v") * lagCol).as("sxy"),
-          sum(col("v") * col("v")).as("sxx"),
-          sum(lagCol * lagCol).as("syy"))
+        // decimal moment sums — the q168 overflow law (sum of v·v
+        // crosses int64 near sf10); see q168TrendOls
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(38,0)")).as("sx"),
+          sum(lagCol.cast("decimal(38,0)")).as("sy"),
+          sum(col("v").cast("decimal(19,0)") *
+            lagCol.cast("decimal(19,0)")).as("sxy"),
+          sum(col("v").cast("decimal(19,0)") *
+            col("v").cast("decimal(19,0)")).as("sxx"),
+          sum(lagCol.cast("decimal(19,0)") *
+            lagCol.cast("decimal(19,0)")).as("syy"))
         .select(col("event_type"), lit(k).as("lag_k"),
           col("n").as("n_pairs"),
           ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
@@ -616,10 +623,21 @@ object EventOps {
       .cast("long")
     daily.select(col("event_type"), x.as("x"), col("y"))
       .groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
-        sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
-        sum(col("x") * col("x")).as("sxx"),
-        sum(col("y") * col("y")).as("syy"))
+      // moment sums in DECIMAL(38,0): daily y is ~1e6·sf, so
+      // sum(y·y) crosses int64 near sf10 (caught by the r17 sf10
+      // gate — the q202 overflow class, third member). decimal keeps
+      // the sufficient statistics EXACT to ~1e38; the oracle's
+      // HUGEINT sums are the same exact integers, so the final
+      // double casts stay bit-identical
+      .agg(count(lit(1)).as("n"),
+        sum(col("x").cast("decimal(38,0)")).as("sx"),
+        sum(col("y").cast("decimal(38,0)")).as("sy"),
+        sum(col("x").cast("decimal(19,0)") *
+          col("y").cast("decimal(19,0)")).as("sxy"),
+        sum(col("x").cast("decimal(19,0)") *
+          col("x").cast("decimal(19,0)")).as("sxx"),
+        sum(col("y").cast("decimal(19,0)") *
+          col("y").cast("decimal(19,0)")).as("syy"))
       .select(col("event_type"), col("n"),
         ((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
           / (col("n") * col("sxx") - col("sx") * col("sx"))
@@ -1704,10 +1722,10 @@ object EventOps {
         |  FROM daily),
         |st AS (
         |  SELECT event_type, count(*) AS n,
-        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
-        |    CAST(sum(x * y) AS BIGINT) AS sxy,
-        |    CAST(sum(x * x) AS BIGINT) AS sxx,
-        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |    sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx,
+        |    sum(y * y) AS syy
         |  FROM xy GROUP BY event_type)
         |SELECT event_type, n,
         |  CAST(n * sxy - sx * sy AS DOUBLE)
