@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Time one (or more) registered queries with the bench's exact
+  * methodology — noop sink, persistent-RDD/cache hygiene between runs —
+  * repeated N times, printing each rep and the min. The optimization
+  * round's inner loop: fast feedback on a single query without paying
+  * for the full 235-query bench pass.
+  *
+  * Usage: runMain graft.tools.TimeOne <reps> <query...>
+  *   env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+  *        SPARK_GRAFT_CPUS   (default 32)
+  */
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(3)
+    val names = args.drop(1).toSeq
+    require(names.nonEmpty, "usage: TimeOne <reps> <query...>")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    // same warm-up as Bench: parquet reader, codegen, shuffle, noop sink
+    locally {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1000)
+      li.groupBy("l_returnflag").count()
+        .join(broadcast(li.select("l_returnflag").distinct()), "l_returnflag")
+        .orderBy("l_returnflag")
+        .write.format("noop").mode("overwrite").save()
+    }
+    names.foreach { name =>
+      val fn = graft.SparkEntry.queries.getOrElse(name,
+        sys.error(s"unknown query: $name"))
+      val times = (1 to reps).map { i =>
+        spark.sparkContext.setJobDescription(s"$name rep $i")
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t = (System.nanoTime() - t0) / 1e9
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(blocking = true))
+        spark.sharedState.cacheManager.clearCache()
+        println(f"[timeone] $name rep$i: $t%.3f s")
+        t
+      }
+      println(f"[timeone] $name min: ${times.min}%.3f s  med: ${times.sorted.apply(reps / 2)}%.3f s")
+    }
+    spark.stop()
+  }
+}
