@@ -35,6 +35,33 @@ object TimeOne {
         .orderBy("l_returnflag")
         .write.format("noop").mode("overwrite").save()
     }
+    // optional per-job breakdown: SPARK_GRAFT_JOBLOG=1 prints each
+    // job's wall time + task-time sum, separating driver/scheduling
+    // overhead (wall >> task time) from real compute
+    if (sys.env.get("SPARK_GRAFT_JOBLOG").contains("1")) {
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          private val t0 = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+          private val taskNs = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+          private val jobOfStage = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            t0.put(j.jobId, System.nanoTime())
+            taskNs.put(j.jobId, new java.util.concurrent.atomic.AtomicLong())
+            j.stageIds.foreach(s => jobOfStage.put(s, j.jobId))
+          }
+          override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val jid = jobOfStage.getOrDefault(t.stageId, -1)
+            if (jid >= 0 && t.taskMetrics != null)
+              taskNs.get(jid).addAndGet(t.taskMetrics.executorRunTime * 1000000L)
+          }
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            val wall = (System.nanoTime() - t0.getOrDefault(j.jobId, 0L)) / 1e9
+            val task = taskNs.getOrDefault(j.jobId,
+              new java.util.concurrent.atomic.AtomicLong()).get() / 1e9
+            println(f"[joblog] job ${j.jobId}%3d wall $wall%7.3f s  taskSum $task%7.3f s")
+          }
+        })
+    }
     names.foreach { name =>
       val fn = graft.SparkEntry.queries.getOrElse(name,
         sys.error(s"unknown query: $name"))
