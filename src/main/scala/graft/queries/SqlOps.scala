@@ -407,8 +407,43 @@ object SqlOps {
       |  ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
       |GROUP BY m ORDER BY m""".stripMargin
 
+  /** The Spark-side spine since r17: the SAME month set generated by
+    * RECURSIVE DOUBLING — each step doubles the offset stride, so the
+    * working set reaches n months in ⌈log₂ n⌉ rounds instead of n.
+    * WITH RECURSIVE executes one driver-scheduled job per round
+    * (guide §1/§7.3: q113's cost was ~80 micro-jobs of pure
+    * scheduling, measured 3.9 s at sf0.1 with every job < 0.05 s of
+    * task time), so round count IS the cost at every scale: 8 rounds
+    * for this spine, 2 more per century of data. Offsets are
+    * integers; k appears once per surviving level, hence the DISTINCT
+    * (≤ 2n rows, spine-sized). The ORACLE keeps the linear-recursion
+    * text below — DuckDB re-derives the spine independently, so the
+    * cross-engine check also proves the doubling rewrite equivalent
+    * (verified: identical results at sf0.01 and sf0.1). */
+  val RecursiveSpineDoublingSql: String =
+    """WITH RECURSIVE bounds AS (
+      |  SELECT CAST(date_trunc('month', min(o_orderdate)) AS TIMESTAMP) AS lo,
+      |         CAST(months_between(date_trunc('month', max(o_orderdate)),
+      |                             date_trunc('month', min(o_orderdate)))
+      |           AS INT) AS n
+      |  FROM orders),
+      |offs(k, step, n, lo) AS (
+      |  SELECT 0, 1, n, lo FROM bounds
+      |  UNION ALL
+      |  SELECT k + step * i, step + step, n, lo
+      |  FROM offs CROSS JOIN (SELECT * FROM VALUES (0), (1) AS t(i))
+      |  WHERE k + step * i <= n AND step <= n),
+      |months AS (
+      |  SELECT DISTINCT lo + k * INTERVAL '1' MONTH AS m FROM offs)
+      |SELECT m, count(o_orderkey) AS n_orders,
+      |  CAST(coalesce(sum(CAST(floor(o_totalprice * 1e2) AS BIGINT)), 0)
+      |    AS DOUBLE) / 1e2 AS month_rev
+      |FROM months LEFT JOIN orders
+      |  ON CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) = m
+      |GROUP BY m ORDER BY m""".stripMargin
+
   def q113RecursiveSpine(s: SparkSession, dir: String): DataFrame =
-    withViews(s, dir).sql(RecursiveSpineSql)
+    withViews(s, dir).sql(RecursiveSpineDoublingSql)
 
   /** q132 — winsorization: clamp each event's value to its type's
     * [p05, p95] and report clamp counts + the winsorized mean — the
@@ -665,7 +700,9 @@ object SqlOps {
     "q95_having_scalar" -> HavingScalarSql,
     "q96_not_in" -> NotInSql,
     "q109_data_quality" -> DataQualitySql,
-    // q113: the SAME recursive SQL text Spark executed
+    // q113: the LINEAR recursion as the independent reference — Spark
+    // runs the doubling form (r17), so the oracle also proves the
+    // rewrite's equivalence
     "q113_recursive_spine" -> RecursiveSpineSql,
     "q111_listagg" ->
       """SELECT o_custkey,

@@ -57,13 +57,27 @@ object WarehouseOps {
   private def coPurchaseGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val li = Tables.lineitem(s, dir)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val edges = li.groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+    // r17 (guide §2.3, shuffle fewer bytes): generate each unordered
+    // pair ONCE (src < dst via an array-filtered second explode) and
+    // mirror AFTER the dedup + barrier — the distinct shuffle carries
+    // half the pairs of the old src ≠ dst double-explode, and the
+    // checkpoint stores half the rows. The mirrored union is a
+    // map-side projection of the checkpointed blocks, so every
+    // consumer still sees the identical symmetric edge set. Measured
+    // q114 min-of-4 paired A/B at sf0.1 under ~2× ambient steal:
+    // 3.87 → 3.61 s (−7%, inside the noise band) — the shipped claim
+    // is the structural one: the dedup shuffle and the checkpoint
+    // carry HALF the rows at every scale, and the win grows with the
+    // edge mass (at sf0.1 the dedup is ~15% of the query; at 100 TB
+    // the edge build dominates the fixed 3-iteration tail).
+    val half = li.groupBy("ok").agg(collect_set(col("pk")).as("ps"))
       .select(explode(col("ps")).as("src"), col("ps"))
-      .select(col("src"), explode(col("ps")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .select("src", "dst")
+      .select(col("src"),
+        explode(filter(col("ps"), d => d > col("src"))).as("dst"))
       .distinct()
-      .iterBarrier() // consumers: outdeg + every iteration join
+      .iterBarrier() // consumers: outdeg + every iteration join (×2 dirs)
+    val edges = half.unionAll(
+      half.select(col("dst").as("src"), col("src").as("dst")))
     (edges, edges.groupBy("src").agg(count(lit(1)).as("outdeg")))
   }
 
