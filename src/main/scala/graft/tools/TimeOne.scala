@@ -19,12 +19,19 @@ object TimeOne {
     require(names.nonEmpty, "usage: TimeOne <reps> <query...>")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+      // shipped engine config (see Bench.scala for the rationale)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
+    // A/B experiment seam: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2"
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach(_.split(';').foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      builder.config(k, v)
+    })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // same warm-up as Bench: parquet reader, codegen, shuffle, noop sink
     locally {
@@ -59,6 +66,14 @@ object TimeOne {
             val task = taskNs.getOrDefault(j.jobId,
               new java.util.concurrent.atomic.AtomicLong()).get() / 1e9
             println(f"[joblog] job ${j.jobId}%3d wall $wall%7.3f s  taskSum $task%7.3f s")
+          }
+          override def onStageCompleted(sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+            val si = sc.stageInfo
+            val ms = si.taskMetrics
+            if (ms != null && ms.executorRunTime > 500)
+              println(f"[stagelog] stage ${si.stageId}%3d tasks ${si.numTasks}%3d " +
+                f"taskSum ${ms.executorRunTime / 1e3}%7.3f s  " +
+                s"${si.name.take(90)}")
           }
         })
     }
