@@ -225,6 +225,13 @@ object WarehouseOps {
     var hubs = edges.select(col("c")).distinct()
       .select(col("c"), lit(1000000L).as("h"))
     var auths: DataFrame = null
+    // NOT barriered per round (r17, measured): at HitsIters=2 the lazy
+    // chain is bounded (~43 printed exchanges) and AQE stage reuse
+    // dedups the repeated subtrees at runtime — adding a per-round
+    // localCheckpoint cost MORE than the planning it saved (min-of-4
+    // paired A/B at sf0.1: 2.46 s lazy vs 2.80 s barriered). The
+    // fixpoint twin below still barriers every round: at unbounded
+    // depth the exponential tree wins the argument (the q157 case).
     for (_ <- 1 to iters) {
       val (a, nh) = hitsRound(edges, hubs)
       auths = a
@@ -1072,9 +1079,22 @@ object WarehouseOps {
 
   private[queries] def kcoreEdgesAfter(s: SparkSession, dir: String,
       rounds: Int): DataFrame = {
-    // rounds+1 checkpoint consumers: each round's degree aggregate
+    // rounds+1 checkpoint consumers: each round's degree aggregate.
+    // Per-round iterBarrier (r17): the unrolled form chained rounds
+    // lazily, and each round references its input ~4× (degree union
+    // ×2 + two semi joins), so the plan tree grew ~4^rounds — 126
+    // printed exchanges at 3 rounds, driver planning/codegen growing
+    // exponentially with peel depth (guide §3.3 "materialise to
+    // truncate very large plans"; the fixpoint twin below already
+    // barriers every round for exactly this reason). localCheckpoint
+    // preserves values bit-for-bit, so the unrolled-vs-fixpoint
+    // equivalence spec and the oracle are untouched. Measured q157
+    // min-of-4 paired A/B at sf0.1: 1.59 → 1.39 s (medians equal
+    // within noise) — modest here at 3 rounds; the exponential-tree
+    // argument is what ships it (peel depth is data-dependent at
+    // production K, and the 4^rounds planning cost is the bound).
     var edges = sampledCoPurchaseEdges(s, dir)
-    for (_ <- 1 to rounds) edges = kcorePeelStep(edges)
+    for (_ <- 1 to rounds) edges = kcorePeelStep(edges).iterBarrier()
     edges
   }
 
