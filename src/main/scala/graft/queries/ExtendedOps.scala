@@ -423,15 +423,10 @@ object ExtendedOps {
       pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst"))))
     // id → current component label for EVERY original vertex; composed
-    // with each round's contraction map. LAZY since r17: mapping is
-    // only consumed AFTER the loop, so the per-round compose needs no
-    // barrier of its own — each round's l2 is already materialized,
-    // and the final chain is ≤ maxIter node-sized left joins executed
-    // once (one less barrier job + one less node-sized
-    // materialization per round at every scale).
-    var mapping =
+    // with each round's contraction map
+    var mapping = barrier(
       edges.select(col("src").as("id")).distinct()
-        .select(col("id"), col("id").as("comp"))
+        .select(col("id"), col("id").as("comp")))
     var nEdges = edges.count()
     var iter = 0
     while (nEdges > 0 && iter < 25) {
@@ -458,10 +453,10 @@ object ExtendedOps {
       // compose: comp values are current-graph vertices; ones whose
       // component already fully contracted have no l2 row and keep
       // their (final) label — hence the left join + coalesce
-      mapping =
+      mapping = barrier(
         mapping.join(l2.select(col("v").as("mv"), col("l").as("ml")),
             mapping("comp") === col("mv"), "left")
-          .select(mapping("id"), coalesce(col("ml"), mapping("comp")).as("comp"))
+          .select(mapping("id"), coalesce(col("ml"), mapping("comp")).as("comp")))
       nEdges = edges.count()
       iter += 1
     }
