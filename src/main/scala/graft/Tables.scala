@@ -18,8 +18,36 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Per-session memo of the RESOLVED scan DataFrame per path (r17).
+    *
+    * `spark.read.parquet(path)` pays driver-side footer schema
+    * inference + file-index construction on EVERY call — measured
+    * ~88 ms per call on this box (`tools.SchemaCost`: 200 warm reads
+    * = 17.6 s). A bench pass resolves the same ten immutable tables
+    * hundreds of times, so the engine now resolves each (session,
+    * path) ONCE and reuses the logical plan — exactly what a catalog
+    * table (HMS/Iceberg metadata cache) gives a production deployment,
+    * and the guide's §6 file-listing-cache prescription applied at the
+    * API seam we own. This memoizes PLANS, not results: every action
+    * still scans parquet.
+    *
+    * Contract: paths handed to this loader are immutable for the
+    * session's lifetime (driver testdata is). Code that overwrites
+    * and re-reads its own output (IotPipeline sinks, RunDag) calls
+    * `spark.read` directly and is unaffected. Keyed weakly by session
+    * so stopped sessions don't pin plans. */
+  private val planCache =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val perSession = planCache.synchronized {
+      planCache.computeIfAbsent(spark,
+        _ => new java.util.concurrent.ConcurrentHashMap[String, DataFrame]())
+    }
+    perSession.computeIfAbsent(s"$dir/$name.parquet",
+      p => spark.read.parquet(p))
+  }
 
   def region(s: SparkSession, d: String): DataFrame = apply(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = apply(s, d, "nation")
