@@ -263,15 +263,36 @@ object ExactQuantiles {
       .persist()
     caches += st
 
-    // 3. two-phase global rank span of each distinct value
+    // per-quantile target ranks, computed INLINE from the joined
+    // group stats (r17): klo/khi/pos are group constants derived from
+    // exq_n, so they ride the early join's projection instead of a
+    // second, differently-pruned broadcast of the stats frame at the
+    // bracket step — one broadcast build + one join per pass removed
+    // (guide §2.4; the quantile family q50/q112/q132/q153/q154/q159/
+    // q160 all pay this shape)
+    val kcols = ps.zipWithIndex.flatMap { case ((_, p), i) =>
+      val pos = lit(p) * (col("exq_n") - 1L).cast(DoubleType)
+      val kd = greatest(ceil(lit(p) * col("exq_n").cast(DoubleType)),
+        lit(1L)) - 1L
+      if (discrete)
+        Seq(kd.as(s"exq_klo_$i"), kd.as(s"exq_khi_$i"),
+          lit(0.0).as(s"exq_pos_$i"))
+      else
+        Seq(floor(pos).as(s"exq_klo_$i"), ceil(pos).as(s"exq_khi_$i"),
+          pos.as(s"exq_pos_$i"))
+    }
+
+    // 3. two-phase global rank span of each distinct value; the ONE
+    // stats join also attaches exq_rows and the target-rank columns,
+    // which flow through the bucket rank to the bracket filter below
     val vals = hist.filter(col("exq_v").isNotNull)
-      .join(broadcast(st.select(col("exq_k"), col("exq_mn"),
-        col("exq_mx"))), "exq_k")
+      .join(broadcast(st), "exq_k")
       .withColumn("exq_bkt", when(col("exq_mx") > col("exq_mn"),
         least(greatest(floor((col("exq_v") - col("exq_mn")) * nBuckets /
           (col("exq_mx") - col("exq_mn"))), lit(0L)), lit(nBuckets - 1L)))
         .otherwise(lit(0L)))
-      .select(col("exq_k"), col("exq_v"), col("exq_c"), col("exq_bkt"))
+      .select((Seq(col("exq_k"), col("exq_v"), col("exq_c"),
+        col("exq_bkt"), col("exq_rows")) ++ kcols.map(c => c)): _*)
     val offs = vals.groupBy(col("exq_k"), col("exq_bkt"))
       .agg(sum(col("exq_c")).as("exq_bc"))
       .withColumn("exq_off", coalesce(sum(col("exq_bc")).over(
@@ -286,26 +307,15 @@ object ExactQuantiles {
       .withColumn("exq_start", col("exq_cum") - col("exq_c"))
 
     // 4. bracket + interpolate — Spark's formula, term for term.
-    // All per-quantile target ranks ride as COLUMNS of the stats frame
-    // (no explode, so rank rows are never multiplied |ps|-fold), the
-    // bracket filter keeps rows holding ANY target rank (≤ 2|ps| per
-    // group), and ONE conditional aggregation per group yields every
-    // bracket value — no per-quantile shuffle, no pivot. Discrete mode
-    // targets ONE 0-based rank — max(ceil(p*n), 1) - 1, the smallest
-    // value whose cume_dist reaches p — so lo == hi and the
-    // interpolation short-circuit returns the actual data value.
-    val kcols = ps.zipWithIndex.flatMap { case ((_, p), i) =>
-      val pos = lit(p) * (col("exq_n") - 1L).cast(DoubleType)
-      val kd = greatest(ceil(lit(p) * col("exq_n").cast(DoubleType)),
-        lit(1L)) - 1L
-      if (discrete)
-        Seq(kd.as(s"exq_klo_$i"), kd.as(s"exq_khi_$i"),
-          lit(0.0).as(s"exq_pos_$i"))
-      else
-        Seq(floor(pos).as(s"exq_klo_$i"), ceil(pos).as(s"exq_khi_$i"),
-          pos.as(s"exq_pos_$i"))
-    }
-    val stT = st.select((col("exq_k") :: col("exq_rows") :: Nil) ++ kcols: _*)
+    // All per-quantile target ranks ride as COLUMNS attached at the
+    // stats join above (no explode, so rank rows are never multiplied
+    // |ps|-fold), the bracket filter keeps rows holding ANY target
+    // rank (≤ 2|ps| per group), and ONE conditional aggregation per
+    // group yields every bracket value — no per-quantile shuffle, no
+    // pivot. Discrete mode targets ONE 0-based rank —
+    // max(ceil(p*n), 1) - 1, the smallest value whose cume_dist
+    // reaches p — so lo == hi and the interpolation short-circuit
+    // returns the actual data value.
     def holds(k: Column) =
       k.between(col("exq_start"), col("exq_cum") - 1L)
     val anyHold = ps.indices
@@ -329,7 +339,7 @@ object ExactQuantiles {
             * col(s"exq_vlo_$i")
             + (col(s"exq_pos_$i") - col(s"exq_klo_$i").cast(DoubleType))
             * col(s"exq_vhi_$i"))
-    val out = ranked.join(broadcast(stT), Seq("exq_k"))
+    val out = ranked
       .filter(anyHold)
       .groupBy(col("exq_k"), col("exq_rows"))
       .agg(aggs.head, aggs.tail: _*)
